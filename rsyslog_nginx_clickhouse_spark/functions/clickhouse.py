@@ -1,0 +1,61 @@
+"""ClickHouse-flavor scalar functions as Spark SQL UDFs.
+
+The reference's query surface is ClickHouse SQL (/root/reference/
+README.md:279-285; ``toYYYYMMDD`` in the DDL /root/reference/nginx.click:1;
+the vertamedia Grafana plugin canonically expands ``$timeSeries`` to
+``intDiv(toUInt32(t), $interval) * $interval``). Registering these names
+lets reference-era queries run near-verbatim through ``spark.sql``.
+
+Implemented as Spark 4 SQL UDFs (``CREATE FUNCTION ... RETURN expr``) —
+pure Catalyst expressions inlined at plan time, codegen'd, zero Python
+in the hot path, so they cost nothing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: name → (typed arg list, return type, Spark SQL body).
+_CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
+    "toYYYYMMDD": ("d DATE", "INT", "cast(date_format(d, 'yyyyMMdd') as int)"),
+    "toYYYYMM": ("d DATE", "INT", "cast(date_format(d, 'yyyyMM') as int)"),
+    "toDate": ("x STRING", "DATE", "cast(x as date)"),
+    "toDateTime": ("x STRING", "TIMESTAMP", "cast(x as timestamp)"),
+    "toUInt32": ("x TIMESTAMP", "BIGINT", "unix_timestamp(x)"),
+    "toHour": ("t TIMESTAMP", "INT", "hour(t)"),
+    "toMinute": ("t TIMESTAMP", "INT", "minute(t)"),
+    "toStartOfHour": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('hour', t)"),
+    "toStartOfDay": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('day', t)"),
+    "toStartOfMinute": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('minute', t)"),
+    "toStartOfWeek": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('week', t)"),
+    "toStartOfMonth": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('month', t)"),
+    "toStartOfFiveMinute": (
+        "t TIMESTAMP", "TIMESTAMP",
+        "timestamp_seconds(floor(unix_timestamp(t) / 300) * 300)",
+    ),
+    "toStartOfInterval": (
+        "t TIMESTAMP, secs BIGINT", "TIMESTAMP",
+        "timestamp_seconds(floor(unix_timestamp(t) / secs) * secs)",
+    ),
+    "intDiv": ("a BIGINT, b BIGINT", "BIGINT", "cast(floor(a / b) as bigint)"),
+    "formatDateTime": ("t TIMESTAMP, fmt STRING", "STRING", "date_format(t, fmt)"),
+}
+
+#: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap
+#: aggregates; the macro expander rewrites these tokens pre-parse).
+AGGREGATE_REWRITES: dict[str, str] = {
+    "uniq": "approx_count_distinct",
+    "uniqExact": "count_distinct",
+    "quantile": "percentile_approx",
+    "median": "median",
+    "any": "first",
+}
+
+
+def register_clickhouse_functions(spark: SparkSession) -> None:
+    """Register the ClickHouse-compat scalar names in the session."""
+    for name, (args, ret, body) in _CLICKHOUSE_FNS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}"
+        )

@@ -1,0 +1,61 @@
+"""Grafana macro expansion ↔ the vertamedia ClickHouse datasource plugin.
+
+The reference's one published query (/root/reference/README.md:279-285):
+
+    SELECT $timeSeries as t, count(*) as Count
+    FROM $table WHERE $timeFilter GROUP BY t ORDER BY t
+
+``$timeSeries`` / ``$timeFilter`` / ``$table`` are plugin macros
+(README.md:275). Expansion is pre-parse string templating — it never
+touches the planner (SURVEY §3.3), so Catalyst sees plain SQL and all
+pushdown/pruning applies to the expanded predicate.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+    AGGREGATE_REWRITES,
+    register_clickhouse_functions,
+)
+
+
+def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
+                  interval_s: int = 3600,
+                  time_from: str | None = None,
+                  time_to: str | None = None) -> str:
+    """Expand $timeSeries/$timeFilter/$table/$interval into Spark SQL.
+
+    ``$timeSeries`` → canonical vertamedia expansion
+    ``intDiv(toUInt32(t), $interval) * $interval`` re-expressed as a
+    timestamp bucket (timestamp_seconds keeps the result a TIMESTAMP so
+    downstream date functions still work).
+    """
+    ts_expr = (
+        f"timestamp_seconds(floor(unix_timestamp({time_col}) / {interval_s})"
+        f" * {interval_s})"
+    )
+    if time_from and time_to:
+        filt = (f"{time_col} BETWEEN timestamp'{time_from}'"
+                f" AND timestamp'{time_to}'")
+    else:
+        filt = "1=1"
+    out = (sql
+           .replace("$timeSeries", ts_expr)
+           .replace("$timeFilter", filt)
+           .replace("$table", table)
+           .replace("$interval", str(interval_s)))
+    for ch_name, spark_name in AGGREGATE_REWRITES.items():
+        out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
+    return out
+
+
+def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
+    """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
+    register_clickhouse_functions(spark)
+    if "$" in query and "table" in macro_kwargs:
+        query = expand_macros(query, **macro_kwargs)
+    return spark.sql(query)

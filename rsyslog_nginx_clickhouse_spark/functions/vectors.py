@@ -1,0 +1,36 @@
+"""Vector column builders over ``array<float>`` embedding columns.
+
+Pure Catalyst higher-order functions — ``zip_with`` + ``aggregate`` keep
+the math JVM-side and codegen'd; no UDF, no serialization. Elements are
+cast to double before accumulating and accumulation is strictly
+left-to-right, which makes results bit-portable to the DuckDB oracle
+(list_transform/list_sum accumulate in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(_d(a), _d(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))

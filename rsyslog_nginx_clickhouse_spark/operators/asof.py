@@ -1,0 +1,63 @@
+"""As-of join — for each left row, the latest right row at or before it.
+
+Spark has no native ASOF JOIN (DuckDB/ClickHouse do). Implemented as a
+composition of built-in ops — the union-sort-window trick:
+
+1. tag both sides, union on (key, time) with the left's payload nulled
+   on right rows and vice versa,
+2. one window per key ordered by time: ``last(right_payload,
+   ignorenulls=true)`` carries the most recent right value forward,
+3. keep left rows.
+
+Cost: ONE shuffle on the key (the union sorts within partitions inside
+the window), versus the naive range-join which is O(n·m) per key. This
+is the 100 TB-safe formulation: no cross product, no broadcast of a big
+side, skew handled by AQE. (Equivalent to pd.merge_asof semantics with
+direction='backward', allow_exact_matches=True.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
+              right_time_col: str | None = None,
+              value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row: latest right row with same ``on`` key and
+    right time <= left time. Right payload columns arrive suffixed.
+    """
+    rtime = right_time_col or time_col
+    value_cols = value_cols or [c for c in right.columns if c not in (on, rtime)]
+
+    lhs = left.select(
+        F.col(on), F.col(time_col).alias("__t"), F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[rtime].dataType).alias("__rt"),
+    )
+    rhs = right.select(
+        F.col(on), F.col(rtime).alias("__t"), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(rtime).alias("__rt"),
+    )
+    # Right rows sort before left rows at equal time → exact matches allowed.
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("__t"), F.col("__is_left"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+          for c in value_cols],
+        F.last("__rt", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+    )
+    out = carried.where(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col(f"{time_col}{suffix}"),
+    )
+    return out

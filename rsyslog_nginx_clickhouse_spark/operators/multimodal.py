@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is a ``binary``
+column (or a (path, offset, length) pointer into an object store), the
+metadata a typed struct; decode / feature-extract / resize / frame-
+sample run as Arrow-batched ``mapInPandas`` so each task streams batches
+without materializing the whole partition.
+
+The actual codec step is STUBBED (image/audio libs aren't in this
+container): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector derived from the payload bytes — making the Spark-side plumbing
+(schema, batching, partitioning) fully real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+#: Output schema of the feature-extraction stage.
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes int, content_hash string, features array<float>"
+)
+
+
+def attach_binary(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: payload = utf-8 bytes of the text
+    (stand-in for image/audio bytes), metadata struct alongside.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("content_type"),
+        F.length(payload).alias("n_bytes"),
+    )
+    return docs.select(F.col(id_col), payload.alias("payload"),
+                       meta.alias("meta"))
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decoder': md5(payload) → FEATURE_DIM floats.
+
+    Replace with a real codec (PIL/torchaudio/ffmpeg) outside this
+    container; signature and batch shape stay identical.
+    """
+    h = hashlib.md5(payload).digest()
+    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[:FEATURE_DIM * 4],
+                        dtype=np.uint32)
+    return (raw / np.float64(0xFFFFFFFF)).astype(np.float32)
+
+
+def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "real image/audio decode requires codec libraries not present in "
+        "this container; call with fake=True for the deterministic stub")
+
+
+def extract_features(multimodal: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: binary payload → feature vector.
+
+    Arrow-batched; each batch is decoded in bulk. Partitioning is
+    inherited from the scan — at 100 TB pair with
+    ``spark.sql.files.maxPartitionBytes`` so one task holds one
+    batch-sized slice of payloads.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p, fake=fake).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "content_hash": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                "features": feats,
+            })
+
+    return multimodal.mapInPandas(run, schema=FEATURES_SCHEMA)

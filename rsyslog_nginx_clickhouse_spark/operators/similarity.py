@@ -1,0 +1,116 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+- brute-force top-k  — broadcast the query vector, one codegen'd pass,
+  TakeOrderedAndProject (no global sort). Baseline + ground truth.
+- LSH-bucketed ANN   — random-hyperplane signatures with planes fixed
+  from a seed (deterministic, oracle-reproducible); candidates share a
+  signature bucket, exact cosine re-rank inside the bucket. The scale
+  path: turns O(n) per query into O(n / 2^planes) expected.
+- cosine near-dup    — all pairs above a threshold; LSH-prefiltered
+  variant for scale.
+
+All vector math is zip_with/aggregate (functions/vectors.py) — JVM-side,
+no UDF, portable accumulation order for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
+
+NUM_PLANES = 8
+
+
+def hyperplanes(dim: int, num_planes: int = NUM_PLANES,
+                seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Derived from md5(seed, plane, dim-index) — reproducible everywhere
+    (including inside the DuckDB oracle, where the planes are inlined as
+    literals), no RNG state.
+    """
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (v,) = struct.unpack(">I", h[:4])
+            row.append(round(v / 0xFFFFFFFF * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string LSH signature: sign of dot(plane, vec) per plane."""
+    bits = []
+    for row in planes:
+        lit = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_bruteforce(embeddings: DataFrame, query_vec: Column, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to ``query_vec`` (a literal/broadcast column).
+
+    Executes as scan → project(cosine) → TakeOrderedAndProject: each
+    partition keeps its local top-k, driver merges k·partitions rows —
+    no shuffle of the data, which is what makes it viable at 100 TB for
+    a single query vector.
+    """
+    return (embeddings
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), query_vec), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k))
+
+
+def knn_lsh(embeddings: DataFrame, query_vec: Column, dim: int, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            num_planes: int = NUM_PLANES) -> DataFrame:
+    """ANN top-k: candidates = rows sharing the query's LSH bucket,
+    exact cosine re-rank within. Falls back toward brute force as
+    num_planes → 0; recall/speed tuned by the plane count.
+    """
+    planes = hyperplanes(dim, num_planes)
+    sig = plane_signature(F.col(vec_col), planes)
+    qsig = plane_signature(query_vec, planes)
+    return (embeddings
+            .where(sig == qsig)
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), query_vec), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k))
+
+
+def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None,
+                       use_lsh: bool = False) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
+
+    ``use_lsh=True`` restricts the self-join to equal LSH buckets — the
+    100 TB formulation (shuffle on the 2^planes bucket key instead of a
+    global cross product). Plain mode is exact ground truth for tests.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"))
+    if use_lsh:
+        planes = hyperplanes(dim, NUM_PLANES)
+        a = a.withColumn("bucket", plane_signature(F.col("va"), planes))
+        b = b.withColumn("bucket", plane_signature(F.col("vb"), planes))
+        joined = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (joined
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))

@@ -1,0 +1,53 @@
+"""Time-series bucketing + range filtering (SURVEY §2.6 Q1-Q5).
+
+The reference's entire query surface is built around the Grafana query
+(/root/reference/README.md:279-285): bucket a time column, count, filter
+a range, group, order. ``$timeSeries`` canonically expands to
+``intDiv(toUInt32(t), $interval) * $interval`` — an arbitrary-N-second
+tumbling bucket, which Spark's ``window()`` generalizes.
+
+Scale notes: bucketing is a pure projection (codegen'd, no shuffle);
+the groupBy shuffles on the bucket key — partial aggregation map-side
+means shuffle volume is O(buckets), not O(rows). The range filter must
+reach the scan: on a mergetree-like table (plans/storage.py) the date
+predicate prunes partitions and the sorted timestamp prunes row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(col: Column | str, interval_s: int = 3600) -> Column:
+    """↔ $timeSeries: floor the timestamp to an N-second tumbling bucket.
+
+    Kept as TIMESTAMP (timestamp_seconds) so downstream date functions
+    and Grafana both consume it directly.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(col) / interval_s) * interval_s
+    )
+
+
+def time_filter(df: DataFrame, col: str, time_from: str, time_to: str) -> DataFrame:
+    """↔ $timeFilter: inclusive time-range predicate (README.md:283)."""
+    return df.where(F.col(col).between(F.lit(time_from).cast("timestamp"),
+                                       F.lit(time_to).cast("timestamp")))
+
+
+def timeseries_count(df: DataFrame, time_col: str, interval_s: int = 3600,
+                     group_cols: tuple[str, ...] = (),
+                     aggs: tuple[Column, ...] = ()) -> DataFrame:
+    """The Grafana query as an operator: bucket → group → count → order.
+
+    ``group_cols`` adds series dimensions (one line per value); ``aggs``
+    adds measures beyond count(*).
+    """
+    bucket = time_bucket(time_col, interval_s).alias("t")
+    keys = [bucket, *[F.col(c) for c in group_cols]]
+    out = (df.groupBy(*keys)
+             .agg(F.count("*").alias("cnt"), *aggs)
+             .orderBy("t", *group_cols))
+    return out

@@ -1,0 +1,62 @@
+"""The declared query inventory — the engine's correctness surface.
+
+Every entry pairs a Spark implementation (a callable ``(spark, sf_dir)
+→ DataFrame``) with the equivalent ANSI SQL the DuckDB oracle runs on
+the same parquet tables. Column names are part of the contract: the
+driver sorts columns by name before value-hashing, so Spark aliases and
+SQL ``AS`` names must match exactly.
+
+Float discipline (why every aggregate is rounded): Spark and DuckDB sum
+doubles in different orders, so the last bits differ. We round sums of
+large magnitudes to 1 decimal and ratios/averages to 4-6 decimals —
+orders of magnitude above the reordering error, orders below anything
+semantically meaningful.
+
+Modules:
+- reference — the reference's own surface (SURVEY §2.6 Q1-Q6) over the
+  ``events`` table + the nginx ingest pipeline round-trip.
+- adhoc     — the general SQL SELECT surface (README.md:7,32: "regular
+  SQL is a stated product requirement"): joins, windows, rollup,
+  semi/anti, pivot, as-of, sessionize.
+- llm       — dedup / similarity / text analysis / multimodal.
+- stream_q  — Structured Streaming entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Register a query implementation under ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = Query(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    from rsyslog_nginx_clickhouse_spark.queries import (  # noqa: F401
+        adhoc,
+        llm,
+        reference,
+        stream_q,
+    )
+
+    return REGISTRY

@@ -1,0 +1,334 @@
+"""The general ad-hoc SQL surface (SURVEY §2.6 Q6).
+
+"Regular SQL is a stated product requirement" (/root/reference/
+README.md:7,32). The reference delegates this surface to ClickHouse; we
+delegate to Spark SQL/Catalyst — these entries pin down the semantics
+over the TPC-H-ish star schema: multi-way joins, grouped aggregation,
+windows, rollup, semi/anti joins, pivot-style conditional aggregation,
+as-of join, sessionization.
+
+Scale notes per query live in the docstrings; the common theme: dims
+(region/nation/supplier/part/customer) broadcast, facts (orders/
+lineitem) never leave their partitions except for the one shuffle their
+group/join key requires, AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
+from rsyslog_nginx_clickhouse_spark.operators.sessionize import session_stats
+from rsyslog_nginx_clickhouse_spark.operators.topk import topk_per_group
+from rsyslog_nginx_clickhouse_spark.queries import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 1) AS sum_qty,
+           round(sum(l_extendedprice), 1) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: scan-heavy grouped aggregation; partial agg map-side, "
+        "shuffle carries 4 groups not 600k rows",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 1).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 1)
+                  .alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3: dim filter broadcast into fact join, top-10 by revenue",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 1)
+                    .alias("revenue"))
+              .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+              .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5: 6-way join; region/nation/supplier/customer broadcast, "
+        "facts shuffle once on the join key chain",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 1)
+                    .alias("revenue"))
+              .orderBy(F.desc("revenue"), "n_name"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 1) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure filter+agg — every predicate must reach the scan",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                     & (F.col("l_discount").between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 1)
+                  .alias("revenue")))
+
+
+@query(
+    "rollup_customer_balance",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="ROLLUP grouping sets: region → nation → grand total in one pass",
+)
+def rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+                .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+                .rollup("r_name", "n_name")
+                .agg(F.count("*").alias("n_customers"),
+                     F.round(F.sum("c_acctbal"), 2).alias("total_acctbal")))
+
+
+@query(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+    doc="analytic window: per-customer running total in deterministic "
+        "(o_orderdate, o_orderkey) order — identical float accumulation "
+        "order on both engines",
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                     .alias("running_spend")))
+
+
+@query(
+    "top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             (row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey))::int AS rk
+      FROM part) WHERE rk <= 3
+    """,
+    doc="top-k per group: one shuffle on the group key, rank window",
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_per_group(
+        load(spark, sf_dir, "part").select("p_brand", "p_partkey",
+                                           "p_retailprice"),
+        ["p_brand"], 3, F.desc("p_retailprice"), F.col("p_partkey"))
+
+
+@query(
+    "big_spender_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="EXISTS → left-semi join (no row multiplication, fact side streams)",
+)
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+                .select("c_custkey", "c_name"))
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="NOT EXISTS → left-anti join",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_name"))
+
+
+@query(
+    "orderstatus_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint)
+             AS n_f,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint)
+             AS n_o,
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint)
+             AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="pivot as conditional aggregation (portable across engines)",
+)
+def orderstatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def n(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)) \
+                .cast("long").alias(f"n_{status.lower()}")
+
+    return (orders.groupBy("o_orderpriority")
+                  .agg(n("F"), n("O"), n("P"))
+                  .orderBy("o_orderpriority"))
+
+
+@query(
+    "purchase_last_view_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.ts AS ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="as-of join (operators/asof.py): union-sort-window composition — "
+        "one shuffle on the key, no range cross-product. Oracle uses "
+        "DuckDB's native ASOF JOIN",
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+              .select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+    out = asof_join(purchases, views, on="user_id", time_col="ts",
+                    value_cols=["view_event_id"], suffix="_asof")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("view_event_id_asof").alias("view_event_id"),
+                      "ts_asof")
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint > 3600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING))::bigint - 1
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           floor(epoch(max(ts)))::bigint - floor(epoch(min(ts)))::bigint
+             AS duration_s
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (operators/sessionize.py), 1h gap",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load(spark, sf_dir, "events"), "user_id", "ts",
+                         gap_s=3600)

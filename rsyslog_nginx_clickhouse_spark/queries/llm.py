@@ -1,0 +1,359 @@
+"""LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal.
+
+These are the north-star extensions (SURVEY §7.5) over the driver's
+``documents``/``embeddings`` tables. Determinism contract: all hashing
+is md5-over-explicit-strings, all float outputs rounded, so the DuckDB
+oracles reproduce every value (the SQL blocks below mirror the Spark
+expression trees operation-for-operation, including accumulation order).
+
+Queries without an oracle (simhash, LSH-ANN) are genuinely non-SQL-
+expressible at reasonable cost; they get the driver's rows-only check
+and full pytest coverage instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, norm
+from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+)
+from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from rsyslog_nginx_clickhouse_spark.operators.simhash import simhash_pairs
+from rsyslog_nginx_clickhouse_spark.queries import query
+
+# ---------------------------------------------------------------- text --
+
+#: DuckDB mirror of functions/text.py `tokens()`.
+_TOKS = ("CASE WHEN trim(text) = '' THEN []::varchar[] "
+         "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END")
+
+#: DuckDB mirror of `normalized_text()` + `word_shingles(n=3)` distinct.
+_SHINGLES_CTE = """
+    WITH normed AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM normed
+    )
+"""
+
+_STOPWORDS_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
+                  "'that','for','on','with','as','was','at','by','be']")
+
+_PUNCT_SQL = """'[.,!?;:''"()\\[\\]{}-]'"""
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::double
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
+                 / greatest(len(toks), 1), 6) AS stopword_ratio,
+           round(list_sum(list_transform(toks, x -> length(x)))::double
+                 / greatest(len(toks), 1), 6) AS mean_token_len
+    FROM t
+    """,
+    doc="token counting + quality signals, pure Catalyst expressions",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(mean_token_len("text"), 6).alias("mean_token_len"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::double
+               / greatest(length(text), 1) AS pr,
+             len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
+               / greatest(len(toks), 1) AS sw,
+             list_sum(list_transform(toks, x -> length(x)))::double
+               / greatest(len(toks), 1) AS mlen
+      FROM t)
+    SELECT doc_id, round(
+        least(n_tok / 20.0, 1.0) * 0.4
+        + (1.0 - least(pr * 5, 1.0)) * 0.2
+        + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.2
+        + (CASE WHEN mlen >= 2.5 AND mlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2,
+      6) AS quality
+    FROM m
+    """,
+    doc="composite document quality score for corpus filtering",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       F.round(quality_score("text"), 6).alias("quality"))
+
+
+@query(
+    "lang_detect",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','est','une'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['el','los','que','es','una'], x))) AS es
+      FROM t)
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                WHEN en >= greatest(de, fr, es) THEN 'en'
+                WHEN de >= greatest(fr, es) THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS lang_detected
+    FROM s
+    """,
+    doc="marker-stopword language ID heuristic (argmax, first-wins ties)",
+)
+def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("lang_declared"),
+                       lang_id("text").alias("lang_detected"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of whitespace-normalized lowercase text",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------- dedup --
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY fingerprint
+    """,
+    doc="exact dedup: hash-groupBy on the fingerprint, keep min id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_CTE + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::double
+                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
+                / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                6) >= 0.5
+    """,
+    doc="exact n-gram-Jaccard near-dup pairs (ground truth for LSH recall)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                               threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLES_CTE + """
+    , sig_t AS (
+      SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, s -> md5(h || ':' || s)))
+              for h in generate_series(0, 31)] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS key
+      FROM sig_t, unnest(generate_series(0, 7)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, key)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::double
+                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
+                / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                6) >= 0.5
+    """,
+    doc="MinHash (32 md5-hashes) + LSH (8 bands × 4) + exact-Jaccard "
+        "verify — the 100 TB near-dup path; oracle replicates the exact "
+        "banding so the match is bit-for-bit",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # 64-bit-tally hash not SQL-expressible at sane cost
+    doc="SimHash-64 near-dup pairs, Hamming ≤ 3, chunk-LSH candidates; "
+        "Arrow-vectorized Pandas UDF (tests/test_dedup.py holds goldens)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------- similarity --
+
+_DOT = ("list_sum([{a}[i]::double * {b}[i]::double "
+        "for i in generate_series(1, len({a}))])")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+    doc="vector math via zip_with/aggregate — JVM-side, no UDF",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(norm("embedding"), 6).alias("l2_norm"))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 1):
+    """Fetch the query vector (a parameter, not data — tiny driver fetch)."""
+    row = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == vec_id).select("embedding").first())
+    return F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    sims AS (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'qv')} AS c
+      FROM embeddings e, q)
+    SELECT vec_id, round(c, 6) AS cos_sim
+    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    """,
+    doc="exact top-10 cosine neighbors of vec_id=1: scan + "
+        "TakeOrderedAndProject, no shuffle — the ANN ground truth",
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir, 1)
+    return knn_bruteforce(load(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+@query(
+    "knn_lsh",
+    oracle=None,  # 8×64 hyperplane literals in SQL: possible, not sane
+    doc="LSH-bucketed ANN top-10 (deterministic seed-42 hyperplanes); "
+        "recall vs knn_bruteforce asserted in tests/test_similarity.py",
+)
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir, 1)
+    return knn_lsh(load(spark, sf_dir, "embeddings"), qv, dim=64, k=10)
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(c, 6) AS cos_sim
+    FROM pairs WHERE round(c, 6) >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs (threshold 0.35 for this synthetic "
+        "corpus); LSH-prefiltered variant is the 100 TB path",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dedup_pairs(load(spark, sf_dir, "embeddings"),
+                              threshold=0.35)
+
+
+# ---------------------------------------------------------- multimodal --
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text))::int AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    doc="multimodal plumbing: binary payload column + mapInPandas feature "
+        "extraction (decode stubbed, deterministic); oracle checks the "
+        "payload byte-length and content hash computed inside the UDF",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_binary(load(spark, sf_dir, "documents"))
+    return extract_features(mm, fake=True).select("doc_id", "n_bytes",
+                                                  "content_hash")

@@ -1,0 +1,207 @@
+"""Reference-surface queries (SURVEY §2.6) + the ingest round-trip.
+
+The ``events`` table stands in for the log stream (TESTDATA.md): ``ts``
+↔ logdatetime, ``event_type`` ↔ request class, ``user_id`` ↔ client.
+
+The flagship ``nginx_pipeline`` entry exercises the ENTIRE ingest half
+(S1→P1→P4→P5→P6) with a strong oracle: it renders events rows as nginx
+combined-format log lines, runs them through the real parser chain, and
+the oracle computes the expected typed output directly from the source
+columns — a lossless round-trip proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.macros import sql as engine_sql
+from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
+    time_bucket,
+    time_filter,
+    timeseries_count,
+)
+from rsyslog_nginx_clickhouse_spark.operators.topk import topk
+from rsyslog_nginx_clickhouse_spark.queries import query
+from rsyslog_nginx_clickhouse_spark.sources.nginx_log import (
+    parse_lines,
+    to_typed_table,
+)
+
+# --- Q1-Q5: the published Grafana query, run VERBATIM through the macro
+# --- expander (README.md:279-285), 1-hour buckets, fixed range.
+
+GRAFANA_SQL = ("SELECT $timeSeries as t, count(*) as cnt "
+               "FROM $table WHERE $timeFilter GROUP BY t ORDER BY t")
+_T_FROM, _T_TO = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+
+
+@query(
+    "grafana_timeseries",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS t, count(*) AS cnt
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_T_FROM}' AND TIMESTAMP '{_T_TO}'
+    GROUP BY t ORDER BY t
+    """,
+    doc="README.md:279-285 verbatim through the $macro expander (Q1-Q5)",
+)
+def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return engine_sql(spark, GRAFANA_SQL, table="events", time_col="ts",
+                      interval_s=3600, time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "timeseries_5min_by_type",
+    oracle="""
+    SELECT make_timestamp((floor(epoch(ts) / 300) * 300)::bigint * 1000000) AS t,
+           event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY t, event_type ORDER BY t, event_type
+    """,
+    doc="arbitrary-N-second $timeSeries buckets with a series dimension",
+)
+def timeseries_5min_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = time_filter(load(spark, sf_dir, "events"), "ts",
+                     "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    return timeseries_count(ev, "ts", 300, ("event_type",),
+                            (F.round(F.sum("value"), 4).alias("sum_value"),))
+
+
+@query(
+    "top_users",
+    oracle="""
+    SELECT user_id, count(*) AS cnt FROM events
+    GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+    doc="top-k dashboard panel (TakeOrderedAndProject, no global sort)",
+)
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = load(spark, sf_dir, "events").groupBy("user_id") \
+        .agg(F.count("*").alias("cnt"))
+    return topk(counts, 10, F.desc("cnt"), F.col("user_id"))
+
+
+@query(
+    "daily_unique_users",
+    oracle="""
+    SELECT cast(ts AS date) AS d, count(DISTINCT user_id) AS uniq_users,
+           count(*) AS cnt
+    FROM events GROUP BY d ORDER BY d
+    """,
+    doc="uniqExact analog: exact distinct per day",
+)
+def daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count_distinct("user_id").alias("uniq_users"),
+                 F.count("*").alias("cnt"))
+            .orderBy("d"))
+
+
+@query(
+    "event_type_share",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           round(count(*)::double / sum(count(*)) OVER (), 6) AS share
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="distribution panel: share via window over aggregate",
+)
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    counts = load(spark, sf_dir, "events").groupBy("event_type") \
+        .agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.select(
+        "event_type", "cnt",
+        F.round(F.col("cnt") / total, 6).alias("share")).orderBy("event_type")
+
+
+@query(
+    "error_rate_daily",
+    oracle="""
+    SELECT cast(ts AS date) AS d,
+           cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint)
+             AS n_errors,
+           count(*) AS n_total,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS error_rate
+    FROM events GROUP BY d ORDER BY d
+    """,
+    doc="conditional aggregation: the 5xx-rate panel",
+)
+def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (load(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.sum(is_err).cast("long").alias("n_errors"),
+                 F.count("*").alias("n_total"),
+                 F.round(F.sum(is_err) / F.count("*"), 6).alias("error_rate"))
+            .orderBy("d"))
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT (json_extract_string(props, '$.k')::int) % 10 AS k_bucket,
+           count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY k_bucket ORDER BY k_bucket
+    """,
+    doc="semi-structured props (the reference's blob column, queryable)",
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (load(spark, sf_dir, "events")
+            .groupBy((k % 10).alias("k_bucket"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("k_bucket"))
+
+
+# --- The flagship: full ingest-path round-trip with a direct oracle. ---
+
+#: Render events rows as nginx combined-format lines (README.md:41-43).
+_LINE_FMT = '%s - - [%s +0000] "GET %s HTTP/1.1" %d %d "-" "%s" "-"'
+
+
+def _render_log_lines(events: DataFrame) -> DataFrame:
+    clientip = F.format_string(
+        "10.0.%d.%d", F.col("user_id") % 200, F.col("event_id") % 200)
+    time_local = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
+    request = F.format_string("/%s/%d", F.col("event_type"), F.col("event_id"))
+    status = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("int")
+    nbytes = (F.col("event_id") % 100000).cast("long")
+    agent = F.format_string("agent/%d", F.col("user_id"))
+    line = F.format_string(
+        _LINE_FMT, clientip, time_local, request, status, nbytes, agent)
+    return events.select(line.alias("value"))
+
+
+@query(
+    "nginx_pipeline",
+    oracle="""
+    SELECT cast(ts AS date) AS logdate,
+           date_trunc('second', ts) AS logdatetime,
+           '10.0.' || (user_id % 200) || '.' || (event_id % 200) AS clientip,
+           'GET' AS verb,
+           '/' || event_type || '/' || event_id AS request,
+           '1.1' AS httpv,
+           (200 + (event_id % 4) * 100)::int AS response,
+           (event_id % 100000)::bigint AS bytes,
+           'agent/' || user_id AS agent
+    FROM events
+    """,
+    doc="ingest round-trip: events → log lines → regex parse (P1) → month "
+        "lookup (P4) → typed projection (P6); oracle derives the expected "
+        "typed row directly from the source columns (lossless-parse proof)",
+)
+def nginx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _render_log_lines(load(spark, sf_dir, "events"))
+    typed = to_typed_table(parse_lines(lines))
+    return typed.select("logdate", "logdatetime", "clientip", "verb",
+                        "request", "httpv", "response", "bytes", "agent")

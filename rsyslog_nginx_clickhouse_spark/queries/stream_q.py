@@ -1,0 +1,52 @@
+"""Structured Streaming query entries.
+
+``streaming_hourly_counts`` drives a REAL streaming query (readStream →
+windowed agg → memory sink, availableNow) over the events parquet and
+returns the materialized result — which must equal the batch answer, so
+it gets a full DuckDB oracle. This is the streaming-equals-batch
+consistency property Structured Streaming guarantees by construction.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.queries import query
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS t, event_type, count(*) AS cnt
+    FROM events GROUP BY t, event_type
+    """,
+    doc="real Structured Streaming run (memory sink, complete mode): "
+        "windowed count per event_type; result must equal the batch agg",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.catalog import _normalize_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet")
+             .parquet(sf_dir),
+        "events")
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                 .agg(F.count("*").alias("cnt")))
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name).select(F.col("w.start").alias("t"),
+                                    "event_type", "cnt")

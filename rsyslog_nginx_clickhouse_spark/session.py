@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would
+set per-executor; the scale-sensitive knobs (AQE, shuffle partitions,
+Arrow) are on so plans developed here survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
+              cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - session timezone pinned to UTC (parquet timestamps compare stably
+      against the DuckDB oracle),
+    - AQE on (runtime partition coalescing, skew-join splitting, join
+      strategy switching — the scale path for 100 TB),
+    - shuffle partitions sized to cores in local mode (a cluster deploy
+      would raise this to ~2-3× total cores),
+    - Arrow on for the pandas-UDF operators.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
