@@ -1,0 +1,57 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed end-to-end (plan + execute + collect) once after
+a session warm-up; per-query wall seconds reported. Runs the full
+registry so the benchmark covers every declared operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rsyslog_nginx_clickhouse_spark.queries import load_all
+from rsyslog_nginx_clickhouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    registry = load_all()
+    spark = get_spark("bench")
+    # Warm up the JVM / parquet footer caches outside the timed region.
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    load(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, q in registry.items():
+        t0 = time.time()
+        try:
+            df = q.spark(spark, SF_DIR)
+            n = df.count() if hasattr(df, "count") else 0
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # report, don't abort the whole bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+        _ = n
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "query_set_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,10 +53,24 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                  F.count("*").alias("n_copies")))
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure enough partitions for CPU-bound per-row work.
+
+    A small parquet file arrives as ONE partition, serializing all
+    expression work onto one core; hash-repartitioning to the session
+    parallelism is a cheap shuffle that unlocks every core. At scale
+    the input is already wide and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingles: array<string> distinct) — shared by all near-dup ops."""
-    return docs.select(
+    return spread(docs, id_col).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
     )
@@ -113,12 +127,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     the (16 hashes, 4 bands) S-curve.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
+    sh.count()  # materialize once; 3 consumers below share the cache
     sig = sh.select(F.col(id_col),
                     minhash_bands(minhash_signature(F.col("shingles")))
                     .alias("bands"))
     banded = sig.select(id_col, F.explode("bands").alias("b")) \
                 .select(id_col, F.col("b.band").alias("band"),
-                        F.col("b.key").alias("key"))
+                        F.col("b.key").alias("key")) \
+                .cache()  # self-joined: avoid recomputing 32 md5-mins/doc twice
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "key"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -140,23 +156,30 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
     """Exact near-dup pairs: self-join on shared shingles, Jaccard verify.
 
-    Ground truth for the LSH variant (recall oracle). Candidate gen is
-    an equi-join on the shingle value — cost O(sum of per-shingle
-    bucket²); fine while shingle frequency is bounded, the reason the
-    LSH path exists for 100 TB.
+    Ground truth for the LSH variant (recall oracle). Formulated as
+    count-aggregation, not array ops: |A∩B| = count of shared-shingle
+    join rows per pair, |A∪B| = |A|+|B|−|A∩B| — one shuffle on the
+    shingle value + one on the pair, never materializing per-pair
+    arrays (≈4× faster than array_intersect verification at sf0.1).
+    Candidate cost is O(sum of per-shingle bucket²) — bounded shingle
+    frequency keeps it sane; the LSH path exists for 100 TB.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (a.join(b, "s")
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
-                .select("id_a", "id_b",
-                        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
-                         .alias("jaccard"))
-                .where(F.col("jaccard") >= threshold))
+    inter = (a.join(b, "s")
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("n_inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    return (inter.join(F.broadcast(sz_a), "id_a")
+                 .join(F.broadcast(sz_b), "id_b")
+                 .select("id_a", "id_b",
+                         F.round(F.col("n_inter")
+                                 / F.greatest(union_sz, F.lit(1)), 6)
+                          .alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))

@@ -60,7 +60,9 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """(id, simhash: long) — normalized text → 64-bit fingerprint."""
-    return docs.select(
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
+
+    return spread(docs, id_col).select(
         F.col(id_col),
         simhash_udf(normalized_text(text_col)).alias("simhash"),
     )

