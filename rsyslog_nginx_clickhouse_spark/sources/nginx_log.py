@@ -117,19 +117,23 @@ def to_typed_table(parsed: DataFrame,
       as string even though parsed as float (SURVEY §2.8 replicate).
 
     A month outside Jan..Dec yields nxm='unk' → unparseable date → null
-    logdate/logdatetime (Spark ANSI-off cast semantics), which lands the
-    row in the null partition rather than corrupting a real day.
+    logdate/logdatetime via try_to_date/try_to_timestamp (NOT the ANSI
+    throwing forms: one malformed line must dead-letter, never abort a
+    100 TB ingest job), landing the row in the null partition rather
+    than corrupting a real day.
     """
     nxm = month_number(F.col("month"))
     datestr = F.concat_ws("-", F.col("year"), nxm, F.col("day"))
     dtstr = F.concat(datestr, F.lit(" "), F.col("rtime"))
     if keep_tz:
-        logdatetime = F.to_timestamp(
-            F.concat(dtstr, F.lit(" "), F.col("tz")), "yyyy-MM-dd HH:mm:ss Z")
+        logdatetime = F.try_to_timestamp(
+            F.concat(dtstr, F.lit(" "), F.col("tz")),
+            F.lit("yyyy-MM-dd HH:mm:ss Z"))
     else:
-        logdatetime = F.to_timestamp(dtstr, "yyyy-MM-dd HH:mm:ss")
+        logdatetime = F.try_to_timestamp(dtstr, F.lit("yyyy-MM-dd HH:mm:ss"))
     return parsed.select(
-        F.to_date(datestr, "yyyy-MM-dd").alias("logdate"),
+        F.try_to_timestamp(datestr, F.lit("yyyy-MM-dd")).cast("date")
+         .alias("logdate"),
         logdatetime.alias("logdatetime"),
         F.lit(hostname).alias("hostname"),
         F.lit(syslogtag).alias("syslogtag"),

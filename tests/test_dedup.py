@@ -1,0 +1,96 @@
+"""Dedup tiers: exact, ngram-Jaccard, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from rsyslog_nginx_clickhouse_spark.operators.simhash import (
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    knn_bruteforce,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),      # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "The  Quick Brown   Fox jumps over the lazy dog"),   # ws/case dup of 1
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark, docs):
+    groups = {r["keep_id"]: r["n_copies"]
+              for r in exact_dedup_groups(docs).collect()}
+    assert groups == {1: 3, 3: 1, 4: 1}  # 1,2,5 collapse
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    # 9 tokens → 7 tri-shingles; 1v3 differ only in the last → J=6/8
+    assert pairs[(1, 3)] == pytest.approx(0.75, abs=1e-6)
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_candidates_superset_verified_by_jaccard(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # identical docs always collide in every band; J=5/9 docs may or may
+    # not survive banding, but anything returned must be truly >= 0.5
+    assert {(1, 2), (1, 5), (2, 5)} <= got
+    truth = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert got <= truth
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_cosine_dedup_exact_vs_lsh_consistent(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # cos ≈ 0.9992 with 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 1
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_dedup_pairs(emb, threshold=0.95, dim=4).collect()}
+    assert exact == {(1, 2), (1, 4), (2, 4)}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           cosine_dedup_pairs(emb, threshold=0.95, dim=4, use_lsh=True).collect()}
+    # LSH returns a subset (bucket collisions required), never false hits
+    assert lsh <= exact
+
+
+def test_knn_bruteforce_orders_by_cosine(spark):
+    vecs = [(i, [1.0, float(i) / 10, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+    got = knn_bruteforce(emb, query_vec=q, k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,91 @@
+"""ClickHouse-compat functions, Grafana macros, lookup, vector math."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+    register_clickhouse_functions,
+)
+from rsyslog_nginx_clickhouse_spark.functions.macros import expand_macros, sql
+from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot, l2_distance
+from rsyslog_nginx_clickhouse_spark.sources.lookup import (
+    MONTHS,
+    lookup_join,
+    lookup_map,
+)
+
+
+def test_clickhouse_scalar_functions(spark):
+    register_clickhouse_functions(spark)
+    row = spark.sql("""
+        SELECT toYYYYMMDD(date'2020-04-06')                  AS a,
+               toStartOfHour(timestamp'2020-04-06 09:54:48') AS b,
+               toStartOfFiveMinute(timestamp'2020-04-06 09:54:48') AS c,
+               intDiv(17, 5)                                 AS d,
+               toHour(timestamp'2020-04-06 09:54:48')        AS e
+    """).collect()[0]
+    assert row["a"] == 20200406
+    assert str(row["b"]) == "2020-04-06 09:00:00"
+    assert str(row["c"]) == "2020-04-06 09:50:00"
+    assert row["d"] == 3 and row["e"] == 9
+
+
+def test_macro_expansion_matches_grafana_query():
+    q = ("SELECT $timeSeries as t, count(*) as Count FROM $table "
+         "WHERE $timeFilter GROUP BY t ORDER BY t")
+    out = expand_macros(q, table="nginx", interval_s=3600,
+                        time_from="2020-04-06 00:00:00",
+                        time_to="2020-04-07 00:00:00")
+    assert "$" not in out
+    assert "FROM nginx" in out
+    assert "BETWEEN timestamp'2020-04-06 00:00:00'" in out
+    assert "floor(unix_timestamp(logdatetime) / 3600) * 3600" in out
+
+
+def test_macro_aggregate_rewrites():
+    out = expand_macros("SELECT uniq(u), quantile(0.5)(x) FROM $table", table="t")
+    assert "approx_count_distinct(u" in out
+    assert "percentile_approx(" in out
+
+
+def test_engine_sql_end_to_end(spark):
+    spark.createDataFrame(
+        [("2020-04-06 09:00:05",), ("2020-04-06 09:59:59",),
+         ("2020-04-06 10:00:00",)],
+        "s string").selectExpr("cast(s as timestamp) AS logdatetime") \
+        .createOrReplaceTempView("tiny_nginx")
+    rows = sql(spark,
+               "SELECT $timeSeries as t, count(*) as Count FROM $table "
+               "WHERE $timeFilter GROUP BY t ORDER BY t",
+               table="tiny_nginx").collect()
+    assert [r["Count"] for r in rows] == [2, 1]
+
+
+def test_lookup_map_default(spark):
+    df = spark.createDataFrame([("Apr",), ("Foo",), (None,)], "m string")
+    rows = df.select(lookup_map(MONTHS, "m").alias("n")).collect()
+    assert [r["n"] for r in rows] == ["04", "unk", "unk"]
+
+
+def test_lookup_join_broadcast_default(spark):
+    fact = spark.createDataFrame([("Apr", 1), ("Zzz", 2)], "month string, v int")
+    dim = spark.createDataFrame(list(MONTHS.items()), "month string, num string")
+    out = lookup_join(fact, dim, "month", "num", "nxm")
+    got = {r["v"]: r["nxm"] for r in out.collect()}
+    assert got == {1: "04", 2: "unk"}
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vector_math_matches_numpy(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    row = df.select(dot("a", "b").alias("d"), cosine("a", "b").alias("c"),
+                    l2_distance("a", "b").alias("l")).collect()[0]
+    assert row["d"] == pytest.approx(12.0)
+    expected_cos = 12.0 / (math.sqrt(14) * math.sqrt(77))
+    assert row["c"] == pytest.approx(expected_cos)
+    assert row["l"] == pytest.approx(math.sqrt(9 + 49 + 9))

@@ -1,0 +1,85 @@
+"""Relational operator semantics: as-of join, sessionize, top-k, buckets."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
+from rsyslog_nginx_clickhouse_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
+    time_bucket,
+    timeseries_count,
+)
+from rsyslog_nginx_clickhouse_spark.operators.topk import topk, topk_per_group
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_with_exact_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 12:00:00")),
+         (2, _ts("2024-01-01 09:00:00"))],
+        "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),   # exact match allowed
+         (1, _ts("2024-01-01 11:30:00"), "b"),
+         (1, _ts("2024-01-01 13:00:00"), "c"),   # after both lefts → never
+         (2, _ts("2024-01-01 09:30:00"), "d")],  # after left → no match
+        "k int, ts timestamp, val string")
+    got = {(r["k"], r["ts"]): r["val_asof"]
+           for r in asof_join(left, right, on="k", time_col="ts").collect()}
+    assert got[(1, _ts("2024-01-01 10:00:00"))] == "a"
+    assert got[(1, _ts("2024-01-01 12:00:00"))] == "b"
+    assert got[(2, _ts("2024-01-01 09:00:00"))] is None
+
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:00")), ("u", _ts("2024-01-01 10:10:00")),
+         ("u", _ts("2024-01-01 11:30:00")),  # 80 min gap → new session
+         ("v", _ts("2024-01-01 10:00:00"))],
+        "user string, ts timestamp")
+    s = sessionize(df, "user", "ts", gap_s=1800)
+    got = {(r["user"], r["ts"]): r["session_id"] for r in s.collect()}
+    assert got[("u", _ts("2024-01-01 10:00:00"))] == 0
+    assert got[("u", _ts("2024-01-01 10:10:00"))] == 0
+    assert got[("u", _ts("2024-01-01 11:30:00"))] == 1
+    assert got[("v", _ts("2024-01-01 10:00:00"))] == 0
+
+    stats = {(r["user"], r["session_id"]): r
+             for r in session_stats(df, "user", "ts", gap_s=1800).collect()}
+    assert stats[("u", 0)]["n_events"] == 2
+    assert stats[("u", 0)]["duration_s"] == 600
+    assert stats[("u", 1)]["n_events"] == 1
+
+
+def test_topk_global_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)], "g string, x int")
+    top = topk(df, 2, F.col("x").desc(), F.col("g")).collect()
+    assert [r["x"] for r in top] == [9, 8]
+    per = topk_per_group(df, ["g"], 1, F.col("x").desc()).collect()
+    assert {(r["g"], r["x"]) for r in per} == {("a", 3), ("b", 9)}
+    # global top-k must plan as TakeOrderedAndProject, not a global sort
+    plan = topk(df, 2, F.col("x").desc())._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_time_bucket_and_timeseries_count(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 10:04:59"),), (_ts("2024-01-01 10:05:00"),),
+         (_ts("2024-01-01 10:09:59"),)], "ts timestamp")
+    b = df.select(time_bucket("ts", 300).alias("t")).collect()
+    assert str(b[0]["t"]) == "2024-01-01 10:00:00"
+    assert str(b[1]["t"]) == "2024-01-01 10:05:00"
+    rows = timeseries_count(df, "ts", interval_s=300).collect()
+    assert [(str(r["t"]), r["cnt"]) for r in rows] == [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2)]

@@ -1,0 +1,93 @@
+"""MergeTree-like storage (partition pruning, sorted writes) + streaming
+ingest (exactly-once micro-batch, no reprocessing on restart)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.plans.storage import (
+    compact,
+    read_table,
+    write_mergetree_like,
+)
+from rsyslog_nginx_clickhouse_spark.sources.nginx_log import ingest_batch
+from rsyslog_nginx_clickhouse_spark.streaming.ingest import start_ingest
+
+LINES = [
+    '1.1.1.1 - - [06/Apr/2020:09:00:0%d +0000] "GET /a HTTP/1.1" 200 10 "-" "ua" "-"' % i
+    for i in range(5)
+] + [
+    '2.2.2.2 - - [07/Apr/2020:10:00:0%d +0000] "GET /b HTTP/1.1" 404 20 "-" "ua" "-"' % i
+    for i in range(3)
+]
+
+
+def _write_log(dirpath, name, lines):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_mergetree_write_prunes_partitions(spark, tmp_path):
+    log_dir = str(tmp_path / "logs")
+    table = str(tmp_path / "table")
+    _write_log(log_dir, "access.log", LINES)
+    typed = ingest_batch(spark, log_dir)
+    write_mergetree_like(typed, table)
+
+    # one directory per day ↔ PARTITION BY toYYYYMMDD(logdate)
+    parts = sorted(d for d in os.listdir(table) if d.startswith("logdate="))
+    assert parts == ["logdate=2020-04-06", "logdate=2020-04-07"]
+
+    back = read_table(spark, table)
+    assert back.count() == 8
+    pruned = back.where(F.col("logdate") == "2020-04-06")
+    assert pruned.count() == 5
+    # the date predicate must prune partitions at plan time, not filter rows
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "logdate" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+
+def test_compact_preserves_rows_and_sort(spark, tmp_path):
+    log_dir = str(tmp_path / "logs")
+    table = str(tmp_path / "table")
+    _write_log(log_dir, "access.log", LINES)
+    typed = ingest_batch(spark, log_dir)
+    write_mergetree_like(typed, table)          # first part
+    write_mergetree_like(typed, table)          # second part (append)
+    assert read_table(spark, table).count() == 16
+    compact(spark, table)
+    back = read_table(spark, table)
+    assert back.count() == 16
+    # one file per partition after compaction (+ _SUCCESS etc. excluded)
+    day1 = [f for f in os.listdir(os.path.join(table, "logdate=2020-04-06"))
+            if f.endswith(".parquet")]
+    assert len(day1) == 1
+
+
+def test_streaming_ingest_is_idempotent_across_restarts(spark, tmp_path):
+    log_dir = str(tmp_path / "logs")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_log(log_dir, "a.log", LINES[:5])
+
+    q = start_ingest(spark, log_dir, table, ckpt)
+    q.awaitTermination(120)
+    assert read_table(spark, table).count() == 5
+
+    # restart with one NEW file: only the new file is processed
+    _write_log(log_dir, "b.log", LINES[5:])
+    q2 = start_ingest(spark, log_dir, table, ckpt)
+    q2.awaitTermination(120)
+    back = read_table(spark, table)
+    assert back.count() == 8
+    assert back.where("response = 404").count() == 3
+
+    # third restart with nothing new: no duplicates
+    q3 = start_ingest(spark, log_dir, table, ckpt)
+    q3.awaitTermination(120)
+    assert read_table(spark, table).count() == 8
