@@ -83,22 +83,65 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(uni, F.lit(1))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as array<string> of md5-min per hash function.
+#: Universal-hash modulus (smallest prime > 2^32) and per-function
+#: (a, b) coefficients. a < 2^20 keeps a·h + b < 2^53 — exact in int64
+#: on both engines. Derived from md5(seed) so the DuckDB oracle inlines
+#: the identical literals.
+MINHASH_PRIME = 4294967311
 
-    hash_i(s) = md5(i || ':' || s); signature[i] = min over shingles.
-    Pure expression — computed during the scan, no shuffle, no UDF.
+
+def _minhash_coeffs(num_hashes: int = NUM_HASHES,
+                    seed: int = 42) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"{seed}:mh:{i}".encode()).digest()
+        a = (int.from_bytes(h[:4], "big") % (1 << 20)) | 1  # odd, < 2^20
+        b = int.from_bytes(h[4:8], "big")                   # < 2^32
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 32-bit integer hash per shingle: first 8 hex chars of md5.
+
+    The ONLY cryptographic hash in the MinHash path — everything after
+    is integer arithmetic. Oracle twin: ('0x'||substr(md5(s),1,8))::BIGINT.
     """
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature as array<long>: min_i over shingle hashes of
+    the i-th universal-hash permutation (a_i·h + b_i) mod P.
+
+    Takes the PRE-COMPUTED integer hash array, not raw shingles: the
+    caller must materialize ``shingle_hashes`` behind a cache/exchange
+    barrier, because CollapseProject inlines this expression into every
+    consumer — with raw md5 inside, the 8 band keys would each re-hash
+    every shingle (observed 8× slowdown); with integer permutations the
+    inlining costs microseconds.
+    """
+    def perm(a: int, b: int):
+        # closure factory: Spark reads lambda arity, so no default args
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for (a, b) in MINHASH_COEFFS[:num_hashes]
     ])
 
 
 def minhash_bands(sig: Column, num_bands: int = NUM_BANDS,
                   rows_per_band: int = ROWS_PER_BAND) -> Column:
-    """LSH band keys: md5 of each band's signature slice.
+    """LSH band keys: each band's signature slice joined as a string —
+    already uniform, no re-hash needed.
 
     array<struct<band:int, key:string>> — explode + groupBy(band, key)
     buckets candidate docs.
@@ -106,8 +149,9 @@ def minhash_bands(sig: Column, num_bands: int = NUM_BANDS,
     return F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.array_join(
-                F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"))
+            F.array_join(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band)
+                 .cast("array<string>"), "|")
             .alias("key"),
         )
         for b in range(num_bands)
@@ -127,14 +171,21 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     the (16 hashes, 4 bands) S-curve.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
-    sh.count()  # materialize once; 3 consumers below share the cache
-    sig = sh.select(F.col(id_col),
-                    minhash_bands(minhash_signature(F.col("shingles")))
-                    .alias("bands"))
-    banded = sig.select(id_col, F.explode("bands").alias("b")) \
-                .select(id_col, F.col("b.band").alias("band"),
-                        F.col("b.key").alias("key")) \
-                .cache()  # self-joined: avoid recomputing 32 md5-mins/doc twice
+    # Each intermediate is cached as a barrier: CollapseProject inlines
+    # a referenced expression into EVERY consumer, so without barriers
+    # the md5 pass runs 32× (once per permutation) and the 32
+    # permutation-mins run 8× (once per band key) — all as interpreted
+    # lambdas, since higher-order functions never enter codegen.
+    # Observed 8-30× slowdown. Both caches are tiny (ints per doc).
+    hs = sh.select(F.col(id_col),
+                   shingle_hashes(F.col("shingles")).alias("h")).cache()
+    sig_df = hs.select(F.col(id_col),
+                       minhash_signature(F.col("h")).alias("sig")).cache()
+    sig_df.count()  # materialize sh + hs + sig once; consumers share caches
+    banded = (sig_df.select(id_col,
+                            F.explode(minhash_bands(F.col("sig"))).alias("b"))
+                    .select(id_col, F.col("b.band").alias("band"),
+                            F.col("b.key").alias("key")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, ["band", "key"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -18,8 +18,11 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
 
@@ -46,12 +49,46 @@ def hyperplanes(dim: int, num_planes: int = NUM_PLANES,
 
 
 def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-string LSH signature: sign of dot(plane, vec) per plane."""
+    """Bit-string LSH signature: sign of dot(plane, vec) per plane.
+
+    Pure-expression form — oracle-replicable, but the higher-order
+    ``aggregate`` dots are interpreted (never codegen'd): prefer
+    ``plane_signature_udf`` on the hot path.
+    """
     bits = []
     for row in planes:
         lit = F.array(*[F.lit(x) for x in row])
         bits.append(F.when(dot(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def plane_signature_udf(planes: list[list[float]]):
+    """Arrow-vectorized twin of ``plane_signature``: one numpy matmul
+    per batch instead of planes×dim interpreted lambda evals per row.
+    Bucket membership can differ from the expression form only when a
+    dot product sits exactly at float rounding of 0 — harmless for LSH
+    (both sides of THIS function are consistent with each other).
+    """
+    P = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf(T.StringType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=str)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ P.T) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row)
+                          for row in bits])
+
+    return sig
+
+
+def signature_of_vector(vec: list[float], planes: list[list[float]]) -> str:
+    """Driver-side signature of one query vector (same math as the UDF)."""
+
+    P = np.asarray(planes, dtype=np.float64)
+    bits = (np.asarray(vec, dtype=np.float64) @ P.T) >= 0
+    return "".join("1" if b else "0" for b in bits)
 
 
 def knn_bruteforce(embeddings: DataFrame, query_vec: Column, k: int = 10,
@@ -71,20 +108,33 @@ def knn_bruteforce(embeddings: DataFrame, query_vec: Column, k: int = 10,
             .limit(k))
 
 
-def knn_lsh(embeddings: DataFrame, query_vec: Column, dim: int, k: int = 10,
+def knn_lsh(embeddings: DataFrame, query_vec, dim: int, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             num_planes: int = NUM_PLANES) -> DataFrame:
     """ANN top-k: candidates = rows sharing the query's LSH bucket,
     exact cosine re-rank within. Falls back toward brute force as
     num_planes → 0; recall/speed tuned by the plane count.
+
+    ``query_vec`` as a Python list takes the vectorized path (numpy
+    batch signatures, query signature precomputed driver-side); as a
+    Column it uses the pure-expression signature twin.
     """
     planes = hyperplanes(dim, num_planes)
-    sig = plane_signature(F.col(vec_col), planes)
-    qsig = plane_signature(query_vec, planes)
+    if isinstance(query_vec, (list, tuple)):
+        qsig = signature_of_vector(list(query_vec), planes)
+        sig = plane_signature_udf(planes)(F.col(vec_col))
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec]) \
+                .cast("array<double>")
+        bucket_filter, qcol_expr = sig == F.lit(qsig), qcol
+    else:
+        bucket_filter = (plane_signature(F.col(vec_col), planes)
+                         == plane_signature(query_vec, planes))
+        qcol_expr = query_vec
     return (embeddings
-            .where(sig == qsig)
+            .where(bucket_filter)
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), query_vec), 6).alias("cos_sim"))
+                    F.round(cosine(F.col(vec_col), qcol_expr), 6)
+                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
 
@@ -108,21 +158,21 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     buckets, no cross product and no broadcast of the full matrix.
     """
     if use_lsh:
-        a = embeddings.select(F.col(id_col).alias("id_a"),
-                              F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("id_b"),
-                              F.col(vec_col).alias("vb"))
         planes = hyperplanes(dim, NUM_PLANES)
-        a = a.withColumn("bucket", plane_signature(F.col("va"), planes))
-        b = b.withColumn("bucket", plane_signature(F.col("vb"), planes))
+        sig = plane_signature_udf(planes)
+        bucketed = embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            sig(F.col(vec_col)).alias("bucket"))
+        a = bucketed.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("va"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("vb"), "bucket")
         return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b",
                          F.round(cosine(F.col("va"), F.col("vb")), 6)
                           .alias("cos_sim"))
                  .where(F.col("cos_sim") >= threshold))
 
-    import numpy as np
-    import pandas as pd
 
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

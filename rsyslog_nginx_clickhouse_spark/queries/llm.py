@@ -214,17 +214,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5)
 
 
+def _minhash_oracle_lists() -> tuple[str, str]:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import MINHASH_COEFFS
+
+    a = "[" + ", ".join(str(a) for a, _ in MINHASH_COEFFS) + "]"
+    b = "[" + ", ".join(str(b) for _, b in MINHASH_COEFFS) + "]"
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_oracle_lists()
+
 @query(
     "dedup_minhash_lsh",
-    oracle=_SHINGLES_CTE + """
-    , sig_t AS (
+    oracle=_SHINGLES_CTE + f"""
+    , hs AS (
       SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, s -> md5(h || ':' || s)))
-              for h in generate_series(0, 31)] AS sig
+             list_transform(shingles,
+                            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
       FROM sh
+    ), sig_t AS (
+      SELECT doc_id, shingles,
+             [list_min(list_transform(h,
+                x -> (({_MH_A})[i+1] * x + ({_MH_B})[i+1]) % 4294967311))
+              for i in generate_series(0, 31)] AS sig
+      FROM hs
     ), bands AS (
       SELECT doc_id, b AS band,
-             md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS key
+             array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                                            x -> x::VARCHAR), '|') AS key
       FROM sig_t, unnest(generate_series(0, 7)) AS t(b)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -241,9 +258,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
                 6) >= 0.5
     """,
-    doc="MinHash (32 md5-hashes) + LSH (8 bands × 4) + exact-Jaccard "
-        "verify — the 100 TB near-dup path; oracle replicates the exact "
-        "banding so the match is bit-for-bit",
+    doc="MinHash (one md5/shingle + 32 universal-hash permutations) + "
+        "LSH (8 bands × 4) + exact-Jaccard verify — the 100 TB near-dup "
+        "path; oracle replicates the exact banding so the match is "
+        "bit-for-bit",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
@@ -313,12 +331,14 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_lsh",
     oracle=None,  # 8×64 hyperplane literals in SQL: possible, not sane
-    doc="LSH-bucketed ANN top-10 (deterministic seed-42 hyperplanes); "
-        "recall vs knn_bruteforce asserted in tests/test_similarity.py",
+    doc="LSH-bucketed ANN top-10 (deterministic seed-42 hyperplanes, "
+        "numpy batch signatures); see tests/test_dedup.py",
 )
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vector(spark, sf_dir, 1)
-    return knn_lsh(load(spark, sf_dir, "embeddings"), qv, dim=64, k=10)
+    row = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 1).select("embedding").first())
+    return knn_lsh(load(spark, sf_dir, "embeddings"),
+                   [float(x) for x in row[0]], dim=64, k=10)
 
 
 @query(
