@@ -43,6 +43,26 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish subword segmentation: letter runs, digit runs, symbol runs —
+#: the class structure of the GPT-2 pre-tokenizer regex minus the
+#: lookahead (RE2, DuckDB's engine, has none; keeping the pattern in the
+#: common Java∩RE2 subset makes the oracle bit-identical). A real BPE
+#: merges within these pieces, so this count upper-bounds BPE tokens
+#: with the right shape (prose ≈ words, code/numbers blow up).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Array of BPE-ish subword pieces (pre-merge)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token count — the training-data budget measure."""
+    return F.size(bpe_ish_tokens(col))
+
+
 def char_count(col: Column | str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     return F.length(col)

@@ -85,3 +85,51 @@ def extract_features(multimodal: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return multimodal.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAME_BYTES = 16
+
+
+def frame_sample(multimodal: DataFrame, frame_bytes: int = FRAME_BYTES,
+                 stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads.
+
+    Splits the binary payload into fixed ``frame_bytes`` chunks, keeps
+    every ``stride``-th frame, emits (doc_id, frame_idx, frame_hash).
+    The chunk/sample schedule is the real scale-path logic (a video
+    pipeline samples frames the same way, with a codec instead of md5);
+    mapInPandas streams Arrow batches so a task never materializes all
+    frames of its partition at once.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(
+                        data[i * frame_bytes:(i + 1) * frame_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_hash": hashes})
+
+    return multimodal.mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame_hash string")
+
+
+def resize_stub(features: "np.ndarray", out_dim: int = 4,
+                fake: bool = False) -> "np.ndarray":
+    """'Resize' stand-in: average-pool the feature vector to ``out_dim``.
+
+    Real image resize needs codec libs absent here; the pooling is the
+    deterministic fake with the same signature/batch shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires codec libraries not present in "
+            "this container; call with fake=True for the pooling stub")
+    f = np.asarray(features, dtype=np.float64)
+    return f.reshape(out_dim, -1).mean(axis=1).astype(np.float32)

@@ -196,3 +196,65 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cos_sim double")
+
+
+# ------------------------------------------------------------------ IVF --
+
+N_LISTS = 16
+
+
+def ivf_centroids(embeddings: DataFrame, n_lists: int = N_LISTS,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic IVF centroids: the ``n_lists`` lowest-id vectors,
+    L2-normalized. A production build would k-means these; id-seeding
+    keeps the index reproducible (tests/oracle) with zero iterative
+    jobs. Centroids are a parameter-sized driver fetch (n_lists·dim).
+    """
+    rows = (embeddings.orderBy(id_col).limit(n_lists)
+            .select(vec_col).collect())
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, list_id): nearest-centroid assignment — the IVF build
+    step. One numpy matmul per Arrow batch; at 100 TB the result is
+    written bucketed by ``list_id`` so each query probes only its lists'
+    buckets (partition pruning on the list id).
+    """
+    C = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return embeddings.select(F.col(id_col), F.col(vec_col),
+                             assign(F.col(vec_col)).alias("list_id"))
+
+
+def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
+            n_lists: int = N_LISTS, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` lists nearest the query,
+    exact cosine re-rank inside them. Scans n_probe/n_lists of the data
+    (vs all of it for brute force); recall tuned by nprobe.
+    """
+    C = ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = [int(i) for i in np.argsort(-(C @ q))[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    return (assigned
+            .where(F.col("list_id").isin(probes))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k))

@@ -332,3 +332,96 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load(spark, sf_dir, "events"), "user_id", "ts",
                          gap_s=3600)
+
+
+@query(
+    "latency_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="exact interpolated percentiles per group (ClickHouse "
+        "quantileExact surface); Spark percentile == DuckDB "
+        "quantile_cont (linear interpolation). At 100 TB swap to "
+        "approx_percentile: t-digest sketch, no per-group sort",
+)
+def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.percentile("value", 0.5), 4).alias("p50"),
+                   F.round(F.percentile("value", 0.9), 4).alias("p90"),
+                   F.round(F.percentile("value", 0.99), 4).alias("p99"))
+              .orderBy("event_type"))
+
+
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 2^2 rollup combinations) — Catalyst "
+        "expands to a single Expand+HashAggregate: one scan, one "
+        "shuffle, regardless of the number of grouping sets",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum(rev), 1).alias("revenue"),
+                   F.count("*").alias("n")))
+
+
+@query(
+    "orders_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS d,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY d)
+    SELECT d, revenue,
+           round(avg(revenue) OVER (ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily ORDER BY d
+    """,
+    doc="7-day moving average over daily revenue: one shuffle for the "
+        "daily agg; the window runs on the (tiny) aggregate, never the "
+        "fact table",
+)
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+                   .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (daily.select("d", "revenue",
+                         F.round(F.avg("revenue").over(w), 4).alias("ma7"))
+                 .orderBy("d"))
+
+
+@query(
+    "repeat_users_intersect",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-01 00:00:00'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    doc="set operation surface (INTERSECT distinct): users active on "
+        "both days; planned as an aggregate-style left-semi over the "
+        "two filtered scans",
+)
+def repeat_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    d1 = ev.where(day == F.lit("2024-01-01").cast("timestamp")) \
+           .select("user_id")
+    d2 = ev.where(day == F.lit("2024-01-15").cast("timestamp")) \
+           .select("user_id")
+    return d1.intersect(d2)

@@ -377,3 +377,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_binary(load(spark, sf_dir, "documents"))
     return extract_features(mm, fake=True).select("doc_id", "n_bytes",
                                                   "content_hash")
+
+
+# -------------------------------------------------- tokens / ivf / frames --
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           END AS ws_tokens,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="token budgeting: whitespace tokens + BPE-ish subword pieces "
+        "(letter/digit/symbol runs — GPT-2 pre-tokenizer classes in the "
+        "Java∩RE2 regex subset so the oracle matches bit-for-bit)",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.text import (
+        bpe_ish_token_count,
+        char_count,
+    )
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        char_count("text").cast("long").alias("n_chars"))
+
+
+@query(
+    "knn_ivf",
+    oracle=None,  # nearest-centroid argmax over 16×64 literals: not sane SQL
+    doc="IVF ANN top-10: nprobe=4 of 16 deterministic centroid lists, "
+        "exact cosine re-rank inside probed lists; recall vs brute force "
+        "asserted in tests/test_similarity_ops.py",
+)
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import knn_ivf
+
+    row = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 1).select("embedding").first())
+    return knn_ivf(load(spark, sf_dir, "embeddings"),
+                   [float(x) for x in row[0]], k=10)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             (length(text) + 15) // 16 AS n_frames
+      FROM documents)
+    SELECT doc_id, i::int AS frame_idx,
+           md5(substr(text, i * 16 + 1, 16)) AS frame_hash
+    FROM f, unnest(generate_series(0, n_frames - 1)) AS t(i)
+    WHERE i % 4 = 0
+    """,
+    doc="video-style frame sampling over binary payloads: 16-byte "
+        "frames, stride 4, md5 standing in for the codec; mapInPandas "
+        "streams Arrow batches (payload is the utf-8 text, all-ASCII, "
+        "so the oracle can chunk with substr)",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import frame_sample
+
+    return frame_sample(attach_binary(load(spark, sf_dir, "documents")))

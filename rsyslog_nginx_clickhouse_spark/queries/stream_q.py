@@ -50,3 +50,58 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     return spark.table(name).select(F.col("w.start").alias("t"),
                                     "event_type", "cnt")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.catalog import _normalize_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    return _normalize_nanos(
+        spark.readStream.schema(raw_schema)
+             .option("pathGlobFilter", "events.parquet")
+             .parquet(sf_dir),
+        "events")
+
+
+@query(
+    "streaming_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="real streaming session_window aggregation (30 min gap, memory "
+        "sink, complete mode); oracle is the batch lag/gap formulation — "
+        "session merges exactly when the next event lands strictly "
+        "inside [ts, ts+gap), so the batch twin splits on diff >= gap",
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (_events_stream(spark, sf_dir)
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events")))
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name).select(
+        "user_id", F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"), "n_events")

@@ -1,0 +1,74 @@
+"""IVF ANN, frame sampling, BPE-ish tokens, multimodal stubs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.text import (
+    bpe_ish_token_count,
+    bpe_ish_tokens,
+)
+from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+    attach_binary,
+    decode_stub,
+    frame_sample,
+    resize_stub,
+)
+from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    knn_bruteforce,
+    knn_ivf,
+)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).select("embedding").first()[0]]
+    qcol = F.array(*[F.lit(x) for x in q])
+    truth = {r["vec_id"] for r in knn_bruteforce(emb, qcol, k=10).collect()}
+    got = {r["vec_id"] for r in knn_ivf(emb, q, k=10, nprobe=4).collect()}
+    # nprobe=4/16 lists: expect decent recall, and 1 itself must be found
+    assert 1 in got
+    assert len(truth & got) >= 5
+
+
+def test_ivf_assign_covers_all_lists_used(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_lists=4)
+    assigned = ivf_assign(emb, C)
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(4)) and len(lists) >= 2
+
+
+def test_frame_sample_golden(spark):
+    text = "x" * 40  # 3 frames of 16 bytes (last partial), stride 2 → idx 0, 2
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = frame_sample(attach_binary(docs), frame_bytes=16, stride=2).collect()
+    got = {r["frame_idx"]: r["frame_hash"] for r in rows}
+    assert set(got) == {0, 2}
+    assert got[0] == hashlib.md5(b"x" * 16).hexdigest()
+    assert got[2] == hashlib.md5(b"x" * 8).hexdigest()  # partial tail frame
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world42 !!",)], "text string")
+    row = df.select(bpe_ish_tokens("text").alias("t"),
+                    bpe_ish_token_count("text").alias("n")).collect()[0]
+    assert row["t"] == ["Hello", ",", "world", "42", "!!"]
+    assert row["n"] == 5
+
+
+def test_multimodal_stubs_gate_real_decode():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"payload")
+    with pytest.raises(NotImplementedError):
+        resize_stub([1.0] * 8)
+    assert len(decode_stub(b"payload", fake=True)) == 8
+    assert len(resize_stub(decode_stub(b"p", fake=True), out_dim=4,
+                           fake=True)) == 4
