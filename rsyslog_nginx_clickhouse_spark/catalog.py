@@ -43,6 +43,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_nanos(df, name)
 
 
+def load_time_range(spark: SparkSession, sf_dir: str, name: str, col: str,
+                    t_from: str, t_to: str) -> DataFrame:
+    """Time-range scan whose predicate actually reaches the parquet scan.
+
+    A filter on the µs-converted column is ``timestamp_micros(ts div
+    1000) BETWEEN a AND b`` — an expression Catalyst cannot push, so the
+    scan reads every row group (fatal at 100 TB, where the sorted raw
+    column's row-group stats are the sparse index). This helper
+    translates the inclusive [t_from, t_to] bounds onto the RAW int64
+    nanos column exactly (ns div 1000 ∈ [us_a, us_b] ⟺ ns ∈
+    [us_a·1000, us_b·1000+999]) and filters BEFORE conversion, so the
+    range lands in PushedFilters. For tables without the nanos quirk it
+    degrades to a plain (already-pushable) between.
+    """
+    import datetime as _dt
+
+    df = load(spark, sf_dir, name)
+    if col not in _NANO_TS_COLS.get(name, ()):
+        return df.where(F.col(col).between(
+            F.lit(t_from).cast("timestamp"), F.lit(t_to).cast("timestamp")))
+
+    def _us(s: str) -> int:
+        d = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000 + d.microsecond
+
+    lo_ns = _us(t_from) * 1000
+    hi_ns = _us(t_to) * 1000 + 999
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(
+        raw.where(F.col(col).between(F.lit(lo_ns), F.lit(hi_ns))), name)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.catalog import load, load_time_range
 from rsyslog_nginx_clickhouse_spark.functions.macros import sql as engine_sql
 from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
     time_bucket,
@@ -48,7 +48,11 @@ _T_FROM, _T_TO = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
     doc="README.md:279-285 verbatim through the $macro expander (Q1-Q5)",
 )
 def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Range-pruned view: the $timeFilter predicate on the converted
+    # column can't push down, so the view itself carries the raw-nanos
+    # range (catalog.load_time_range) — the scan skips row groups.
+    load_time_range(spark, sf_dir, "events", "ts",
+                    _T_FROM, _T_TO).createOrReplaceTempView("events")
     return engine_sql(spark, GRAFANA_SQL, table="events", time_col="ts",
                       interval_s=3600, time_from=_T_FROM, time_to=_T_TO)
 
@@ -66,8 +70,8 @@ def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="arbitrary-N-second $timeSeries buckets with a series dimension",
 )
 def timeseries_5min_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = time_filter(load(spark, sf_dir, "events"), "ts",
-                     "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    ev = load_time_range(spark, sf_dir, "events", "ts",
+                         "2024-01-10 00:00:00", "2024-01-12 00:00:00")
     return timeseries_count(ev, "ts", 300, ("event_type",),
                             (F.round(F.sum("value"), 4).alias("sum_value"),))
 
