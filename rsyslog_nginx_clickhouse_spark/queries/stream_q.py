@@ -105,3 +105,51 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"), "n_events")
+
+
+@query(
+    "streaming_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator via applyInPandasWithState: "
+        "per-user running (count, sum) kept in explicit GroupState — the "
+        "escape hatch for operators Spark's built-in streaming aggs "
+        "can't express; state is per-key and bounded, update mode emits "
+        "the running value each epoch",
+)
+def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 4)]})
+
+    out = (_events_stream(spark, sf_dir)
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               update,
+               outputStructType="user_id long, n_events long, "
+                                "total_value double",
+               stateStructType="n long, total double",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("update")
+            .format("memory").queryName(name)
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    # update mode appends one row per key per epoch; keep the last epoch's
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("total_value", "n_events").alias("total_value")))
