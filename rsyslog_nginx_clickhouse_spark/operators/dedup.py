@@ -167,6 +167,28 @@ def minhash_signature(hashes: Column, num_hashes: int = NUM_HASHES) -> Column:
     ])
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig_udf(shingle_arrays: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of shingle_hashes + minhash_signature:
+    identical values (hashlib.md5 hex == Spark md5; int(hex[:8],16) ==
+    conv(substr(md5,1,8),16,10); int64 permutation arithmetic exact),
+    one Python pass instead of 32 interpreted array transforms."""
+    import hashlib
+
+    import numpy as np
+
+    A = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)[:, None]
+
+    def one(shingles):
+        h = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+             for s in shingles], dtype=np.int64)
+        return ((A * h + B) % MINHASH_PRIME).min(axis=1).tolist()
+
+    return shingle_arrays.map(one)
+
+
 def minhash_bands(sig: Column, num_bands: int = NUM_BANDS,
                   rows_per_band: int = ROWS_PER_BAND) -> Column:
     """LSH band keys: each band's signature slice joined as a string —
@@ -200,17 +222,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     the (16 hashes, 4 bands) S-curve.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
-    # Each intermediate is cached as a barrier: CollapseProject inlines
-    # a referenced expression into EVERY consumer, so without barriers
-    # the md5 pass runs 32× (once per permutation) and the 32
-    # permutation-mins run 8× (once per band key) — all as interpreted
-    # lambdas, since higher-order functions never enter codegen.
-    # Observed 8-30× slowdown. Both caches are tiny (ints per doc).
-    hs = sh.select(F.col(id_col),
-                   shingle_hashes(F.col("shingles")).alias("h")).cache()
-    sig_df = hs.select(F.col(id_col),
-                       minhash_signature(F.col("h")).alias("sig")).cache()
-    sig_df.count()  # materialize sh + hs + sig once; consumers share caches
+    # The signature cache is a REQUIRED barrier, not just reuse:
+    # CollapseProject inlines a referenced expression into EVERY
+    # consumer, so an un-materialized sig would be recomputed once per
+    # band key and per self-join side. (The expression twins
+    # shingle_hashes/minhash_signature exist for oracle documentation;
+    # the Arrow UDF computes identical values in one pass.)
+    sig_df = sh.select(F.col(id_col),
+                       minhash_sig_udf(F.col("shingles")).alias("sig")).cache()
+    sig_df.count()  # materialize sh + sig once; consumers share the caches
     banded = (sig_df.select(id_col,
                             F.explode(minhash_bands(F.col("sig"))).alias("b"))
                     .select(id_col, F.col("b.band").alias("band"),

@@ -83,6 +83,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     an equi-join per chunk, union'd, then exact popcount verify.
     """
     fp = simhash_fingerprints(docs, id_col, text_col).cache()
+    fp.count()  # materialize before the self-join races both sides into it
     chunks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
