@@ -39,6 +39,14 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     ),
     "intDiv": ("a BIGINT, b BIGINT", "BIGINT", "cast(floor(a / b) as bigint)"),
     "formatDateTime": ("t TIMESTAMP, fmt STRING", "STRING", "date_format(t, fmt)"),
+    "toYear": ("t TIMESTAMP", "INT", "year(t)"),
+    "toMonth": ("t TIMESTAMP", "INT", "month(t)"),
+    "toDayOfMonth": ("t TIMESTAMP", "INT", "day(t)"),
+    # ClickHouse: Monday=1..Sunday=7; Spark weekday(): Monday=0
+    "toDayOfWeek": ("t TIMESTAMP", "INT", "weekday(t) + 1"),
+    "toUnixTimestamp": ("t TIMESTAMP", "BIGINT", "unix_timestamp(t)"),
+    "toStartOfQuarter": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('quarter', t)"),
+    "toStartOfYear": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('year', t)"),
 }
 
 #: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap
@@ -47,8 +55,12 @@ AGGREGATE_REWRITES: dict[str, str] = {
     "uniq": "approx_count_distinct",
     "uniqExact": "count_distinct",
     "quantile": "percentile_approx",
+    "quantileExact": "percentile",
     "median": "median",
     "any": "first",
+    "countIf": "count_if",
+    "argMax": "max_by",
+    "argMin": "min_by",
 }
 
 

@@ -425,3 +425,88 @@ def repeat_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = ev.where(day == F.lit("2024-01-15").cast("timestamp")) \
            .select("user_id")
     return d1.intersect(d2)
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14: conditional aggregation over a broadcast dim join — "
+        "the CASE rides inside the partial aggregate, one shuffle of "
+        "two partial sums",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+                    .alias("promo_pct")))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue ranking; customer/nation "
+        "broadcast, facts shuffle once, top-20 via TakeOrdered",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 1)
+                    .alias("revenue"))
+              .select("c_custkey", "c_name", "revenue", "n_name")
+              .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+@query(
+    "parts_above_brand_avg",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = part.p_brand)
+    """,
+    doc="correlated scalar subquery — Catalyst decorrelates it into an "
+        "aggregate + join (no per-row re-execution); expressed via "
+        "spark.sql to exercise the SQL front door",
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = part.p_brand)
+    """)

@@ -34,6 +34,20 @@ def test_clickhouse_scalar_functions(spark):
     assert row["d"] == 3 and row["e"] == 9
 
 
+def test_clickhouse_date_parts_and_agg_rewrites(spark):
+    register_clickhouse_functions(spark)
+    row = spark.sql("""
+        SELECT toDayOfWeek(timestamp'2020-04-06 09:00:00') AS dow,
+               toYear(timestamp'2020-04-06 09:00:00')      AS y,
+               toUnixTimestamp(timestamp'1970-01-01 00:01:00') AS ut
+    """).collect()[0]
+    assert row["dow"] == 1  # 2020-04-06 is a Monday; ClickHouse Monday=1
+    assert row["y"] == 2020 and row["ut"] == 60
+    out = expand_macros(
+        "SELECT countIf(x > 1), argMax(a, b) FROM $table", table="t")
+    assert "count_if(x > 1)" in out and "max_by(a, b)" in out
+
+
 def test_macro_expansion_matches_grafana_query():
     q = ("SELECT $timeSeries as t, count(*) as Count FROM $table "
          "WHERE $timeFilter GROUP BY t ORDER BY t")
