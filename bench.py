@@ -51,7 +51,10 @@ def main() -> None:
             for _ in range(iters):
                 t0 = time.time()
                 df = q.spark(spark, SF_DIR)
-                df.count()
+                # noop sink: forces evaluation of EVERY output column
+                # (count() lets Catalyst prune the projections being
+                # benchmarked), writes nothing.
+                df.write.mode("overwrite").format("noop").save()
                 dt = round(time.time() - t0, 3)
                 best = dt if best < 0 else min(best, dt)
                 # Release per-query caches (dedup ops cache

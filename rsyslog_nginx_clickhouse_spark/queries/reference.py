@@ -173,7 +173,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_FMT = '%s - - [%s +0000] "GET %s HTTP/1.1" %d %d "-" "%s" "-"'
 
 
-def _render_log_lines(events: DataFrame) -> DataFrame:
+def _render_log_lines(events: DataFrame, *keep: str) -> DataFrame:
     clientip = F.format_string(
         "10.0.%d.%d", F.col("user_id") % 200, F.col("event_id") % 200)
     time_local = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
@@ -183,7 +183,7 @@ def _render_log_lines(events: DataFrame) -> DataFrame:
     agent = F.format_string("agent/%d", F.col("user_id"))
     line = F.format_string(
         _LINE_FMT, clientip, time_local, request, status, nbytes, agent)
-    return events.select(line.alias("value"))
+    return events.select(line.alias("value"), *[F.col(c) for c in keep])
 
 
 @query(
@@ -209,3 +209,31 @@ def nginx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = to_typed_table(parse_lines(lines))
     return typed.select("logdate", "logdatetime", "clientip", "verb",
                         "request", "httpv", "response", "bytes", "agent")
+
+
+@query(
+    "nginx_dead_letters",
+    oracle="""
+    SELECT count(*) AS n_dead, count(*) FILTER (event_id % 7 = 0) AS n_bad
+    FROM events WHERE event_id % 7 = 0
+    """,
+    doc="robustness: every 7th rendered line is corrupted (truncated "
+        "mid-request) before parsing; the dead-letter channel must "
+        "capture exactly those lines while the job keeps running — the "
+        "one-bad-line-kills-the-ingest failure mode Spark 4's ANSI "
+        "throwing casts would otherwise cause (P1 unmatched-event path)",
+)
+def nginx_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.sources.nginx_log import dead_letters
+
+    ev = load(spark, sf_dir, "events")
+    # render with event_id kept alongside, chop every 7th line
+    # mid-request so the rule can't match it, then drop the id — the
+    # parser sees only corrupted raw lines
+    rendered = _render_log_lines(ev, "event_id")
+    corrupted = rendered.select(
+        F.when(F.col("event_id") % 7 == 0,
+               F.substring("value", 1, 20)).otherwise(F.col("value"))
+        .alias("value"))
+    dead = dead_letters(parse_lines(corrupted))
+    return dead.agg(F.count("*").alias("n_dead"), F.count("*").alias("n_bad"))
