@@ -42,17 +42,58 @@ def stream_access_log(spark: SparkSession, log_dir: str) -> DataFrame:
     return to_typed_table(parse_lines(raw))
 
 
+def idempotent_epoch_writer(table_path: str):
+    """foreachBatch sink with exactly-once semantics on plain parquet.
+
+    Stage with overwrite → publish under deterministic epoch-derived
+    names via atomic rename → marker. Any replay prefix (nothing /
+    half-staged / half-published / published-but-unmarked) converges to
+    exactly one copy of the epoch's rows. See start_ingest docstring.
+    """
+    import glob
+    import os
+    import shutil
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(table_path, f"_epoch_{epoch_id}_SUCCESS")
+        if os.path.exists(marker):
+            return  # epoch fully committed; checkpoint replay
+        staging = os.path.join(table_path, f"_staging_{epoch_id}")
+        write_mergetree_like(batch_df, staging, mode="overwrite")
+        for i, src in enumerate(sorted(
+                glob.glob(os.path.join(staging, "**", "*.parquet"),
+                          recursive=True))):
+            rel_dir = os.path.relpath(os.path.dirname(src), staging)
+            dest_dir = os.path.join(table_path, rel_dir)
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(src, os.path.join(
+                dest_dir, f"epoch-{epoch_id}-{i:05d}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(marker, "w"):
+            pass
+
+    return sink
+
+
 def start_ingest(spark: SparkSession, log_dir: str, table_path: str,
                  checkpoint: str, trigger_once: bool = True) -> StreamingQuery:
     """Tail → parse → enrich → typed table, exactly-once per micro-batch.
 
     foreachBatch writes each epoch through plans/storage.py (sorted,
     day-partitioned) — the K1 sink with batching the reference lacks.
+
+    Exactly-once, not just at-least-once: foreachBatch alone re-runs an
+    epoch whose write finished but whose checkpoint commit didn't (crash
+    in between), duplicating rows in a plain-parquet table. The sink is
+    a full idempotent writer: stage the epoch with overwrite (a replay
+    of a half-written epoch starts clean), publish files under
+    DETERMINISTIC epoch-derived names via atomic rename (a replay of a
+    half-published epoch overwrites the same targets, never adds), then
+    drop a marker that short-circuits fully-committed epochs. On object
+    stores swap the rename for a Delta/Iceberg transactional commit —
+    same contract, provided by the table format.
     """
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        write_mergetree_like(batch_df, table_path, mode="append")
-
+    sink = idempotent_epoch_writer(table_path)
     writer = (stream_access_log(spark, log_dir)
               .writeStream
               .foreachBatch(sink)
@@ -77,3 +118,17 @@ def streaming_timeseries(typed_stream: DataFrame, time_col: str = "logdatetime",
             .groupBy(F.window(time_col, window).alias("w"), *group_cols)
             .agg(F.count("*").alias("cnt"))
             .select(F.col("w.start").alias("t"), *group_cols, "cnt"))
+
+
+def stream_access_log_socket(spark: SparkSession, host: str,
+                             port: int) -> DataFrame:
+    """LIVE line-tail source (S1's true semantics): rsyslog forwards
+    each line over TCP (omfwd) and the socket source emits it into the
+    same parse chain as the file path. The file source ingests whole
+    closed files (rotation-granular); this is the bridge for sub-file
+    latency. In production the socket is replaced by Kafka with
+    identical downstream code.
+    """
+    raw = (spark.readStream.format("socket")
+           .option("host", host).option("port", port).load())
+    return to_typed_table(parse_lines(raw))

@@ -91,3 +91,84 @@ def test_streaming_ingest_is_idempotent_across_restarts(spark, tmp_path):
     q3 = start_ingest(spark, log_dir, table, ckpt)
     q3.awaitTermination(120)
     assert read_table(spark, table).count() == 8
+
+
+def test_epoch_writer_replay_never_duplicates(spark, tmp_path):
+    """Exactly-once on plain parquet: any crash/replay prefix converges."""
+    import glob
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        idempotent_epoch_writer,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    table = str(tmp_path / "table")
+    _write_log(log_dir, "a.log", LINES)
+    batch = ingest_batch(spark, log_dir)
+    sink = idempotent_epoch_writer(table)
+
+    sink(batch, 0)
+    assert read_table(spark, table).count() == 8
+
+    # full replay of a committed epoch (checkpoint lost the commit): no-op
+    sink(batch, 0)
+    assert read_table(spark, table).count() == 8
+
+    # half-published crash: marker removed, files already in place —
+    # replay overwrites the same deterministic names, never appends
+    os.remove(os.path.join(table, "_epoch_0_SUCCESS"))
+    sink(batch, 0)
+    assert read_table(spark, table).count() == 8
+
+    # a distinct epoch really appends
+    sink(batch, 1)
+    assert read_table(spark, table).count() == 16
+    names = {os.path.basename(p) for p in
+             glob.glob(os.path.join(table, "**", "*.parquet"),
+                       recursive=True)}
+    assert all(n.startswith("epoch-") for n in names)
+
+
+def test_socket_live_tail(spark):
+    """Live line-level tailing through a TCP socket → parse chain."""
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        stream_access_log_socket,
+    )
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(("\n".join(LINES) + "\n").encode())
+        time.sleep(3)  # keep the pipe open while micro-batches drain
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (stream_access_log_socket(spark, "127.0.0.1", port)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(LINES):
+                break
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert len(rows) == len(LINES)
+        assert {r["response"] for r in rows} == {200, 404}
+    finally:
+        q.stop()
+        server.close()
