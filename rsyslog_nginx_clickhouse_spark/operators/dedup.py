@@ -283,3 +283,48 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                                  / F.greatest(union_sz, F.lit(1)), 6)
                           .alias("jaccard"))
                  .where(F.col("jaccard") >= threshold))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(doc_id, component): transitive closure of near-dup pairs via
+    min-label propagation — the keep-policy step after any pair tier
+    (keep ``doc_id == component``, drop the rest).
+
+    Iterative by nature (the one algorithm class DataFrames can't
+    express in a single plan): each round joins labels to edges and
+    takes the neighborhood min, converging in O(graph diameter) rounds
+    — near-dup graphs are clusters of near-identical docs, so diameter
+    is tiny. Each round is one shuffle on the edge key; the driver only
+    evaluates a 1-row convergence probe, never the data.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+                  .distinct().cache())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("label", F.col("id")).cache())
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
+                             .groupBy("dst").agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["id"] == neighbor_min["dst"], "left")
+                            .select(labels["id"],
+                                    F.least(labels["label"],
+                                            F.coalesce(F.col("nl"),
+                                                       labels["label"]))
+                                    .alias("label"))
+                            .cache())
+        new_labels.count()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component"))

@@ -258,3 +258,21 @@ def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
                     F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
+
+
+def ivf_centroids_kmeans(embeddings: DataFrame, n_lists: int = N_LISTS,
+                         vec_col: str = "embedding",
+                         seed: int = 42) -> "np.ndarray":
+    """IVF centroids from a real distributed k-means (pyspark.ml).
+
+    Better list balance than id-seeding (tighter lists → higher recall
+    at the same nprobe); seeded for reproducibility. The fit is a few
+    passes over the data — amortized once per index build at 100 TB.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(vecs)
+    C = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)

@@ -481,3 +481,47 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (docs.select(F.explode(bigrams).alias("bigram"))
                   .groupBy("bigram").agg(F.count("*").alias("cnt")))
     return topk(counts, 20, F.desc("cnt"), F.col("bigram"))
+
+
+_PAIRS_SQL = """
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
+                  / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
+                  6) >= 0.5)
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=_SHINGLES_CTE.replace("WITH", "WITH RECURSIVE", 1) + _PAIRS_SQL + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(label) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="dedup keep-policy: connected components over near-dup pairs "
+        "(min-label propagation, O(diameter) rounds, one shuffle each; "
+        "keep doc_id == component). Oracle is the recursive-CTE "
+        "transitive closure over the identical pair set",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                threshold=0.5)
+    return connected_components(pairs)

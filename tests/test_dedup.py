@@ -94,3 +94,16 @@ def test_knn_bruteforce_orders_by_cosine(spark):
     assert [r["vec_id"] for r in got] == [0, 1, 2]
     sims = [r["cos_sim"] for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_connected_components_chain(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (needs label propagation across 3 hops) + island 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}

@@ -72,3 +72,20 @@ def test_multimodal_stubs_gate_real_decode():
     assert len(decode_stub(b"payload", fake=True)) == 8
     assert len(resize_stub(decode_stub(b"p", fake=True), out_dim=4,
                            fake=True)) == 4
+
+
+def test_ivf_kmeans_centroids_improve_or_match_recall(spark, sf_dir):
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    C = ivf_centroids_kmeans(emb, n_lists=8)
+    assert C.shape[1] == 64
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    assigned = ivf_assign(emb, C)
+    sizes = assigned.groupBy("list_id").count().collect()
+    assert len(sizes) >= 4  # k-means actually spreads the lists
