@@ -19,7 +19,8 @@ that pipeline Spark-first:
                   oracle SQL side by side), consumed by __spark_entry__.
 """
 
+from rsyslog_nginx_clickhouse_spark.engine import Engine
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["Engine", "get_spark"]
 __version__ = "0.1.0"
