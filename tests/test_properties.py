@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): parser round-trip and dedup
+invariants that goldens can't cover exhaustively."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from rsyslog_nginx_clickhouse_spark.sources.nginx_log import parse_lines
+
+# Field alphabets mirror what the regex tokens accept: word → \S+,
+# char-to:" → [^"]*, etc. Rendering from structured values and parsing
+# back must be lossless for ANY values in those alphabets.
+_word = st.text(
+    alphabet=st.characters(codec="ascii",
+                           exclude_characters=' \t\n\r\x0b\x0c"[]'),
+    min_size=1, max_size=12)
+_quoted = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters='"\n\r'),
+    min_size=0, max_size=20)
+_num = st.integers(min_value=0, max_value=10**12)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(clientip=_word, auth=_word, verb=_word, request=_word,
+       status=st.integers(0, 65535), nbytes=_num,
+       referrer=_quoted, agent=_quoted)
+def test_parse_roundtrip_any_field_values(spark, clientip, auth, verb,
+                                          request, status, nbytes,
+                                          referrer, agent):
+    line = (f'{clientip} - {auth} [06/Apr/2020:09:54:48 -0400] '
+            f'"{verb} {request} HTTP/1.1" {status} {nbytes} '
+            f'"{referrer}" "{agent}" "-"')
+    row = parse_lines(
+        spark.createDataFrame([(line,)], "value string")).collect()[0]
+    assert row["_parse_ok"] is True
+    assert row["clientip"] == clientip
+    assert row["auth"] == auth
+    assert row["verb"] == verb
+    assert row["request"] == request
+    assert row["response"] == str(status)
+    assert row["bytes"] == str(nbytes)
+    assert row["referrer"] == referrer
+    assert row["agent"] == agent
+
+
+def test_minhash_signature_is_order_and_dup_invariant(spark):
+    """sig(shuffled distinct shingles) == sig(original): min over a set."""
+    import random
+
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import minhash_sig_udf
+    from pyspark.sql import functions as F
+
+    base = [f"sh{i} tok{i} w{i}" for i in range(30)]
+    shuffled = base[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(1, base), (2, shuffled)], "id long, shingles array<string>")
+    rows = {r["id"]: r["sig"] for r in
+            df.select("id", minhash_sig_udf(F.col("shingles"))
+                      .alias("sig")).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_jaccard_identical_docs_always_one(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(4)],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    assert len(pairs) == 6  # all C(4,2) pairs
+    assert all(r["jaccard"] == 1.0 for r in pairs)
