@@ -237,3 +237,36 @@ def nginx_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"))
     dead = dead_letters(parse_lines(corrupted))
     return dead.agg(F.count("*").alias("n_dead"), F.count("*").alias("n_bad"))
+
+
+@query(
+    "approx_daily_users",
+    oracle=None,  # HLL sketch values are engine-specific by construction
+    doc="uniq() analog — approx_count_distinct (HyperLogLog++). The "
+        "100 TB form of daily_unique_users: the sketch merges map-side, "
+        "shuffle carries O(groups·sketch) not O(groups·users); exact "
+        "twin holds the value oracle, this one gets rows-only + a "
+        "relative-error pytest bound",
+)
+def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users"))
+            .orderBy("d"))
+
+
+@query(
+    "approx_latency_quantiles",
+    oracle=None,  # quantile sketch interpolation is engine-specific
+    doc="quantile() analog — approx_percentile sketch per event_type; "
+        "the 100 TB form of latency_quantiles (no per-group sort, "
+        "mergeable sketch); accuracy bound asserted in pytest vs the "
+        "exact percentiles",
+)
+def approx_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.percentile_approx("value", 0.5, 10000).alias("p50"),
+                 F.percentile_approx("value", 0.99, 10000).alias("p99"))
+            .orderBy("event_type"))

@@ -83,3 +83,27 @@ def test_time_bucket_and_timeseries_count(spark):
     rows = timeseries_count(df, "ts", interval_s=300).collect()
     assert [(str(r["t"]), r["cnt"]) for r in rows] == [
         ("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 2)]
+
+
+def test_approx_aggregates_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    reg = load_all()
+    approx = {r["d"]: r["approx_users"] for r in
+              reg["approx_daily_users"].spark(spark, sf_dir).collect()}
+    exact = {r["d"]: r["u"] for r in
+             load(spark, sf_dir, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count_distinct("user_id").alias("u")).collect()}
+    for d, u in exact.items():
+        assert abs(approx[d] - u) <= max(2, 0.05 * u)
+
+    aq = {r["event_type"]: (r["p50"], r["p99"]) for r in
+          reg["approx_latency_quantiles"].spark(spark, sf_dir).collect()}
+    eq = {r["event_type"]: (r["p50"], r["p99"]) for r in
+          reg["latency_quantiles"].spark(spark, sf_dir).collect()}
+    for et, (p50, p99) in eq.items():
+        assert abs(aq[et][0] - p50) <= max(1.0, 0.05 * p50)
