@@ -12,6 +12,8 @@ columns — a lossless round-trip proof.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -270,3 +272,41 @@ def approx_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.percentile_approx("value", 0.5, 10000).alias("p50"),
                  F.percentile_approx("value", 0.99, 10000).alias("p99"))
             .orderBy("event_type"))
+
+
+@query(
+    "nginx_table_roundtrip",
+    oracle="""
+    SELECT cast(ts AS date) AS logdate, count(*) AS cnt,
+           cast(sum(event_id % 100000) AS bigint) AS total_bytes
+    FROM events
+    WHERE cast(ts AS date) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+    GROUP BY logdate ORDER BY logdate
+    """,
+    doc="the FULL reference pipeline through OUR storage engine: render "
+        "→ parse → typed table → day-partitioned sorted parquet write "
+        "(D1) → re-read with a date predicate that must partition-prune "
+        "(S2) → Grafana-style daily rollup. The oracle never sees the "
+        "table — it derives the expected rollup straight from events, "
+        "so the write/read round-trip itself is under test",
+)
+def nginx_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.storage import (
+        read_table,
+        write_mergetree_like,
+    )
+
+    typed = to_typed_table(parse_lines(_render_log_lines(
+        load(spark, sf_dir, "events"))))
+    table = os.path.join(tempfile.gettempdir(),
+                         f"nginx_roundtrip_{os.path.basename(sf_dir)}")
+    write_mergetree_like(typed, table, mode="overwrite",
+                         files_per_partition=4)
+    back = read_table(spark, table)
+    return (back.where(F.col("logdate").between("2024-01-05", "2024-01-10"))
+                .groupBy("logdate")
+                .agg(F.count("*").alias("cnt"),
+                     F.sum("bytes").cast("long").alias("total_bytes"))
+                .orderBy("logdate"))
