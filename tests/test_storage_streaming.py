@@ -172,3 +172,50 @@ def test_socket_live_tail(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Late data beyond the watermark is dropped deterministically —
+    what keeps streaming state bounded forever at 100 TB/day."""
+    import os
+    import uuid
+
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        stream_access_log,
+        streaming_timeseries,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+
+    def run_batch():
+        agg = streaming_timeseries(
+            stream_access_log(spark, log_dir),
+            window="1 hour", watermark="1 hour")
+        q = (agg.writeStream.outputMode("append")
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    line = ('9.9.9.9 - - [06/Apr/2020:%s +0000] "GET /x HTTP/1.1" '
+            '200 1 "-" "ua" "-"')
+    # batch 1: events 09:xx and 12:xx → watermark advances to 11:00
+    _write_log(log_dir, "a.log", [line % "09:10:00", line % "09:20:00",
+                                  line % "12:00:00"])
+    run_batch()
+    # batch 2: one late event at 09:40 (< 11:00 watermark) and one fresh
+    _write_log(log_dir, "b.log", [line % "09:40:00", line % "13:00:00"])
+    run_batch()
+    # batch 3: empty tick lets the 13:00 window finalize
+    _write_log(log_dir, "c.log", [line % "15:00:00"])
+    run_batch()
+
+    rows = {str(r["t"]): r["cnt"] for r in spark.read.parquet(out).collect()}
+    # the 09:00 window finalized with 2 — the late 09:40 row was DROPPED
+    assert rows.get("2020-04-06 09:00:00") == 2
+    # fresh rows were not dropped
+    assert rows.get("2020-04-06 12:00:00") == 1
+    assert rows.get("2020-04-06 13:00:00") == 1
