@@ -20,8 +20,6 @@ from pyspark.sql import functions as F
 from rsyslog_nginx_clickhouse_spark.catalog import load, load_time_range
 from rsyslog_nginx_clickhouse_spark.functions.macros import sql as engine_sql
 from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
-    time_bucket,
-    time_filter,
     timeseries_count,
 )
 from rsyslog_nginx_clickhouse_spark.operators.topk import topk

@@ -14,7 +14,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rsyslog_nginx_clickhouse_spark.catalog import load
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
