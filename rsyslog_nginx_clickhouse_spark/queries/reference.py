@@ -308,3 +308,93 @@ def nginx_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("cnt"),
                      F.sum("bytes").cast("long").alias("total_bytes"))
                 .orderBy("logdate"))
+
+
+@query(
+    "status_class_share",
+    oracle="""
+    WITH t AS (
+      SELECT (200 + (event_id % 4) * 100) AS response FROM events)
+    SELECT (response // 100) || 'xx' AS status_class,
+           count(*) AS cnt,
+           round(count(*)::double / sum(count(*)) OVER (), 6) AS share
+    FROM t GROUP BY status_class ORDER BY status_class
+    """,
+    doc="the 2xx/3xx/4xx/5xx dashboard panel over the PARSED typed "
+        "table (through the real regex pipeline), share via window over "
+        "aggregate",
+)
+def status_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    typed = to_typed_table(parse_lines(_render_log_lines(
+        load(spark, sf_dir, "events"))))
+    counts = (typed.groupBy(F.concat((F.col("response") / 100)
+                                     .cast("int").cast("string"),
+                                     F.lit("xx")).alias("status_class"))
+                   .agg(F.count("*").alias("cnt")))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (counts.select("status_class", "cnt",
+                          F.round(F.col("cnt") / total, 6).alias("share"))
+                  .orderBy("status_class"))
+
+
+@query(
+    "bot_traffic_share",
+    oracle="""
+    WITH t AS (SELECT 'agent/' || user_id AS agent,
+                      (event_id % 100000) AS bytes FROM events)
+    SELECT CASE WHEN agent LIKE '%0' THEN 'bot' ELSE 'human' END AS kind,
+           count(*) AS cnt, cast(sum(bytes) AS bigint) AS total_bytes
+    FROM t GROUP BY kind ORDER BY kind
+    """,
+    doc="user-agent classification over the parsed table (the bot-vs-"
+        "human panel); classification predicate is sargable LIKE, "
+        "evaluated inside codegen on the typed column",
+)
+def bot_traffic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typed = to_typed_table(parse_lines(_render_log_lines(
+        load(spark, sf_dir, "events"))))
+    kind = F.when(F.col("agent").like("%0"), "bot").otherwise("human")
+    return (typed.groupBy(kind.alias("kind"))
+                 .agg(F.count("*").alias("cnt"),
+                      F.sum("bytes").cast("long").alias("total_bytes"))
+                 .orderBy("kind"))
+
+
+@query(
+    "user_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_us), 4) AS mean_gap_us,
+           round(quantile_cont(gap_us, 0.5), 4) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="inter-event gap distribution per user: lag window → gap column "
+        "→ grouped stats; one shuffle on the key serves both the window "
+        "and the aggregate",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # integer µs gaps: exact in int64, so avg/median interpolation is
+    # bit-identical across engines (float gaps differ in the last ulp
+    # and flip the rounded 4th decimal — observed)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = ev.select("user_id", gap.alias("gap_us")) \
+          .where(F.col("gap_us").isNotNull())
+    return (g.groupBy("user_id")
+             .agg(F.count("*").alias("n_gaps"),
+                  F.round(F.avg("gap_us"), 4).alias("mean_gap_us"),
+                  F.round(F.percentile("gap_us", 0.5), 4)
+                   .alias("median_gap_us"))
+             .orderBy("user_id"))
