@@ -328,3 +328,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def incremental_exact_dedup(new_docs: DataFrame, seen_fingerprints: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> tuple[DataFrame,
+                                                             DataFrame]:
+    """Dedup a NEW batch against the corpus seen so far — the streaming/
+    incremental form that avoids re-shuffling 100 TB of history.
+
+    ``seen_fingerprints``: (fingerprint) table accumulated from prior
+    batches. Returns (kept_docs, new_fingerprints):
+    - kept = batch-internal dedup winners whose fingerprint is unseen —
+      left_anti join against history: shuffles ONLY the new batch
+      (history side is a bloom-filter/bucketed scan at scale);
+    - new_fingerprints = append these to the history table.
+    """
+    fp = new_docs.select(F.col(id_col), F.col(text_col),
+                         fingerprint(text_col).alias("fingerprint"))
+    batch_winners = (fp.groupBy("fingerprint")
+                       .agg(F.min(id_col).alias(id_col)))
+    fresh = batch_winners.join(seen_fingerprints.select("fingerprint"),
+                               "fingerprint", "left_anti")
+    kept = fresh.join(fp.select(id_col, text_col), id_col)
+    return kept, fresh.select("fingerprint")

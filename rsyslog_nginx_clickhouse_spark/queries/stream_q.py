@@ -152,3 +152,45 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("total_value", "n_events").alias("total_value")))
+
+
+@query(
+    "streaming_summed_rollup",
+    oracle="""
+    SELECT event_type, cast(ts AS date) AS d,
+           round(sum(value), 4) AS total_value, count(*) AS cnt
+    FROM events GROUP BY event_type, d
+    """,
+    doc="streaming materialized-view maintenance: each micro-batch "
+        "appends per-epoch PARTIAL aggregates to a SummingMergeTree-"
+        "style rollup table (plans/summing.py), the serving read merges "
+        "parts — O(groups) written per epoch, serving cost O(keys); "
+        "oracle is the batch GROUP BY over all events",
+)
+def streaming_summed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.summing import (
+        append_partial,
+        read_summed,
+    )
+
+    path = tempfile.mkdtemp(prefix="rollup_")
+    shutil.rmtree(path, ignore_errors=True)
+
+    def sink(batch_df, epoch_id):
+        append_partial(
+            batch_df.select("event_type", F.to_date("ts").alias("d"),
+                            "value"),
+            path, ["event_type", "d"], ["value"])
+
+    q = (_events_stream(spark, sf_dir)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return read_summed(spark, path, ["event_type", "d"], ["value"]) \
+        .select("event_type", "d",
+                F.round(F.col("value"), 4).alias("total_value"),
+                F.col("_n").alias("cnt"))

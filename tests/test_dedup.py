@@ -107,3 +107,25 @@ def test_connected_components_chain(spark):
     got = {r["doc_id"]: r["component"]
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_incremental_exact_dedup(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    seen = spark.createDataFrame([], "fingerprint string")
+    batch1 = spark.createDataFrame(
+        [(1, "doc one"), (2, "doc one"), (3, "doc three")],
+        "doc_id long, text string")
+    kept1, fp1 = incremental_exact_dedup(batch1, seen)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 3}
+    seen = seen.union(fp1)
+
+    # batch 2: one dup-of-history, one batch-internal dup, one new
+    batch2 = spark.createDataFrame(
+        [(10, "doc one"), (11, "doc new"), (12, "DOC   new")],
+        "doc_id long, text string")
+    kept2, fp2 = incremental_exact_dedup(batch2, seen)
+    assert {r["doc_id"] for r in kept2.collect()} == {11}
+    assert fp2.count() == 1
