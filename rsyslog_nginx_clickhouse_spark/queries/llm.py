@@ -452,35 +452,36 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_bigrams",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents),
     bg AS (
-      SELECT array_to_string(toks[i:i+1], ' ') AS bigram
-      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
-      WHERE len(toks) >= 2)
-    SELECT bigram, count(*) AS cnt
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 2
+               THEN [array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END)) AS bigram
+      FROM normed)
+    SELECT bigram, count(*) AS doc_freq
     FROM bg GROUP BY bigram
-    ORDER BY cnt DESC, bigram LIMIT 20
+    ORDER BY doc_freq DESC, bigram LIMIT 20
     """,
-    doc="corpus n-gram frequency: explode bigrams → count → top-20 via "
-        "TakeOrdered; the shuffle carries (bigram, partial count), "
-        "bounded by vocabulary² not corpus size",
+    doc="corpus bigram DOCUMENT frequency (the boilerplate-detection "
+        "signal): Arrow-vectorized 2-shingles → explode → count → "
+        "top-20 via TakeOrdered; shuffle carries (bigram, partial "
+        "count), bounded by vocabulary not corpus size",
 )
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsyslog_nginx_clickhouse_spark.functions.text import tokens
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
     from rsyslog_nginx_clickhouse_spark.operators.topk import topk
 
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                          F.element_at(toks, i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
-    counts = (docs.select(F.explode(bigrams).alias("bigram"))
-                  .groupBy("bigram").agg(F.count("*").alias("cnt")))
-    return topk(counts, 20, F.desc("cnt"), F.col("bigram"))
+    sh = doc_shingles(load(spark, sf_dir, "documents"), n=2)
+    counts = (sh.select(F.explode("shingles").alias("bigram"))
+                .groupBy("bigram").agg(F.count("*").alias("doc_freq")))
+    return topk(counts, 20, F.desc("doc_freq"), F.col("bigram"))
 
 
 _PAIRS_SQL = """
