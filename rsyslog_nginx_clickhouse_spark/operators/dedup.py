@@ -317,7 +317,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                                        labels["label"]))
                                     .alias("label"))
                             .cache())
-        new_labels.count()
+        # one action per round: the convergence probe materializes the cache
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))

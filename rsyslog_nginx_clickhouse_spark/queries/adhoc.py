@@ -510,3 +510,43 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                                WHERE p2.p_brand = part.p_brand)
     """)
+
+
+@query(
+    "events_in_sessions_rangejoin",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev IS NULL
+                        OR epoch(ts - prev) > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events))
+      GROUP BY user_id, sid)
+    SELECT e.user_id, count(*) AS n_matched
+    FROM events e JOIN s ON e.user_id = s.user_id
+                       AND e.ts BETWEEN s.session_start AND s.session_end
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    doc="range join via interval bucketing (point-in-interval equi-join "
+        "on (key, time-bin), exact predicate re-check): events matched "
+        "into their session intervals; a plain BETWEEN join would plan "
+        "BroadcastNestedLoop — the quadratic shape plancheck flags. "
+        "Oracle runs the naive non-equi join, results must agree",
+)
+def events_in_sessions_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = session_stats(ev, "user_id", "ts", gap_s=1800) \
+        .select("user_id", "session_start", "session_end")
+    matched = range_join(ev, sessions, on="user_id", time_col="ts",
+                         start_col="session_start", end_col="session_end",
+                         bin_s=1800)
+    return (matched.groupBy("user_id")
+                   .agg(F.count("*").alias("n_matched"))
+                   .orderBy("user_id"))

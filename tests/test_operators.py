@@ -107,3 +107,25 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
           reg["latency_quantiles"].spark(spark, sf_dir).collect()}
     for et, (p50, p99) in eq.items():
         assert abs(aq[et][0] - p50) <= max(1.0, 0.05 * p50)
+
+
+def test_range_join_buckets_and_boundaries(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:00")),   # == interval start (incl.)
+         ("u", _ts("2024-01-01 11:59:59")),   # inside, different bin
+         ("u", _ts("2024-01-01 12:00:00")),   # == interval end (incl.)
+         ("u", _ts("2024-01-01 12:00:01")),   # just outside
+         ("v", _ts("2024-01-01 10:30:00"))],  # right key, no interval
+        "k string, ts timestamp")
+    intervals = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00"), "A")],
+        "k string, s timestamp, e timestamp, label string")
+    got = range_join(points, intervals, on="k", time_col="ts",
+                     start_col="s", end_col="e", bin_s=600)
+    matched = {str(r["ts"]) for r in got.collect()}
+    assert matched == {"2024-01-01 10:00:00", "2024-01-01 11:59:59",
+                       "2024-01-01 12:00:00"}
+    # no duplicate matches even though the interval spans 13 bins
+    assert got.count() == 3
