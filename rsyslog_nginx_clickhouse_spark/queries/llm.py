@@ -526,3 +526,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
                                 threshold=0.5)
     return connected_components(pairs)
+
+
+@query(
+    "corpus_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             len(toks) AS n_tok,
+             (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::double
+               / greatest(length(text), 1) AS pr,
+             len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
+               / greatest(len(toks), 1) AS sw,
+             list_sum(list_transform(toks, x -> length(x)))::double
+               / greatest(len(toks), 1) AS mlen,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS en_hits
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, en_hits,
+             least(n_tok / 20.0, 1.0) * 0.4
+             + (1.0 - least(pr * 5, 1.0)) * 0.2
+             + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.2
+             + (CASE WHEN mlen >= 2.5 AND mlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+               AS q
+      FROM m),
+    keepers AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             min(doc_id) AS doc_id
+      FROM documents GROUP BY fingerprint)
+    SELECT s.doc_id, round(s.q, 6) AS quality
+    FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+    WHERE s.q >= 0.5 AND s.en_hits > 0
+    ORDER BY s.doc_id
+    """,
+    doc="the LLM training-data selection pipeline END-TO-END: exact-"
+        "dedup winners ∩ quality >= 0.5 ∩ detected-English — the "
+        "composition every individual operator exists to serve; one "
+        "scan computes all text signals, the dedup keep-set semi-joins "
+        "in (broadcast at this scale, hash-partitioned at 100 TB)",
+)
+def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.text import lang_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        lang_score("text", "en").alias("en_hits"),
+    )
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id"))
+    return (scored.join(keepers, "doc_id", "left_semi")
+                  .where((F.col("quality") >= 0.5) & (F.col("en_hits") > 0))
+                  .select("doc_id", "quality")
+                  .orderBy("doc_id"))
