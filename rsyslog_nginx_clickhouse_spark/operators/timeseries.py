@@ -51,3 +51,32 @@ def timeseries_count(df: DataFrame, time_col: str, interval_s: int = 3600,
              .agg(F.count("*").alias("cnt"), *aggs)
              .orderBy("t", *group_cols))
     return out
+
+
+def activity_vectors(df: DataFrame, key: str, time_col: str,
+                     origin: str, n_buckets: int,
+                     bucket_s: int = 86400) -> DataFrame:
+    """(key, vec: array<long>) — each key's activity as a DENSE
+    fixed-length count vector (bucket i = count in [origin + i·bucket_s,
+    origin + (i+1)·bucket_s)), missing buckets zero-filled.
+
+    The time-series-similarity-search primitive: once curves are dense
+    aligned vectors, every embedding operator (cosine top-k, LSH, IVF)
+    applies to behavior curves unchanged. One shuffle on (key, bucket) +
+    one on key; the dense fill is a map lookup over a literal sequence —
+    no join against a calendar table.
+    """
+    bucket = F.floor((F.col(time_col).cast("double")
+                      - F.lit(origin).cast("timestamp").cast("double"))
+                     / bucket_s).cast("int")
+    per_bucket = (df.select(F.col(key), bucket.alias("__b"))
+                    .where((F.col("__b") >= 0) & (F.col("__b") < n_buckets))
+                    .groupBy(key, "__b").agg(F.count("*").alias("__c")))
+    m = F.map_from_entries(F.collect_list(F.struct("__b", "__c")))
+    return (per_bucket.groupBy(key)
+            .agg(m.alias("__m"))
+            .select(F.col(key),
+                    F.transform(F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                                lambda i: F.coalesce(F.element_at(F.col("__m"), i),
+                                                     F.lit(0)))
+                    .alias("vec")))

@@ -582,3 +582,58 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where((F.col("quality") >= 0.5) & (F.col("en_hits") > 0))
                   .select("doc_id", "quality")
                   .orderBy("doc_id"))
+
+
+_ACTIVITY_VEC_CTE = """
+    WITH d AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', cast(ts AS date)) AS di,
+             count(*) AS c
+      FROM events
+      WHERE cast(ts AS date) >= DATE '2024-01-01'
+        AND date_diff('day', DATE '2024-01-01', cast(ts AS date)) < 30
+      GROUP BY user_id, di),
+    grid AS (
+      SELECT u.user_id, g.i AS di
+      FROM (SELECT DISTINCT user_id FROM d) u, generate_series(0, 29) AS g(i)),
+    vec AS (
+      SELECT g.user_id, list(coalesce(d.c, 0) ORDER BY g.di) AS v
+      FROM grid g LEFT JOIN d ON d.user_id = g.user_id AND d.di = g.di
+      GROUP BY g.user_id)
+"""
+
+
+@query(
+    "similar_activity_users",
+    oracle=_ACTIVITY_VEC_CTE + f"""
+    SELECT a.user_id,
+           round({_DOT.format(a='a.v', b='q.v')} /
+                 (sqrt({_DOT.format(a='a.v', b='a.v')})
+                  * sqrt({_DOT.format(a='q.v', b='q.v')})), 6) AS cos_sim
+    FROM vec a, (SELECT v FROM vec WHERE user_id = 1) q
+    WHERE a.user_id != 1
+    ORDER BY cos_sim DESC, a.user_id LIMIT 10
+    """,
+    doc="time-series similarity search: each user's 30-day activity "
+        "curve as a dense count vector (operators/timeseries."
+        "activity_vectors), cosine top-10 most-similar to user 1 — "
+        "integer counts make the dot products exact, so the oracle "
+        "matches bit-for-bit; at scale the curve vectors feed the same "
+        "LSH/IVF paths as text embeddings",
+)
+def similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
+        activity_vectors,
+    )
+    from rsyslog_nginx_clickhouse_spark.operators.topk import topk
+
+    ev = load(spark, sf_dir, "events")
+    vecs = activity_vectors(ev, "user_id", "ts", "2024-01-01", 30).cache()
+    # query curve is a parameter: tiny driver fetch, inlined as literals
+    # (a crossJoin against the 1-row curve would plan BroadcastNestedLoop)
+    qv = vecs.where(F.col("user_id") == 1).select("vec").first()[0]
+    qcol = F.array(*[F.lit(int(x)) for x in qv])
+    sims = vecs.where(F.col("user_id") != 1).select(
+        "user_id",
+        F.round(cosine(F.col("vec"), qcol), 6).alias("cos_sim"))
+    return topk(sims, 10, F.desc("cos_sim"), F.col("user_id"))
