@@ -53,7 +53,6 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
 #: aggregates; the macro expander rewrites these tokens pre-parse).
 AGGREGATE_REWRITES: dict[str, str] = {
     "uniq": "approx_count_distinct",
-    "uniqExact": "count_distinct",
     "quantile": "percentile_approx",
     "quantileExact": "percentile",
     "median": "median",

@@ -48,8 +48,19 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
            .replace("$timeFilter", filt)
            .replace("$table", table)
            .replace("$interval", str(interval_s)))
+    return rewrite_aggregates(out)
+
+
+def rewrite_aggregates(out: str) -> str:
+    """ClickHouse aggregate names → Spark builtins, including the
+    parametric syntax ``agg(p)(x)`` (no Spark equivalent) collapsed to
+    ``agg(x, p)`` for the quantile family."""
+    out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
+    out = re.sub(
+        r"\b(percentile_approx|percentile)\(([^()]*)\)\(([^()]*)\)",
+        r"\1(\3, \2)", out)
     return out
 
 
@@ -58,4 +69,6 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     register_clickhouse_functions(spark)
     if "$" in query and "table" in macro_kwargs:
         query = expand_macros(query, **macro_kwargs)
+    else:
+        query = rewrite_aggregates(query)
     return spark.sql(query)

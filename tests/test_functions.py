@@ -63,7 +63,10 @@ def test_macro_expansion_matches_grafana_query():
 def test_macro_aggregate_rewrites():
     out = expand_macros("SELECT uniq(u), quantile(0.5)(x) FROM $table", table="t")
     assert "approx_count_distinct(u" in out
-    assert "percentile_approx(" in out
+    # parametric syntax collapses to valid Spark SQL
+    assert "percentile_approx(x, 0.5)" in out
+    out2 = expand_macros("SELECT quantileExact(0.9)(v) FROM $table", table="t")
+    assert "percentile(v, 0.9)" in out2
 
 
 def test_engine_sql_end_to_end(spark):
@@ -103,3 +106,11 @@ def test_vector_math_matches_numpy(spark):
     expected_cos = 12.0 / (math.sqrt(14) * math.sqrt(77))
     assert row["c"] == pytest.approx(expected_cos)
     assert row["l"] == pytest.approx(math.sqrt(9 + 49 + 9))
+
+
+def test_clickhouse_quantile_query_runs(spark):
+    spark.createDataFrame([(float(i),) for i in range(101)], "v double") \
+         .createOrReplaceTempView("tq")
+    row = sql(spark, "SELECT quantileExact(0.5)(v) AS med, uniqExact(v) AS u "
+                     "FROM tq", table="tq").collect()[0]
+    assert row["med"] == 50.0 and row["u"] == 101
