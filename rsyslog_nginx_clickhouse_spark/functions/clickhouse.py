@@ -56,7 +56,9 @@ AGGREGATE_REWRITES: dict[str, str] = {
     "quantile": "percentile_approx",
     "quantileExact": "percentile",
     "median": "median",
-    "any": "first",
+    # NOTE: ClickHouse any() is deliberately NOT rewritten to first() —
+    # Spark SQL has its own any() (boolean aggregate) and a blind token
+    # rename would silently corrupt valid Spark queries.
     "countIf": "count_if",
     "argMax": "max_by",
     "argMin": "min_by",
