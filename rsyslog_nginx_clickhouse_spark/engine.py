@@ -54,9 +54,13 @@ class Engine:
     def ingest(self, log_path: str, **parse_kwargs) -> int:
         """Batch backfill: parse a (rotated) access log into the table.
         Returns rows ingested."""
-        typed = ingest_batch(self.spark, log_path, **parse_kwargs)
-        write_mergetree_like(typed, self.table_root)
-        return typed.count()
+        typed = ingest_batch(self.spark, log_path, **parse_kwargs).cache()
+        try:
+            n = typed.count()  # materializes the cache the write reuses
+            write_mergetree_like(typed, self.table_root)
+        finally:
+            typed.unpersist()
+        return n
 
     def stream(self, log_dir: str, checkpoint: str, **kwargs):
         """Continuous ingest of a log directory (exactly-once epochs)."""
@@ -76,11 +80,18 @@ class Engine:
             interval_s: int = 3600, time_from: str | None = None,
             time_to: str | None = None) -> DataFrame:
         """Run (Grafana-macro / ClickHouse-flavored) SQL over the table."""
+        from rsyslog_nginx_clickhouse_spark.functions.macros import (
+            rewrite_aggregates,
+        )
+
         self.table().createOrReplaceTempView(TABLE_NAME)
         if "$" in query:
             query = expand_macros(query, table=TABLE_NAME, time_col=time_col,
                                   interval_s=interval_s,
                                   time_from=time_from, time_to=time_to)
+        else:
+            # ClickHouse aggregate names work in plain queries too
+            query = rewrite_aggregates(query)
         return self.spark.sql(query)
 
     def dead_letters(self, log_path: str) -> DataFrame:

@@ -27,7 +27,10 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     "toStartOfHour": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('hour', t)"),
     "toStartOfDay": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('day', t)"),
     "toStartOfMinute": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('minute', t)"),
-    "toStartOfWeek": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('week', t)"),
+    # ClickHouse default mode 0 starts weeks on SUNDAY; Spark's 'week'
+    # truncation is Monday-based, so shift by one day around it.
+    "toStartOfWeek": ("t TIMESTAMP", "TIMESTAMP",
+                      "date_trunc('week', t + interval 1 day) - interval 1 day"),
     "toStartOfMonth": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('month', t)"),
     "toStartOfFiveMinute": (
         "t TIMESTAMP", "TIMESTAMP",

@@ -58,8 +58,11 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
+    # value arg may itself contain one level of calls, e.g.
+    # quantile(0.9)(toUInt32(t))
+    nested = r"(?:[^()]|\([^()]*\))*"
     out = re.sub(
-        r"\b(percentile_approx|percentile)\(([^()]*)\)\(([^()]*)\)",
+        rf"\b(percentile_approx|percentile)\(([^()]*)\)\(({nested})\)",
         r"\1(\3, \2)", out)
     return out
 

@@ -32,18 +32,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
     rtime = right_time_col or time_col
     value_cols = value_cols or [c for c in right.columns if c not in (on, rtime)]
 
+    # The right payload is carried as ONE struct, not per-column: the
+    # struct of a right row is never null, so last(ignorenulls) always
+    # carries a complete row — per-column carry would stitch together
+    # fields from DIFFERENT right rows whenever a value is null
+    # (pd.merge_asof / ASOF JOIN return the matched row's nulls as-is).
+    rrow_type = F.struct(
+        *[F.col(c) for c in value_cols], F.col(rtime).alias("__rt"))
     lhs = left.select(
         F.col(on), F.col(time_col).alias("__t"), F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[rtime].dataType).alias("__rt"),
+        F.lit(None).cast(
+            right.select(rrow_type.alias("x")).schema["x"].dataType)
+        .alias("__rrow"),
     )
     rhs = right.select(
         F.col(on), F.col(rtime).alias("__t"), F.lit(0).alias("__is_left"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(rtime).alias("__rt"),
+        rrow_type.alias("__rrow"),
     )
     # Right rows sort before left rows at equal time → exact matches allowed.
     w = (Window.partitionBy(on)
@@ -51,13 +57,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = lhs.unionByName(rhs).select(
         "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-          for c in value_cols],
-        F.last("__rt", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__c"),
     )
     out = carried.where(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        F.col(f"{time_col}{suffix}"),
+        *[F.col("__c")[c].alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__c")["__rt"].alias(f"{time_col}{suffix}"),
     )
     return out

@@ -27,10 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rsyslog_nginx_clickhouse_spark.functions.text import (
-    fingerprint,
-    word_shingles,
-)
+from rsyslog_nginx_clickhouse_spark.functions.text import fingerprint
 
 #: 32 hashes in 8 bands of 4: P(candidate | J) = 1-(1-J^4)^8 — ≈0.97 at
 #: J=0.8, ≈0.67 at J=0.6, ≈0.40 at J=0.5. Tuned for the near-dup regime.
@@ -88,8 +85,6 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     def shingle(texts: pd.Series) -> pd.Series:
         def one(text):
             toks = ws.split((text or "").strip().lower())
-            if toks == [""]:
-                toks = [""]  # split semantics: empty text → one empty token
             if len(toks) >= n:
                 grams = [" ".join(toks[i:i + n])
                          for i in range(len(toks) - n + 1)]
@@ -219,7 +214,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     to re-join shingle arrays (broadcast-able when docs dim is small;
     at 100 TB both sides hash-partition on id). False positives from
     banding are removed by the verify step; false negatives bounded by
-    the (16 hashes, 4 bands) S-curve.
+    the (32 hashes, 8 bands) S-curve.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
     # The signature cache is a REQUIRED barrier, not just reuse:

@@ -31,13 +31,19 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
 
     ``bin_s`` trades candidate width against explode factor: set it
     near the TYPICAL interval length so intervals explode to ~2 bins.
+
+    The exact between-predicate lives INSIDE the join condition (not a
+    post-filter) so outer joins keep their semantics: with ``left``, a
+    point matching no interval survives with null interval columns —
+    a post-join where() would evaluate NULL and silently drop it. A
+    point has exactly one bin, so explode never duplicates matches.
     """
-    pts = points.withColumn("__bin", _bin(F.col(time_col), bin_s))
-    iv = intervals.withColumn(
-        "__bin",
+    pts = points.withColumn("__pbin", _bin(F.col(time_col), bin_s))
+    iv = intervals.withColumnRenamed(on, "__ikey").withColumn(
+        "__ibin",
         F.explode(F.sequence(_bin(F.col(start_col), bin_s),
                              _bin(F.col(end_col), bin_s))))
-    joined = (pts.join(iv, [on, "__bin"], how)
-                 .where(F.col(time_col).between(F.col(start_col),
-                                                F.col(end_col))))
-    return joined.drop("__bin")
+    cond = ((F.col(on) == F.col("__ikey"))
+            & (F.col("__pbin") == F.col("__ibin"))
+            & F.col(time_col).between(F.col(start_col), F.col(end_col)))
+    return pts.join(iv, cond, how).drop("__ikey", "__pbin", "__ibin")

@@ -68,9 +68,10 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _chunk(col, i: int):
-    """16-bit chunk i of the 64-bit fingerprint (for Hamming LSH)."""
-    return F.shiftrightunsigned(col, i * 16).bitwiseAND(F.lit(0xFFFF))
+def _chunk(col, lo_bit: int, width: int):
+    """``width``-bit slice of the fingerprint starting at ``lo_bit``."""
+    mask = (1 << width) - 1
+    return F.shiftrightunsigned(col, lo_bit).bitwiseAND(F.lit(mask))
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -78,17 +79,25 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   max_hamming: int = HAMMING_BUDGET) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming ≤ budget) via chunk LSH.
 
-    Pigeonhole: with 4 chunks of 16 bits, any pair within Hamming
-    distance 3 matches exactly on at least one chunk → candidate join is
-    an equi-join per chunk, union'd, then exact popcount verify.
+    Pigeonhole: splitting 64 bits into ``max_hamming + 1`` chunks, any
+    pair within the Hamming budget matches exactly on ≥1 chunk (the
+    chunk count is DERIVED from the budget — a fixed count would
+    silently lose recall for larger budgets) → candidate join is an
+    equi-join per chunk, union'd, then exact popcount verify.
     """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     fp = simhash_fingerprints(docs, id_col, text_col).cache()
     fp.count()  # materialize before the self-join races both sides into it
     chunks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("ci"), _chunk(F.col("simhash"), i).alias("cv"))
-            for i in range(NUM_CHUNKS)
+            F.struct(F.lit(i).alias("ci"),
+                     _chunk(F.col("simhash"), offsets[i], widths[i])
+                     .alias("cv"))
+            for i in range(n_chunks)
         ])).alias("c"),
     ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")

@@ -39,7 +39,14 @@ def write_mergetree_like(df: DataFrame, path: str,
                          files_per_partition: int | None = None) -> None:
     """Write ``df`` as a day-partitioned, time-sorted parquet table."""
     if files_per_partition:
-        df = df.repartition(files_per_partition, partition_col)
+        # salt WITHIN the partition key: hashing on the key alone sends
+        # each day to ONE task (k files/day would never materialize and
+        # a hot day would serialize through a single writer)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
+                      F.lit(files_per_partition))
+        # explicit partition count: AQE would coalesce an
+        # expression-only repartition back into few tasks
+        df = df.repartition(files_per_partition, F.col(partition_col), salt)
     (df.sortWithinPartitions(*sort_cols)
        .write.mode(mode)
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))

@@ -50,11 +50,14 @@ _T_FROM, _T_TO = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
 def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Range-pruned view: the $timeFilter predicate on the converted
     # column can't push down, so the view itself carries the raw-nanos
-    # range (catalog.load_time_range) — the scan skips row groups.
-    load_time_range(spark, sf_dir, "events", "ts",
-                    _T_FROM, _T_TO).createOrReplaceTempView("events")
-    return engine_sql(spark, GRAFANA_SQL, table="events", time_col="ts",
-                      interval_s=3600, time_from=_T_FROM, time_to=_T_TO)
+    # range (catalog.load_time_range) — the scan skips row groups. The
+    # view name is query-private: rebinding the session-wide "events"
+    # view to a filtered subset would contaminate later queries.
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned")
+    return engine_sql(spark, GRAFANA_SQL, table="grafana_events_pruned",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
 
 
 @query(

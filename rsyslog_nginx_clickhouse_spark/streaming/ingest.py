@@ -60,6 +60,14 @@ def idempotent_epoch_writer(table_path: str):
             return  # epoch fully committed; checkpoint replay
         staging = os.path.join(table_path, f"_staging_{epoch_id}")
         write_mergetree_like(batch_df, staging, mode="overwrite")
+        # a replay may produce a DIFFERENT file layout (AQE coalescing,
+        # changed configs): purge this epoch's previously-published
+        # files first, or a stale higher-index file from the earlier
+        # attempt would survive and duplicate rows
+        for stale in glob.glob(os.path.join(
+                table_path, "**", f"epoch-{epoch_id}-*.parquet"),
+                recursive=True):
+            os.remove(stale)
         for i, src in enumerate(sorted(
                 glob.glob(os.path.join(staging, "**", "*.parquet"),
                           recursive=True))):
