@@ -66,14 +66,23 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    failed = sorted(n for n, t in timings.items() if t < 0)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
         "metric": "query_set_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    if failed:
+        # a crashed query must not read as a speedup of the total
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -301,6 +301,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("label", F.col("id")).cache())
     labels.count()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
                              .groupBy("dst").agg(F.min("label").alias("nl")))
@@ -320,7 +321,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds the cap); raise max_iter — a silent "
+            f"early exit would return non-minimal labels")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
 

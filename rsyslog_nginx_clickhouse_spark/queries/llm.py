@@ -83,7 +83,8 @@ _PUNCT_SQL = """'[.,!?;:''"()\\[\\]{}-]'"""
                  / greatest(length(text), 1), 6) AS punct_ratio,
            round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
                  / greatest(len(toks), 1), 6) AS stopword_ratio,
-           round(list_sum(list_transform(toks, x -> length(x)))::double
+           round(coalesce(list_sum(list_transform(toks, x -> length(x))),
+                          0)::double
                  / greatest(len(toks), 1), 6) AS mean_token_len
     FROM t
     """,
@@ -558,7 +559,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY fingerprint)
     SELECT s.doc_id, round(s.q, 6) AS quality
     FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
-    WHERE s.q >= 0.5 AND s.en_hits > 0
+    WHERE round(s.q, 6) >= 0.5 AND s.en_hits > 0
     ORDER BY s.doc_id
     """,
     doc="the LLM training-data selection pipeline END-TO-END: exact-"

@@ -301,8 +301,11 @@ def nginx_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     typed = to_typed_table(parse_lines(_render_log_lines(
         load(spark, sf_dir, "events"))))
-    table = os.path.join(tempfile.gettempdir(),
-                         f"nginx_roundtrip_{os.path.basename(sf_dir)}")
+    # per-process unique path: a fixed name would let concurrent runs
+    # (bench + selfcheck) overwrite each other's table mid-scan
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"nginx_roundtrip_{os.path.basename(sf_dir)}_{os.getpid()}")
     write_mergetree_like(typed, table, mode="overwrite",
                          files_per_partition=4)
     back = read_table(spark, table)

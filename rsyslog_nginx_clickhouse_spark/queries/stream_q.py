@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
+def _run_to_completion(q, timeout_s: int = 300) -> None:
+    """availableNow runs must actually FINISH: an unchecked
+    awaitTermination timeout would silently return a partial memory
+    table (or leave a rollup table still being appended) as if it were
+    the full answer."""
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query did not finish within {timeout_s}s")
+    finally:
+        q.stop()
+
+
 @query(
     "streaming_hourly_counts",
     oracle="""
@@ -27,26 +41,14 @@ from rsyslog_nginx_clickhouse_spark.queries import query
         "windowed count per event_type; result must equal the batch agg",
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from rsyslog_nginx_clickhouse_spark.catalog import _normalize_nanos
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = _normalize_nanos(
-        spark.readStream.schema(raw_schema)
-             .option("pathGlobFilter", "events.parquet")
-             .parquet(sf_dir),
-        "events")
-    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-                 .agg(F.count("*").alias("cnt")))
+    agg = (_events_stream(spark, sf_dir)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt")))
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.outputMode("complete")
             .format("memory").queryName(name)
             .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    q.stop()
+    _run_to_completion(q)
     return spark.table(name).select(F.col("w.start").alias("t"),
                                     "event_type", "cnt")
 
@@ -99,8 +101,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (agg.writeStream.outputMode("complete")
             .format("memory").queryName(name)
             .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    q.stop()
+    _run_to_completion(q)
     return spark.table(name).select(
         "user_id", F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"), "n_events")
@@ -145,8 +146,7 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (out.writeStream.outputMode("update")
             .format("memory").queryName(name)
             .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    q.stop()
+    _run_to_completion(q)
     # update mode appends one row per key per epoch; keep the last epoch's
     return (spark.table(name)
             .groupBy("user_id")
@@ -189,7 +189,7 @@ def streaming_summed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .writeStream.foreachBatch(sink)
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _run_to_completion(q)
     return read_summed(spark, path, ["event_type", "d"], ["value"]) \
         .select("event_type", "d",
                 F.round(F.col("value"), 4).alias("total_value"),

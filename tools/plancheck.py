@@ -6,10 +6,11 @@ plan survives a 100× scale-up. Usage:
 
     python tools/plancheck.py [sf_dir] [query ...]
 
-Red flags it surfaces:
-- CartesianProduct / BroadcastNestedLoopJoin  → quadratic at scale
-- scans with 0 pushed filters under a Filter  → full-table reads
-- ReadSchema listing many more columns than the query outputs
+Hard-FLAGGED (nonzero exit): CartesianProduct / BroadcastNestedLoopJoin
+— quadratic at scale. Everything else (pushed-filter counts, scan
+widths, join strategies, partial aggregation) is SURFACED per query for
+eyeballing/diffing; a zero-pushed scan is often legitimate (full-table
+aggregations), so it is reported, not flagged.
 """
 
 from __future__ import annotations

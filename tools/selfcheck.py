@@ -64,6 +64,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # release per-query caches (dedup ops cache intermediates)
+            # so later queries aren't taxed by leftover executor memory
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"okro {name}: rows-only, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
