@@ -1,0 +1,64 @@
+"""Adversarial-corpus oracle parity: run the REAL registry queries and
+their DuckDB oracles over documents the driver's testdata doesn't
+contain (empty text, whitespace-only, single tokens, punctuation soup,
+exact dups of weird docs) and require the same value-hash agreement the
+driver's gate checks. Guards engine/oracle divergences that are latent
+on clean data (e.g. DuckDB list_sum([]) = NULL vs Spark 0)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsyslog_nginx_clickhouse_spark.queries import load_all
+from tools.selfcheck import value_hash
+
+EDGE_DOCS = [
+    (1, "", "en"),
+    (2, "   ", "en"),
+    (3, "word", "en"),
+    (4, "two words", "en"),
+    (5, "!!! ??? ... ;;;", "en"),
+    (6, "the the the the the", "en"),
+    (7, "   ", "de"),               # exact dup of 2 after normalization
+    (8, "Tab\tand\nnewline   runs", "en"),
+    (9, "word", "fr"),              # exact dup of 3
+    (10, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en"),
+]
+
+TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
+                "doc_fingerprints", "dedup_exact", "lang_detect",
+                "dedup_ngram_jaccard", "top_bigrams"]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge"))
+    df = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_oracle_agrees_on_edge_corpus(spark, edge_dir, name):
+    q = load_all()[name]
+    sdf = q.spark(spark, edge_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{os.path.join(edge_dir, 'documents.parquet')}/*.parquet')")
+    res = con.execute(q.oracle)
+    ocols = [dsc[0] for dsc in res.description]
+    orows = res.fetchall()
+
+    assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(srows, sdf.columns) == value_hash(orows, ocols)
