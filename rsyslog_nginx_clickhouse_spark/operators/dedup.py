@@ -354,3 +354,18 @@ def incremental_exact_dedup(new_docs: DataFrame, seen_fingerprints: DataFrame,
                                "fingerprint", "left_anti")
     kept = fresh.join(fp.select(id_col, text_col), id_col)
     return kept, fresh.select("fingerprint")
+
+
+def split_bucket(id_col: Column | str, buckets: int = 100,
+                 salt: str = "split") -> Column:
+    """Deterministic [0, buckets) bucket per id: md5-based, so the same
+    row lands in the same split on every run, any cluster size, and in
+    the DuckDB oracle — the property randomSplit lacks (its sampling
+    depends on partitioning). Train/test selection is then a plain
+    sargable predicate, e.g. ``split_bucket(id) < 90``.
+    """
+    id_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return (h % buckets).cast("int")

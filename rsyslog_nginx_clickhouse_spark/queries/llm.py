@@ -638,3 +638,29 @@ def similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(cosine(F.col("vec"), qcol), 6).alias("cos_sim"))
     return topk(sims, 10, F.desc("cos_sim"), F.col("user_id"))
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    SELECT CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+                     % 100 < 90
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           cast(sum(length(text)) AS bigint) AS n_chars
+    FROM documents GROUP BY split ORDER BY split
+    """,
+    doc="deterministic 90/10 corpus split: md5-bucket per doc id — "
+        "stable across runs, cluster sizes, and engines (randomSplit is "
+        "partitioning-dependent); selection is a sargable predicate, no "
+        "shuffle beyond the report aggregation",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(split_bucket("doc_id") < 90, "train").otherwise("test")
+    return (docs.groupBy(split.alias("split"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.length("text")).cast("long").alias("n_chars"))
+                .orderBy("split"))

@@ -129,3 +129,19 @@ def test_incremental_exact_dedup(spark):
     kept2, fp2 = incremental_exact_dedup(batch2, seen)
     assert {r["doc_id"] for r in kept2.collect()} == {11}
     assert fp2.count() == 1
+
+
+def test_split_bucket_deterministic_and_balanced(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(F.col("id"))
+    a = df.select(split_bucket("id").alias("b")).groupBy("b").count()
+    counts = {r["b"]: r["count"] for r in a.collect()}
+    assert set(counts) == set(range(100))          # every bucket hit
+    assert all(50 <= c <= 160 for c in counts.values())  # roughly uniform
+    # repartitioning must not change assignments (the randomSplit trap)
+    b = df.repartition(7).select("id", split_bucket("id").alias("b"))
+    b2 = df.repartition(3).select("id", split_bucket("id").alias("b"))
+    assert ({(r["id"], r["b"]) for r in b.collect()}
+            == {(r["id"], r["b"]) for r in b2.collect()})
