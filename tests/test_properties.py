@@ -74,3 +74,47 @@ def test_jaccard_identical_docs_always_one(spark):
     pairs = ngram_jaccard_pairs(docs, threshold=0.99).collect()
     assert len(pairs) == 6  # all C(4,2) pairs
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized differential test: our union-sort-window as-of join
+    must agree with pd.merge_asof (backward, exact matches allowed) —
+    including null right-payload values and duplicate timestamps."""
+    import random
+
+    import pandas as pd
+
+    from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        left_rows = [(rng.randint(1, 4), rng.randint(0, 1000))
+                     for _ in range(60)]
+        right_rows = [(rng.randint(1, 4), rng.randint(0, 1000),
+                       rng.choice([None, "a", "b", "c"]))
+                      for _ in range(60)]
+        # dedupe (key, t) on the right: with duplicate right times the
+        # winner is ordering-dependent in BOTH engines (untestable tie)
+        seen = set()
+        right_rows = [r for r in right_rows
+                      if (r[0], r[1]) not in seen
+                      and not seen.add((r[0], r[1]))]
+
+        left = spark.createDataFrame(left_rows, "k int, t long")
+        right = spark.createDataFrame(right_rows, "k int, t long, v string")
+        got = {(r["k"], r["t"], i): (r["v_asof"], r["t_asof"])
+               for i, r in enumerate(sorted(
+                   asof_join(left, right, on="k", time_col="t").collect(),
+                   key=lambda r: (r["k"], r["t"])))}
+
+        lpd = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
+        rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        m = pd.merge_asof(lpd, rpd, on="t", by="k",
+                          direction="backward", suffixes=("", "_r"))
+        want = {}
+        for i, row in enumerate(m.sort_values(["k", "t"]).itertuples()):
+            v = None if pd.isna(row.v) else row.v
+            want[(row.k, row.t, i)] = v
+        assert len(got) == len(want)
+        for key in want:
+            assert got[key][0] == want[key], (trial, key)
