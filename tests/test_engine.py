@@ -45,3 +45,18 @@ def test_engine_ingest_then_grafana_sql(spark, tmp_path):
     eng.compact()
     assert eng.table().count() == 9
     assert os.path.isdir(str(tmp_path / "nginx" / "logdate=2020-04-06"))
+
+
+def test_engine_stream_ingests_exactly_once(spark, tmp_path):
+    log_dir = str(tmp_path / "logs")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "a.log"), "w") as f:
+        f.write("\n".join(LINES[:5]) + "\n")
+    eng = Engine(table_root=str(tmp_path / "nginx"), spark=spark)
+    q = eng.stream(log_dir, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert eng.table().count() == 5
+    # restart with no new files: no duplicates
+    q2 = eng.stream(log_dir, checkpoint=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert eng.table().count() == 5

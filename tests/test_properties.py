@@ -118,3 +118,33 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert len(got) == len(want)
         for key in want:
             assert got[key][0] == want[key], (trial, key)
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    """Randomized differential test: bucketed range join == the naive
+    non-equi join it replaces, for every bin width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.operators.rangejoin import range_join
+
+    rng = random.Random(99)
+    points = [(rng.randint(1, 3), rng.randint(0, 500)) for _ in range(80)]
+    intervals = []
+    for i in range(25):
+        s = rng.randint(0, 480)
+        intervals.append((rng.randint(1, 3), s, s + rng.randint(0, 90), i))
+    p = spark.createDataFrame(points, "k int, t long")
+    iv = spark.createDataFrame(intervals, "k int, s long, e long, iv_id int")
+
+    naive = {(r["k"], r["t"], r["iv_id"]) for r in
+             p.join(iv, (p["k"] == iv["k"])
+                    & p["t"].between(iv["s"], iv["e"]))
+              .select(p["k"], "t", "iv_id").collect()}
+    for bin_s in (7, 60, 1000):
+        got = {(r["k"], r["t"], r["iv_id"]) for r in
+               range_join(p, iv, on="k", time_col="t",
+                          start_col="s", end_col="e", bin_s=bin_s)
+               .select("k", "t", "iv_id").collect()}
+        assert got == naive, bin_s
