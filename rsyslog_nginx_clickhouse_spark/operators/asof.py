@@ -27,10 +27,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
               value_cols: list[str] | None = None,
               suffix: str = "_asof") -> DataFrame:
     """For each left row: latest right row with same ``on`` key and
-    right time <= left time. Right payload columns arrive suffixed.
+    right time <= left time. Right payload columns arrive suffixed; the
+    matched right time arrives as ``{rtime}{suffix}``.
+
+    SQL equality semantics: right rows with a NULL key or NULL time can
+    never be an as-of match (DuckDB ASOF JOIN / pd.merge_asof agree) and
+    are filtered out before the union — without that, a null-keyed or
+    null-timed right row would be carried as a phantom match.
     """
     rtime = right_time_col or time_col
-    value_cols = value_cols or [c for c in right.columns if c not in (on, rtime)]
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, rtime)]
+    right = right.where(F.col(on).isNotNull() & F.col(rtime).isNotNull())
 
     # The right payload is carried as ONE struct, not per-column: the
     # struct of a right row is never null, so last(ignorenulls) always
@@ -62,6 +70,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
     out = carried.where(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
         *[F.col("__c")[c].alias(f"{c}{suffix}") for c in value_cols],
-        F.col("__c")["__rt"].alias(f"{time_col}{suffix}"),
+        F.col("__c")["__rt"].alias(f"{rtime}{suffix}"),
     )
     return out

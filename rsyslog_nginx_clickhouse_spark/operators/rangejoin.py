@@ -22,6 +22,9 @@ def _bin(col: Column, bin_s: int) -> Column:
     return F.floor(col.cast("double") / bin_s).cast("long")
 
 
+MAX_BINS_PER_INTERVAL = 4096
+
+
 def range_join(points: DataFrame, intervals: DataFrame, on: str,
                time_col: str, start_col: str, end_col: str,
                bin_s: int = DEFAULT_BIN_S,
@@ -38,11 +41,20 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
     a post-join where() would evaluate NULL and silently drop it. A
     point has exactly one bin, so explode never duplicates matches.
     """
+    if how not in ("inner", "left"):
+        # right/full would emit unmatched intervals once per exploded
+        # bin with their key stripped — not meaningful semantics here
+        raise ValueError("range_join supports how='inner' or 'left'")
     pts = points.withColumn("__pbin", _bin(F.col(time_col), bin_s))
-    iv = intervals.withColumnRenamed(on, "__ikey").withColumn(
-        "__ibin",
-        F.explode(F.sequence(_bin(F.col(start_col), bin_s),
-                             _bin(F.col(end_col), bin_s))))
+    start_b = _bin(F.col(start_col), bin_s)
+    # clamp: one corrupt wide interval (bad end timestamp) must not
+    # explode into millions of rows and kill the job; beyond-clamp
+    # intervals are dropped to the dead-letter path by the caller
+    end_b = F.least(_bin(F.col(end_col), bin_s),
+                    start_b + F.lit(MAX_BINS_PER_INTERVAL))
+    iv = (intervals.withColumnRenamed(on, "__ikey")
+          .where(F.col(end_col) >= F.col(start_col))
+          .withColumn("__ibin", F.explode(F.sequence(start_b, end_b))))
     cond = ((F.col(on) == F.col("__ikey"))
             & (F.col("__pbin") == F.col("__ibin"))
             & F.col(time_col).between(F.col(start_col), F.col(end_col)))

@@ -44,9 +44,13 @@ def write_mergetree_like(df: DataFrame, path: str,
         # a hot day would serialize through a single writer)
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
                       F.lit(files_per_partition))
-        # explicit partition count: AQE would coalesce an
-        # expression-only repartition back into few tasks
-        df = df.repartition(files_per_partition, F.col(partition_col), salt)
+        # explicit partition count (AQE would coalesce an expression-only
+        # repartition), scaled by parallelism so a multi-day backfill
+        # isn't capped at files_per_partition writers TOTAL; per-day file
+        # count still bounded by the salt domain
+        n = files_per_partition * max(
+            1, df.sparkSession.sparkContext.defaultParallelism)
+        df = df.repartition(n, F.col(partition_col), salt)
     (df.sortWithinPartitions(*sort_cols)
        .write.mode(mode)
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
@@ -68,11 +72,13 @@ def compact(spark: SparkSession, path: str,
     dynamic partition overwrite so only touched partitions are replaced.
     Run out-of-band (the reference's merges are async too).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(path)
     (df.repartition(files_per_partition, F.col(partition_col))
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
+       # per-writer option, NOT session conf: mutating the session would
+       # silently change every later overwrite's truncation semantics
+       .option("partitionOverwriteMode", "dynamic")
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
        .partitionBy(partition_col)
        .parquet(path))

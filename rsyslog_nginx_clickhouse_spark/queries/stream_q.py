@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
+def _run_to_memory_table(spark, df, output_mode: str):
+    """Start df → memory sink (availableNow), run to completion, return
+    the materialized table."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.outputMode(output_mode)
+           .format("memory").queryName(name)
+           .trigger(availableNow=True).start())
+    _run_to_completion(q)
+    return spark.table(name)
+
+
 def _run_to_completion(q, timeout_s: int = 300) -> None:
     """availableNow runs must actually FINISH: an unchecked
     awaitTermination timeout would silently return a partial memory
@@ -44,13 +55,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (_events_stream(spark, sf_dir)
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count("*").alias("cnt")))
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.outputMode("complete")
-            .format("memory").queryName(name)
-            .trigger(availableNow=True).start())
-    _run_to_completion(q)
-    return spark.table(name).select(F.col("w.start").alias("t"),
-                                    "event_type", "cnt")
+    return _run_to_memory_table(spark, agg, "complete").select(
+        F.col("w.start").alias("t"), "event_type", "cnt")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,12 +103,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (_events_stream(spark, sf_dir)
            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
            .agg(F.count("*").alias("n_events")))
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.outputMode("complete")
-            .format("memory").queryName(name)
-            .trigger(availableNow=True).start())
-    _run_to_completion(q)
-    return spark.table(name).select(
+    return _run_to_memory_table(spark, agg, "complete").select(
         "user_id", F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"), "n_events")
 
@@ -142,13 +143,9 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                stateStructType="n long, total double",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.outputMode("update")
-            .format("memory").queryName(name)
-            .trigger(availableNow=True).start())
-    _run_to_completion(q)
+    tbl = _run_to_memory_table(spark, out, "update")
     # update mode appends one row per key per epoch; keep the last epoch's
-    return (spark.table(name)
+    return (tbl
             .groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("total_value", "n_events").alias("total_value")))
@@ -176,14 +173,20 @@ def streaming_summed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_summed,
     )
 
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        idempotent_epoch_writer,
+    )
+
     path = tempfile.mkdtemp(prefix="rollup_")
     shutil.rmtree(path, ignore_errors=True)
 
-    def sink(batch_df, epoch_id):
-        append_partial(
-            batch_df.select("event_type", F.to_date("ts").alias("d"),
-                            "value"),
-            path, ["event_type", "d"], ["value"])
+    # marker-gated staged write: a bare .write.append would double-count
+    # the epoch's partials when Structured Streaming replays it
+    sink = idempotent_epoch_writer(
+        path,
+        write_fn=lambda bdf, staging: append_partial(
+            bdf.select("event_type", F.to_date("ts").alias("d"), "value"),
+            staging, ["event_type", "d"], ["value"]))
 
     q = (_events_stream(spark, sf_dir)
          .writeStream.foreachBatch(sink)

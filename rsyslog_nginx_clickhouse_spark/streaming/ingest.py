@@ -42,13 +42,18 @@ def stream_access_log(spark: SparkSession, log_dir: str) -> DataFrame:
     return to_typed_table(parse_lines(raw))
 
 
-def idempotent_epoch_writer(table_path: str):
+def idempotent_epoch_writer(table_path: str, write_fn=None):
     """foreachBatch sink with exactly-once semantics on plain parquet.
 
     Stage with overwrite → publish under deterministic epoch-derived
     names via atomic rename → marker. Any replay prefix (nothing /
     half-staged / half-published / published-but-unmarked) converges to
     exactly one copy of the epoch's rows. See start_ingest docstring.
+
+    ``write_fn(batch_df, staging_path)`` overrides the staged write
+    (default: the sorted day-partitioned mergetree write) — used by any
+    foreachBatch sink that appends to plain parquet, e.g. the summing
+    rollup (a bare .write.append there would double-count on replay).
     """
     import glob
     import os
@@ -59,7 +64,10 @@ def idempotent_epoch_writer(table_path: str):
         if os.path.exists(marker):
             return  # epoch fully committed; checkpoint replay
         staging = os.path.join(table_path, f"_staging_{epoch_id}")
-        write_mergetree_like(batch_df, staging, mode="overwrite")
+        if write_fn is not None:
+            write_fn(batch_df, staging)
+        else:
+            write_mergetree_like(batch_df, staging, mode="overwrite")
         # a replay may produce a DIFFERENT file layout (AQE coalescing,
         # changed configs): purge this epoch's previously-published
         # files first, or a stale higher-index file from the earlier

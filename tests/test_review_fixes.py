@@ -143,3 +143,53 @@ def test_engine_sql_rewrites_plain_clickhouse_aggregates(spark, tmp_path):
     row = eng.sql("SELECT uniqExact(clientip) AS u, "
                   "quantileExact(0.5)(bytes) AS med FROM nginx").collect()[0]
     assert row["u"] == 1 and row["med"] == 10.0
+
+
+def test_asof_ignores_null_time_and_null_key_right_rows(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 05:00:00")), (None, _ts("2024-01-01 05:00:00"))],
+        "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, "phantom"),          # null time: never a match
+         (None, _ts("2024-01-01 01:00:00"), "nullkey")],  # null key: never
+        "k int, ts timestamp, v string")
+    rows = {r["k"]: r["v_asof"]
+            for r in asof_join(left, right, on="k", time_col="ts").collect()}
+    assert rows == {1: None, None: None}
+
+
+def test_range_join_rejects_outer_and_survives_corrupt_interval(spark):
+    import pytest
+
+    points = spark.createDataFrame([("u", 100)], "k string, t long")
+    intervals = spark.createDataFrame(
+        [("u", 0, 10**15, "huge"),      # corrupt end: clamped, no blowup
+         ("u", 200, 100, "inverted")],  # end < start: dropped
+        "k string, s long, e long, label string")
+    with pytest.raises(ValueError):
+        range_join(points, intervals, on="k", time_col="t",
+                   start_col="s", end_col="e", how="full")
+    got = range_join(points, intervals, on="k", time_col="t",
+                     start_col="s", end_col="e", bin_s=10).collect()
+    assert [r["label"] for r in got] == ["huge"]  # point is inside the clamp
+
+
+def test_compact_does_not_leak_partition_overwrite_mode(spark, tmp_path):
+    from rsyslog_nginx_clickhouse_spark.plans.storage import (
+        compact,
+        write_mergetree_like,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "2024-01-01 00:00:00")],
+        "logdate string, logdatetime string").select(
+        F.col("logdate").cast("date"),
+        F.col("logdatetime").cast("timestamp"))
+    path = str(tmp_path / "t")
+    write_mergetree_like(df, path)
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                            "STATIC")
+    compact(spark, path)
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                           "STATIC")
+    assert before == after  # session semantics unchanged
