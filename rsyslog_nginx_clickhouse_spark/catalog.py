@@ -59,13 +59,15 @@ def load_time_range(spark: SparkSession, sf_dir: str, name: str, col: str,
     """
     import datetime as _dt
 
-    df = load(spark, sf_dir, name)
     if col not in _NANO_TS_COLS.get(name, ()):
-        return df.where(F.col(col).between(
+        return load(spark, sf_dir, name).where(F.col(col).between(
             F.lit(t_from).cast("timestamp"), F.lit(t_to).cast("timestamp")))
 
     def _us(s: str) -> int:
-        d = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        d = _dt.datetime.fromisoformat(s)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)  # naive = session UTC
+        d = d.astimezone(_dt.timezone.utc)  # honor explicit offsets
         return int(d.timestamp()) * 1_000_000 + d.microsecond
 
     lo_ns = _us(t_from) * 1000

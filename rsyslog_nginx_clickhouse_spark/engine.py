@@ -80,19 +80,15 @@ class Engine:
             interval_s: int = 3600, time_from: str | None = None,
             time_to: str | None = None) -> DataFrame:
         """Run (Grafana-macro / ClickHouse-flavored) SQL over the table."""
-        from rsyslog_nginx_clickhouse_spark.functions.macros import (
-            rewrite_aggregates,
-        )
+        from rsyslog_nginx_clickhouse_spark.functions import macros
 
         self.table().createOrReplaceTempView(TABLE_NAME)
-        if "$" in query:
-            query = expand_macros(query, table=TABLE_NAME, time_col=time_col,
-                                  interval_s=interval_s,
-                                  time_from=time_from, time_to=time_to)
-        else:
-            # ClickHouse aggregate names work in plain queries too
-            query = rewrite_aggregates(query)
-        return self.spark.sql(query)
+        # single dispatcher: macros.sql handles $-expansion AND the
+        # ClickHouse aggregate rewrites for plain queries (two copies of
+        # this logic had already drifted once)
+        return macros.sql(self.spark, query, table=TABLE_NAME,
+                          time_col=time_col, interval_s=interval_s,
+                          time_from=time_from, time_to=time_to)
 
     def dead_letters(self, log_path: str) -> DataFrame:
         """Lines the parser rejected (debug tee, R2)."""

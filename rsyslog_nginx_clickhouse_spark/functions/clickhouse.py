@@ -40,7 +40,12 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
         "t TIMESTAMP, secs BIGINT", "TIMESTAMP",
         "timestamp_seconds(floor(unix_timestamp(t) / secs) * secs)",
     ),
-    "intDiv": ("a BIGINT, b BIGINT", "BIGINT", "cast(floor(a / b) as bigint)"),
+    # exact int64 floor division: floor(a / b) routes through double and
+    # loses precision above 2^53; `div` truncates toward zero, so adjust
+    # when signs differ and there is a remainder
+    "intDiv": ("a BIGINT, b BIGINT", "BIGINT",
+               "CASE WHEN a % b != 0 AND ((a < 0) != (b < 0)) "
+               "THEN a div b - 1 ELSE a div b END"),
     "formatDateTime": ("t TIMESTAMP, fmt STRING", "STRING", "date_format(t, fmt)"),
     "toYear": ("t TIMESTAMP", "INT", "year(t)"),
     "toMonth": ("t TIMESTAMP", "INT", "month(t)"),

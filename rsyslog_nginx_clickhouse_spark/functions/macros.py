@@ -38,11 +38,14 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
         f"timestamp_seconds(floor(unix_timestamp({time_col}) / {interval_s})"
         f" * {interval_s})"
     )
-    if time_from and time_to:
-        filt = (f"{time_col} BETWEEN timestamp'{time_from}'"
-                f" AND timestamp'{time_to}'")
-    else:
-        filt = "1=1"
+    bounds = []
+    if time_from:
+        bounds.append(f"{time_col} >= timestamp'{time_from}'")
+    if time_to:
+        bounds.append(f"{time_col} <= timestamp'{time_to}'")
+    # one-sided ranges are honored — silently expanding a lone
+    # time_from to 1=1 would full-scan and return pre-range rows
+    filt = " AND ".join(bounds) if bounds else "1=1"
     out = (sql
            .replace("$timeSeries", ts_expr)
            .replace("$timeFilter", filt)

@@ -28,7 +28,9 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector yields NULL instead of raising
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

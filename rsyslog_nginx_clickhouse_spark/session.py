@@ -43,5 +43,13 @@ def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
+    # getOrCreate IGNORES builder confs when a session already exists
+    # (e.g. created by a test harness): re-apply the runtime-settable
+    # ones — above all the UTC pin, which oracle parity depends on.
+    for k, v in (("spark.sql.session.timeZone", "UTC"),
+                 ("spark.sql.shuffle.partitions", cpus),
+                 ("spark.sql.adaptive.enabled", "true"),
+                 ("spark.sql.execution.arrow.pyspark.enabled", "true")):
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -84,13 +84,19 @@ def parse_lines(raw: DataFrame, line_col: str = "value") -> DataFrame:
     dead-letter channel (liblognorm unmatched-event behavior).
     """
     line = F.col(line_col)
-    matched = line.rlike(NGINX_LINE_REGEX)
+    # ONE regex execution per line (not one per field): rewrite the
+    # matched line into a \x01-joined capture list, then split. A line
+    # whose fields contain \x01 themselves would mis-split — detected
+    # by the arity check and dead-lettered rather than mis-parsed.
+    sep = "\x01"
+    repl = sep.join(f"${i}" for i in range(1, len(PARSED_FIELDS) + 1))
+    arr = F.split(F.regexp_replace(line, NGINX_LINE_REGEX, repl), sep, -1)
+    # regexp_replace returns the line UNCHANGED when the rule doesn't
+    # match; a matched line always yields exactly 16 parts
+    matched = F.size(arr) == len(PARSED_FIELDS)
     cols = [line.alias("message"), matched.alias("_parse_ok")]
-    for i, name in enumerate(PARSED_FIELDS, start=1):
-        cols.append(
-            F.when(matched, F.regexp_extract(line, NGINX_LINE_REGEX, i))
-            .alias(name)
-        )
+    for i, name in enumerate(PARSED_FIELDS):
+        cols.append(F.when(matched, arr[i]).alias(name))
     return raw.select(*cols)
 
 
@@ -144,8 +150,12 @@ def to_typed_table(parsed: DataFrame,
         F.col("verb"),
         F.col("request"),
         F.col("httpversion").alias("httpv"),
-        F.col("response").cast("int").alias("response"),
-        F.col("bytes").cast("long").alias("bytes"),
+        # try_cast, NOT cast: under Spark 4's default ANSI mode a plain
+        # cast of an overflowing number ('999999999999' passes the \d+
+        # token) would abort the whole ingest job instead of
+        # dead-lettering the row
+        F.col("response").try_cast("int").alias("response"),
+        F.col("bytes").try_cast("long").alias("bytes"),
         F.col("referrer"),
         F.col("agent"),
         F.col("blob"),

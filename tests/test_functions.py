@@ -56,8 +56,15 @@ def test_macro_expansion_matches_grafana_query():
                         time_to="2020-04-07 00:00:00")
     assert "$" not in out
     assert "FROM nginx" in out
-    assert "BETWEEN timestamp'2020-04-06 00:00:00'" in out
+    assert ">= timestamp'2020-04-06 00:00:00'" in out
+    assert "<= timestamp'2020-04-07 00:00:00'" in out
     assert "floor(unix_timestamp(logdatetime) / 3600) * 3600" in out
+
+
+def test_macro_one_sided_time_filter():
+    out = expand_macros("SELECT 1 FROM $table WHERE $timeFilter", table="t",
+                        time_from="2020-04-06 00:00:00")
+    assert ">= timestamp'2020-04-06 00:00:00'" in out and "1=1" not in out
 
 
 def test_macro_aggregate_rewrites():

@@ -11,12 +11,17 @@ from rsyslog_nginx_clickhouse_spark.sources.nginx_log import parse_lines
 # Field alphabets mirror what the regex tokens accept: word → \S+,
 # char-to:" → [^"]*, etc. Rendering from structured values and parsing
 # back must be lossless for ANY values in those alphabets.
+# printable ASCII only: nginx itself escapes control characters in the
+# access log (escape=default), so raw \x00-\x1f never reaches the
+# parser; our fast single-pass splitter dead-letters (never mis-parses)
+# such synthetic lines via its arity check.
 _word = st.text(
-    alphabet=st.characters(codec="ascii",
-                           exclude_characters=' \t\n\r\x0b\x0c"[]'),
+    alphabet=st.characters(codec="ascii", min_codepoint=0x21,
+                           max_codepoint=0x7E, exclude_characters='"[]'),
     min_size=1, max_size=12)
 _quoted = st.text(
-    alphabet=st.characters(codec="ascii", exclude_characters='"\n\r'),
+    alphabet=st.characters(codec="ascii", min_codepoint=0x20,
+                           max_codepoint=0x7E, exclude_characters='"'),
     min_size=0, max_size=20)
 _num = st.integers(min_value=0, max_value=10**12)
 
