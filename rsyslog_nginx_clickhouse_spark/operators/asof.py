@@ -59,9 +59,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
         rrow_type.alias("__rrow"),
     )
-    # Right rows sort before left rows at equal time → exact matches allowed.
+    # Right rows sort before left rows at equal time → exact matches
+    # allowed. The content-hash tiebreak makes the winner among
+    # duplicate (key, time) right rows deterministic (otherwise it
+    # depends on shuffle order — run-to-run flaky).
     w = (Window.partitionBy(on)
-         .orderBy(F.col("__t"), F.col("__is_left"))
+         .orderBy(F.col("__t"), F.col("__is_left"),
+                  F.xxhash64(F.col("__rrow")))
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = lhs.unionByName(rhs).select(
         "*",

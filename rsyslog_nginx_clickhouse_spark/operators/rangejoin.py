@@ -46,16 +46,36 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
         # bin with their key stripped — not meaningful semantics here
         raise ValueError("range_join supports how='inner' or 'left'")
     pts = points.withColumn("__pbin", _bin(F.col(time_col), bin_s))
+    valid = intervals.withColumnRenamed(on, "__ikey") \
+                     .where(F.col(end_col) >= F.col(start_col))
     start_b = _bin(F.col(start_col), bin_s)
-    # clamp: one corrupt wide interval (bad end timestamp) must not
-    # explode into millions of rows and kill the job; beyond-clamp
-    # intervals are dropped to the dead-letter path by the caller
-    end_b = F.least(_bin(F.col(end_col), bin_s),
-                    start_b + F.lit(MAX_BINS_PER_INTERVAL))
-    iv = (intervals.withColumnRenamed(on, "__ikey")
-          .where(F.col(end_col) >= F.col(start_col))
-          .withColumn("__ibin", F.explode(F.sequence(start_b, end_b))))
-    cond = ((F.col(on) == F.col("__ikey"))
-            & (F.col("__pbin") == F.col("__ibin"))
-            & F.col(time_col).between(F.col(start_col), F.col(end_col)))
-    return pts.join(iv, cond, how).drop("__ikey", "__pbin", "__ibin")
+    end_b = _bin(F.col(end_col), bin_s)
+    span = end_b - start_b
+    # Intervals wider than the explode budget (legit multi-month spans
+    # or corrupt end timestamps) must neither blow up the explode NOR
+    # silently lose matches to a clamp: they take a key-only join —
+    # fine, because by the operator's premise wide intervals are FEW
+    # (set bin_s near the typical length), so the candidate fan-out of
+    # the key join stays bounded.
+    narrow = (valid.where(span <= MAX_BINS_PER_INTERVAL)
+              .withColumn("__ibin", F.explode(F.sequence(start_b, end_b))))
+    wide = valid.where(span > MAX_BINS_PER_INTERVAL) \
+                .withColumn("__ibin", F.lit(None).cast("long"))
+    between = F.col(time_col).between(F.col(start_col), F.col(end_col))
+    narrow_cond = ((F.col(on) == F.col("__ikey"))
+                   & (F.col("__pbin") == F.col("__ibin")) & between)
+    wide_cond = (F.col(on) == F.col("__ikey")) & between
+    matched = (pts.join(narrow, narrow_cond, "inner")
+                  .unionByName(pts.join(wide, wide_cond, "inner"))
+                  .drop("__ikey", "__pbin", "__ibin"))
+    if how == "inner":
+        return matched
+    # left: append points that matched nothing, with null interval cols
+    unmatched = (points.join(
+        matched.select(*points.columns).distinct(),
+        on=points.columns, how="left_anti"))
+    for c in matched.columns:
+        if c not in points.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(matched.dtypes)[c]))
+    return matched.unionByName(unmatched.select(*matched.columns))

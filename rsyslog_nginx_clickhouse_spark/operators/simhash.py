@@ -70,6 +70,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 def _chunk(col, lo_bit: int, width: int):
     """``width``-bit slice of the fingerprint starting at ``lo_bit``."""
+    if width >= 64:
+        return col  # max_hamming=0: one chunk = the whole fingerprint
     mask = (1 << width) - 1
     return F.shiftrightunsigned(col, lo_bit).bitwiseAND(F.lit(mask))
 

@@ -158,6 +158,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     buckets, no cross product and no broadcast of the full matrix.
     """
     if use_lsh:
+        if dim is None:
+            raise ValueError("cosine_dedup_pairs(use_lsh=True) requires dim=")
         planes = hyperplanes(dim, NUM_PLANES)
         sig = plane_signature_udf(planes)
         bucketed = embeddings.select(
@@ -175,6 +177,9 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
 
     rows = embeddings.select(id_col, vec_col).collect()
+    if not rows:  # empty input: empty pairs, like the LSH branch
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -72,13 +72,24 @@ def compact(spark: SparkSession, path: str,
     dynamic partition overwrite so only touched partitions are replaced.
     Run out-of-band (the reference's merges are async too).
     """
+    import shutil
+
     df = spark.read.parquet(path)
-    (df.repartition(files_per_partition, F.col(partition_col))
+    # salt within the day (key-only hashing would funnel each day
+    # through ONE writer — see write_mergetree_like), and write to a
+    # temp sibling then swap: overwriting the path the lineage lazily
+    # reads from risks recompute-from-deleted-files on block loss
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
+                  F.lit(files_per_partition))
+    tmp = path.rstrip("/") + ".compact-tmp"
+    (df.repartition(files_per_partition, F.col(partition_col), salt)
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
-       # per-writer option, NOT session conf: mutating the session would
-       # silently change every later overwrite's truncation semantics
-       .option("partitionOverwriteMode", "dynamic")
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
        .partitionBy(partition_col)
-       .parquet(path))
+       .parquet(tmp))
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

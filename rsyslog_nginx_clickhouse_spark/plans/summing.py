@@ -44,8 +44,21 @@ def read_summed(spark: SparkSession, path: str, keys: list[str],
 
 def compact_summed(spark: SparkSession, path: str, keys: list[str],
                    sum_cols: list[str]) -> None:
-    """↔ SummingMergeTree background merge: collapse to 1 row/key."""
-    merged = read_summed(spark, path, keys, sum_cols).cache()
-    merged.count()  # materialize before overwriting the source
-    merged.coalesce(1).write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    """↔ SummingMergeTree background merge: collapse to 1 row/key.
+
+    Writes to a temp sibling then swaps directories: overwriting the
+    path the lineage lazily reads from is a data-loss hazard (a lost
+    cache block after the delete would recompute from deleted files).
+    Rollup tables are O(distinct keys) — small by construction — so the
+    single-writer coalesce is fine.
+    """
+    import shutil
+
+    tmp = path.rstrip("/") + ".compact-tmp"
+    read_summed(spark, path, keys, sum_cols) \
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

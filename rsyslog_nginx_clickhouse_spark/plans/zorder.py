@@ -33,8 +33,15 @@ def scale_to_int(col: Column, lo: float, hi: float,
 
 
 def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
-    """Morton code: bit i of column j lands at position i*len(cols)+j."""
+    """Morton code: bit i of column j lands at position i*len(cols)+j.
+
+    Total positions are capped at 63: position 63 is the sign bit
+    (negative keys invert the range-sort) and Java shifts wrap mod 64
+    (verified — shiftleft(1, 64) == 1), so bits is auto-reduced when
+    many columns are interleaved.
+    """
     n = len(cols)
+    bits = min(bits, 63 // n)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -55,6 +62,12 @@ def zorder_key(df: DataFrame, cols: list[str],
                       for c in cols
                       for m, f in (("min", F.min), ("max", F.max))]) \
                .collect()[0]
+    for c in cols:
+        if bounds[f"min_{c}"] is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values — "
+                f"cannot derive scaling bounds")
+    bits = min(bits, 63 // len(cols))
     scaled = [scale_to_int(F.col(c), bounds[f"min_{c}"], bounds[f"max_{c}"],
                            bits) for c in cols]
     return interleave_bits(scaled, bits)

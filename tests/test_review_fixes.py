@@ -193,3 +193,35 @@ def test_compact_does_not_leak_partition_overwrite_mode(spark, tmp_path):
     after = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                            "STATIC")
     assert before == after  # session semantics unchanged
+
+
+def test_range_join_wide_interval_keeps_matches(spark):
+    # an interval far wider than the explode budget must still match
+    # its points (key-only branch), not lose them to a clamp
+    points = spark.createDataFrame(
+        [("u", 10), ("u", 50_000_000)], "k string, t long")
+    intervals = spark.createDataFrame(
+        [("u", 0, 100_000_000, "wide")], "k string, s long, e long, label string")
+    got = range_join(points, intervals, on="k", time_col="t",
+                     start_col="s", end_col="e", bin_s=10)
+    assert got.count() == 2  # both points match despite 10M-bin span
+
+
+def test_simhash_zero_budget_exact_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different one")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_pairs(docs, max_hamming=0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_zorder_many_columns_stays_positive(spark):
+    from rsyslog_nginx_clickhouse_spark.plans.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 5), float(i % 3), float(i % 2), float(i))
+         for i in range(64)], "a double, b double, c double, d double, e double")
+    keys = [r["z"] for r in df.select(
+        zorder_key(df, ["a", "b", "c", "d", "e"]).alias("z")).collect()]
+    assert all(z >= 0 for z in keys)  # sign bit never set, no wrap
