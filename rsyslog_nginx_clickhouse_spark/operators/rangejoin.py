@@ -70,10 +70,21 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str,
                   .drop("__ikey", "__pbin", "__ibin"))
     if how == "inner":
         return matched
-    # left: append points that matched nothing, with null interval cols
-    unmatched = (points.join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns, how="left_anti"))
+    # left: append points that matched nothing, with null interval cols.
+    # The anti-join must be NULL-SAFE: `on=points.columns` uses plain
+    # equality, so a matched point carrying a NULL in any column never
+    # anti-matches and is emitted AGAIN with null interval columns
+    # (duplicate row). Rename the matched projection (fresh exprIds —
+    # also sidesteps the self-join ambiguity trap) and compare with
+    # eqNullSafe, which Spark still plans as an equi-join key.
+    import functools
+    import operator as _op
+
+    matched_keys = matched.select(
+        *[F.col(c).alias(f"__m_{c}") for c in points.columns]).distinct()
+    null_safe = functools.reduce(_op.and_, [
+        F.col(c).eqNullSafe(F.col(f"__m_{c}")) for c in points.columns])
+    unmatched = points.join(matched_keys, null_safe, "left_anti")
     for c in matched.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(

@@ -64,6 +64,13 @@ def idempotent_epoch_writer(table_path: str, write_fn=None):
         if os.path.exists(marker):
             return  # epoch fully committed; checkpoint replay
         staging = os.path.join(table_path, f"_staging_{epoch_id}")
+        # A replay of a HALF-STAGED epoch must start from an empty
+        # staging dir: the default write is mode="overwrite" (clears it
+        # implicitly), but a custom write_fn may append (the summing
+        # rollup's append_partial does) — leftover staged files from the
+        # crashed attempt would then be published alongside the replay's,
+        # doubling the epoch's rows.
+        shutil.rmtree(staging, ignore_errors=True)
         if write_fn is not None:
             write_fn(batch_df, staging)
         else:
