@@ -59,11 +59,24 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     expression work onto one core; hash-repartitioning to the session
     parallelism is a cheap shuffle that unlocks every core. At scale
     the input is already wide and this is a no-op.
+
+    The width probe is PLAN-ONLY metadata (input file list + optimizer
+    size estimate) — touching ``df.rdd`` would force a full
+    DataFrame→RDD plan conversion on every call just to read a
+    partition count.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # non-file / unresolvable plans: assume narrow
+        n_files, size = 0, 0
+    est_splits = max(n_files, size // (128 * 1024 * 1024))
+    if est_splits >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
@@ -293,18 +306,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     — near-dup graphs are clusters of near-identical docs, so diameter
     is tiny. Each round is one shuffle on the edge key; the driver only
     evaluates a 1-row convergence probe, never the data.
+
+    Lineage is TRUNCATED each round with an eager ``localCheckpoint``:
+    a plain ``cache()`` keeps the full logical plan, which doubles per
+    round — by convergence Catalyst was re-analyzing a plan with
+    thousands of scan/exchange nodes and the driver stalls in planning,
+    not compute. After the checkpoint each round's plan is O(1) nodes.
+    (localCheckpoint is executor-local storage — lost-executor
+    recomputation is not possible; on a real cluster prefer a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``, or a
+    parquet round-trip, for multi-hour jobs.)
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
-                  .distinct().cache())
+                  .distinct().localCheckpoint())
     labels = (edges.select(F.col("src").alias("id")).distinct()
-                   .withColumn("label", F.col("id")).cache())
-    labels.count()
+                   .withColumn("label", F.col("id")).localCheckpoint())
     converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
                              .groupBy("dst").agg(F.min("label").alias("nl")))
+        # eager localCheckpoint materializes AND truncates lineage —
+        # the one action per round; the probe below reads checkpointed
+        # partitions only
         new_labels = (labels.join(neighbor_min,
                                   labels["id"] == neighbor_min["dst"], "left")
                             .select(labels["id"],
@@ -312,13 +337,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                             F.coalesce(F.col("nl"),
                                                        labels["label"]))
                                     .alias("label"))
-                            .cache())
-        # one action per round: the convergence probe materializes the cache
+                            .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -27,6 +27,11 @@ from pyspark.sql import types as T
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
 
 NUM_PLANES = 8
+#: banded LSH for near-dup pair mining: 8 bands × 4 planes. p = 1-θ/π;
+#: recall = 1-(1-p^4)^8 ≈ 0.9996 at cos 0.95, ≈ 0.72 at cos 0.35 —
+#: a single 32-plane signature would be p^32 ≈ 0 at either.
+LSH_BANDS = 8
+LSH_ROWS_PER_BAND = 4
 
 
 def hyperplanes(dim: int, num_planes: int = NUM_PLANES,
@@ -145,42 +150,73 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        use_lsh: bool = False) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
 
-    Exact mode: blocked GEMM — the (ids, L2-normalized matrix) of one
-    side is broadcast, ``mapInPandas`` streams Arrow batches of the
-    other side and emits ``batch @ M.T`` hits above the threshold. One
-    numpy matmul per batch replaces millions of per-pair expression
-    evaluations (~50× over the crossJoin formulation at sf0.1).
-    Constraint: the broadcast side must fit in executor memory
-    (~n·dim·8 bytes) — beyond that, ``use_lsh=True``.
+    Exact mode: blocked GEMM — the full (id, vec) table is
+    ``collect()``ed to the DRIVER to build the broadcast matrix, then
+    ``mapInPandas`` streams Arrow batches of the other side and emits
+    ``batch @ M.T`` hits above the threshold. One numpy matmul per
+    batch replaces millions of per-pair expression evaluations (~50×
+    over the crossJoin formulation at sf0.1). Constraint: the table
+    must fit in DRIVER memory and then executor memory (~n·dim·8
+    bytes each) — this is the small-corpus / ground-truth path only;
+    anything big takes ``use_lsh=True`` (the registry default).
 
-    LSH mode (the 100 TB path): random-hyperplane bucket equi-join —
-    shuffle on the 2^planes bucket key, exact cosine only within
-    buckets, no cross product and no broadcast of the full matrix.
+    LSH mode (the 100 TB path and the registry default): BANDED
+    random-hyperplane LSH — ``LSH_BANDS`` bands of ``LSH_ROWS_PER_BAND``
+    planes each; a pair is a candidate when ALL plane signs agree
+    within ≥1 band (the same OR-of-ANDs S-curve as the MinHash tier:
+    recall = 1-(1-p^R)^B with p = 1-θ/π). A single monolithic
+    signature has vanishing recall at moderate similarity (p^32);
+    banding keeps it near 1 in the near-dup regime. Shuffles: one on
+    the (band, key) candidate join, two hash-joins to re-attach
+    vectors — no cross product, no driver collect, no broadcast of
+    the table.
     """
     if use_lsh:
         if dim is None:
             raise ValueError("cosine_dedup_pairs(use_lsh=True) requires dim=")
-        planes = hyperplanes(dim, NUM_PLANES)
+        n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
+        planes = hyperplanes(dim, n_planes)
         sig = plane_signature_udf(planes)
-        bucketed = embeddings.select(
-            F.col(id_col), F.col(vec_col),
-            sig(F.col(vec_col)).alias("bucket"))
-        a = bucketed.select(F.col(id_col).alias("id_a"),
-                            F.col(vec_col).alias("va"), "bucket")
-        b = bucketed.select(F.col(id_col).alias("id_b"),
-                            F.col(vec_col).alias("vb"), "bucket")
-        return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b",
-                         F.round(cosine(F.col("va"), F.col("vb")), 6)
-                          .alias("cos_sim"))
-                 .where(F.col("cos_sim") >= threshold))
+        # cache barrier: the 32-bit signature feeds 8 band keys and both
+        # self-join sides — uncached, CollapseProject would re-run the
+        # UDF per consumer (see operators/dedup.py minhash_lsh_pairs)
+        sig_df = embeddings.select(F.col(id_col),
+                                   sig(F.col(vec_col)).alias("sig")).cache()
+        sig_df.count()
+        bands = sig_df.select(
+            F.col(id_col),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.substring("sig", b * LSH_ROWS_PER_BAND + 1,
+                                     LSH_ROWS_PER_BAND).alias("key"))
+                for b in range(LSH_BANDS)])).alias("bk"),
+        ).select(id_col, F.col("bk.band").alias("band"),
+                 F.col("bk.key").alias("key"))
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (a.join(b, ["band", "key"])
+                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"))
+                 .distinct())
+        va = embeddings.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va"))
+        vb = embeddings.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("vb"))
+        return (cand.join(va, "id_a").join(vb, "id_b")
+                    .select("id_a", "id_b",
+                            F.round(cosine(F.col("va"), F.col("vb")), 6)
+                             .alias("cos_sim"))
+                    .where(F.col("cos_sim") >= threshold))
 
 
+    # output id columns inherit the INPUT id type (a hardcoded long
+    # broke string/int id columns)
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
     rows = embeddings.select(id_col, vec_col).collect()
     if not rows:  # empty input: empty pairs, like the LSH branch
-        return embeddings.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos_sim double")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    ids = np.asarray([r[0] for r in rows])
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
@@ -200,7 +236,7 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                 "cos_sim": sims[ii, jj][keep]})
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cos_sim double")
+        block, schema=out_schema)
 
 
 # ------------------------------------------------------------------ IVF --

@@ -6,9 +6,12 @@ is md5-over-explicit-strings, all float outputs rounded, so the DuckDB
 oracles reproduce every value (the SQL blocks below mirror the Spark
 expression trees operation-for-operation, including accumulation order).
 
-Queries without an oracle (simhash, LSH-ANN) are genuinely non-SQL-
-expressible at reasonable cost; they get the driver's rows-only check
-and full pytest coverage instead (tests/test_dedup.py).
+Every query here carries a full DuckDB oracle — including the hashed/
+randomized tiers: the hyperplane and MinHash coefficients are
+deterministic (md5-seeded) and INLINED into the SQL as literals, the
+SimHash tally is replayed bit-for-bit in SQL, and the IVF centroids
+are derived from the data itself (lowest-id vectors) so the oracle
+recomputes them.
 """
 
 from __future__ import annotations
@@ -270,9 +273,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # 64-bit-tally hash not SQL-expressible at sane cost
+    # full bit-for-bit SQL replay of the 64-bit tally: md5 first 8
+    # bytes per token (UBIGINT), per-bit ±1 tally, sign → bit,
+    # fingerprint assembled as two's-complement BIGINT (bit 63 =
+    # -2^63), exact Hamming via bit_count(xor()) over ALL pairs (the
+    # oracle needs no LSH — candidate pruning is a Spark-side
+    # optimization the exact form verifies)
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+      FROM normed WHERE nt <> '' AND nt IS NOT NULL),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      FROM tok),
+    tally AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j::UBIGINT) & 1::UBIGINT = 1::UBIGINT
+                      THEN 1 ELSE -1 END) AS t
+      FROM hv, unnest(generate_series(0, 63)) AS g(j)
+      GROUP BY doc_id, j),
+    fp0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN t > 0 THEN
+                   CASE WHEN j = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << j) END
+                 ELSE 0 END)::BIGINT AS fp
+      FROM tally GROUP BY doc_id),
+    fp AS (
+      SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+      FROM documents d LEFT JOIN fp0 f USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp))::int AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
     doc="SimHash-64 near-dup pairs, Hamming ≤ 3, chunk-LSH candidates; "
-        "Arrow-vectorized Pandas UDF (tests/test_dedup.py holds goldens)",
+        "Arrow-vectorized Pandas UDF; oracle replays the full tally in "
+        "SQL and verifies against ALL pairs (LSH completeness included)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load(spark, sf_dir, "documents"))
@@ -287,6 +328,32 @@ _DOT = ("list_sum([{a}[i]::double * {b}[i]::double "
 def _cos_sql(a: str, b: str) -> str:
     return (f"{_DOT.format(a=a, b=b)} / "
             f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+
+
+def _planes_values(n_planes: int) -> str:
+    """DuckDB twin of operators/similarity.plane_signature_udf: the
+    seed-42 hyperplanes are deterministic, so they are generated HERE
+    and inlined as a ``planes(p, pv)`` VALUES list — the oracle then
+    computes the identical bit signature per vector with one
+    ``list_inner_product`` per (vector, plane) and ``string_agg``
+    ordered by plane index. (Inlining the plane literal inside a
+    per-element list comprehension instead re-CONSTRUCTS the
+    64-element literal on every index — ~300× slower.)"""
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import hyperplanes
+
+    return ", ".join(
+        f"({p}, [" + ", ".join(repr(x) for x in row) + "]::DOUBLE[])"
+        for p, row in enumerate(hyperplanes(64, n_planes)))
+
+
+#: per-vector signature CTE body over `planes` (see _planes_values)
+_SIG_CTE = """
+      SELECT e.vec_id,
+             string_agg(CASE WHEN list_inner_product(
+                                     e.embedding::DOUBLE[], p.pv) >= 0
+                             THEN '1' ELSE '0' END, ''
+                        ORDER BY p.p) AS sig
+      FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id"""
 
 
 @query(
@@ -331,9 +398,23 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_lsh",
-    oracle=None,  # 8×64 hyperplane literals in SQL: possible, not sane
+    oracle=f"""
+    WITH planes(p, pv) AS (VALUES {_planes_values(8)}),
+    s AS ({_SIG_CTE}),
+    q AS (
+      SELECT e.embedding AS qv, s.sig AS qb
+      FROM embeddings e JOIN s ON s.vec_id = e.vec_id
+      WHERE e.vec_id = 1),
+    sims AS (
+      SELECT s.vec_id, {_cos_sql('e.embedding', 'qv')} AS c
+      FROM s JOIN embeddings e ON e.vec_id = s.vec_id, q
+      WHERE s.sig = qb)
+    SELECT vec_id, round(c, 6) AS cos_sim
+    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    """,
     doc="LSH-bucketed ANN top-10 (deterministic seed-42 hyperplanes, "
-        "numpy batch signatures); see tests/test_dedup.py",
+        "numpy batch signatures); oracle inlines the 8×64 plane "
+        "literals and recomputes the query/bucket signatures in SQL",
 )
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = (load(spark, sf_dir, "embeddings")
@@ -345,19 +426,32 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_cos_sql('a.embedding', 'b.embedding')} AS c
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WITH planes(p, pv) AS (VALUES {_planes_values(32)}),
+    s AS ({_SIG_CTE}),
+    bands AS (
+      SELECT vec_id, b AS band, substr(sig, b*4 + 1, 4) AS key
+      FROM s, unnest(generate_series(0, 7)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b USING (band, key)
+      WHERE a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b, {_cos_sql('sa.embedding', 'sb.embedding')} AS c
+      FROM cand JOIN embeddings sa ON sa.vec_id = id_a
+                JOIN embeddings sb ON sb.vec_id = id_b)
     SELECT id_a, id_b, round(c, 6) AS cos_sim
     FROM pairs WHERE round(c, 6) >= 0.35
     """,
-    doc="embedding-cosine near-dup pairs (threshold 0.35 for this synthetic "
-        "corpus); LSH-prefiltered variant is the 100 TB path",
+    doc="embedding-cosine near-dup pairs (threshold 0.35 for this "
+        "synthetic corpus) via BANDED hyperplane LSH (8 bands × 4 "
+        "planes) — the 100 TB path: no driver collect, no cross "
+        "product; oracle replicates the exact banding (32 plane "
+        "literals inlined). The exact-GEMM ground truth is pytest "
+        "cross-checked (tests/test_similarity_ops.py)",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup_pairs(load(spark, sf_dir, "embeddings"),
-                              threshold=0.35)
+                              threshold=0.35, dim=64, use_lsh=True)
 
 
 # ---------------------------------------------------------- multimodal --
@@ -414,10 +508,40 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_ivf",
-    oracle=None,  # nearest-centroid argmax over 16×64 literals: not sane SQL
+    # the centroids are DERIVED FROM THE DATA (16 lowest-vec_id
+    # vectors), so the oracle recomputes them in SQL — no literals
+    # needed: assignment = argmax cosine (row_number ties → lowest
+    # list_id, matching np.argmax first-max), probes = top-4 centroid
+    # lists by query cosine (argsort stability → lowest list_id)
+    oracle=f"""
+    WITH c0 AS (
+      SELECT embedding AS cv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS list_id
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.list_id,
+             {_cos_sql('e.embedding', 'c.cv')} AS cc
+      FROM embeddings e CROSS JOIN c0 c),
+    asg AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cc DESC, list_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    probes AS (
+      SELECT c.list_id FROM c0 c, q
+      ORDER BY {_cos_sql('c.cv', 'qv')} DESC, c.list_id ASC LIMIT 4),
+    sims AS (
+      SELECT a.vec_id, {_cos_sql('a.embedding', 'qv')} AS c
+      FROM asg a, q
+      WHERE a.list_id IN (SELECT list_id FROM probes))
+    SELECT vec_id, round(c, 6) AS cos_sim
+    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    """,
     doc="IVF ANN top-10: nprobe=4 of 16 deterministic centroid lists, "
         "exact cosine re-rank inside probed lists; recall vs brute force "
-        "asserted in tests/test_similarity_ops.py",
+        "asserted in tests/test_similarity_ops.py; oracle recomputes "
+        "centroids/assignment/probes entirely in SQL",
 )
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.similarity import knn_ivf

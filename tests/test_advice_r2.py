@@ -56,6 +56,37 @@ def test_range_join_left_all_null_point_row(spark):
     assert len(rows) == 1 and rows[0]["label"] is None
 
 
+def test_cosine_lsh_banded_finds_identical_vectors(spark):
+    # identical vectors agree on every plane, hence on every band — the
+    # banded formulation must always emit exact duplicates
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        cosine_dedup_pairs,
+    )
+
+    vecs = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           cosine_dedup_pairs(emb, threshold=0.99, dim=4,
+                              use_lsh=True).collect()}
+    assert (1, 2) in got
+
+
+def test_cosine_dedup_exact_respects_string_ids(spark):
+    # output id columns must inherit the INPUT id type (regression: a
+    # hardcoded 'id_a long' broke non-long ids)
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        cosine_dedup_pairs,
+    )
+
+    vecs = [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])]
+    emb = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    got = cosine_dedup_pairs(emb, threshold=0.99, dim=2)
+    assert dict(got.dtypes)["id_a"] == "string"
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {("a", "b")}
+
+
 def test_epoch_replay_clears_half_staged_append(spark, tmp_path):
     table = str(tmp_path / "table")
     os.makedirs(table)
