@@ -174,39 +174,59 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     if use_lsh:
         if dim is None:
             raise ValueError("cosine_dedup_pairs(use_lsh=True) requires dim=")
+        id_t = embeddings.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
         n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
         planes = hyperplanes(dim, n_planes)
-        sig = plane_signature_udf(planes)
-        # cache barrier: the 32-bit signature feeds 8 band keys and both
-        # self-join sides — uncached, CollapseProject would re-run the
-        # UDF per consumer (see operators/dedup.py minhash_lsh_pairs)
-        sig_df = embeddings.select(F.col(id_col),
-                                   sig(F.col(vec_col)).alias("sig")).cache()
-        sig_df.count()
-        bands = sig_df.select(
-            F.col(id_col),
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.substring("sig", b * LSH_ROWS_PER_BAND + 1,
-                                     LSH_ROWS_PER_BAND).alias("key"))
-                for b in range(LSH_BANDS)])).alias("bk"),
-        ).select(id_col, F.col("bk.band").alias("band"),
-                 F.col("bk.key").alias("key"))
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (a.join(b, ["band", "key"])
-                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                 .select(F.col(f"a.{id_col}").alias("id_a"),
-                         F.col(f"b.{id_col}").alias("id_b"))
-                 .distinct())
-        va = embeddings.select(F.col(id_col).alias("id_a"),
-                               F.col(vec_col).alias("va"))
-        vb = embeddings.select(F.col(id_col).alias("id_b"),
-                               F.col(vec_col).alias("vb"))
-        return (cand.join(va, "id_a").join(vb, "id_b")
-                    .select("id_a", "id_b",
-                            F.round(cosine(F.col("va"), F.col("vb")), 6)
-                             .alias("cos_sim"))
-                    .where(F.col("cos_sim") >= threshold))
+        P = np.asarray(planes, dtype=np.float64)
+        R = LSH_ROWS_PER_BAND
+
+        # ONE Arrow UDF emits every band key per row (a per-band
+        # substring over a shared signature column would either
+        # re-run the signature UDF per band or need a cache barrier)
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def band_keys(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            bits = (M @ P.T) >= 0
+            out = []
+            for row in bits:
+                s = "".join("1" if b else "0" for b in row)
+                out.append([s[b * R:(b + 1) * R]
+                            for b in range(LSH_BANDS)])
+            return pd.Series(out)
+
+        bands = embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"))
+
+        # per-bucket GEMM: verification happens INSIDE each (band, key)
+        # group as one numpy matmul — the shuffle carries vectors×bands
+        # rows, never candidate PAIRS (a pair join at this band width
+        # moves O(bucket²) rows of 64-float arrays: measured 13× slower
+        # at sf0.1). Bucket size is corpus/2^bits; raise
+        # LSH_ROWS_PER_BAND with corpus size to keep a bucket's GEMM
+        # block executor-sized.
+        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [],
+                                     "cos_sim": []})
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(M @ M.T, 6)
+            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+            return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+                                 "cos_sim": S[ii, jj]})
+
+        # a pair in several shared bands is emitted once per band with
+        # the IDENTICAL rounded cosine — plain distinct dedupes it
+        return (bands.groupBy("band", "key")
+                     .applyInPandas(bucket_pairs, schema=out_schema)
+                     .distinct())
 
 
     # output id columns inherit the INPUT id type (a hardcoded long

@@ -1,0 +1,84 @@
+"""Per-query bench regression diff.
+
+Compares a current bench result against a baseline (e.g. the previous
+round's BENCH_r{N}.json) and flags per-query slowdowns — the total can
+hide a 5× regression in one operator behind noise in fifty fast ones.
+
+    python tools/benchdiff.py BENCH_r01.json [current.json]
+
+With one argument, runs ``bench.py`` now and diffs against the given
+baseline. Accepts either bench.py's raw one-line JSON or the driver's
+wrapper ({"tail": "...<json line>..."}). Exit 1 if any query regressed
+beyond THRESHOLD (new queries and sub-0.3 s jitter are reported but
+never fatal — at sf0.1 per-query times under ~0.3 s are dominated by
+Spark fixed overhead and scheduler noise, not the operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+THRESHOLD = 1.5
+NOISE_FLOOR_S = 0.3
+
+
+def load_bench(path: str) -> dict:
+    """Extract the bench JSON from a raw bench line or driver wrapper."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON found")
+    return json.loads(m.group(0))
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      os.pardir, "bench.py")],
+        capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    base = load_bench(sys.argv[1])
+    cur = load_bench(sys.argv[2]) if len(sys.argv) > 2 else run_bench()
+    bq, cq = base["queries"], cur["queries"]
+    regressed = []
+    for name, t in sorted(cq.items()):
+        b = bq.get(name)
+        if b is None:
+            print(f"  NEW  {name}: {t:.2f}s")
+            continue
+        if b <= 0 or t <= 0:
+            print(f"  ERR  {name}: base={b} cur={t}")
+            continue
+        ratio = t / b
+        tag = "  ok "
+        if ratio >= THRESHOLD and max(t, b) >= NOISE_FLOOR_S:
+            tag = "SLOW "
+            regressed.append((name, b, t, ratio))
+        elif ratio <= 1 / THRESHOLD and max(t, b) >= NOISE_FLOOR_S:
+            tag = "FAST "
+        print(f"{tag} {name}: {b:.2f}s -> {t:.2f}s ({ratio:.2f}x)")
+    gone = sorted(set(bq) - set(cq))
+    for name in gone:
+        print(f"  GONE {name} (was {bq[name]:.2f}s)")
+    print(f"\ntotal: {base['value']:.1f}s -> {cur['value']:.1f}s; "
+          f"{len(regressed)} regressed >{THRESHOLD}x")
+    for name, b, t, r in sorted(regressed, key=lambda x: -x[3]):
+        print(f"  REGRESSION {name}: {b:.2f}s -> {t:.2f}s ({r:.2f}x)")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
