@@ -59,37 +59,85 @@ def write_mergetree_like(df: DataFrame, path: str,
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read the CURRENT version of a table as a stable snapshot.
+
+    Resolving the compaction symlink at open pins this reader to one
+    version directory; a concurrent ``compact()`` retains that version
+    (``keep_old=True``) so in-flight readers finish consistently —
+    local-FS snapshot isolation. A reader over the raw ``path`` instead
+    follows the symlink per-file and FAILS CLEANLY (FILE_NOT_EXIST)
+    if a flip lands mid-scan; it can never silently mix versions,
+    because file names are unique per version.
+    """
+    import os
+
+    return spark.read.parquet(os.path.realpath(path))
 
 
 def compact(spark: SparkSession, path: str,
             partition_col: str = "logdate",
             sort_cols: tuple[str, ...] = ("logdate", "logdatetime"),
-            files_per_partition: int = 1) -> None:
+            files_per_partition: int = 1,
+            keep_old: bool = True) -> None:
     """↔ MergeTree background merge: rewrite into few large sorted parts.
 
-    Reads the whole table, re-sorts within partitions, overwrites with
-    dynamic partition overwrite so only touched partitions are replaced.
-    Run out-of-band (the reference's merges are async too).
+    Publication is a VERSIONED-DIRECTORY + symlink flip (the local-FS
+    analog of a table-format manifest commit):
+
+    - the compacted table is written to ``<path>.compact-v<N>``;
+    - ``<path>`` becomes a symlink atomically re-pointed at the new
+      version (``os.replace`` of a sibling symlink — one rename);
+    - the PREVIOUS version directory is retained (``keep_old=True``,
+      the default) so a reader that resolved the old version mid-scan
+      finishes correctly — delete it out-of-band once readers drain,
+      or pass ``keep_old=False`` when the caller owns all readers.
+
+    The only non-atomic moment is the one-time MIGRATION of a plain
+    directory into the versioned layout (dir-rename + symlink create,
+    done BEFORE the expensive write, with identical content on both
+    sides of the window); a crash between the two leaves the data
+    intact under ``.compact-v<N>`` for manual relink. Every data
+    cutover is a single atomic rename. Streaming exactly-once markers
+    (``_epoch_*_SUCCESS``) are carried into the new version — dropping
+    them would let a checkpoint replay re-ingest an epoch the
+    compaction already folded in. On an object store / at 100 TB this
+    whole dance is one Delta/Iceberg ``OPTIMIZE`` commit.
     """
+    import glob
+    import os
     import shutil
 
-    df = spark.read.parquet(path)
+    base = path.rstrip("/")
+    n = 1 + max((int(p.rsplit("-v", 1)[1])
+                 for p in glob.glob(base + ".compact-v*")
+                 if p.rsplit("-v", 1)[1].isdigit()), default=-1)
+    if not os.path.islink(base):
+        # one-time migration to the versioned layout, content unchanged
+        cur = f"{base}.compact-v{n}"
+        shutil.move(base, cur)
+        os.symlink(os.path.abspath(cur), base)
+        n += 1
+    # resolve the CURRENT version and read from it directly: the write
+    # below must never overwrite files its own lineage lazily reads
+    real = os.path.realpath(base)
+    df = spark.read.parquet(real)
+    new = f"{base}.compact-v{n}"
     # salt within the day (key-only hashing would funnel each day
-    # through ONE writer — see write_mergetree_like), and write to a
-    # temp sibling then swap: overwriting the path the lineage lazily
-    # reads from risks recompute-from-deleted-files on block loss
+    # through ONE writer — see write_mergetree_like)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
                   F.lit(files_per_partition))
-    tmp = path.rstrip("/") + ".compact-tmp"
     (df.repartition(files_per_partition, F.col(partition_col), salt)
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
        .partitionBy(partition_col)
-       .parquet(tmp))
-    old = path.rstrip("/") + ".compact-old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+       .parquet(new))
+    for marker in glob.glob(os.path.join(real, "_epoch_*_SUCCESS")):
+        shutil.copy2(marker, new)
+    tmplink = base + ".swap"
+    if os.path.lexists(tmplink):
+        os.remove(tmplink)
+    os.symlink(os.path.abspath(new), tmplink)
+    os.replace(tmplink, base)  # atomic cutover
+    if not keep_old:
+        shutil.rmtree(real, ignore_errors=True)

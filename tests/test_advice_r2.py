@@ -87,6 +87,81 @@ def test_cosine_dedup_exact_respects_string_ids(spark):
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {("a", "b")}
 
 
+def test_compact_versioned_cutover_keeps_old_readers_alive(spark, tmp_path):
+    from rsyslog_nginx_clickhouse_spark.plans.storage import (
+        compact,
+        write_mergetree_like,
+    )
+
+    df = spark.range(100).select(
+        F.lit("2024-01-01").cast("date").alias("logdate"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double")))
+        .alias("logdatetime"))
+    path = str(tmp_path / "t")
+    write_mergetree_like(df, path)
+    compact(spark, path)  # migrate to versioned layout (v0 + v1)
+    assert os.path.islink(path)
+    # snapshot reader opened BEFORE the next compaction, materialized
+    # AFTER: read_table pins the version at open, and keep_old retains
+    # it, so the in-flight reader finishes consistently (the old layout
+    # deleted the files out from under it)
+    from rsyslog_nginx_clickhouse_spark.plans.storage import read_table
+    pre_snapshot = read_table(spark, path)
+    pre_raw = spark.read.parquet(path)  # follows the symlink per-file
+    compact(spark, path)  # pure atomic flip, no migration path
+    assert pre_snapshot.count() == 100
+    assert spark.read.parquet(path).count() == 100
+    # the raw-path reader must fail CLEANLY (stale file list), never
+    # silently mix versions
+    import pytest
+
+    with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
+        pre_raw.count()
+    import glob as g
+    assert len(g.glob(path + ".compact-v*")) == 3  # v0 migrate, v1, v2
+
+
+def test_compact_keep_old_false_removes_previous_version(spark, tmp_path):
+    from rsyslog_nginx_clickhouse_spark.plans.storage import (
+        compact,
+        write_mergetree_like,
+    )
+
+    df = spark.range(10).select(
+        F.lit("2024-01-01").cast("date").alias("logdate"),
+        F.current_timestamp().alias("logdatetime"))
+    path = str(tmp_path / "t")
+    write_mergetree_like(df, path)
+    compact(spark, path)           # migrate: v0 (old) + v1 (compacted)
+    compact(spark, path, keep_old=False)   # v2; v1 removed
+    import glob as g
+    vers = sorted(g.glob(path + ".compact-v*"))
+    assert [v.rsplit("-v", 1)[1] for v in vers] == ["0", "2"]
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_compact_preserves_epoch_markers_for_replay(spark, tmp_path):
+    from rsyslog_nginx_clickhouse_spark.plans.storage import compact
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    batch = spark.createDataFrame(
+        [("2024-01-01", "2024-01-01 00:00:01", i) for i in range(6)],
+        "logdate string, logdatetime string, v long").select(
+        F.col("logdate").cast("date"), F.col("logdatetime").cast("timestamp"),
+        "v")
+    sink = idempotent_epoch_writer(table)
+    sink(batch, 0)
+    n = spark.read.parquet(table).count()
+    compact(spark, table)
+    # the compacted version must carry the epoch marker: a checkpoint
+    # replay of epoch 0 has to short-circuit, or its rows (already
+    # folded into the compacted files) would be ingested twice
+    sink(batch, 0)
+    assert spark.read.parquet(table).count() == n
+
+
 def test_epoch_replay_clears_half_staged_append(spark, tmp_path):
     table = str(tmp_path / "table")
     os.makedirs(table)
