@@ -150,8 +150,55 @@ def stream_access_log_socket(spark: SparkSession, host: str,
     same parse chain as the file path. The file source ingests whole
     closed files (rotation-granular); this is the bridge for sub-file
     latency. In production the socket is replaced by Kafka with
-    identical downstream code.
+    identical downstream code (stream_access_log_kafka).
     """
     raw = (spark.readStream.format("socket")
            .option("host", host).option("port", port).load())
     return to_typed_table(parse_lines(raw))
+
+
+def kafka_records_to_lines(records: DataFrame) -> DataFrame:
+    """Kafka record batch → the (value: string) shape the parse chain
+    consumes. Factored out so the transform is testable without a
+    broker: any DataFrame with Kafka's wire schema (binary ``value``
+    plus topic/partition/offset metadata) goes through the SAME code
+    the live stream uses.
+    """
+    return records.select(F.col("value").cast("string").alias("value"))
+
+
+def stream_access_log_kafka(spark: SparkSession, bootstrap: str,
+                            topic: str,
+                            starting_offsets: str = "latest") -> DataFrame:
+    """Production front for S1: rsyslog → omkafka → this source — the
+    scale-out replacement for the socket/file tails, with identical
+    downstream code (one parse chain for all three sources).
+
+    Exactly-once composition: Kafka offsets live in the streaming
+    checkpoint, and the idempotent epoch sink dedupes replayed epochs —
+    so end-to-end exactly-once holds across driver restarts without
+    broker transactions.
+
+    Requires the ``spark-sql-kafka-0-10`` connector package on the
+    classpath (``spark.jars.packages``); absent (as in this sandbox),
+    Spark raises DATA_SOURCE_NOT_FOUND at ``load()`` — re-raised here
+    with the dependency spelled out. The record→line transform is
+    covered by tests via ``kafka_records_to_lines``.
+    """
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets)
+              # bound per-micro-batch work so one huge backlog replay
+              # doesn't build a monster batch (latency + OOM control)
+              .option("maxOffsetsPerTrigger", "5000000"))
+    try:
+        raw = reader.load()
+    except Exception as e:  # pragma: no cover - depends on classpath
+        if "DATA_SOURCE_NOT_FOUND" in str(e) or "kafka" in str(e).lower():
+            raise RuntimeError(
+                "Kafka source needs the spark-sql-kafka-0-10 connector: "
+                "add org.apache.spark:spark-sql-kafka-0-10_2.13:<spark "
+                "version> to spark.jars.packages") from e
+        raise
+    return to_typed_table(parse_lines(kafka_records_to_lines(raw)))

@@ -87,6 +87,38 @@ def test_cosine_dedup_exact_respects_string_ids(spark):
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {("a", "b")}
 
 
+def test_kafka_record_transform_feeds_parse_chain(spark):
+    # a batch DataFrame with Kafka's wire schema runs the SAME
+    # record→line→parse chain the live source uses (recorded-protocol
+    # test; no broker in the sandbox)
+    from rsyslog_nginx_clickhouse_spark.sources.nginx_log import parse_lines
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        kafka_records_to_lines,
+    )
+
+    line = ('9.9.9.9 - - [06/Apr/2020:09:01:00 +0000] "GET /k HTTP/1.1" '
+            '200 77 "-" "kafka-ua" "-"')
+    records = spark.createDataFrame(
+        [(b"k1", line.encode(), "nginx", 0, 42)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long")
+    parsed = parse_lines(kafka_records_to_lines(records)).collect()
+    assert len(parsed) == 1
+    row = parsed[0]
+    assert row["clientip"] == "9.9.9.9" and row["request"] == "/k"
+
+
+def test_kafka_source_missing_connector_raises_actionable_error(spark):
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        stream_access_log_kafka,
+    )
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_access_log_kafka(spark, "localhost:9092", "nginx")
+
+
 def test_compact_versioned_cutover_keeps_old_readers_alive(spark, tmp_path):
     from rsyslog_nginx_clickhouse_spark.plans.storage import (
         compact,
