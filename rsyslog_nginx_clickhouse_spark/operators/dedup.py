@@ -63,17 +63,39 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     The width probe is PLAN-ONLY metadata (input file list + optimizer
     size estimate) — touching ``df.rdd`` would force a full
     DataFrame→RDD plan conversion on every call just to read a
-    partition count.
+    partition count. The estimate models Spark's file bin-packing
+    (files padded by openCostInBytes, packed into maxPartitionBytes
+    bins), because a raw FILE count over-estimates badly: many tiny
+    files pack into few read partitions — exactly the case that needs
+    the repartition most. Call this right after the scan: a join above
+    it inflates the optimizer size estimate and disables the spread.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+
+    def _bytes_conf(name: str, default: int) -> int:
+        # accepts "134217728", "134217728b", "128m", "128mb", "1g" ...
+        raw = str(spark.conf.get(name, str(default))).lower().strip()
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        mult = 1
+        if raw and raw[-1] in "kmg":
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[raw[-1]]
+            raw = raw[:-1]
+        try:
+            return int(float(raw) * mult)
+        except ValueError:
+            return default
+
     try:
         n_files = len(df.inputFiles())
         size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
     except Exception:  # non-file / unresolvable plans: assume narrow
         n_files, size = 0, 0
-    est_splits = max(n_files, size // (128 * 1024 * 1024))
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    est_splits = (size + n_files * open_cost) // max(max_pb, 1)
     if est_splits >= target:
         return df
     return df.repartition(target, F.col(key))
@@ -307,16 +329,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     is tiny. Each round is one shuffle on the edge key; the driver only
     evaluates a 1-row convergence probe, never the data.
 
-    Lineage is TRUNCATED each round with an eager ``localCheckpoint``:
-    a plain ``cache()`` keeps the full logical plan, which doubles per
-    round — by convergence Catalyst was re-analyzing a plan with
-    thousands of scan/exchange nodes and the driver stalls in planning,
-    not compute. After the checkpoint each round's plan is O(1) nodes.
-    (localCheckpoint is executor-local storage — lost-executor
-    recomputation is not possible; on a real cluster prefer a reliable
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``, or a
-    parquet round-trip, for multi-hour jobs.)
+    Lineage control is a HYBRID: every round caches + eagerly unpersists
+    the previous round (deterministic block release — checkpoint blocks
+    are only freed by driver GC, so checkpoint-per-round would pin up
+    to ``max_iter`` label copies in executor storage), and every
+    ``_CHECKPOINT_EVERY`` rounds an eager ``localCheckpoint`` truncates
+    the logical plan. Without truncation the plan doubles per round —
+    by convergence Catalyst re-analyzed thousands of scan/exchange
+    nodes and the driver stalled in planning, not compute; with K=5 the
+    plan stays ≤ ~2^5 nodes and at most iter/K checkpoint copies await
+    GC. (localCheckpoint is executor-local storage — lost-executor
+    recomputation is impossible; on a real cluster prefer a reliable
+    ``setCheckpointDir`` + ``checkpoint()``, or a parquet round-trip,
+    for multi-hour jobs.)
     """
+    _CHECKPOINT_EVERY = 5
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
@@ -324,24 +351,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("label", F.col("id")).localCheckpoint())
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
                              .groupBy("dst").agg(F.min("label").alias("nl")))
-        # eager localCheckpoint materializes AND truncates lineage —
-        # the one action per round; the probe below reads checkpointed
-        # partitions only
         new_labels = (labels.join(neighbor_min,
                                   labels["id"] == neighbor_min["dst"], "left")
                             .select(labels["id"],
                                     F.least(labels["label"],
                                             F.coalesce(F.col("nl"),
                                                        labels["label"]))
-                                    .alias("label"))
-                            .localCheckpoint())
+                                    .alias("label")))
+        if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            # truncate the logical plan (eager: also materializes)
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.cache()
+        # one action per round: the probe materializes cache/checkpoint
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
+        labels.unpersist()  # eager block release (no-op on checkpoints)
         labels = new_labels
         if changed == 0:
             converged = True

@@ -9,8 +9,14 @@
 - cosine near-dup    — all pairs above a threshold; LSH-prefiltered
   variant for scale.
 
-All vector math is zip_with/aggregate (functions/vectors.py) — JVM-side,
-no UDF, portable accumulation order for the DuckDB oracle.
+Vector math in single-vector paths (brute force, norms) is
+zip_with/aggregate (functions/vectors.py) — JVM-side, portable
+accumulation order for the DuckDB oracle. The batch paths (signature
+bits, per-bucket GEMM, IVF assignment) are numpy inside Arrow UDFs:
+their accumulation order differs from SQL's sequential sum, which is
+safe ONLY because each comparison against the oracle is
+sign-thresholded (signature bits) or rounded to 6 decimals (cosines) —
+a new oracle-facing numpy path must re-justify that boundary.
 """
 
 from __future__ import annotations
@@ -222,11 +228,15 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
                                  "cos_sim": S[ii, jj]})
 
-        # a pair in several shared bands is emitted once per band with
-        # the IDENTICAL rounded cosine — plain distinct dedupes it
+        # a pair sharing several bands is emitted once per band; dedup
+        # on the ID pair alone (max over cosines): the cosines are
+        # computed in different GEMM blocks, so a last-ulp difference
+        # at a round-6 boundary could make row-level distinct() keep
+        # both copies
         return (bands.groupBy("band", "key")
                      .applyInPandas(bucket_pairs, schema=out_schema)
-                     .distinct())
+                     .groupBy("id_a", "id_b")
+                     .agg(F.max("cos_sim").alias("cos_sim")))
 
 
     # output id columns inherit the INPUT id type (a hardcoded long

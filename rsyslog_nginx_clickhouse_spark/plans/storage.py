@@ -97,11 +97,27 @@ def compact(spark: SparkSession, path: str,
     done BEFORE the expensive write, with identical content on both
     sides of the window); a crash between the two leaves the data
     intact under ``.compact-v<N>`` for manual relink. Every data
-    cutover is a single atomic rename. Streaming exactly-once markers
+    cutover is a single atomic rename.
+
+    SINGLE-WRITER CONTRACT (loud, on purpose): compact() must not run
+    concurrently with an INGEST into the same table — this is the same
+    contract the reference's out-of-band MergeTree merges have, and it
+    is exactly what a transactional table format (Delta/Iceberg
+    ``OPTIMIZE``) buys you at 100 TB. Streaming exactly-once markers
     (``_epoch_*_SUCCESS``) are carried into the new version — dropping
     them would let a checkpoint replay re-ingest an epoch the
-    compaction already folded in. On an object store / at 100 TB this
-    whole dance is one Delta/Iceberg ``OPTIMIZE`` commit.
+    compaction already folded in. The marker set is snapshotted BEFORE
+    the data listing: if the contract is violated anyway and an epoch
+    lands mid-compaction, its marker is NOT carried, so the replay
+    re-publishes that epoch into the new version — the failure mode is
+    bounded at duplicated-epoch (at-least-once), never silent loss
+    (a marker claiming data the compacted files don't contain).
+
+    Version retention: the current and the immediately-previous
+    version are kept (in-flight ``read_table`` snapshot readers finish
+    against the previous one); older versions are pruned here, so disk
+    holds at most two copies. ``keep_old=False`` prunes the previous
+    version too (single-reader / caller-owns-readers mode).
     """
     import glob
     import os
@@ -120,24 +136,36 @@ def compact(spark: SparkSession, path: str,
     # resolve the CURRENT version and read from it directly: the write
     # below must never overwrite files its own lineage lazily reads
     real = os.path.realpath(base)
+    # snapshot markers BEFORE listing data files — see docstring
+    markers = glob.glob(os.path.join(real, "_epoch_*_SUCCESS"))
     df = spark.read.parquet(real)
     new = f"{base}.compact-v{n}"
     # salt within the day (key-only hashing would funnel each day
-    # through ONE writer — see write_mergetree_like)
+    # through ONE writer), and scale the partition count by session
+    # parallelism so the rewrite uses every core — per-day FILE count
+    # stays bounded by the salt domain, exactly as in
+    # write_mergetree_like
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
                   F.lit(files_per_partition))
-    (df.repartition(files_per_partition, F.col(partition_col), salt)
+    n_parts = files_per_partition * max(
+        1, spark.sparkContext.defaultParallelism)
+    (df.repartition(n_parts, F.col(partition_col), salt)
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
        .partitionBy(partition_col)
        .parquet(new))
-    for marker in glob.glob(os.path.join(real, "_epoch_*_SUCCESS")):
+    for marker in markers:
         shutil.copy2(marker, new)
     tmplink = base + ".swap"
     if os.path.lexists(tmplink):
         os.remove(tmplink)
     os.symlink(os.path.abspath(new), tmplink)
     os.replace(tmplink, base)  # atomic cutover
-    if not keep_old:
-        shutil.rmtree(real, ignore_errors=True)
+    # retention: keep {new, previous}; prune older versions so repeated
+    # compaction doesn't accumulate a table copy per run
+    keep = {os.path.abspath(new)} | (
+        {os.path.abspath(real)} if keep_old else set())
+    for vdir in glob.glob(base + ".compact-v*"):
+        if os.path.abspath(vdir) not in keep:
+            shutil.rmtree(vdir, ignore_errors=True)

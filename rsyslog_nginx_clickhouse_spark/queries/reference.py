@@ -267,13 +267,13 @@ def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_latency_quantiles",
-    # oracle contract: with group sizes (~2,000 at sf0.01) below the
-    # sketch accuracy (10,000), Spark's GK summary is LOSSLESS and
-    # percentile_approx returns the exact discrete quantile element —
-    # bit-equal to DuckDB quantile_disc (verified across all groups ×
-    # both quantiles). At 100 TB the sketch compresses and this
-    # becomes approximate; the exact twin `latency_quantiles` keeps
-    # the value oracle there.
+    # oracle contract: with group sizes below the sketch accuracy
+    # (100,000 — i.e. up to ~sf5: ~2,000 rows/group at sf0.01, ~20,000
+    # at sf0.1), Spark's GK summary is LOSSLESS and percentile_approx
+    # returns the exact discrete quantile element — bit-equal to DuckDB
+    # quantile_disc (verified across all groups × both quantiles).
+    # Beyond that the sketch compresses, this oracle stops holding, and
+    # the exact twin `latency_quantiles` keeps the value oracle.
     oracle="""
     SELECT event_type,
            quantile_disc(value, 0.5) AS p50,
@@ -288,8 +288,8 @@ def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "events")
             .groupBy("event_type")
-            .agg(F.percentile_approx("value", 0.5, 10000).alias("p50"),
-                 F.percentile_approx("value", 0.99, 10000).alias("p99"))
+            .agg(F.percentile_approx("value", 0.5, 100000).alias("p50"),
+                 F.percentile_approx("value", 0.99, 100000).alias("p99"))
             .orderBy("event_type"))
 
 

@@ -195,7 +195,11 @@ def stream_access_log_kafka(spark: SparkSession, bootstrap: str,
     try:
         raw = reader.load()
     except Exception as e:  # pragma: no cover - depends on classpath
-        if "DATA_SOURCE_NOT_FOUND" in str(e) or "kafka" in str(e).lower():
+        # ONLY the missing-data-source error is rewritten — a config
+        # error from an installed connector also mentions "kafka" and
+        # must surface as itself, not as a bogus dependency hint
+        if ("DATA_SOURCE_NOT_FOUND" in str(e)
+                or "Failed to find data source: kafka" in str(e)):
             raise RuntimeError(
                 "Kafka source needs the spark-sql-kafka-0-10 connector: "
                 "add org.apache.spark:spark-sql-kafka-0-10_2.13:<spark "

@@ -150,8 +150,10 @@ def test_compact_versioned_cutover_keeps_old_readers_alive(spark, tmp_path):
 
     with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
         pre_raw.count()
+    # retention: current + previous only (v0 pruned by the 2nd compact)
     import glob as g
-    assert len(g.glob(path + ".compact-v*")) == 3  # v0 migrate, v1, v2
+    vers = sorted(g.glob(path + ".compact-v*"))
+    assert [v.rsplit("-v", 1)[1] for v in vers] == ["1", "2"]
 
 
 def test_compact_keep_old_false_removes_previous_version(spark, tmp_path):
@@ -165,11 +167,11 @@ def test_compact_keep_old_false_removes_previous_version(spark, tmp_path):
         F.current_timestamp().alias("logdatetime"))
     path = str(tmp_path / "t")
     write_mergetree_like(df, path)
-    compact(spark, path)           # migrate: v0 (old) + v1 (compacted)
-    compact(spark, path, keep_old=False)   # v2; v1 removed
+    compact(spark, path)           # migrate: v0 (prev) + v1 (current)
+    compact(spark, path, keep_old=False)   # v2 only; v0+v1 pruned
     import glob as g
     vers = sorted(g.glob(path + ".compact-v*"))
-    assert [v.rsplit("-v", 1)[1] for v in vers] == ["0", "2"]
+    assert [v.rsplit("-v", 1)[1] for v in vers] == ["2"]
     assert spark.read.parquet(path).count() == 10
 
 
