@@ -1,0 +1,113 @@
+"""Behavioral analytics: windowFunnel / retention (ClickHouse analogs).
+
+The reference's analytics store is ClickHouse (README.md:7,32 states
+ad-hoc SELECT as a product requirement); ``windowFunnel`` and
+``retention`` are the canonical ClickHouse behavioral aggregates a
+Grafana/nginx-analytics user reaches for next after the starter
+time-series query. Re-expressed Spark-first:
+
+- ``retention`` is pure expression aggregation (one shuffle on
+  user_id, map-side partial aggs) — zero Python.
+- ``window_funnel`` is a per-user sequential state machine — the one
+  shape DataFrames can't express relationally without an O(n^levels)
+  self-join. Formulation: one shuffle to ``collect_list`` the per-user
+  (ts, level) pairs (bounded per user), then an Arrow pandas_udf runs
+  the linear-time DP over many users per batch — no per-group
+  invocation overhead, no driver involvement.
+
+Semantics (deterministic, oracle-checkable):
+
+- timestamps compare at MICROSECOND precision (``unix_micros``) on
+  both engines — the events table carries nanos, and ns-vs-µs
+  comparison disagreement between Spark (µs) and DuckDB (ns) would
+  flip window-boundary matches.
+- funnel level L = the largest k such that events e1 ≤ … ≤ ek exist
+  (non-strict ordering, equal timestamps allowed) with e_i matching
+  condition i and t(e_k) − t(e_1) ≤ window. The max-start DP is exact
+  for this EXISTS-chain semantic: for chains reaching level k−1 only
+  the maximal chain-start time matters (the window constraint is
+  monotone in the start), so one value per level suffices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def window_funnel(events: DataFrame, conds: list[str], window_us: int,
+                  user_col: str = "user_id", time_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(user, funnel_level): ClickHouse ``windowFunnel(window)(t, c1..cN)``.
+
+    ``conds`` are DISTINCT ``type_col`` values, one per funnel level
+    (duplicate conditions would need per-event multi-level matching —
+    out of scope, as is ClickHouse's strict_* variants).
+    """
+    if len(set(conds)) != len(conds):
+        raise ValueError("window_funnel conditions must be distinct")
+    lvl_of = {c: i + 1 for i, c in enumerate(conds)}
+    n_levels = len(conds)
+
+    @F.pandas_udf(T.IntegerType())
+    def funnel(pairs: pd.Series) -> pd.Series:
+        def level(evs) -> int:
+            if evs is None:  # user with no qualifying events (left join)
+                return 0
+            # evs: list of (ts_us, level), sorted by (ts, level) so an
+            # equal-timestamp lower level is consumable by a higher one
+            best = [None] * (n_levels + 1)  # max chain-START per level
+            for ts, lv in sorted((e["t"], e["lv"]) for e in evs):
+                if lv == 1:
+                    best[1] = ts if best[1] is None else max(best[1], ts)
+                elif best[lv - 1] is not None \
+                        and ts - best[lv - 1] <= window_us:
+                    cand = best[lv - 1]
+                    best[lv] = cand if best[lv] is None \
+                        else max(best[lv], cand)
+            reached = 0
+            for k in range(1, n_levels + 1):
+                if best[k] is None:
+                    break
+                reached = k
+            return reached
+
+        return pairs.map(level).astype("int32")
+
+    lvl_map = F.create_map(
+        *[x for c, l in lvl_of.items() for x in (F.lit(c), F.lit(l))])
+    per_user = (events
+                .select(F.col(user_col),
+                        F.unix_micros(F.col(time_col)).alias("t"),
+                        lvl_map[F.col(type_col)].alias("lv"))
+                .where(F.col("lv").isNotNull())
+                .groupBy(user_col)
+                .agg(F.collect_list(F.struct("t", "lv")).alias("evs")))
+    # users with no qualifying events still report level 0
+    all_users = events.select(F.col(user_col)).distinct()
+    return (all_users.join(per_user, user_col, "left")
+            .select(F.col(user_col),
+                    F.coalesce(funnel(F.col("evs")), F.lit(0))
+                     .alias("funnel_level")))
+
+
+def retention(events: DataFrame, conds: list[Column],
+              user_col: str = "user_id") -> DataFrame:
+    """ClickHouse ``retention(c1..cN)`` rolled up to counts.
+
+    Per user: r1 = c1 held; r_i = c1 AND c_i (i ≥ 2). Returns ONE row
+    of user counts per step — the cohort-retention headline numbers.
+    Pure expression aggregation: shuffle carries one boolean vector
+    per user, partial aggs map-side.
+    """
+    flags = [F.max(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+             .alias(f"c{i}") for i, c in enumerate(conds, 1)]
+    per_user = events.groupBy(user_col).agg(*flags)
+    r = [F.sum(F.col("c1")).cast("long").alias("r1")]
+    for i in range(2, len(conds) + 1):
+        r.append(F.sum(F.col("c1") * F.col(f"c{i}"))
+                  .cast("long").alias(f"r{i}"))
+    return per_user.agg(*r)

@@ -60,6 +60,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (tools/selfcheck.py) regardless of order.
 _UNPROVEN_R01 = [
     "embedding_neardup_exact",
+    "funnel_view_click_purchase",
+    "retention_cohort",
+    "decontamination",
     "status_class_share",
     "bot_traffic_share",
     "approx_daily_users",

@@ -474,6 +474,52 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.35)
 
 
+@query(
+    "decontamination",
+    # benchmark set = every 20th doc (deterministic id split); a
+    # training doc's contamination = fraction of its DISTINCT
+    # 3-shingles that appear in ANY benchmark doc
+    oracle=_SHINGLES_CTE + """
+    , bench AS (
+      SELECT DISTINCT unnest(shingles) AS s
+      FROM sh WHERE doc_id % 20 = 0),
+    tr AS (
+      SELECT doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           count(*) AS n_shingles,
+           cast(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_contaminated,
+           round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0
+                     END)::double / count(*), 6) AS contamination
+    FROM tr LEFT JOIN bench USING (s)
+    GROUP BY tr.doc_id
+    """,
+    doc="test-set decontamination: n-gram containment of training docs "
+        "against a benchmark corpus — the pre-training hygiene step. "
+        "Benchmark shingle set is a BROADCAST dim (dedup'd, tiny "
+        "relative to the corpus); the training side streams through a "
+        "broadcast hash join + one partial agg, so the 100 TB corpus "
+        "never shuffles on the shingle value",
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    bench = (sh.where(F.col("doc_id") % 20 == 0)
+               .select(F.explode("shingles").alias("s")).distinct()
+               .withColumn("hit", F.lit(1)))
+    tr = (sh.where(F.col("doc_id") % 20 != 0)
+            .select("doc_id", F.explode("shingles").alias("s")))
+    return (tr.join(F.broadcast(bench), "s", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_shingles"),
+                   F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    .cast("long").alias("n_contaminated"),
+                   F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                           / F.count("*"), 6).alias("contamination")))
+
+
 # ---------------------------------------------------------- multimodal --
 
 

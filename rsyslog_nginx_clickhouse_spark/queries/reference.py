@@ -386,6 +386,86 @@ def bot_traffic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("kind"))
 
 
+#: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events
+#: table carries nanos and ns-vs-µs boundary comparison would diverge)
+_FUNNEL_W_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "funnel_view_click_purchase",
+    # EXISTS-chain oracle: level ≥ k iff an ordered chain of the first
+    # k conditions exists within the window of the chain's first event
+    # — exactly the max-start DP's semantic (operators/funnel.py).
+    # Joins are per-user and per-type-filtered, so the candidate
+    # volume is bounded by (events of that type per user)^3.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t >= a.t AND b.t - a.t <= {_FUNNEL_W_US}),
+    l3 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id) JOIN e c USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND c.t >= b.t AND c.t - a.t <= {_FUNNEL_W_US})
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+           LEFT JOIN l3 USING (user_id)
+    """,
+    doc="ClickHouse windowFunnel analog: per-user max funnel level for "
+        "view→click→purchase within 6 h — collect_list shuffle + "
+        "linear-time max-start DP in one Arrow batch over many users "
+        "(the relational form is an O(n^levels) self-join, fine for "
+        "the oracle, wrong at 100 TB)",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import window_funnel
+
+    return window_funnel(load(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"], _FUNNEL_W_US)
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN cast(ts AS date) = DATE '2024-01-02'
+                      THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN cast(ts AS date) = DATE '2024-01-03'
+                      THEN 1 ELSE 0 END) AS c2,
+             max(CASE WHEN cast(ts AS date) = DATE '2024-01-09'
+                      THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id)
+    SELECT cast(sum(c1) AS bigint) AS r1,
+           cast(sum(c1 * c2) AS bigint) AS r2,
+           cast(sum(c1 * c3) AS bigint) AS r3
+    FROM per_user
+    """,
+    doc="ClickHouse retention analog: cohort = active on Jan 2; "
+        "returned next day / after a week — pure expression "
+        "aggregation, one shuffle on user_id, map-side partials",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import retention
+
+    ev = load(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return retention(ev, [d == F.lit("2024-01-02").cast("date"),
+                          d == F.lit("2024-01-03").cast("date"),
+                          d == F.lit("2024-01-09").cast("date")])
+
+
 @query(
     "user_event_gaps",
     oracle="""

@@ -1,0 +1,83 @@
+"""windowFunnel / retention semantics (operators/funnel.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+    retention,
+    window_funnel,
+)
+
+US = 1_000_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime.datetime.fromtimestamp(t, datetime.timezone.utc), e)
+         for u, t, e in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+def _levels(df):
+    return {r["user_id"]: r["funnel_level"] for r in df.collect()}
+
+
+def test_funnel_basic_chain_and_window_cutoff(spark):
+    ev = _ev(spark, [
+        # u1: full chain inside the window
+        (1, 100, "view"), (1, 150, "click"), (1, 190, "purchase"),
+        # u2: purchase lands outside the 100 s window from the view
+        (2, 100, "view"), (2, 150, "click"), (2, 250, "purchase"),
+        # u3: right events, wrong order
+        (3, 100, "click"), (3, 150, "view"), (3, 90, "purchase"),
+        # u4: no qualifying events at all
+        (4, 100, "error"),
+    ])
+    got = _levels(window_funnel(ev, ["view", "click", "purchase"],
+                                100 * US))
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_funnel_window_measured_from_chain_start(spark):
+    # a LATER view restarts the window: chain must use the best start
+    ev = _ev(spark, [
+        (1, 0, "view"), (1, 500, "view"),
+        (1, 560, "click"), (1, 580, "purchase"),
+    ])
+    got = _levels(window_funnel(ev, ["view", "click", "purchase"],
+                                100 * US))
+    assert got == {1: 3}  # via the view at t=500, not the one at t=0
+
+
+def test_funnel_equal_timestamps_chain(spark):
+    # non-strict ordering: all three steps at the same instant qualify
+    ev = _ev(spark, [(1, 100, "view"), (1, 100, "click"),
+                     (1, 100, "purchase")])
+    got = _levels(window_funnel(ev, ["view", "click", "purchase"],
+                                1 * US))
+    assert got == {1: 3}
+
+
+def test_funnel_rejects_duplicate_conditions(spark):
+    ev = _ev(spark, [(1, 100, "view")])
+    with pytest.raises(ValueError):
+        window_funnel(ev, ["view", "view"], US)
+
+
+def test_retention_counts(spark):
+    d0 = datetime.datetime(2024, 1, 2, 12, tzinfo=datetime.timezone.utc)
+    rows = [
+        (1, d0, "view"), (1, d0 + datetime.timedelta(days=1), "view"),
+        (2, d0, "view"),
+        (3, d0 + datetime.timedelta(days=1), "view"),  # not in cohort
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    d = F.to_date("ts")
+    got = retention(ev, [d == F.lit("2024-01-02").cast("date"),
+                         d == F.lit("2024-01-03").cast("date")]).collect()[0]
+    assert (got["r1"], got["r2"]) == (2, 1)
