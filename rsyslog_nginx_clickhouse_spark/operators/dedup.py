@@ -79,8 +79,9 @@ def spread(df: DataFrame, key: str) -> DataFrame:
         if raw.endswith("b"):
             raw = raw[:-1]
         mult = 1
-        if raw and raw[-1] in "kmg":
-            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[raw[-1]]
+        if raw and raw[-1] in "kmgtp":
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                    "t": 1 << 40, "p": 1 << 50}[raw[-1]]
             raw = raw[:-1]
         try:
             return int(float(raw) * mult)
@@ -95,7 +96,13 @@ def spread(df: DataFrame, key: str) -> DataFrame:
         n_files, size = 0, 0
     max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
-    est_splits = (size + n_files * open_cost) // max(max_pb, 1)
+    padded = size + n_files * open_cost
+    # full FilePartition formula: split size is also floored DOWN to
+    # bytes-per-core, so a mid-sized table (e.g. 2 GB on 32 cores)
+    # already scans as ~target partitions — skipping the padded//max_pb
+    # floor would add a redundant full-table shuffle there
+    max_split = min(max_pb, max(open_cost, padded // max(target, 1)))
+    est_splits = padded // max(max_split, 1)
     if est_splits >= target:
         return df
     return df.repartition(target, F.col(key))
@@ -377,12 +384,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             converged = True
             break
     if not converged:
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(graph diameter exceeds the cap); raise max_iter — a silent "
             f"early exit would return non-minimal labels")
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("component"))
+    # hand back a checkpointed result and RELEASE the cache: a returned
+    # cache()-DataFrame would stay pinned in CacheManager for the whole
+    # session (one leaked labels copy per call); checkpoint blocks are
+    # freed by GC once the caller drops the result
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("component")).localCheckpoint()
+    labels.unpersist()
+    return out
 
 
 def incremental_exact_dedup(new_docs: DataFrame, seen_fingerprints: DataFrame,

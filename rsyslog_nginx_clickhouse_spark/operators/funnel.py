@@ -79,19 +79,17 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
 
     lvl_map = F.create_map(
         *[x for c, l in lvl_of.items() for x in (F.lit(c), F.lit(l))])
-    per_user = (events
-                .select(F.col(user_col),
-                        F.unix_micros(F.col(time_col)).alias("t"),
-                        lvl_map[F.col(type_col)].alias("lv"))
-                .where(F.col("lv").isNotNull())
-                .groupBy(user_col)
-                .agg(F.collect_list(F.struct("t", "lv")).alias("evs")))
-    # users with no qualifying events still report level 0
-    all_users = events.select(F.col(user_col)).distinct()
-    return (all_users.join(per_user, user_col, "left")
+    # one scan, one shuffle: collect_list SKIPS nulls, so users whose
+    # events all miss the conditions still get a row (empty list →
+    # level 0) — no second scan / distinct / join to restore them
+    pair = F.when(lvl_map[F.col(type_col)].isNotNull(),
+                  F.struct(F.unix_micros(F.col(time_col)).alias("t"),
+                           lvl_map[F.col(type_col)].alias("lv")))
+    return (events
+            .groupBy(user_col)
+            .agg(F.collect_list(pair).alias("evs"))
             .select(F.col(user_col),
-                    F.coalesce(funnel(F.col("evs")), F.lit(0))
-                     .alias("funnel_level")))
+                    funnel(F.col("evs")).alias("funnel_level")))
 
 
 def retention(events: DataFrame, conds: list[Column],

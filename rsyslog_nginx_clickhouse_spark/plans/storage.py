@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 DEFAULT_BLOCK_SIZE = 128 * 1024 * 1024
 
 
+def _salted_repartition(df: DataFrame, partition_col: str,
+                        sort_cols: tuple[str, ...],
+                        files_per_partition: int) -> DataFrame:
+    """Spread a partitioned write across the cluster without a
+    small-file explosion: salt WITHIN the partition key (hashing on the
+    key alone sends each day to ONE task — a hot day would serialize
+    through a single writer), with an explicit partition count (AQE
+    would coalesce an expression-only repartition) scaled by session
+    parallelism so a multi-day backfill isn't capped at
+    files_per_partition writers TOTAL. Per-day FILE count stays bounded
+    by the salt domain. Shared by the write and compaction paths.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
+                  F.lit(files_per_partition))
+    n = files_per_partition * max(
+        1, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(n, F.col(partition_col), salt)
+
+
 def write_mergetree_like(df: DataFrame, path: str,
                          partition_col: str = "logdate",
                          sort_cols: tuple[str, ...] = ("logdate", "logdatetime"),
@@ -39,18 +58,8 @@ def write_mergetree_like(df: DataFrame, path: str,
                          files_per_partition: int | None = None) -> None:
     """Write ``df`` as a day-partitioned, time-sorted parquet table."""
     if files_per_partition:
-        # salt WITHIN the partition key: hashing on the key alone sends
-        # each day to ONE task (k files/day would never materialize and
-        # a hot day would serialize through a single writer)
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
-                      F.lit(files_per_partition))
-        # explicit partition count (AQE would coalesce an expression-only
-        # repartition), scaled by parallelism so a multi-day backfill
-        # isn't capped at files_per_partition writers TOTAL; per-day file
-        # count still bounded by the salt domain
-        n = files_per_partition * max(
-            1, df.sparkSession.sparkContext.defaultParallelism)
-        df = df.repartition(n, F.col(partition_col), salt)
+        df = _salted_repartition(df, partition_col, sort_cols,
+                                 files_per_partition)
     (df.sortWithinPartitions(*sort_cols)
        .write.mode(mode)
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
@@ -140,16 +149,7 @@ def compact(spark: SparkSession, path: str,
     markers = glob.glob(os.path.join(real, "_epoch_*_SUCCESS"))
     df = spark.read.parquet(real)
     new = f"{base}.compact-v{n}"
-    # salt within the day (key-only hashing would funnel each day
-    # through ONE writer), and scale the partition count by session
-    # parallelism so the rewrite uses every core — per-day FILE count
-    # stays bounded by the salt domain, exactly as in
-    # write_mergetree_like
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in sort_cols]),
-                  F.lit(files_per_partition))
-    n_parts = files_per_partition * max(
-        1, spark.sparkContext.defaultParallelism)
-    (df.repartition(n_parts, F.col(partition_col), salt)
+    (_salted_repartition(df, partition_col, sort_cols, files_per_partition)
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite")
        .option("parquet.block.size", str(DEFAULT_BLOCK_SIZE))
@@ -163,9 +163,13 @@ def compact(spark: SparkSession, path: str,
     os.symlink(os.path.abspath(new), tmplink)
     os.replace(tmplink, base)  # atomic cutover
     # retention: keep {new, previous}; prune older versions so repeated
-    # compaction doesn't accumulate a table copy per run
-    keep = {os.path.abspath(new)} | (
-        {os.path.abspath(real)} if keep_old else set())
+    # compaction doesn't accumulate a table copy per run. Compare
+    # REALPATHS on both sides: `real` is already resolved, and an
+    # ancestor symlink in the table path (e.g. /tmp → /private/tmp)
+    # would otherwise make abspath(glob result) never match it — the
+    # retained version would be pruned despite keep_old=True
+    keep = {os.path.realpath(new)} | (
+        {os.path.realpath(real)} if keep_old else set())
     for vdir in glob.glob(base + ".compact-v*"):
-        if os.path.abspath(vdir) not in keep:
+        if os.path.realpath(vdir) not in keep:
             shutil.rmtree(vdir, ignore_errors=True)
