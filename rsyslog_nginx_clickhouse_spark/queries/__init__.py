@@ -63,6 +63,7 @@ _UNPROVEN_R01 = [
     "funnel_view_click_purchase",
     "retention_cohort",
     "decontamination",
+    "tfidf_top_terms",
     "status_class_share",
     "bot_traffic_share",
     "approx_daily_users",

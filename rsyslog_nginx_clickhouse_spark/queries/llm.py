@@ -28,6 +28,7 @@ from rsyslog_nginx_clickhouse_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, norm
 from rsyslog_nginx_clickhouse_spark.operators.dedup import (
@@ -472,6 +473,67 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup_pairs(load(spark, sf_dir, "embeddings"),
                               threshold=0.35)
+
+
+@query(
+    "tfidf_top_terms",
+    # tf = term count / doc token count (dups included); idf = ln(N/df)
+    # with N = all docs, df = docs containing the term. Rank by the
+    # ROUNDED score then term so the top-3 cutoff is deterministic on
+    # both engines.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tok
+      FROM t WHERE len(toks) > 0),
+    tc AS (
+      SELECT doc_id, term, count(*) AS cnt, any_value(n_tok) AS n_tok
+      FROM ex GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.term,
+             round((tc.cnt::double / tc.n_tok)
+                   * ln(n.n_docs::double / dfreq.df), 6) AS tfidf
+      FROM tc JOIN dfreq USING (term), n)
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC)::int
+                AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+    doc="per-document top-3 TF-IDF terms: corpus document-frequency "
+        "agg (bounded by vocabulary) broadcast-joined to per-doc term "
+        "counts, windowed top-3 — the keyword-extraction / "
+        "feature-selection primitive; shuffle carries (term, partial "
+        "df) and (doc, term, count), never raw text",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar aggregate, driver-safe at any scale
+    toks = tokens("text")
+    ex = (docs.where(F.size(toks) > 0)
+              .select("doc_id", F.explode(toks).alias("term"),
+                      F.size(toks).alias("n_tok")))
+    tc = (ex.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("cnt"),
+                 F.any_value(F.col("n_tok")).alias("n_tok")))
+    dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tc.join(F.broadcast(dfreq), "term")
+                .select("doc_id", "term",
+                        F.round((F.col("cnt").cast("double")
+                                 / F.col("n_tok"))
+                                * F.log(F.lit(float(n_docs))
+                                        / F.col("df")), 6)
+                         .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("term"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+                  .where(F.col("rank") <= 3)
+                  .select("doc_id", "term", "tfidf", "rank"))
 
 
 @query(

@@ -68,6 +68,27 @@ def test_funnel_rejects_duplicate_conditions(spark):
         window_funnel(ev, ["view", "view"], US)
 
 
+def test_tfidf_top_terms_hand_computed(spark, tmp_path, monkeypatch):
+    import math
+
+    from rsyslog_nginx_clickhouse_spark.queries.llm import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana", "en"),
+         (2, "banana cherry", "en"),
+         (3, "cherry cherry cherry", "en")],
+        "doc_id long, text string, lang string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+           for r in tfidf_top_terms(spark, str(tmp_path)).collect()}
+    # doc 1: apple tf=2/3 idf=ln(3/1); banana tf=1/3 idf=ln(3/2)
+    assert got[(1, "apple")] == (round(2 / 3 * math.log(3), 6), 1)
+    assert got[(1, "banana")] == (round(1 / 3 * math.log(3 / 2), 6), 2)
+    # doc 3: cherry tf=1 idf=ln(3/2) — single term
+    assert got[(3, "cherry")] == (round(math.log(3 / 2), 6), 1)
+    assert len([k for k in got if k[0] == 3]) == 1
+
+
 def test_retention_counts(spark):
     d0 = datetime.datetime(2024, 1, 2, 12, tzinfo=datetime.timezone.utc)
     rows = [
