@@ -55,6 +55,16 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     "toUnixTimestamp": ("t TIMESTAMP", "BIGINT", "unix_timestamp(t)"),
     "toStartOfQuarter": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('quarter', t)"),
     "toStartOfYear": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('year', t)"),
+    # conversions: STRING params — Spark implicitly casts numeric args
+    # to string, so these accept any scalar like ClickHouse's do
+    "toFloat64": ("x STRING", "DOUBLE", "cast(x as double)"),
+    "toInt64": ("x STRING", "BIGINT", "cast(cast(x as double) as bigint)"),
+    "toInt32": ("x STRING", "INT", "cast(cast(x as double) as int)"),
+    "toString": ("x STRING", "STRING", "x"),
+    # ClickHouse arg order is (separator, string); \\Q..\\E quotes the
+    # separator so '.' or '|' split literally, not as regex
+    "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>",
+                    "split(s, concat('\\\\Q', sep, '\\\\E'))"),
 }
 
 #: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap
@@ -70,6 +80,21 @@ AGGREGATE_REWRITES: dict[str, str] = {
     "countIf": "count_if",
     "argMax": "max_by",
     "argMin": "min_by",
+    # not an aggregate, but the same pre-parse token rename applies:
+    # arrayJoin expands a row per array element = explode
+    "arrayJoin": "explode",
+}
+
+#: xxxIf combinators: ``aggIf(value, cond)`` → ``agg(if(cond, value,
+#: NULL))``. Needs ARGUMENT-aware rewriting (the value can contain
+#: nested calls/commas), handled in macros._rewrite_if_combinators —
+#: a token rename cannot reorder arguments. countIf maps directly to
+#: Spark's count_if builtin above.
+IF_COMBINATORS: dict[str, str] = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
 }
 
 

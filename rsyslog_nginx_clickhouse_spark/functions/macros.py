@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
     AGGREGATE_REWRITES,
+    IF_COMBINATORS,
     register_clickhouse_functions,
 )
 
@@ -67,6 +68,66 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(
         rf"\b(percentile_approx|percentile)\(([^()]*)\)\(({nested})\)",
         r"\1(\3, \2)", out)
+    return _rewrite_if_combinators(out)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren-depth 0, respecting '...' literals."""
+    parts, cur, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_if_combinators(out: str) -> str:
+    """``aggIf(value, cond)`` → ``agg(if(cond, value, NULL))``.
+
+    Argument-aware (a token rename cannot reorder args): scans to the
+    matching close paren, splits the two args at the top level, and
+    rebuilds. Quoted strings and nested calls are respected; a call
+    that doesn't have exactly two top-level args is left untouched.
+    """
+    for name, agg in IF_COMBINATORS.items():
+        pos = 0
+        while True:
+            m = re.compile(rf"\b{name}\s*\(").search(out, pos)
+            if not m:
+                break
+            depth, i, in_str = 1, m.end(), False
+            while i < len(out) and depth:
+                ch = out[i]
+                if in_str:
+                    in_str = ch != "'"
+                elif ch == "'":
+                    in_str = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            args = _split_top_level(out[m.end():i - 1])
+            if depth or len(args) != 2:
+                pos = m.end()  # malformed/other arity: skip past it
+                continue
+            val, cond = args[0].strip(), args[1].strip()
+            repl = f"{agg}(if({cond}, {val}, NULL))"
+            out = out[:m.start()] + repl + out[i:]
+            pos = m.start() + len(repl)
     return out
 
 

@@ -121,3 +121,43 @@ def test_clickhouse_quantile_query_runs(spark):
     row = sql(spark, "SELECT quantileExact(0.5)(v) AS med, uniqExact(v) AS u "
                      "FROM tq", table="tq").collect()[0]
     assert row["med"] == 50.0 and row["u"] == 101
+
+
+def test_if_combinators_rewrite_and_run(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    # nested call + string literal inside the value arg survive
+    out = rewrite_aggregates(
+        "SELECT sumIf(toUInt32(t), status = 'err'), avgIf(v, v > 0) FROM x")
+    assert out == ("SELECT sum(if(status = 'err', toUInt32(t), NULL)), "
+                   "avg(if(v > 0, v, NULL)) FROM x")
+    spark.createDataFrame(
+        [(1.0, "ok"), (2.0, "err"), (3.0, "err"), (-4.0, "ok")],
+        "v double, status string").createOrReplaceTempView("tc")
+    row = sql(spark,
+              "SELECT sumIf(v, status = 'err') AS s, "
+              "avgIf(v, v > 0) AS a, "
+              "minIf(v, status = 'ok') AS mn, "
+              "maxIf(v, status = 'err') AS mx, "
+              "countIf(v < 0) AS c FROM tc", table="tc").collect()[0]
+    assert (row["s"], row["a"], row["mn"], row["mx"], row["c"]) \
+        == (5.0, 2.0, -4.0, 3.0, 1)
+
+
+def test_clickhouse_conversions_and_arrayjoin(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql(
+        "SELECT toFloat64('1.5') AS f, toInt64(42) AS i, "
+        "toInt32('7') AS i32, splitByChar('.', 'a.b.c') AS parts"
+    ).collect()[0]
+    assert (row["f"], row["i"], row["i32"]) == (1.5, 42, 7)
+    assert row["parts"] == ["a", "b", "c"]
+    rows = sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS x",
+               table="dual").collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
