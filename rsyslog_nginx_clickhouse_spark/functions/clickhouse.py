@@ -58,8 +58,13 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     # conversions: STRING params — Spark implicitly casts numeric args
     # to string, so these accept any scalar like ClickHouse's do
     "toFloat64": ("x STRING", "DOUBLE", "cast(x as double)"),
-    "toInt64": ("x STRING", "BIGINT", "cast(cast(x as double) as bigint)"),
-    "toInt32": ("x STRING", "INT", "cast(cast(x as double) as int)"),
+    # direct string→int cast: routing through double would silently
+    # corrupt integers above 2^53 (snowflake ids, ns timestamps) — the
+    # same trap the intDiv note above covers. Fractional input throws
+    # under ANSI, matching ClickHouse's strict toInt64('1.5') error;
+    # use toFloat64 first to truncate.
+    "toInt64": ("x STRING", "BIGINT", "cast(x as bigint)"),
+    "toInt32": ("x STRING", "INT", "cast(x as int)"),
     "toString": ("x STRING", "STRING", "x"),
     # ClickHouse arg order is (separator, string); \\Q..\\E quotes the
     # separator so '.' or '|' split literally, not as regex

@@ -55,10 +55,28 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
     return rewrite_aggregates(out)
 
 
+#: SQL string literal, honoring BOTH escape conventions ('' and \')
+_STR_LIT = re.compile(r"'(?:[^'\\]|\\.|'')*'")
+
+
 def rewrite_aggregates(out: str) -> str:
     """ClickHouse aggregate names → Spark builtins, including the
     parametric syntax ``agg(p)(x)`` (no Spark equivalent) collapsed to
-    ``agg(x, p)`` for the quantile family."""
+    ``agg(x, p)`` for the quantile family, and the If-combinators.
+
+    String literals are MASKED before any rewrite and restored after:
+    a query whose string DATA mentions ``sumIf``/``uniq``/... must come
+    back byte-identical (rewriting inside literals silently corrupts
+    values), and masking also makes the paren/comma scanning immune to
+    quote-escape conventions.
+    """
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    out = _STR_LIT.sub(_mask, out)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
@@ -68,20 +86,15 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(
         rf"\b(percentile_approx|percentile)\(([^()]*)\)\(({nested})\)",
         r"\1(\3, \2)", out)
-    return _rewrite_if_combinators(out)
+    out = _rewrite_if_combinators(out)
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at paren-depth 0, respecting '...' literals."""
-    parts, cur, depth, in_str = [], [], 0, False
+    """Split on commas at paren-depth 0 (literals are already masked)."""
+    parts, cur, depth = [], [], 0
     for ch in s:
-        if in_str:
-            cur.append(ch)
-            in_str = ch != "'"
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -99,8 +112,11 @@ def _rewrite_if_combinators(out: str) -> str:
 
     Argument-aware (a token rename cannot reorder args): scans to the
     matching close paren, splits the two args at the top level, and
-    rebuilds. Quoted strings and nested calls are respected; a call
-    that doesn't have exactly two top-level args is left untouched.
+    rebuilds. Runs on literal-MASKED text (see rewrite_aggregates), so
+    quotes need no handling here. A call without exactly two top-level
+    args is left untouched. After a rewrite the scan resumes INSIDE
+    the replacement, so a same-name combinator nested in the rewritten
+    args (scalar subqueries) is rewritten too.
     """
     for name, agg in IF_COMBINATORS.items():
         pos = 0
@@ -108,14 +124,10 @@ def _rewrite_if_combinators(out: str) -> str:
             m = re.compile(rf"\b{name}\s*\(").search(out, pos)
             if not m:
                 break
-            depth, i, in_str = 1, m.end(), False
+            depth, i = 1, m.end()
             while i < len(out) and depth:
                 ch = out[i]
-                if in_str:
-                    in_str = ch != "'"
-                elif ch == "'":
-                    in_str = True
-                elif ch == "(":
+                if ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
@@ -125,9 +137,9 @@ def _rewrite_if_combinators(out: str) -> str:
                 pos = m.end()  # malformed/other arity: skip past it
                 continue
             val, cond = args[0].strip(), args[1].strip()
-            repl = f"{agg}(if({cond}, {val}, NULL))"
-            out = out[:m.start()] + repl + out[i:]
-            pos = m.start() + len(repl)
+            out = out[:m.start()] + f"{agg}(if({cond}, {val}, NULL))" \
+                + out[i:]
+            pos = m.start() + len(f"{agg}(if(")
     return out
 
 

@@ -56,10 +56,15 @@ def clickhouse_http_writer(base_url: str = DEFAULT_HTTP,
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         url = insert_url(base_url, table)
+        # ignoreNullFields=false: a NULL column must serialize as an
+        # explicit "col": null — omitted fields make ClickHouse fill
+        # the column DEFAULT (0/''), silently diverging from the value
         payload = batch_df.select(
-            F.to_json(F.struct(*batch_df.columns)).alias("j"))
+            F.to_json(F.struct(*batch_df.columns),
+                      {"ignoreNullFields": "false"}).alias("j"))
 
         def post_partition(rows) -> None:
+            import urllib.error
             import urllib.request
 
             buf: list[str] = []
@@ -71,10 +76,18 @@ def clickhouse_http_writer(base_url: str = DEFAULT_HTTP,
                 req = urllib.request.Request(
                     url, data=data, method="POST",
                     headers={"Content-Type": "application/x-ndjson"})
-                with urllib.request.urlopen(req) as resp:
-                    if resp.status not in (200, 204):
-                        raise RuntimeError(
-                            f"ClickHouse insert failed: {resp.status}")
+                try:
+                    with urllib.request.urlopen(req) as resp:
+                        if not 200 <= resp.status < 300:
+                            raise RuntimeError(
+                                f"ClickHouse insert failed: {resp.status}")
+                except urllib.error.HTTPError as e:
+                    # surface ClickHouse's error body — it carries the
+                    # actual parse/type message (urlopen raises for
+                    # >=400, so a bare status check never sees these)
+                    raise RuntimeError(
+                        f"ClickHouse insert failed: {e.code} "
+                        f"{e.read(4096).decode(errors='replace')}") from e
                 buf.clear()
 
             for r in rows:

@@ -60,3 +60,44 @@ def test_http_writer_posts_jsoneachrow(spark):
         rows += [json.loads(line) for line in body.decode().splitlines()]
     assert sorted(rows, key=lambda r: r["id"]) == [
         {"id": 1, "s": "a"}, {"id": 2, "s": "b"}, {"id": 3, "s": "c"}]
+
+
+def test_http_writer_serializes_explicit_nulls(spark):
+    _Recorder.received = []
+    server = HTTPServer(("127.0.0.1", 0), _Recorder)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        batch = spark.createDataFrame([(1, None)], "id long, s string")
+        clickhouse_http_writer(f"http://127.0.0.1:{port}",
+                               table="nginx")(batch, 0)
+    finally:
+        server.shutdown()
+    (_, body), = [x for x in _Recorder.received if x[1].strip()]
+    assert json.loads(body.decode().strip()) == {"id": 1, "s": None}
+
+
+class _Failer(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers["Content-Length"]))
+        self.send_response(500)
+        self.end_headers()
+        self.wfile.write(b"Code: 62. DB::Exception: Syntax error")
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_writer_surfaces_server_error_body(spark):
+    import pytest
+
+    server = HTTPServer(("127.0.0.1", 0), _Failer)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        batch = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(Exception, match="DB::Exception"):
+            clickhouse_http_writer(f"http://127.0.0.1:{port}",
+                                   table="nginx")(batch, 0)
+    finally:
+        server.shutdown()

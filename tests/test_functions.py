@@ -161,3 +161,42 @@ def test_clickhouse_conversions_and_arrayjoin(spark):
     rows = sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS x",
                table="dual").collect()
     assert [r["x"] for r in rows] == [1, 2, 3]
+
+
+def test_rewrite_preserves_string_literals_and_escapes(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    # combinator names inside string DATA must come back byte-identical
+    q = "SELECT 'sumIf(a, b)' AS lit, 'uniq(x)' AS lit2 FROM e"
+    assert rewrite_aggregates(q) == q
+    # backslash-escaped quote with a comma inside the literal: the arg
+    # split must not derail
+    out = rewrite_aggregates("SELECT sumIf(v, s = 'a\\'b,c') FROM e")
+    assert out == "SELECT sum(if(s = 'a\\'b,c', v, NULL)) FROM e"
+    # doubled-quote escape form too
+    out2 = rewrite_aggregates("SELECT sumIf(v, s = 'a''b,c') FROM e")
+    assert out2 == "SELECT sum(if(s = 'a''b,c', v, NULL)) FROM e"
+
+
+def test_rewrite_handles_nested_same_name_combinator():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    out = rewrite_aggregates(
+        "SELECT sumIf(v, uid IN (SELECT uid FROM t GROUP BY uid "
+        "HAVING sumIf(x, c) > 5)) FROM e")
+    assert "sumIf" not in out
+    assert out.count("sum(if(") == 2
+
+
+def test_toint64_exact_above_double_precision(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql("SELECT toInt64('9007199254740993') AS v").collect()[0]
+    assert row["v"] == 9007199254740993  # double would round to ...992
