@@ -153,3 +153,44 @@ def test_range_join_matches_naive_nonequi(spark):
                           start_col="s", end_col="e", bin_s=bin_s)
                .select("k", "t", "iv_id").collect()}
         assert got == naive, bin_s
+
+
+_lit_text = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=0x20,
+                           max_codepoint=0x7E, exclude_characters="\\"),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_lit_text)
+def test_rewrite_preserves_arbitrary_literal_content(s):
+    # ANY string literal content — including aggregate/combinator names,
+    # parens, commas — must survive rewrite_aggregates byte-identically
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    lit = "'" + s.replace("'", "''") + "'"
+    q = f"SELECT {lit} AS c FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+@settings(max_examples=50, deadline=None)
+@given(_lit_text, st.sampled_from(["sumIf", "avgIf", "minIf", "maxIf"]))
+def test_rewrite_if_combinators_idempotent(s, name):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+        IF_COMBINATORS,
+    )
+
+    lit = "'" + s.replace("'", "''") + "'"
+    q = f"SELECT {name}(v, col = {lit}) AS c FROM t"
+    once = rewrite_aggregates(q)
+    # exact expected form (works even when the literal itself contains
+    # a combinator name — literals are masked, never rewritten)
+    assert once == (f"SELECT {IF_COMBINATORS[name]}"
+                    f"(if(col = {lit}, v, NULL)) AS c FROM t")
+    assert rewrite_aggregates(once) == once  # stable under re-rewrite
