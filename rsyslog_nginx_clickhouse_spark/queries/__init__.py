@@ -64,6 +64,9 @@ _UNPROVEN_R01 = [
     "retention_cohort",
     "decontamination",
     "tfidf_top_terms",
+    "skew_salted_event_counts",
+    "bucketed_join_revenue",
+    "zorder_pruned_scan",
     "status_class_share",
     "bot_traffic_share",
     "approx_daily_users",

@@ -386,6 +386,106 @@ def bot_traffic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("kind"))
 
 
+# ------------------------------------------------- scale-toolkit demos --
+
+
+@query(
+    "skew_salted_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="two-phase salted aggregation under the value oracle: results "
+        "must be IDENTICAL to the plain GROUP BY (the salt only "
+        "re-routes the shuffle so a heavy-hitter key spreads over "
+        "salt_buckets reducers instead of one)",
+)
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.skew import (
+        salted_count,
+        salted_sum,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    c = salted_count(ev, ["event_type"], ["user_id"], out_col="cnt")
+    s = salted_sum(ev, ["event_type"], "value", ["user_id"], out_col="__t")
+    return (c.join(s, "event_type")
+             .select("event_type", "cnt",
+                     F.round("__t", 2).alias("total_value")))
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="fact⋈fact through BUCKETED tables (both sides bucketBy(16) on "
+        "the order key at write, join planned with no Exchange — the "
+        "shuffle that IS the job at 100 TB happens once at write time); "
+        "oracle joins the raw tables, so the bucketed round-trip itself "
+        "is under the value gate",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.plans.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    # per-process unique table names: bench + selfcheck share the
+    # session catalog's warehouse dir
+    to, tl = f"bj_orders_{os.getpid()}", f"bj_lineitem_{os.getpid()}"
+    orders = (load(spark, sf_dir, "orders")
+              .select(F.col("o_orderkey").alias("orderkey"),
+                      "o_orderpriority"))
+    items = (load(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("orderkey"),
+                     "l_extendedprice", "l_discount"))
+    write_bucketed(orders, to, "orderkey", buckets=16)
+    write_bucketed(items, tl, "orderkey", buckets=16)
+    j = bucketed_join(spark, to, tl, "orderkey")
+    return (j.groupBy("o_orderpriority")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 1)
+                   .alias("revenue"),
+                  F.count("*").alias("n_items")))
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle="""
+    SELECT count(*) AS cnt, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 20 AND 80
+    """,
+    doc="Z-order round-trip: events written clustered by the Morton "
+        "key of (user_id, value), re-read with a 2-D range predicate — "
+        "each file owns a compact z-range so min/max stats prune on "
+        "BOTH columns (row-group skipping shown in test_zorder.py); "
+        "oracle computes from the raw table, so the clustered write is "
+        "under the value gate",
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.zorder import write_zordered
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_events_{os.path.basename(sf_dir)}_{os.getpid()}")
+    write_zordered(ev, path, ["user_id", "value"])
+    back = spark.read.parquet(path)
+    return (back.where(F.col("user_id").between(40, 60)
+                       & F.col("value").between(20, 80))
+                .agg(F.count("*").alias("cnt"),
+                     F.round(F.sum("value"), 2).alias("total_value")))
+
+
 #: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events
 #: table carries nanos and ns-vs-µs boundary comparison would diverge)
 _FUNNEL_W_US = 6 * 3600 * 1_000_000
