@@ -77,6 +77,24 @@ _UNPROVEN_R01 = [
     "streaming_sessions",
     "streaming_user_counts",
     "streaming_summed_rollup",
+    # round-2 additions (tpch_plus + pipeline modules) — front-loaded
+    # for the same reason: no driver row exists yet.
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "gopher_quality_filter",
+    "duplicated_ngram_fraction",
+    "stratified_sample",
+    "domain_mixture",
 ]
 
 
@@ -85,8 +103,10 @@ def load_all() -> dict[str, Query]:
     from rsyslog_nginx_clickhouse_spark.queries import (  # noqa: F401
         adhoc,
         llm,
+        pipeline,
         reference,
         stream_q,
+        tpch_plus,
     )
 
     ordered = {n: REGISTRY[n] for n in _UNPROVEN_R01 if n in REGISTRY}

@@ -1,0 +1,243 @@
+"""Training-data curation pipeline queries: quality filtering, sampling,
+domain mixing, and duplicated-n-gram measurement over ``documents``.
+
+These are the corpus-curation steps a large-scale LLM data pipeline
+runs between raw ingest and tokenization (the BASELINE.json north
+star), complementing the dedup/similarity operators in ``llm.py``:
+
+- gopher_quality_filter — Gopher-style (Rae et al. 2021, §A1.1)
+  per-document heuristics: word count bounds, mean word length bounds,
+  stopword-fraction floor. Pure Catalyst expressions, zero Python.
+- duplicated_ngram_fraction — RefinedWeb-style (Penedo et al. 2023,
+  §3.3) fraction of a document's n-gram occurrences that also appear
+  in other documents; high values flag boilerplate/template text.
+- stratified_sample — deterministic per-source md5-bucket sampling
+  (the distributed substitute for rand()-based sampling, which is
+  partitioning-dependent and irreproducible across cluster sizes).
+- domain_mixture — per-source token accounting: the report that drives
+  mixture-weight decisions (docs, tokens, corpus share).
+
+Scale notes: every query is a scan + at most two shuffles; the only
+row expansion is the n-gram explode (O(tokens) rows, the same order as
+tokenization itself). No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
+from rsyslog_nginx_clickhouse_spark.queries import query
+
+#: Function-word list for the stopword-presence heuristic (Gopher uses
+#: a similar small hand list). Membership, not linguistics — the point
+#: is that machine-generated / keyword-stuffed text lacks them.
+STOPWORDS = ("the", "a", "an", "of", "to", "and")
+
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks(col: F.Column) -> F.Column:
+    """Single-space word array, normalized identically in both engines
+    (lower + trim + whitespace collapse — the shingle normalization)."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks,
+             length(trim(text)) AS n_chars
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_words,
+           round((n_chars - len(toks) + 1.0) / len(toks), 4)
+             AS mean_word_len,
+           round(len(list_filter(toks, w -> w IN ({_SQL_STOPWORDS})))
+                 ::double / len(toks), 4) AS stopword_frac,
+           CASE WHEN len(toks) BETWEEN 50 AND 100000
+                 AND (n_chars - len(toks) + 1.0) / len(toks)
+                     BETWEEN 3.0 AND 10.0
+                 AND len(list_filter(toks, w -> w IN ({_SQL_STOPWORDS})))
+                     ::double / len(toks) > 0.01
+                THEN 1 ELSE 0 END AS keep
+    FROM t ORDER BY doc_id
+    """,
+    doc="Gopher-style quality heuristics (word count in [50, 100k], "
+        "mean word length in [3, 10], stopword fraction > 1%) as one "
+        "narrow projection — no shuffle at all until the driver's "
+        "ORDER BY; at scale the keep flag feeds a filter, not a sort. "
+        "mean_word_len is derived arithmetically from char/word counts "
+        "(single-space text), avoiding a per-token length pass",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_flags(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def gopher_flags(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics + keep flag (see module docstring
+    for thresholds). Pure projection — composable before any shuffle."""
+    toks = _toks(F.col(text_col))
+    nw = F.size(toks)
+    mwl = (F.length(F.trim(F.col(text_col))) - nw + 1.0) / nw
+    sw = F.size(F.filter(
+        toks, lambda w: w.isin(*STOPWORDS))).cast("double") / nw
+    keep = (nw.between(50, 100000) & mwl.between(3.0, 10.0)
+            & (sw > 0.01)).cast("int")
+    return docs.select(
+        id_col,
+        nw.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sw, 4).alias("stopword_frac"),
+        keep.alias("keep"))
+
+
+#: n for the duplicated-n-gram measure. 5 is the RefinedWeb dup-5gram
+#: setting; short enough to fire on shared boilerplate, long enough
+#: that chance collisions are rare.
+DUP_NGRAM_N = 5
+
+
+def ngram_occurrences(col: F.Column, n: int = DUP_NGRAM_N) -> F.Column:
+    """ALL n-gram occurrences (duplicates kept — unlike the minhash
+    shingle set) as an array<string>, built expression-side: sequence +
+    slice + array_join, no Python. Documents shorter than n collapse to
+    their single full-text gram, matching the shingle convention."""
+    toks = _toks(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " ")))
+
+
+@query(
+    "duplicated_ngram_fraction",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {DUP_NGRAM_N}
+               THEN [array_to_string(toks[i:i+{DUP_NGRAM_N - 1}], ' ')
+                     for i in generate_series(1,
+                                              len(toks) - {DUP_NGRAM_N - 1})]
+               ELSE [array_to_string(toks, ' ')] END AS gs
+      FROM normed),
+    occ AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    docfreq AS (SELECT g, count(DISTINCT doc_id) AS nd
+                FROM occ GROUP BY g)
+    SELECT occ.doc_id,
+           round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS dup_frac
+    FROM occ JOIN docfreq USING (g)
+    GROUP BY occ.doc_id ORDER BY occ.doc_id
+    """,
+    doc="RefinedWeb-style duplicated-5-gram fraction per document: the "
+        "share of a doc's 5-gram OCCURRENCES whose gram also appears "
+        "in at least one other document. Plan: explode occurrences "
+        "(O(tokens) rows), one distinct+count shuffle on the gram for "
+        "document frequency, one join back on the gram, one agg by "
+        "doc_id — the same shuffle structure as distributed "
+        "tokenization, no quadratic step anywhere",
+)
+def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_stats(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id")
+
+
+def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    n: int = DUP_NGRAM_N) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (see module docstring)."""
+    occ = docs.select(
+        id_col, F.explode(ngram_occurrences(F.col(text_col), n)).alias("g"))
+    docfreq = (occ.distinct()
+                  .groupBy("g")
+                  .agg(F.count("*").alias("nd")))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (occ.join(docfreq, "g")
+               .groupBy(id_col)
+               .agg(F.round(F.sum(dup).cast("double") / F.count("*"), 6)
+                     .alias("dup_frac")))
+
+
+#: Per-source sampling percentages: the head sources are kept at 50%,
+#: the tail at 20% — the shape of a real mixture-rebalancing pass.
+_HEAD_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_HEAD_PCT, _TAIL_PCT = 50, 20
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 100
+          < CASE WHEN source IN
+                   ({", ".join(f"'{s}'" for s in _HEAD_SOURCES)})
+                 THEN {_HEAD_PCT} ELSE {_TAIL_PCT} END
+    ORDER BY doc_id
+    """,
+    doc="Stratified corpus sampling with per-source rates (50% head "
+        "sources, 20% tail): an md5 bucket on doc_id compared against "
+        "the stratum's rate. Deterministic across runs, cluster sizes, "
+        "and engines — rand()-based sampling is none of those — and "
+        "the selection is a plain predicate: no shuffle, fully "
+        "pushdown-friendly, composable with any downstream operator",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pct = F.when(F.col("source").isin(*_HEAD_SOURCES),
+                 F.lit(_HEAD_PCT)).otherwise(F.lit(_TAIL_PCT))
+    return (docs.where(split_bucket("doc_id", salt="sample") < pct)
+                .select("doc_id", "source")
+                .orderBy("doc_id"))
+
+
+@query(
+    "domain_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'),
+                                  ' '))) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens::double / sum(n_tokens) OVER (), 6)
+             AS token_share,
+           round(n_tokens::double / n_docs, 2) AS avg_doc_tokens
+    FROM per ORDER BY source
+    """,
+    doc="Domain-mixture accounting: per-source doc and token counts "
+        "plus each source's share of corpus tokens — the table mixture "
+        "weights are tuned against. One partial-agg shuffle on source; "
+        "the corpus total is a window over the |sources|-row aggregate "
+        "(a single-partition pass over 20 rows, not a fact re-scan)",
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(F.size(_toks(F.col("text"))))
+                     .alias("n_tokens")))
+    total = Window.partitionBy()
+    return (per.select(
+                "source", "n_docs", "n_tokens",
+                F.round(F.col("n_tokens").cast("double")
+                        / F.sum("n_tokens").over(total), 6)
+                 .alias("token_share"),
+                F.round(F.col("n_tokens").cast("double")
+                        / F.col("n_docs"), 2).alias("avg_doc_tokens"))
+            .orderBy("source"))

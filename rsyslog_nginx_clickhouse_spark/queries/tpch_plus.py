@@ -1,0 +1,477 @@
+"""Extended TPC-H-style coverage over the star schema (SURVEY §2.6 Q6).
+
+The reference's product requirement is "regular SQL" (/root/reference/
+README.md:7,32) — this module widens the proven SQL surface beyond the
+six TPC-H queries in ``adhoc.py`` (Q1/3/5/6/10/14) with schema-adapted
+versions of Q4, Q7, Q8, Q9, Q11, Q13, Q15, Q16, Q17, Q18, Q19, Q22.
+"Adapted" because the driver's star schema has no ``partsupp`` table
+and ``lineitem`` carries no commit/receipt dates or ship modes — each
+docstring states the adaptation.
+
+Scale notes (the common themes, per-query deltas in docstrings):
+
+- dims (region/nation/part/supplier/customer) are broadcast — the fact
+  tables never shuffle for a dim join;
+- correlated subqueries (Q4 EXISTS, Q17 per-part average, Q22 NOT
+  EXISTS) become semi/anti joins or pre-aggregated broadcast joins —
+  one scan of the fact per subquery, never nested-loop re-execution;
+- scalar subqueries (Q11 threshold, Q15 max) are one-row broadcasts;
+- every aggregate is rounded per the registry float discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.queries import query
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (adapted: l_shipdate > o_orderdate stands in for the "
+        "missing commit/receipt dates): correlated EXISTS as a "
+        "left-semi join — one shuffle on l_orderkey, the date predicate "
+        "rides the join condition; no per-row subquery execution",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (orders.join(
+                li,
+                (orders.o_orderkey == li.l_orderkey)
+                & (li.l_shipdate > orders.o_orderdate),
+                "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bidirectional nation-pair trade volume by ship year. "
+        "supplier and customer each broadcast with their nation name "
+        "attached, so lineitem shuffles once (the orders equi-join); "
+        "the nation filter prunes ~23/25 of both dims before broadcast",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_1", "NATION_2")
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .where(F.col("supp_nation") != F.col("cust_nation"))
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+              .agg(F.round(F.sum(_revenue()), 1).alias("revenue"))
+              .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (adapted: NATION_2's share of PROMO-part volume sold "
+        "into ASIA, by order year): two independent dim chains — "
+        "customer→nation→region filters the demand side, supplier→"
+        "nation labels the supply side — both collapse to broadcast "
+        "hash joins; the conditional-sum share needs no second pass",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey"))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = load(spark, sf_dir, "lineitem")
+    vol = _revenue().alias("volume")
+    joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+                .join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .select("o_year", "supp_nation", vol))
+    target = F.when(F.col("supp_nation") == "NATION_2",
+                    F.col("volume")).otherwise(F.lit(0.0))
+    return (joined.groupBy("o_year")
+            .agg(F.round(F.sum(target) / F.sum("volume"), 6)
+                  .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 1) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 (adapted: no partsupp, so profit omits supplycost and "
+        "is discounted revenue on '%red%' parts): the LIKE-filtered "
+        "part dim broadcasts and prunes lineitem before the one "
+        "orders shuffle; supplier→nation broadcast labels the rows",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    nat = load(spark, sf_dir, "nation")
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = load(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("nation", "o_year")
+              .agg(F.round(F.sum(_revenue()), 1).alias("profit"))
+              .orderBy("nation", F.desc("o_year")))
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS raw_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, round(raw_value, 1) AS part_value
+    FROM pv
+    WHERE raw_value > (SELECT avg(raw_value) * 1.5 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 (adapted: no partsupp — 'important stock' becomes "
+        "parts whose traded value exceeds 1.5x the mean part's value, "
+        "a relative threshold that stays meaningful at every sf): "
+        "one partial-agg shuffle on l_partkey; the threshold is an "
+        "uncorrelated scalar subquery, which Catalyst executes once as "
+        "a Subquery node and folds into the filter as a literal — no "
+        "one-row nested-loop join in the main plan (a DataFrame-side "
+        "crossJoin(broadcast(threshold)) plans as BNLJ and trips the "
+        "plan audit)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS raw_value
+          FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, round(raw_value, 1) AS part_value
+        FROM pv
+        WHERE raw_value > (SELECT avg(raw_value) * 1.5 FROM pv)
+        ORDER BY part_value DESC, l_partkey
+    """)
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (adapted: the o_comment NOT LIKE filter becomes an "
+        "o_orderpriority exclusion): left join + double aggregation. "
+        "count(o_orderkey) over the left join keeps order-less "
+        "customers at 0; the second groupBy is tiny (distinct counts)",
+)
+def q13_order_count_distribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (cust.join(orders,
+                          cust.c_custkey == orders.o_custkey, "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 1)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: top supplier(s) by quarterly revenue. The revenue "
+        "view aggregates once (shuffle on l_suppkey, ~|suppliers| "
+        "rows); max is a one-row broadcast back onto the same view — "
+        "no re-scan of lineitem. Equality is on the ROUNDED revenue so "
+        "both engines compare identical doubles",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.round(F.sum(_revenue()), 1).alias("total_revenue")))
+    rev = rev.cache()  # computed once, read by both the join and the max
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx))
+               .where(F.col("total_revenue") == F.col("mx"))
+               .join(F.broadcast(supp),
+                     F.col("supplier_no") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name", "total_revenue")
+               .orderBy("s_suppkey"))
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 10, 20, 30, 40, 50)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (adapted: lineitem stands in for partsupp — 'who "
+        "supplies this part' is read off actual trades): distinct-"
+        "count of suppliers per (brand, type, size) bucket. The "
+        "filtered part dim broadcasts; count(DISTINCT) expands to a "
+        "two-phase agg (dedup shuffle then count) planned by Catalyst",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 10, 20, 30, 40, 50))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                       "p_size"))
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 1) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    doc="TPC-H Q17: small-quantity-order revenue. The correlated "
+        "per-part average is ONE grouped aggregation over the "
+        "brand-pruned lineitem, broadcast back — not a re-executed "
+        "subquery per row. Both sides prune to Brand#3 parts first, so "
+        "the avg is computed over exactly the rows that can match",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .drop("p_partkey"))
+    avgs = (li.groupBy(F.col("l_partkey").alias("avg_partkey"))
+              .agg((F.avg("l_quantity") * 0.2).alias("qty_cut")))
+    return (li.join(F.broadcast(avgs),
+                    F.col("l_partkey") == F.col("avg_partkey"))
+              .where(F.col("l_quantity") < F.col("qty_cut"))
+              .agg(F.round(F.sum("l_extendedprice") / 7.0, 1)
+                    .alias("avg_yearly")))
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 1) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H Q18: large-volume orders. The HAVING subquery is the "
+        "same groupBy the outer query needs — computed once and "
+        "filtered (no IN-subquery re-scan); surviving orderkeys are "
+        "few (~0.8%), so the customer/orders joins run on a pruned set",
+)
+def q18_large_volume_customers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("qty"))
+             .where(F.col("qty") > 300)
+             .select("l_orderkey", F.round("qty", 1).alias("total_qty")))
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+               .join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+               .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                       "o_totalprice", "total_qty")
+               .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+               .limit(20))
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19: disjunctive brand/size/quantity predicates. The "
+        "part side of each disjunct (brand+size) prunes the broadcast "
+        "dim before the join; the residual quantity conditions apply "
+        "post-join. One scan, one broadcast join, scalar output",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(20, 50)))
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (((F.col("p_brand") == "Brand#1") & q.between(1, 20))
+            | ((F.col("p_brand") == "Brand#2") & q.between(10, 30))
+            | ((F.col("p_brand") == "Brand#3") & q.between(20, 40)))
+    return j.where(cond).agg(
+        F.round(F.sum(_revenue()), 1).alias("revenue"))
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 1) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 (adapted: mktsegment stands in for the phone country "
+        "code, and 'no orders' is scoped to 2000+ because every "
+        "customer has lifetime orders): above-average-balance "
+        "customers gone quiet. The average is an uncorrelated scalar "
+        "subquery (one Subquery execution, folded into the filter as a "
+        "literal — no one-row BNLJ); the NOT EXISTS decorrelates to a "
+        "left-anti join against date-pruned orders",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 1) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >=
+                                TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
