@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.text import (
+    normalized_text,
+    word_shingles,
+)
 from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
 from rsyslog_nginx_clickhouse_spark.queries import query
 
@@ -40,10 +44,10 @@ _SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _toks(col: F.Column) -> F.Column:
-    """Single-space word array, normalized identically in both engines
-    (lower + trim + whitespace collapse — the shingle normalization)."""
-    return F.split(
-        F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    """Single-space word array over ``normalized_text`` — the SAME
+    normalization the dedup/similarity shingles use (functions/text.py),
+    so curation metrics and dedup keys never drift apart."""
+    return F.split(normalized_text(col), " ")
 
 
 @query(
@@ -53,7 +57,8 @@ def _toks(col: F.Column) -> F.Column:
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
                                          'g'), ' ') AS toks,
-             length(trim(text)) AS n_chars
+             length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS n_chars
       FROM documents)
     SELECT doc_id,
            len(toks) AS n_words,
@@ -73,8 +78,9 @@ def _toks(col: F.Column) -> F.Column:
         "mean word length in [3, 10], stopword fraction > 1%) as one "
         "narrow projection — no shuffle at all until the driver's "
         "ORDER BY; at scale the keep flag feeds a filter, not a sort. "
-        "mean_word_len is derived arithmetically from char/word counts "
-        "(single-space text), avoiding a per-token length pass",
+        "mean_word_len is derived arithmetically from the NORMALIZED "
+        "(whitespace-collapsed) char count, which is exact for "
+        "single-space text by construction — no per-token length pass",
 )
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(load(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -86,11 +92,14 @@ def gopher_flags(docs: DataFrame, text_col: str = "text",
     for thresholds). Pure projection — composable before any shuffle."""
     toks = _toks(F.col(text_col))
     nw = F.size(toks)
-    mwl = (F.length(F.trim(F.col(text_col))) - nw + 1.0) / nw
+    mwl = (F.length(normalized_text(F.col(text_col))) - nw + 1.0) / nw
     sw = F.size(F.filter(
         toks, lambda w: w.isin(*STOPWORDS))).cast("double") / nw
-    keep = (nw.between(50, 100000) & mwl.between(3.0, 10.0)
-            & (sw > 0.01)).cast("int")
+    # coalesce: NULL text must yield keep=0 (as the oracle's CASE ELSE
+    # does), not a NULL three-valued-logic result.
+    keep = F.coalesce(
+        (nw.between(50, 100000) & mwl.between(3.0, 10.0)
+         & (sw > 0.01)).cast("int"), F.lit(0))
     return docs.select(
         id_col,
         nw.alias("n_words"),
@@ -106,16 +115,12 @@ DUP_NGRAM_N = 5
 
 
 def ngram_occurrences(col: F.Column, n: int = DUP_NGRAM_N) -> F.Column:
-    """ALL n-gram occurrences (duplicates kept — unlike the minhash
-    shingle set) as an array<string>, built expression-side: sequence +
-    slice + array_join, no Python. Documents shorter than n collapse to
-    their single full-text gram, matching the shingle convention."""
-    toks = _toks(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array(F.array_join(toks, " ")))
+    """ALL n-gram occurrences (duplicates kept — the distinct() is the
+    minhash callers' job, not the helper's). Delegates to the canonical
+    ``word_shingles`` expression (functions/text.py) so the n-gram
+    convention — normalization, short-doc full-text fallback — has one
+    definition across dedup and curation."""
+    return word_shingles(col, n)
 
 
 @query(

@@ -69,6 +69,18 @@ def test_gopher_flags_thresholds(spark):
     assert abs(got[2]["mean_word_len"] - 4.0) < 1e-9  # (9-2+1)/2
 
 
+def test_gopher_flags_messy_whitespace_and_null(spark):
+    # mean word length must come from the COLLAPSED text: raw length of
+    # "aaa  \t bbb\n\nccc" would inflate the metric.
+    df = spark.createDataFrame(
+        [(1, "aaa  \t bbb\n\nccc"), (2, None)],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in gopher_flags(df).collect()}
+    assert got[1]["n_words"] == 3
+    assert abs(got[1]["mean_word_len"] - 3.0) < 1e-9
+    assert got[2]["keep"] == 0  # NULL text → dropped, not NULL flag
+
+
 def test_stratified_sample_deterministic(spark, sf_dir):
     q = QS["stratified_sample"].spark
     a = [tuple(r) for r in q(spark, sf_dir).collect()]
