@@ -91,6 +91,10 @@ _UNPROVEN_R01 = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q12_priority_shipping",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
     "gopher_quality_filter",
     "duplicated_ngram_fraction",
     "stratified_sample",

@@ -3,10 +3,13 @@
 The reference's product requirement is "regular SQL" (/root/reference/
 README.md:7,32) — this module widens the proven SQL surface beyond the
 six TPC-H queries in ``adhoc.py`` (Q1/3/5/6/10/14) with schema-adapted
-versions of Q4, Q7, Q8, Q9, Q11, Q13, Q15, Q16, Q17, Q18, Q19, Q22.
-"Adapted" because the driver's star schema has no ``partsupp`` table
-and ``lineitem`` carries no commit/receipt dates or ship modes — each
-docstring states the adaptation.
+versions of Q2, Q4, Q7, Q8, Q9, Q11, Q12, Q13, Q15, Q16, Q17, Q18,
+Q19, Q20, Q21, Q22 — together with adhoc.py the full 22-query TPC-H
+shape catalog. "Adapted" because the driver's star schema has no
+``partsupp`` table and ``lineitem`` carries no commit/receipt dates or
+ship modes — each docstring states the adaptation (supply cost derives
+from lineitem unit prices; "late" derives from shipdate vs orderdate;
+``l_returnflag`` stands in for the ship mode).
 
 Scale notes (the common themes, per-query deltas in docstrings):
 
@@ -21,7 +24,7 @@ Scale notes (the common themes, per-query deltas in docstrings):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
@@ -475,3 +478,210 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    ranked AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY unit_cost, s_suppkey) AS rn
+      FROM cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN eu_supp ON l_suppkey = s_suppkey
+      WHERE p_type = 'STANDARD' AND p_size <= 25)
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2 (adapted: no partsupp — supply cost is the minimum "
+        "observed unit price min(l_extendedprice/l_quantity) per "
+        "(part, supplier) from lineitem; per-row division is exact and "
+        "engine-identical, unlike an accumulation-order-sensitive avg): "
+        "cheapest EUROPE supplier per STANDARD part. One fact shuffle "
+        "(the cost groupBy); part and the region-pruned supplier dim "
+        "both broadcast; the correlated min-subquery of the original "
+        "becomes a row_number window over the (part, supplier) "
+        "aggregate — cardinality parts x suppliers, never lineitem. "
+        "Ties on unit_cost break by s_suppkey, making the row "
+        "deterministic in both engines",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (load(spark, sf_dir, "supplier")
+          .join(F.broadcast(nat.join(
+                    F.broadcast(region),
+                    nat.n_regionkey == region.r_regionkey)),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+    j = (cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+             .join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey))
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (j.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                     "s_name", "n_name", "p_partkey", "p_name",
+                     F.round("unit_cost", 4).alias("unit_cost"))
+             .orderBy(F.desc("s_acctbal"), "p_partkey")
+             .limit(100))
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 (adapted: l_returnflag stands in for the missing "
+        "ship mode; the late-vs-committed date predicate is dropped "
+        "with it): high- vs low-priority line counts per flag for one "
+        "ship year. The year filter prunes lineitem at the scan; both "
+        "sides shuffle once on orderkey (at 100 TB this is the join "
+        "bucketing in plans/bucketing.py would co-locate); the "
+        "conditional counts are one partial-aggregable pass",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate")
+                  >= F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("l_returnflag")
+              .agg(F.sum(F.when(high, 1).otherwise(0))
+                    .alias("high_line_count"),
+                   F.sum(F.when(high, 0).otherwise(1))
+                    .alias("low_line_count"))
+              .orderBy("l_returnflag"))
+
+
+@query(
+    "q20_promo_suppliers",
+    oracle="""
+    WITH promo AS (
+      SELECT l_suppkey, sum(l_quantity) AS promo_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 500.0)
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN promo ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (adapted: no partsupp availqty — 'excess stock' "
+        "becomes suppliers who shipped > 500 units of PROMO parts in "
+        "1997): the original's nested IN chain decorrelates to a "
+        "pre-aggregated join — one lineitem scan (type + year pruned "
+        "via the broadcast part dim), one shuffle on l_suppkey, then "
+        "the tiny HAVING-filtered aggregate joins supplier. l_quantity "
+        "is integer-valued so the HAVING sum is exact in both engines "
+        "regardless of accumulation order",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate")
+                  >= F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1998-01-01").cast("timestamp"))))
+    promo = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+               .groupBy("l_suppkey")
+               .agg(F.sum("l_quantity").alias("promo_qty"))
+               .where(F.col("promo_qty") > 500.0))
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (supp.join(promo, supp.s_suppkey == promo.l_suppkey)
+                .select("s_name",
+                        F.round("s_acctbal", 2).alias("s_acctbal"))
+                .orderBy("s_name"))
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 (adapted: 'late' is l_shipdate > o_orderdate + 30 "
+        "days, standing in for receipt > commit): suppliers who were "
+        "the SOLE late shipper on a multi-supplier finished order. The "
+        "oracle keeps the original EXISTS / NOT EXISTS formulation; "
+        "the Spark plan replaces both correlated subqueries with ONE "
+        "per-order aggregation — countDistinct suppliers, countDistinct "
+        "late suppliers, the unique late supplier via max(when(late)), "
+        "and the late-line count — so lineitem is scanned once and "
+        "shuffles once (orderkey, reused by join and groupBy); a "
+        "genuine differential test of the decorrelation. numwait "
+        "counts late LINES (both formulations agree when one supplier "
+        "ships several late lines in an order)",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    g = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy("l_orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                F.countDistinct(F.when(late, F.col("l_suppkey")))
+                 .alias("n_late_supp"),
+                F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+                F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"))
+           .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (g.join(F.broadcast(supp), g.late_supp == supp.s_suppkey)
+             .groupBy("s_name")
+             .agg(F.sum("late_lines").alias("numwait"))
+             .orderBy(F.desc("numwait"), "s_name")
+             .limit(100))

@@ -141,6 +141,36 @@ def test_q17_scalar_nonnegative(spark, sf_dir):
     assert v is None or v >= 0.0
 
 
+def test_q2_one_supplier_per_part(spark, sf_dir):
+    rows = QS["q2_min_cost_supplier"].spark(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts))  # rn=1 → one winner per part
+    bals = [r["s_acctbal"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
+    assert all(r["unit_cost"] > 0 for r in rows)
+
+
+def test_q12_counts_partition_the_window(spark, sf_dir):
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+
+    rows = QS["q12_priority_shipping"].spark(spark, sf_dir).collect()
+    n_lines = (load(spark, sf_dir, "lineitem")
+               .where((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01"))
+               .count())
+    assert sum(r["high_line_count"] + r["low_line_count"]
+               for r in rows) == n_lines
+
+
+def test_q21_sole_late_shipper(spark, sf_dir):
+    rows = QS["q21_waiting_suppliers"].spark(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    waits = [r["numwait"] for r in rows]
+    assert waits == sorted(waits, reverse=True)
+    assert all(w >= 1 for w in waits)
+
+
 def test_q22_idle_customers_excludes_recent(spark, sf_dir):
     from rsyslog_nginx_clickhouse_spark.catalog import load
 
