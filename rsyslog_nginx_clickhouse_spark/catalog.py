@@ -21,61 +21,85 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: Columns stored as TIMESTAMP(NANOS) parquet, which Spark can't read
-#: natively: read as long (legacy conf) and truncate ns → µs, exactly
-#: what DuckDB does when loading the same file into its µs timestamps.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: Timestamp columns whose on-disk representation varies by driver
+#: version: observed as TIMESTAMP_NTZ (timestamp[us], no tz) and as
+#: TIMESTAMP(NANOS) (unreadable natively; legacy conf reads it as long
+#: ns). Either way the engine surface is a session-UTC TimestampType —
+#: the session tz is pinned UTC (session.py), so wall-clock values
+#: match DuckDB's naive read of the same file exactly.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def _normalize_nanos(df: DataFrame, name: str) -> DataFrame:
-    for col in _NANO_TS_COLS.get(name, ()):
+def normalize_ts(df: DataFrame, name: str) -> DataFrame:
+    """Cast the table's known time columns to session-UTC TimestampType.
+
+    NTZ → ``cast("timestamp")`` reinterprets the wall-clock in the
+    (UTC-pinned) session zone; long ns → truncate to µs then
+    ``timestamp_micros`` — both yield the instant DuckDB reads.
+    """
+    for col in _TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → pushdown + pruning free."""
-    if name in _NANO_TS_COLS:
+    if name in _TS_COLS:
+        # harmless for µs files; required to even read ns files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(df, name)
+    return normalize_ts(df, name)
 
 
 def load_time_range(spark: SparkSession, sf_dir: str, name: str, col: str,
                     t_from: str, t_to: str) -> DataFrame:
     """Time-range scan whose predicate actually reaches the parquet scan.
 
-    A filter on the µs-converted column is ``timestamp_micros(ts div
-    1000) BETWEEN a AND b`` — an expression Catalyst cannot push, so the
-    scan reads every row group (fatal at 100 TB, where the sorted raw
-    column's row-group stats are the sparse index). This helper
-    translates the inclusive [t_from, t_to] bounds onto the RAW int64
-    nanos column exactly (ns div 1000 ∈ [us_a, us_b] ⟺ ns ∈
-    [us_a·1000, us_b·1000+999]) and filters BEFORE conversion, so the
-    range lands in PushedFilters. For tables without the nanos quirk it
-    degrades to a plain (already-pushable) between.
+    A filter on the post-cast column is ``cast(ts) BETWEEN a AND b`` —
+    an expression Catalyst cannot push, so the scan reads every row
+    group (fatal at 100 TB, where the sorted raw column's row-group
+    stats are the sparse index). This helper pushes the inclusive
+    [t_from, t_to] bounds onto the RAW column in its native type —
+    TIMESTAMP_NTZ literals on an NTZ column, int64-ns bounds on a
+    legacy nanos column (ns div 1000 ∈ [us_a, us_b] ⟺ ns ∈
+    [us_a·1000, us_b·1000+999]) — and normalizes AFTER the filter, so
+    the range lands in PushedFilters. For other tables it degrades to a
+    plain (already-pushable) between.
     """
     import datetime as _dt
 
-    if col not in _NANO_TS_COLS.get(name, ()):
+    if col not in _TS_COLS.get(name, ()):
         return load(spark, sf_dir, name).where(F.col(col).between(
             F.lit(t_from).cast("timestamp"), F.lit(t_to).cast("timestamp")))
 
-    def _us(s: str) -> int:
-        d = _dt.datetime.fromisoformat(s)
-        if d.tzinfo is None:
-            d = d.replace(tzinfo=_dt.timezone.utc)  # naive = session UTC
-        d = d.astimezone(_dt.timezone.utc)  # honor explicit offsets
-        return int(d.timestamp()) * 1_000_000 + d.microsecond
-
-    lo_ns = _us(t_from) * 1000
-    hi_ns = _us(t_to) * 1000 + 999
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(
-        raw.where(F.col(col).between(F.lit(lo_ns), F.lit(hi_ns))), name)
+    dt = raw.schema[col].dataType
+
+    if isinstance(dt, T.LongType):  # legacy nanos-as-long file
+        def _us(s: str) -> int:
+            d = _dt.datetime.fromisoformat(s)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)  # naive = session UTC
+            d = d.astimezone(_dt.timezone.utc)  # honor explicit offsets
+            return int(d.timestamp()) * 1_000_000 + d.microsecond
+
+        lo, hi = F.lit(_us(t_from) * 1000), F.lit(_us(t_to) * 1000 + 999)
+    elif isinstance(dt, T.TimestampNTZType):
+        # NTZ bounds filter the raw column directly (pushable); the
+        # naive wall-clock comparison equals the session-UTC one
+        lo = F.lit(t_from).cast("timestamp_ntz")
+        hi = F.lit(t_to).cast("timestamp_ntz")
+    else:
+        lo = F.lit(t_from).cast("timestamp")
+        hi = F.lit(t_to).cast("timestamp")
+    return normalize_ts(raw.where(F.col(col).between(lo, hi)), name)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

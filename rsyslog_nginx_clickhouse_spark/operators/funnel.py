@@ -18,9 +18,9 @@ time-series query. Re-expressed Spark-first:
 Semantics (deterministic, oracle-checkable):
 
 - timestamps compare at MICROSECOND precision (``unix_micros``) on
-  both engines — the events table carries nanos, and ns-vs-µs
-  comparison disagreement between Spark (µs) and DuckDB (ns) would
-  flip window-boundary matches.
+  both engines. The input time column is coerced to TimestampType
+  first (``unix_micros`` rejects TIMESTAMP_NTZ; with the session tz
+  pinned UTC the cast preserves the wall-clock instant).
 - funnel level L = the largest k such that events e1 ≤ … ≤ ek exist
   (non-strict ordering, equal timestamps allowed) with e_i matching
   condition i and t(e_k) − t(e_1) ≤ window. The max-start DP is exact
@@ -83,8 +83,10 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
     # events all miss the conditions still get a row (empty list →
     # level 0) — no second scan / distinct / join to restore them
     pair = F.when(lvl_map[F.col(type_col)].isNotNull(),
-                  F.struct(F.unix_micros(F.col(time_col)).alias("t"),
-                           lvl_map[F.col(type_col)].alias("lv")))
+                  F.struct(
+                      F.unix_micros(F.col(time_col).cast("timestamp"))
+                       .alias("t"),
+                      lvl_map[F.col(type_col)].alias("lv")))
     return (events
             .groupBy(user_col)
             .agg(F.collect_list(pair).alias("evs"))

@@ -19,7 +19,9 @@ DEFAULT_BIN_S = 3600
 
 
 def _bin(col: Column, bin_s: int) -> Column:
-    return F.floor(col.cast("double") / bin_s).cast("long")
+    # cast("timestamp") first: TIMESTAMP_NTZ → double is illegal, and
+    # with a UTC session the extra cast is exact (no-op for TimestampType)
+    return F.floor(col.cast("timestamp").cast("double") / bin_s).cast("long")
 
 
 MAX_BINS_PER_INTERVAL = 4096

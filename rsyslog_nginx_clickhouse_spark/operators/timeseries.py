@@ -27,7 +27,8 @@ def time_bucket(col: Column | str, interval_s: int = 3600) -> Column:
     """
     col = F.col(col) if isinstance(col, str) else col
     return F.timestamp_seconds(
-        F.floor(F.unix_timestamp(col) / interval_s) * interval_s
+        F.floor(F.unix_timestamp(col.cast("timestamp")) / interval_s)
+        * interval_s
     )
 
 
@@ -66,7 +67,7 @@ def activity_vectors(df: DataFrame, key: str, time_col: str,
     one on key; the dense fill is a map lookup over a literal sequence —
     no join against a calendar table.
     """
-    bucket = F.floor((F.col(time_col).cast("double")
+    bucket = F.floor((F.col(time_col).cast("timestamp").cast("double")
                       - F.lit(origin).cast("timestamp").cast("double"))
                      / bucket_s).cast("int")
     per_bucket = (df.select(F.col(key), bucket.alias("__b"))

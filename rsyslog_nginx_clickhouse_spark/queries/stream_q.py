@@ -62,12 +62,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from rsyslog_nginx_clickhouse_spark.catalog import _normalize_nanos
+    from rsyslog_nginx_clickhouse_spark.catalog import normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    return _normalize_nanos(
+    return normalize_ts(
         spark.readStream.schema(raw_schema)
              .option("pathGlobFilter", "events.parquet")
              .parquet(sf_dir),
