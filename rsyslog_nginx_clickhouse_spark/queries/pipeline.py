@@ -151,9 +151,10 @@ def ngram_occurrences(col: F.Column, n: int = DUP_NGRAM_N) -> F.Column:
     doc="RefinedWeb-style duplicated-5-gram fraction per document: the "
         "share of a doc's 5-gram OCCURRENCES whose gram also appears "
         "in at least one other document. Plan: explode occurrences "
-        "(O(tokens) rows), one distinct+count shuffle on the gram for "
-        "document frequency, one join back on the gram, one agg by "
-        "doc_id — the same shuffle structure as distributed "
+        "ONCE, partial-agg to per-(doc, gram) counts at the map side "
+        "(the explode output never shuffles raw), count docfreq as an "
+        "unordered window over the compact (doc, gram) rows, one agg "
+        "by doc_id — the same shuffle structure as distributed "
         "tokenization, no quadratic step anywhere",
 )
 def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,17 +165,29 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     n: int = DUP_NGRAM_N) -> DataFrame:
-    """Per-document duplicated-n-gram fraction (see module docstring)."""
+    """Per-document duplicated-n-gram fraction (see module docstring).
+
+    Single-pass formulation: the expensive explode feeds exactly one
+    consumer — a (doc, gram) occurrence-count aggregate (map-side
+    combine shrinks it before the shuffle). Document frequency is then
+    ``count(*) over (partition by gram)`` on those already-distinct
+    (doc, gram) rows: a second branch off the explode (which Spark
+    would recompute — Catalyst shares no subplans across join inputs)
+    is never needed. A per-gram hot spot (viral boilerplate) bounds the
+    window partition by the gram's DOCUMENT frequency, not its
+    occurrence count — the same bound the join-back formulation had on
+    its shuffle key.
+    """
     occ = docs.select(
         id_col, F.explode(ngram_occurrences(F.col(text_col), n)).alias("g"))
-    docfreq = (occ.distinct()
-                  .groupBy("g")
-                  .agg(F.count("*").alias("nd")))
-    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
-    return (occ.join(docfreq, "g")
-               .groupBy(id_col)
-               .agg(F.round(F.sum(dup).cast("double") / F.count("*"), 6)
-                     .alias("dup_frac")))
+    per_doc_gram = occ.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(Window.partitionBy("g"))
+    dup_c = F.when(nd > 1, F.col("c")).otherwise(F.lit(0))
+    return (per_doc_gram
+            .select(id_col, F.col("c"), dup_c.alias("dup_c"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("dup_c").cast("double") / F.sum("c"), 6)
+                  .alias("dup_frac")))
 
 
 #: Per-source sampling percentages: the head sources are kept at 50%,
@@ -215,9 +228,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
       SELECT source, count(*) AS n_docs,
-             sum(len(string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'),
-                                  ' '))) AS n_tokens
+             -- cast: DuckDB sum(int) is HUGEINT vs Spark bigint —
+             -- identical values, different dtype, hash mismatch
+             CAST(sum(len(string_split(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g'),
+                                       ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source)
     SELECT source, n_docs, n_tokens,
            round(n_tokens::double / sum(n_tokens) OVER (), 6)
