@@ -288,9 +288,19 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return verified
 
 
+#: Shingles appearing in more documents than this are dropped from the
+#: Jaccard universe (candidate generation AND similarity): a single
+#: viral 5-gram at 100 TB otherwise costs O(docfreq²) join rows. Sized
+#: to never fire at test scale (≤5k docs), so the gate results are
+#: byte-identical with or without the cap; the oracle SQL applies the
+#: identical cap, so results stay exact whenever it DOES fire.
+NGRAM_JACCARD_MAX_DF = 10_000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int = NGRAM_JACCARD_MAX_DF) -> DataFrame:
     """Exact near-dup pairs: self-join on shared shingles, Jaccard verify.
 
     Ground truth for the LSH variant (recall oracle). Formulated as
@@ -298,12 +308,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     join rows per pair, |A∪B| = |A|+|B|−|A∩B| — one shuffle on the
     shingle value + one on the pair, never materializing per-pair
     arrays (≈4× faster than array_intersect verification at sf0.1).
-    Candidate cost is O(sum of per-shingle bucket²) — bounded shingle
-    frequency keeps it sane; the LSH path exists for 100 TB.
+
+    Scale contract: Jaccard is computed over the CAPPED shingle
+    universe — shingles with document frequency > ``max_doc_freq`` are
+    removed from both the intersection and the union (think stopword
+    removal at the shingle level). This bounds the candidate cost at
+    O(Σ_{df(s) ≤ cap} df(s)²) regardless of corpus size; a pair whose
+    overlap is ONLY ultra-common boilerplate is reported with reduced
+    (or no) similarity — the documented recall trade, analogous to the
+    LSH tier's S-curve misses. The docfreq is one unordered window
+    over the shingle key; the self-join that follows shuffles on the
+    same key, so AQE reuses the exchange rather than re-partitioning.
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    from pyspark.sql import Window
+    nd = F.count("*").over(Window.partitionBy("s"))
+    ex = (ex.withColumn("__nd", nd)
+            .where(F.col("__nd") <= max_doc_freq)
+            .drop("__nd"))
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, "s")
               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

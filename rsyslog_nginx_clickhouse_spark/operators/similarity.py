@@ -33,6 +33,9 @@ from pyspark.sql import types as T
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
 
 NUM_PLANES = 8
+#: block count for the exact all-pairs GEMM (triangle-partitioned):
+#: per-group memory ≈ 2n/blocks vectors; raise ∝ √n for big corpora
+EXACT_GEMM_BLOCKS = 8
 #: banded LSH for near-dup pair mining: 8 bands × 4 planes. p = 1-θ/π;
 #: recall = 1-(1-p^4)^8 ≈ 0.9996 at cos 0.95, ≈ 0.72 at cos 0.35 —
 #: a single 32-plane signature would be p^32 ≈ 0 at either.
@@ -156,15 +159,19 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        use_lsh: bool = False) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
 
-    Exact mode: blocked GEMM — the full (id, vec) table is
-    ``collect()``ed to the DRIVER to build the broadcast matrix, then
-    ``mapInPandas`` streams Arrow batches of the other side and emits
-    ``batch @ M.T`` hits above the threshold. One numpy matmul per
-    batch replaces millions of per-pair expression evaluations (~50×
-    over the crossJoin formulation at sf0.1). Constraint: the table
-    must fit in DRIVER memory and then executor memory (~n·dim·8
-    bytes each) — this is the small-corpus / ground-truth path only;
-    anything big takes ``use_lsh=True`` (the registry default).
+    Exact mode: DISTRIBUTED blocked GEMM. Rows are hashed into
+    ``n_blocks`` buckets; every unordered block pair (i ≤ j) becomes
+    one ``applyInPandas`` group holding the union of the two buckets,
+    verified by a single numpy matmul. Each row is shuffled to the
+    ~n_blocks groups it participates in (replication factor n_blocks,
+    shuffle volume O(n·n_blocks) — the textbook triangle-partitioned
+    all-pairs join), and each unordered ID pair lands in EXACTLY one
+    group, so no dedup pass is needed. No driver collect, no broadcast
+    of the table; per-group memory is 2n/n_blocks vectors — raise
+    ``n_blocks`` ∝ √corpus to keep a block executor-sized. Exact
+    all-pairs is inherently O(n²) COMPUTE at any scale; this bounds its
+    memory and distributes it, but 100 TB corpora take ``use_lsh=True``
+    (the registry default) — exact mode is the ground-truth twin.
 
     LSH mode (the 100 TB path and the registry default): BANDED
     random-hyperplane LSH — ``LSH_BANDS`` bands of ``LSH_ROWS_PER_BAND``
@@ -243,30 +250,51 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     # broke string/int id columns)
     id_t = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
-    rows = embeddings.select(id_col, vec_col).collect()
-    if not rows:  # empty input: empty pairs, like the LSH branch
-        return embeddings.sparkSession.createDataFrame([], out_schema)
-    ids = np.asarray([r[0] for r in rows])
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
+    spark = embeddings.sparkSession
+    n_blocks = EXACT_GEMM_BLOCKS
+    t = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                  .cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int")
+    # a row of block k joins every group where k is EITHER side; two
+    # broadcast equi-joins (an OR condition would plan as BNLJ)
+    as_i = t.join(F.broadcast(bp), t["__blk"] == bp["bi"])
+    as_j = t.join(F.broadcast(bp.where(F.col("bi") != F.col("bj"))),
+                  t["__blk"] == bp["bj"])
+    exploded = as_i.unionByName(as_j)
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf[vec_col]])
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, 6)
-            ii, jj = np.nonzero(sims >= threshold)
-            keep = a_ids[ii] < b_ids[jj]
-            yield pd.DataFrame({"id_a": a_ids[ii][keep],
-                                "id_b": b_ids[jj][keep],
-                                "cos_sim": sims[ii, jj][keep]})
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        A = pdf[pdf["__blk"] == bi]
+        if len(A) == 0:
+            return empty
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in A[vec_col]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        a_ids = A[id_col].to_numpy()
+        if bi == bj:
+            S = np.round(M @ M.T, 6)
+            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+            lo = np.minimum(a_ids[ii], a_ids[jj])
+            hi = np.maximum(a_ids[ii], a_ids[jj])
+            return pd.DataFrame({"id_a": lo, "id_b": hi,
+                                 "cos_sim": S[ii, jj]})
+        B = pdf[pdf["__blk"] == bj]
+        if len(B) == 0:
+            return empty
+        N = np.stack([np.asarray(v, dtype=np.float64) for v in B[vec_col]])
+        N /= np.linalg.norm(N, axis=1, keepdims=True)
+        b_ids = B[id_col].to_numpy()
+        S = np.round(M @ N.T, 6)
+        ii, jj = np.nonzero(S >= threshold)
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": S[ii, jj]})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        block, schema=out_schema)
+    return exploded.groupBy("bi", "bj").applyInPandas(gemm,
+                                                      schema=out_schema)
 
 
 # ------------------------------------------------------------------ IVF --

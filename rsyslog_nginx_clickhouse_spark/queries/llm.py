@@ -194,25 +194,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
+def _ngram_jaccard_oracle() -> str:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        NGRAM_JACCARD_MAX_DF,
+    )
+
+    # mirrors ngram_jaccard_pairs exactly, INCLUDING the docfreq cap
+    # (count-agg Jaccard: |A∩B| = shared-shingle rows, |A∪B| by
+    # inclusion-exclusion — identical values to the array form because
+    # per-doc shingles are distinct)
+    return _SHINGLES_CTE + f"""
+    , ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS nd
+             FROM ex0)
+           WHERE nd <= {NGRAM_JACCARD_MAX_DF}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter::double
+                 / greatest(sa.sz + sb.sz - n_inter, 1), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter::double
+                / greatest(sa.sz + sb.sz - n_inter, 1), 6) >= 0.5
+    """
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle=_SHINGLES_CTE + """
-    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::double
-                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
-                 6) AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = id_a
-    JOIN sh sb ON sb.doc_id = id_b
-    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
-                / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
-                6) >= 0.5
-    """,
-    doc="exact n-gram-Jaccard near-dup pairs (ground truth for LSH recall)",
+    oracle=_ngram_jaccard_oracle(),
+    doc="exact n-gram-Jaccard near-dup pairs (ground truth for LSH "
+        "recall), over the docfreq-capped shingle universe",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
@@ -465,10 +482,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, round(c, 6) AS cos_sim
     FROM pairs WHERE round(c, 6) >= 0.35
     """,
-    doc="EXACT embedding near-dup pairs (broadcast blocked GEMM) — the "
-        "all-pairs ground truth the banded-LSH registry twin is "
-        "measured against; small-corpus path only (collects the table "
-        "to the driver: documented constraint in cosine_dedup_pairs)",
+    doc="EXACT embedding near-dup pairs (distributed triangle-blocked "
+        "GEMM, no driver collect) — the all-pairs ground truth the "
+        "banded-LSH registry twin is measured against; O(n²) compute "
+        "by definition, so huge corpora take the LSH twin",
 )
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup_pairs(load(spark, sf_dir, "embeddings"),

@@ -48,6 +48,37 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_docfreq_cap_drops_hot_shingles(spark):
+    # 6 docs all sharing one viral boilerplate prefix (one hot shingle
+    # universe) plus unique tails; docs 1 and 2 are true near-dups.
+    boiler = "subscribe to our newsletter today"
+    # tails: 2 unique tokens → uncapped J(3,4)=3/7≈0.43 (boilerplate
+    # alone crosses the 0.3 threshold), capped J(3,4)=0
+    rows = [(1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} alpha beta gamma epsilon"),
+            (3, f"{boiler} tail3a tail3b"),
+            (4, f"{boiler} tail4a tail4b"),
+            (5, f"{boiler} tail5a tail5b"),
+            (6, f"{boiler} tail6a tail6b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=5: every shingle inside the 5-token boilerplate appears in 6
+    # docs → excluded from the Jaccard universe; tail shingles survive.
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3,
+                                          max_doc_freq=5).collect()}
+    # without the cap (1,2) share the 3 boilerplate shingles too; with
+    # it, similarity comes from the tails alone. Tails "alpha beta
+    # gamma delta|epsilon": per-doc capped universe = 6 shingles of
+    # which 2 boilerplate-overlapping... compute directly instead:
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs           # true near-dups still found
+    assert pairs[(1, 2)] < uncapped[(1, 2)]  # boilerplate no longer counts
+    # boilerplate-only pairs (e.g. 3,4) exceed 0.3 uncapped but carry
+    # zero capped similarity
+    assert (3, 4) in uncapped and (3, 4) not in pairs
+
+
 def test_minhash_candidates_superset_verified_by_jaccard(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_pairs(docs, threshold=0.5).collect()}
