@@ -64,7 +64,11 @@ def main() -> None:
             timings[name] = best
         except Exception as e:  # report, don't abort the whole bench
             timings[name] = -1.0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+            # one stderr line, no multiline tracebacks: a failed round
+            # must not be able to garble the stdout JSON or flood logs
+            msg = " ".join(str(e).split())[:300]
+            print(f"# bench error {name}: {type(e).__name__}: {msg}",
+                  file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sorted(n for n, t in timings.items() if t < 0)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -82,7 +86,11 @@ def main() -> None:
     if failed:
         # a crashed query must not read as a speedup of the total
         out["failed"] = failed
-    print(json.dumps(out))
+    # single parseable line, last on stdout: drain stderr first so an
+    # interleaving log line can't split the JSON mid-string
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

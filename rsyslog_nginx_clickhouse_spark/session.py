@@ -40,6 +40,9 @@ def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # static conf (settable only at session build): keep the stage
+        # ticker off stdout so bench.py's JSON line stays parseable
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
