@@ -20,7 +20,13 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     "toYYYYMMDD": ("d DATE", "INT", "cast(date_format(d, 'yyyyMMdd') as int)"),
     "toYYYYMM": ("d DATE", "INT", "cast(date_format(d, 'yyyyMM') as int)"),
     "toDate": ("x STRING", "DATE", "cast(x as date)"),
-    "toDateTime": ("x STRING", "TIMESTAMP", "cast(x as timestamp)"),
+    # ClickHouse toDateTime accepts BOTH 'YYYY-MM-DD hh:mm:ss' strings
+    # and epoch-second integers (the form Grafana's $from/$to expand
+    # to); a bare cast of a digit-string yields NULL in Spark
+    "toDateTime": ("x STRING", "TIMESTAMP",
+                   "CASE WHEN x RLIKE '^[0-9]+$' "
+                   "THEN timestamp_seconds(cast(x as bigint)) "
+                   "ELSE cast(x as timestamp) END"),
     "toUInt32": ("x TIMESTAMP", "BIGINT", "unix_timestamp(x)"),
     "toHour": ("t TIMESTAMP", "INT", "hour(t)"),
     "toMinute": ("t TIMESTAMP", "INT", "minute(t)"),

@@ -24,21 +24,61 @@ from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
 )
 
 
+#: $naturalTimeSeries bucket tiers: (max range span s, bucket s). The
+#: vertamedia plugin picks a "natural" unit from the dashboard range;
+#: re-expressed here as FIXED-WIDTH buckets (calendar months aren't
+#: fixed-width — 7-day buckets stand in past the day tier) so the
+#: expansion stays a pure epoch-arithmetic projection.
+NATURAL_TIERS: tuple[tuple[int, int], ...] = (
+    (2 * 3600, 60),            # ≤ 2 h   → 1 min
+    (2 * 86400, 300),          # ≤ 2 d   → 5 min
+    (14 * 86400, 3600),        # ≤ 14 d  → 1 h
+    (90 * 86400, 86400),       # ≤ 90 d  → 1 day
+)
+NATURAL_FALLBACK_S = 7 * 86400  # > 90 d → 1 week
+
+
+def _epoch_s(ts: str) -> int:
+    """Naive timestamps are session time = UTC (session.py pins it)."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.astimezone(_dt.timezone.utc).timestamp())
+
+
+def natural_interval_s(time_from: str, time_to: str) -> int:
+    """Bucket width $naturalTimeSeries uses for this range span."""
+    span = _epoch_s(time_to) - _epoch_s(time_from)
+    for max_span, bucket in NATURAL_TIERS:
+        if span <= max_span:
+            return bucket
+    return NATURAL_FALLBACK_S
+
+
 def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
                   interval_s: int = 3600,
                   time_from: str | None = None,
                   time_to: str | None = None) -> str:
-    """Expand $timeSeries/$timeFilter/$table/$interval into Spark SQL.
+    """Expand the vertamedia plugin macro set into Spark SQL:
+    $timeSeries / $naturalTimeSeries / $timeFilter / $table /
+    $interval / $from / $to.
 
     ``$timeSeries`` → canonical vertamedia expansion
     ``intDiv(toUInt32(t), $interval) * $interval`` re-expressed as a
     timestamp bucket (timestamp_seconds keeps the result a TIMESTAMP so
-    downstream date functions still work).
+    downstream date functions still work). ``$naturalTimeSeries`` is
+    the same bucket with the width picked from the range span
+    (NATURAL_TIERS). ``$from``/``$to`` → epoch SECONDS (the plugin's
+    convention), so ``toDateTime($from)`` round-trips through the
+    compat scalar.
     """
-    ts_expr = (
-        f"timestamp_seconds(floor(unix_timestamp({time_col}) / {interval_s})"
-        f" * {interval_s})"
-    )
+
+    def bucket_expr(width_s: int) -> str:
+        return (f"timestamp_seconds(floor(unix_timestamp({time_col})"
+                f" / {width_s}) * {width_s})")
+
     bounds = []
     if time_from:
         bounds.append(f"{time_col} >= timestamp'{time_from}'")
@@ -47,11 +87,27 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
     # one-sided ranges are honored — silently expanding a lone
     # time_from to 1=1 would full-scan and return pre-range rows
     filt = " AND ".join(bounds) if bounds else "1=1"
+    if "$naturalTimeSeries" in sql:
+        if not (time_from and time_to):
+            raise ValueError(
+                "$naturalTimeSeries needs time_from and time_to (the "
+                "bucket width is derived from the range span)")
+        sql = sql.replace("$naturalTimeSeries",
+                          bucket_expr(natural_interval_s(time_from, time_to)))
     out = (sql
-           .replace("$timeSeries", ts_expr)
+           .replace("$timeSeries", bucket_expr(interval_s))
            .replace("$timeFilter", filt)
            .replace("$table", table)
            .replace("$interval", str(interval_s)))
+    # \b: "$to" must not eat the prefix of other macros or identifiers
+    if "$from" in out:
+        if not time_from:
+            raise ValueError("$from used without time_from")
+        out = re.sub(r"\$from\b", str(_epoch_s(time_from)), out)
+    if re.search(r"\$to\b", out):
+        if not time_to:
+            raise ValueError("$to used without time_to")
+        out = re.sub(r"\$to\b", str(_epoch_s(time_to)), out)
     return rewrite_aggregates(out)
 
 

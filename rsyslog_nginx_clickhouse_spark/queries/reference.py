@@ -48,15 +48,62 @@ _T_FROM, _T_TO = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
     doc="README.md:279-285 verbatim through the $macro expander (Q1-Q5)",
 )
 def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Range-pruned view: the $timeFilter predicate on the converted
-    # column can't push down, so the view itself carries the raw-nanos
-    # range (catalog.load_time_range) — the scan skips row groups. The
-    # view name is query-private: rebinding the session-wide "events"
-    # view to a filtered subset would contaminate later queries.
+    # Range-pruned view: the $timeFilter predicate on the normalized
+    # (cast) column can't push down, so the view itself carries the
+    # range in the raw column's native type (catalog.load_time_range) —
+    # the scan skips row groups. The view name is query-private:
+    # rebinding the session-wide "events" view to a filtered subset
+    # would contaminate later queries.
     load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
         .createOrReplaceTempView("grafana_events_pruned")
     return engine_sql(spark, GRAFANA_SQL, table="grafana_events_pruned",
                       time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_from_to_macros",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS t, count(*) AS cnt
+    FROM events
+    WHERE ts >= TIMESTAMP '{_T_FROM}' AND ts <= TIMESTAMP '{_T_TO}'
+    GROUP BY t ORDER BY t
+    """,
+    doc="the published query restated with the plugin's $from/$to "
+        "macros (epoch seconds) through the ClickHouse-compat "
+        "toDateTime — the other half of the vertamedia macro surface",
+)
+def grafana_from_to_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_ft")
+    q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
+         "WHERE ts >= toDateTime($from) AND ts <= toDateTime($to) "
+         "GROUP BY t ORDER BY t")
+    return engine_sql(spark, q, table="grafana_events_pruned_ft",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_natural_timeseries",
+    # 15-day span → the day tier of NATURAL_TIERS. CAST: DuckDB's
+    # date_trunc('day') returns DATE, Spark's bucket is TIMESTAMP
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS t, count(*) AS cnt
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_T_FROM}' AND TIMESTAMP '{_T_TO}'
+    GROUP BY t ORDER BY t
+    """,
+    doc="$naturalTimeSeries: bucket width derived from the dashboard "
+        "range span (15 d → 1-day buckets per NATURAL_TIERS)",
+)
+def grafana_natural_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_nat")
+    q = ("SELECT $naturalTimeSeries as t, count(*) as cnt FROM $table "
+         "WHERE $timeFilter GROUP BY t ORDER BY t")
+    return engine_sql(spark, q, table="grafana_events_pruned_nat",
+                      time_col="ts",
                       time_from=_T_FROM, time_to=_T_TO)
 
 

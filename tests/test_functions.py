@@ -67,6 +67,57 @@ def test_macro_one_sided_time_filter():
     assert ">= timestamp'2020-04-06 00:00:00'" in out and "1=1" not in out
 
 
+def test_macro_from_to_and_natural_timeseries():
+    q = ("SELECT $naturalTimeSeries as t FROM $table "
+         "WHERE x >= toDateTime($from) AND x <= toDateTime($to)")
+    out = expand_macros(q, table="ev", time_col="ts",
+                        time_from="2024-01-05 00:00:00",
+                        time_to="2024-01-20 00:00:00")
+    assert "$" not in out
+    assert "toDateTime(1704412800)" in out   # $from → epoch seconds
+    assert "toDateTime(1705708800)" in out   # $to
+    # 15-day span → day tier
+    assert "floor(unix_timestamp(ts) / 86400) * 86400" in out
+
+
+def test_macro_natural_tiers():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        natural_interval_s,
+    )
+
+    assert natural_interval_s("2024-01-01 00:00:00",
+                              "2024-01-01 01:00:00") == 60
+    assert natural_interval_s("2024-01-01 00:00:00",
+                              "2024-01-02 00:00:00") == 300
+    assert natural_interval_s("2024-01-01 00:00:00",
+                              "2024-01-08 00:00:00") == 3600
+    assert natural_interval_s("2024-01-01 00:00:00",
+                              "2024-03-01 00:00:00") == 86400
+    assert natural_interval_s("2024-01-01 00:00:00",
+                              "2025-01-01 00:00:00") == 7 * 86400
+
+
+def test_macro_from_requires_bound():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expand_macros("SELECT $from FROM $table", table="t")
+    with _pytest.raises(ValueError):
+        expand_macros("SELECT $naturalTimeSeries FROM $table", table="t")
+
+
+def test_todatetime_epoch_and_string(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    row = spark.sql(
+        "SELECT toDateTime('1704412800') AS a, "
+        "toDateTime('2024-01-05 00:00:00') AS b").collect()[0]
+    assert row["a"] == row["b"]
+
+
 def test_macro_aggregate_rewrites():
     out = expand_macros("SELECT uniq(u), quantile(0.5)(x) FROM $table", table="t")
     assert "approx_count_distinct(u" in out
