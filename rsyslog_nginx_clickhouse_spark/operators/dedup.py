@@ -108,16 +108,17 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, F.col(key))
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingles: array<string> distinct) — shared by all near-dup ops.
+def shingle_udf(n: int, distinct: bool = True):
+    """Arrow-vectorized word-shingling (the hot-path twin of the
+    ``word_shingles`` expression in functions/text.py).
 
-    Arrow-vectorized: the expression form (array_distinct over
-    transform/slice/array_join) runs as interpreted lambdas — never
-    codegen — at ~0.8 ms/doc; the Python loop over an Arrow batch is
-    ~10× faster and semantically identical to ``word_shingles`` +
-    ``array_distinct`` (same \\s+ split, same first-occurrence dedup
-    order; the oracle compares shingle SETS so order never matters).
+    The expression form (transform/slice/array_join) runs as
+    interpreted lambdas — never codegen — at ~0.8 ms/doc; the Python
+    loop over an Arrow batch is ~10× faster and value-identical: same
+    \\s+ split of the lowercased trimmed text, same short-doc
+    whole-text fallback, and (``distinct=True``) the same
+    first-occurrence dedup order. ``distinct=False`` keeps every
+    occurrence — the form the duplicated-n-gram measure needs.
     """
     import re
 
@@ -132,13 +133,25 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                          for i in range(len(toks) - n + 1)]
             else:
                 grams = [" ".join(toks)]
-            return list(dict.fromkeys(grams))
+            return list(dict.fromkeys(grams)) if distinct else grams
 
         return texts.map(one)
 
+    return shingle
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *extra_cols, shingles: array<string> distinct) — shared by
+    all near-dup ops. ``extra_cols`` are passed through untouched (the
+    spread key stays ``id_col``, which is what balances partitions —
+    low-cardinality attributes like ``source`` must not be spread keys).
+    """
     return spread(docs, id_col).select(
         F.col(id_col),
-        shingle(F.col(text_col)).alias("shingles"),
+        *[F.col(c) for c in extra_cols],
+        shingle_udf(n)(F.col(text_col)).alias("shingles"),
     )
 
 
@@ -322,11 +335,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sh = doc_shingles(docs, id_col, text_col, n).cache()
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    from pyspark.sql import Window
-    nd = F.count("*").over(Window.partitionBy("s"))
-    ex = (ex.withColumn("__nd", nd)
-            .where(F.col("__nd") <= max_doc_freq)
-            .drop("__nd"))
+    # Docfreq cap, adaptively (results are identical on every path —
+    # the cap only changes WHEN work happens, never what comes out):
+    # 1. df(s) ≤ n_docs always, so when the corpus has ≤ cap documents
+    #    no shingle can be hot — skip everything on one metadata-only
+    #    count (this is the whole story at gate scale).
+    # 2. Otherwise probe the hot list (shingles with df > cap). It is
+    #    tiny BY CONSTRUCTION (each entry needs > cap docs, so ≤ total
+    #    occurrences / cap) and usually empty; one map-side-combined
+    #    aggregate materializes it.
+    # 3. Only when something is actually hot does the plan grow the
+    #    anti-join stage (AQE-style runtime-stat plan choice).
+    # A window-over-s formulation was tried and rejected: it
+    # full-sorts the exploded rows, cannot map-side-combine, and cost
+    # ~1.2 s at sf0.1 even with zero hot shingles.
+    if docs.count() > max_doc_freq:
+        hot = (ex.groupBy("s").agg(F.count("*").alias("nd"))
+                 .where(F.col("nd") > max_doc_freq).select("s").cache())
+        if hot.limit(1).count():
+            ex = ex.join(hot, "s", "left_anti")
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, "s")

@@ -68,6 +68,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _FRONTLOAD_R3 = [
     "grafana_from_to_macros",
     "grafana_natural_timeseries",
+    "source_overlap",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

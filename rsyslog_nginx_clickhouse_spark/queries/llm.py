@@ -50,6 +50,19 @@ from rsyslog_nginx_clickhouse_spark.queries import query
 
 # ---------------------------------------------------------------- text --
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to session parallelism. A small corpus
+    arrives as ONE file → ONE scan partition (parquet can't split
+    below a row group), serializing every per-row text expression onto
+    a single core — 6× slower at sf0.1. ``spread`` is a no-op when the
+    scan is already wide (plan-metadata probe), so this is free at
+    scale."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
+
+    return spread(load(spark, sf_dir, "documents"), "doc_id")
+
+
 #: DuckDB mirror of functions/text.py `tokens()`.
 _TOKS = ("CASE WHEN trim(text) = '' THEN []::varchar[] "
          "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END")
@@ -95,7 +108,7 @@ _PUNCT_SQL = """'[.,!?;:''"()\\[\\]{}-]'"""
     doc="token counting + quality signals, pure Catalyst expressions",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
@@ -130,7 +143,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="composite document quality score for corpus filtering",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id",
                        F.round(quality_score("text"), 6).alias("quality"))
 
@@ -157,7 +170,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="marker-stopword language ID heuristic (argmax, first-wins ties)",
 )
 def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", F.col("lang").alias("lang_declared"),
                        lang_id("text").alias("lang_detected"))
 
@@ -173,6 +186,7 @@ def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="document fingerprint: md5 of whitespace-normalized lowercase text",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread: one md5 per row is cheaper than the repartition
     return load(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fingerprint"))
 
@@ -191,6 +205,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact dedup: hash-groupBy on the fingerprint, keep min id",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread: the fingerprint groupBy shuffles anyway; a pre-shuffle
+    # spread just doubles the exchanges
     return exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
@@ -519,16 +535,18 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS rank
       FROM scored) WHERE rank <= 3
     """,
-    doc="per-document top-3 TF-IDF terms: corpus document-frequency "
-        "agg (bounded by vocabulary) broadcast-joined to per-doc term "
-        "counts, windowed top-3 — the keyword-extraction / "
-        "feature-selection primitive; shuffle carries (term, partial "
-        "df) and (doc, term, count), never raw text",
+    doc="per-document top-3 TF-IDF terms: one explode pass partial-aggs "
+        "to (doc, term, count); document frequency is an unordered "
+        "window over those compact rows (NOT a second explode branch — "
+        "Catalyst shares no subplans across join inputs, so the "
+        "dfreq-as-join formulation ran the tokenize+explode+agg twice), "
+        "then windowed top-3; shuffle carries (doc, term, count), "
+        "never raw text",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # scalar aggregate, driver-safe at any scale
     toks = tokens("text")
     ex = (docs.where(F.size(toks) > 0)
@@ -537,14 +555,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (ex.groupBy("doc_id", "term")
             .agg(F.count("*").alias("cnt"),
                  F.any_value(F.col("n_tok")).alias("n_tok")))
-    dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (tc.join(F.broadcast(dfreq), "term")
-                .select("doc_id", "term",
-                        F.round((F.col("cnt").cast("double")
-                                 / F.col("n_tok"))
-                                * F.log(F.lit(float(n_docs))
-                                        / F.col("df")), 6)
-                         .alias("tfidf")))
+    dfw = F.count("*").over(Window.partitionBy("term"))
+    scored = tc.select(
+        "doc_id", "term",
+        F.round((F.col("cnt").cast("double") / F.col("n_tok"))
+                * F.log(F.lit(float(n_docs)) / dfw), 6).alias("tfidf"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
                                              F.asc("term"))
     return (scored.withColumn("rank",
@@ -644,7 +659,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count,
     )
 
-    return load(spark, sf_dir, "documents").select(
+    return _docs(spark, sf_dir).select(
         "doc_id",
         token_count("text").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_tokens"),
@@ -840,7 +855,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.functions.text import lang_score
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),

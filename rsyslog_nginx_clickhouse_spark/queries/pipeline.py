@@ -28,10 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
-from rsyslog_nginx_clickhouse_spark.functions.text import (
-    normalized_text,
-    word_shingles,
-)
+from rsyslog_nginx_clickhouse_spark.functions.text import normalized_text
 from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
 from rsyslog_nginx_clickhouse_spark.queries import query
 
@@ -116,11 +113,16 @@ DUP_NGRAM_N = 5
 
 def ngram_occurrences(col: F.Column, n: int = DUP_NGRAM_N) -> F.Column:
     """ALL n-gram occurrences (duplicates kept — the distinct() is the
-    minhash callers' job, not the helper's). Delegates to the canonical
-    ``word_shingles`` expression (functions/text.py) so the n-gram
-    convention — normalization, short-doc full-text fallback — has one
-    definition across dedup and curation."""
-    return word_shingles(col, n)
+    minhash callers' job, not the helper's). Arrow-vectorized via the
+    same UDF family the dedup shingles use (operators/dedup.shingle_udf
+    — value-identical to the ``word_shingles`` expression, ~10× faster:
+    the expression form runs as interpreted lambdas at ~0.8 ms/doc and
+    dominated this query's runtime), so the n-gram convention —
+    normalization, short-doc full-text fallback — has one definition
+    across dedup and curation."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import shingle_udf
+
+    return shingle_udf(n, distinct=False)(col)
 
 
 @query(
@@ -178,7 +180,9 @@ def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
     occurrence count — the same bound the join-back formulation had on
     its shuffle key.
     """
-    occ = docs.select(
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
+
+    occ = spread(docs, id_col).select(
         id_col, F.explode(ngram_occurrences(F.col(text_col), n)).alias("g"))
     per_doc_gram = occ.groupBy(id_col, "g").agg(F.count("*").alias("c"))
     nd = F.count("*").over(Window.partitionBy("g"))
@@ -188,6 +192,67 @@ def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.round(F.sum("dup_c").cast("double") / F.sum("c"), 6)
                   .alias("dup_frac")))
+
+
+@query(
+    "source_overlap",
+    oracle="""
+    WITH normed AS (
+      SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT source, list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ')
+                     for i in generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM normed),
+    ex AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           round(n_shared::double / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.source = src_a
+               JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source contamination matrix: shingle-set Jaccard between "
+        "every source pair — the report that catches one corpus slice "
+        "republishing another (mirrors, scrapes of scrapes) before "
+        "mixture weights are set. Collapses to DISTINCT (source, "
+        "shingle) first, so the self-join's fan-out per shingle is "
+        "bounded by |sources|² (a few hundred at web scale), never by "
+        "document count; sizes join is a broadcast of |sources| rows",
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    ex = (doc_shingles(docs, n=3, extra_cols=("source",))
+          .select("source", F.explode("shingles").alias("s"))
+          .distinct())
+    sizes = ex.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, "s")
+              .where(F.col("a.source") < F.col("b.source"))
+              .groupBy(F.col("a.source").alias("src_a"),
+                       F.col("b.source").alias("src_b"))
+              .agg(F.count("*").alias("n_shared")))
+    sz_a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sz_b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sz_a), "src_a")
+                 .join(F.broadcast(sz_b), "src_b")
+                 .select("src_a", "src_b", "n_shared",
+                         F.round(F.col("n_shared").cast("double")
+                                 / (F.col("na") + F.col("nb")
+                                    - F.col("n_shared")), 6)
+                          .alias("jaccard"))
+                 .orderBy("src_a", "src_b"))
 
 
 #: Per-source sampling percentages: the head sources are kept at 50%,

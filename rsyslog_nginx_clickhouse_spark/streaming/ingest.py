@@ -36,9 +36,29 @@ from rsyslog_nginx_clickhouse_spark.sources.nginx_log import (
 from rsyslog_nginx_clickhouse_spark.plans.storage import write_mergetree_like
 
 
-def stream_access_log(spark: SparkSession, log_dir: str) -> DataFrame:
-    """Streaming source over an access-log directory (S1 equivalent)."""
-    raw = spark.readStream.format("text").load(log_dir)
+def stream_access_log(spark: SparkSession, log_dir: str,
+                      max_files_per_trigger: int | None = None,
+                      max_bytes_per_trigger: str | None = None) -> DataFrame:
+    """Streaming source over an access-log directory (S1 equivalent).
+
+    Back-pressure / queue semantics: rsyslog's ruleset call
+    (/root/reference/nginx.conf:56) implicitly runs through bounded
+    action queues that throttle the producer when the sink lags. The
+    Structured Streaming analog is admission control at the source —
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` cap how much of a
+    backlog one micro-batch admits, so a multi-day replay drains as a
+    sequence of bounded epochs (bounded executor memory, steady
+    checkpoint cadence) instead of one monster batch. Downstream there
+    is no unbounded queue to overflow: each epoch is fully written and
+    checkpointed before the next is admitted, which IS the back-pressure
+    loop (the source simply does not advance while the sink is busy).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    raw = reader.load(log_dir)
     return to_typed_table(parse_lines(raw))
 
 
@@ -99,11 +119,15 @@ def idempotent_epoch_writer(table_path: str, write_fn=None):
 
 
 def start_ingest(spark: SparkSession, log_dir: str, table_path: str,
-                 checkpoint: str, trigger_once: bool = True) -> StreamingQuery:
+                 checkpoint: str, trigger_once: bool = True,
+                 max_files_per_trigger: int | None = None) -> StreamingQuery:
     """Tail → parse → enrich → typed table, exactly-once per micro-batch.
 
     foreachBatch writes each epoch through plans/storage.py (sorted,
     day-partitioned) — the K1 sink with batching the reference lacks.
+    ``max_files_per_trigger`` bounds each epoch's admission (the rsyslog
+    action-queue analog — see stream_access_log); with availableNow the
+    whole backlog still drains, just in bounded slices.
 
     Exactly-once, not just at-least-once: foreachBatch alone re-runs an
     epoch whose write finished but whose checkpoint commit didn't (crash
@@ -117,7 +141,9 @@ def start_ingest(spark: SparkSession, log_dir: str, table_path: str,
     same contract, provided by the table format.
     """
     sink = idempotent_epoch_writer(table_path)
-    writer = (stream_access_log(spark, log_dir)
+    writer = (stream_access_log(
+                  spark, log_dir,
+                  max_files_per_trigger=max_files_per_trigger)
               .writeStream
               .foreachBatch(sink)
               .option("checkpointLocation", checkpoint))

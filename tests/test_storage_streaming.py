@@ -93,6 +93,24 @@ def test_streaming_ingest_is_idempotent_across_restarts(spark, tmp_path):
     assert read_table(spark, table).count() == 8
 
 
+def test_max_files_per_trigger_bounds_each_epoch(spark, tmp_path):
+    """Back-pressure analog of rsyslog's action queues (nginx.conf:56):
+    a 3-file backlog with maxFilesPerTrigger=1 drains as 3 bounded
+    epochs (3 epoch markers), never one monster batch — and the table
+    still converges to the full row set."""
+    log_dir = str(tmp_path / "logs")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for i, chunk in enumerate((LINES[:3], LINES[3:5], LINES[5:])):
+        _write_log(log_dir, f"part{i}.log", chunk)
+
+    q = start_ingest(spark, log_dir, table, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert read_table(spark, table).count() == 8
+    markers = [f for f in os.listdir(table) if f.startswith("_epoch_")]
+    assert len(markers) == 3  # one bounded micro-batch per file
+
+
 def test_epoch_writer_replay_never_duplicates(spark, tmp_path):
     """Exactly-once on plain parquet: any crash/replay prefix converges."""
     import glob
