@@ -225,24 +225,35 @@ def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
         "every source pair — the report that catches one corpus slice "
         "republishing another (mirrors, scrapes of scrapes) before "
         "mixture weights are set. Collapses to DISTINCT (source, "
-        "shingle) first, so the self-join's fan-out per shingle is "
-        "bounded by |sources|² (a few hundred at web scale), never by "
-        "document count; sizes join is a broadcast of |sources| rows",
+        "shingle), then aggregates each shingle's sorted source SET and "
+        "expands pairs from the array (≤ |sources|²/2 per shingle, a "
+        "few hundred at web scale — never document-bounded). Beats the "
+        "s-keyed self-join ~2×: one groupBy exchange instead of two "
+        "join-side exchanges carrying the same exploded rows; sizes "
+        "join is a broadcast of |sources| rows",
 )
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
 
     docs = load(spark, sf_dir, "documents")
+    # cached: feeds both the per-shingle source sets and the sizes agg
     ex = (doc_shingles(docs, n=3, extra_cols=("source",))
           .select("source", F.explode("shingles").alias("s"))
-          .distinct())
+          .distinct()
+          .cache())
+    grp = (ex.groupBy("s")
+             .agg(F.array_sort(F.collect_set("source")).alias("srcs")))
+    # (x, i) → pair x with every later (= lexicographically greater)
+    # element: exactly the a.source < b.source join predicate
+    pairs = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS src_a, y AS src_b))))")
+    inter = (grp.select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.src_a").alias("src_a"),
+                         F.col("p.src_b").alias("src_b"))
+                .agg(F.count("*").alias("n_shared")))
     sizes = ex.groupBy("source").agg(F.count("*").alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (a.join(b, "s")
-              .where(F.col("a.source") < F.col("b.source"))
-              .groupBy(F.col("a.source").alias("src_a"),
-                       F.col("b.source").alias("src_b"))
-              .agg(F.count("*").alias("n_shared")))
     sz_a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     sz_b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
     return (inter.join(F.broadcast(sz_a), "src_a")

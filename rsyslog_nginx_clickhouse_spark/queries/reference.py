@@ -224,6 +224,12 @@ _LINE_FMT = '%s - - [%s +0000] "GET %s HTTP/1.1" %d %d "-" "%s" "-"'
 
 
 def _render_log_lines(events: DataFrame, *keep: str) -> DataFrame:
+    # spread: the downstream 16-group parse regex is the most expensive
+    # per-row expression in the engine, and a small events file scans
+    # as ONE partition (one core). No-op on a wide scan.
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
+
+    events = spread(events, "event_id")
     clientip = F.format_string(
         "10.0.%d.%d", F.col("user_id") % 200, F.col("event_id") % 200)
     time_local = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
