@@ -143,6 +143,38 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+#: PII patterns, kept in the Java-regex ∩ RE2 common subset (no
+#: lookaround, no backrefs) so Spark and the DuckDB oracle match the
+#: identical spans. Greedy quantifiers + character classes only —
+#: leftmost-longest (RE2) and leftmost-greedy (Java) coincide here.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+\d{7,15}\b", "[PHONE]"),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (email / ipv4 / phone)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return {kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+            for kind, (pat, _) in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with every PII span replaced by its type tag ([EMAIL] /
+    [IP] / [PHONE]) — the pre-training scrub step (applied before
+    tokenization so tags survive as single units). Email runs first:
+    an address's host part must not be half-eaten by the IP pattern.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    out = col
+    for kind in ("email", "ipv4", "phone"):
+        pat, tag = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """n-word shingles of the normalized text, as an array of strings.
 

@@ -69,6 +69,8 @@ _FRONTLOAD_R3 = [
     "grafana_from_to_macros",
     "grafana_natural_timeseries",
     "source_overlap",
+    "pii_redaction",
+    "repetition_stats",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

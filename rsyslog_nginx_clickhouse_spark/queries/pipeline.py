@@ -337,3 +337,103 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_tokens").cast("double")
                         / F.col("n_docs"), 2).alias("avg_doc_tokens"))
             .orderBy("source"))
+
+
+@query(
+    "pii_redaction",
+    # DuckDB regexp_replace needs the 'g' flag (Spark's replaces all by
+    # default); patterns are the Java∩RE2 subset from functions/text.py
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(text, '\+\d{7,15}\b')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\+\d{7,15}\b', '[PHONE]', 'g')) AS redacted_md5
+    FROM documents ORDER BY doc_id
+    """,
+    doc="PII scrub accounting: per-document email/IP/phone match counts "
+        "plus the md5 of the redacted text (proves the replacement "
+        "byte-identical against the oracle, not just the counts). Pure "
+        "projection — composable before any shuffle; patterns confined "
+        "to the Java∩RE2 regex subset so both engines match identical "
+        "spans. The scrub step every pre-training pipeline runs before "
+        "tokenization",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return (docs.select(
+                "doc_id",
+                counts["email"].alias("n_emails"),
+                counts["ipv4"].alias("n_ips"),
+                counts["phone"].alias("n_phones"),
+                F.md5(redact_pii(F.col("text"))).alias("redacted_md5"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "repetition_stats",
+    # top token per doc: max count, ties broken by lexicographically
+    # smallest token — deterministic on both engines
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    tc AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM tc GROUP BY doc_id, tok),
+    ranked AS (
+      SELECT doc_id, tok, c,
+             sum(c) OVER (PARTITION BY doc_id) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, tok ASC) AS rn
+      FROM cnt)
+    SELECT doc_id, tok AS top_token, c AS top_count,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(c::double / n_tok, 6) AS top_share
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition signal: each document's most frequent "
+        "token and its share of the token stream (high share flags "
+        "keyword stuffing / TABLE boilerplate the dup-n-gram measure "
+        "misses inside a single doc). One explode partial-aggregated to "
+        "(doc, token, count); top-1 and the token total both come from "
+        "windows over those compact rows — the explode output never "
+        "shuffles raw and never runs twice",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    cnt = (docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+               .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    wd = Window.partitionBy("doc_id")
+    ranked = cnt.select(
+        "doc_id", "tok", "c",
+        F.sum("c").over(wd).alias("n_tok"),
+        F.row_number().over(wd.orderBy(F.desc("c"), F.asc("tok")))
+         .alias("rn"))
+    return (ranked.where(F.col("rn") == 1)
+                  .select("doc_id",
+                          F.col("tok").alias("top_token"),
+                          F.col("c").alias("top_count"),
+                          F.col("n_tok").cast("long").alias("n_tokens"),
+                          F.round(F.col("c").cast("double")
+                                  / F.col("n_tok"), 6).alias("top_share"))
+                  .orderBy("doc_id"))

@@ -178,3 +178,52 @@ def test_q22_idle_customers_excludes_recent(spark, sf_dir):
     total = sum(r["numcust"] for r in rows)
     n_cust = load(spark, sf_dir, "customer").count()
     assert 0 <= total <= n_cust
+
+
+def test_pii_redaction_on_synthetic_pii(spark):
+    """The corpus has no PII, so the registry query proves zero-match
+    parity; this fixture proves the patterns actually fire and the
+    replacement order keeps an email's host from being half-eaten."""
+    from rsyslog_nginx_clickhouse_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org now"),
+         (1, "from 192.168.0.1 to 10.0.0.255 twice 10.0.0.255"),
+         (2, "call +4915112345678 or +123456789"),
+         (3, "plain text, no pii at all"),
+         (4, "v1.2.3.4000 is a version, not an ip")],
+        "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", counts["email"].alias("e"), counts["ipv4"].alias("i"),
+        counts["phone"].alias("p"),
+        redact_pii(F.col("text")).alias("red")).collect()}
+    assert (out[0]["e"], out[0]["red"]) == (1, "mail [EMAIL] now")
+    assert out[1]["i"] == 3 and out[1]["red"] == "from [IP] to [IP] twice [IP]"
+    assert out[2]["p"] == 2 and out[2]["red"] == "call [PHONE] or [PHONE]"
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+    # \b guards: 4000 is not a valid final octet boundary match start,
+    # but 1.2.3.400 contains 1.2.3.40 — the pattern must NOT fire when
+    # digits continue past the match (trailing \b blocks it)
+    assert out[4]["i"] == 0 and out[4]["red"] == out[4]["red"]
+
+
+def test_repetition_stats_hand_computed(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(0, "spam spam spam eggs", "en", "src0", 19),
+         (1, "a b c d", "en", "src1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r
+            for r in QS["repetition_stats"].spark(spark, d).collect()}
+    assert rows[0]["top_token"] == "spam"
+    assert rows[0]["top_count"] == 3 and rows[0]["n_tokens"] == 4
+    assert abs(rows[0]["top_share"] - 0.75) < 1e-9
+    assert rows[1]["top_token"] == "a" and rows[1]["top_count"] == 1
