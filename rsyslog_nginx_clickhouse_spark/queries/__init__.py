@@ -71,6 +71,7 @@ _FRONTLOAD_R3 = [
     "source_overlap",
     "pii_redaction",
     "repetition_stats",
+    "token_shard_plan",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

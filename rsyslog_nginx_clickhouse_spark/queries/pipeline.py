@@ -339,6 +339,57 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+#: Tokens per output shard for the shard-planning query. Sized so the
+#: sf0.01 corpus yields a handful of shards; a real pipeline passes
+#: ~100M-1B (tokens per training file).
+SHARD_TARGET_TOKENS = 5_000
+
+
+@query(
+    "token_shard_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(regexp_replace(lower(trim(text)), '\\s+',
+                                             ' ', 'g'), ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens)::double / {SHARD_TARGET_TOKENS}) AS INT)
+             AS shard
+    FROM t ORDER BY doc_id
+    """,
+    doc="Tokenizer shard planning: assign documents (in doc_id order) "
+        "to ~fixed-token output shards via a running token total — the "
+        "step that decides training-file boundaries. The running total "
+        "is a DISTRIBUTED two-phase prefix sum (operators/prefix.py): "
+        "range-partition on doc_id, per-range partials, driver prefix "
+        "over the per-partition totals (parameter-sized: one row per "
+        "partition), per-range window + offset. A bare global-order "
+        "window — what the oracle SQL writes — collapses Spark to one "
+        "partition and is exactly what this operator exists to avoid",
+)
+def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.prefix import (
+        distributed_cumsum,
+        shard_assignment,
+    )
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks(F.col("text"))).cast("long")
+                   .alias("n_tokens"))
+    c = distributed_cumsum(t, "doc_id", "n_tokens", out_col="cum_tokens")
+    return (c.select("doc_id", "n_tokens", "cum_tokens",
+                     shard_assignment(F.col("cum_tokens"),
+                                      F.col("n_tokens"),
+                                      SHARD_TARGET_TOKENS).alias("shard"))
+             .orderBy("doc_id"))
+
+
 @query(
     "pii_redaction",
     # DuckDB regexp_replace needs the 'g' flag (Spark's replaces all by

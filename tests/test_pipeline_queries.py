@@ -227,3 +227,38 @@ def test_repetition_stats_hand_computed(spark, tmp_path):
     assert rows[0]["top_count"] == 3 and rows[0]["n_tokens"] == 4
     assert abs(rows[0]["top_share"] - 0.75) < 1e-9
     assert rows[1]["top_token"] == "a" and rows[1]["top_count"] == 1
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """Two-phase prefix == the single-partition global window, and the
+    result is invariant to how many ranges the input is cut into."""
+    from pyspark.sql import Window
+    from rsyslog_nginx_clickhouse_spark.operators.prefix import (
+        distributed_cumsum,
+        shard_assignment,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100 + 1).alias("v"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    expected = {r["k"]: r["c"] for r in
+                df.select("k", F.sum("v").over(w).alias("c")).collect()}
+    for n_ranges in (1, 7, 32):
+        got = {r["k"]: r["cum"] for r in
+               distributed_cumsum(df, "k", "v", num_ranges=n_ranges)
+               .collect()}
+        assert got == expected, f"n_ranges={n_ranges}"
+    # shard boundaries: rows never split, shards ~target-sized
+    out = (distributed_cumsum(df, "k", "v")
+           .select("k", "v", "cum",
+                   shard_assignment(F.col("cum"), F.col("v"), 5000)
+                   .alias("s")).collect())
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r["k"]):
+        by_shard.setdefault(r["s"], []).append(r)
+    sids = sorted(by_shard)
+    assert sids == list(range(len(sids)))  # contiguous shard ids
+    for s in sids[:-1]:
+        tot = sum(r["v"] for r in by_shard[s])
+        assert tot >= 5000 - 100  # filled to target (minus last-row spill)
