@@ -72,6 +72,7 @@ _FRONTLOAD_R3 = [
     "pii_redaction",
     "repetition_stats",
     "token_shard_plan",
+    "streaming_view_purchase_join",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

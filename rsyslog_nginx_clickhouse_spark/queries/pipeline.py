@@ -422,8 +422,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_counts,
         redact_pii,
     )
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import spread
 
-    docs = load(spark, sf_dir, "documents")
+    # six regex passes per row: worth spreading the single-file scan
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     counts = pii_counts(F.col("text"))
     return (docs.select(
                 "doc_id",

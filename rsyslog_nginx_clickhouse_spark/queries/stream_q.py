@@ -17,14 +17,42 @@ from pyspark.sql import functions as F
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` for a streaming START.
+
+    A streaming query pins its STATE partition count from this conf at
+    first start, and every micro-batch then commits one state-store
+    file per partition per stateful operator — so the right number
+    tracks state size / throughput, NOT core count. At the local gate
+    scale, 32 partitions mean 32 near-empty store commits per batch
+    per operator (measured 8.5 s → 2-3 s on the stream-stream join by
+    dropping to 4-8); a production deployment sizes this up with the
+    key space. Batch queries are unaffected: the conf is restored as
+    soon as the stream has started (the value is read at plan time).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        # the scope must cover the RUN, not just .start(): micro-batches
+        # plan (and read the conf) after start() returns
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_to_memory_table(spark, df, output_mode: str):
     """Start df → memory sink (availableNow), run to completion, return
     the materialized table."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (df.writeStream.outputMode(output_mode)
-           .format("memory").queryName(name)
-           .trigger(availableNow=True).start())
-    _run_to_completion(q)
+    with _stream_state_partitions(spark):
+        q = (df.writeStream.outputMode(output_mode)
+               .format("memory").queryName(name)
+               .trigger(availableNow=True).start())
+        _run_to_completion(q)
     return spark.table(name)
 
 
@@ -152,6 +180,47 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_view_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    ORDER BY purchase_id, view_id
+    """,
+    doc="real stream-stream INTERVAL join (append mode): each purchase "
+        "joined to the same user's views in the preceding hour — the "
+        "attribution primitive. Watermarks on BOTH sides + the time-"
+        "range predicate bound the join state (rows older than purchase "
+        "watermark − 1 h are evicted), which is what lets this run "
+        "forever on the firehose; oracle is the identical batch "
+        "non-equi join",
+)
+def streaming_view_purchase_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    purch = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "purchase")
+             .select("user_id",
+                     F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("purchase_ts"))
+             .withWatermark("purchase_ts", "2 hours"))
+    j = purch.join(
+        views,
+        F.expr("v_user = user_id AND view_ts >= purchase_ts - INTERVAL 1 "
+               "HOUR AND view_ts <= purchase_ts"))
+    out = j.select("purchase_id", "view_id")
+    return (_run_to_memory_table(spark, out, "append")
+            .orderBy("purchase_id", "view_id"))
+
+
+@query(
     "streaming_summed_rollup",
     oracle="""
     SELECT event_type, cast(ts AS date) AS d,
@@ -188,11 +257,12 @@ def streaming_summed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             bdf.select("event_type", F.to_date("ts").alias("d"), "value"),
             staging, ["event_type", "d"], ["value"]))
 
-    q = (_events_stream(spark, sf_dir)
-         .writeStream.foreachBatch(sink)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-         .trigger(availableNow=True).start())
-    _run_to_completion(q)
+    with _stream_state_partitions(spark):
+        q = (_events_stream(spark, sf_dir)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+             .trigger(availableNow=True).start())
+        _run_to_completion(q)
     return read_summed(spark, path, ["event_type", "d"], ["value"]) \
         .select("event_type", "d",
                 F.round(F.col("value"), 4).alias("total_value"),
