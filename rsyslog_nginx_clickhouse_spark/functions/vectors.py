@@ -36,3 +36,28 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def q8_scale(a: Column | str) -> Column:
+    """Per-vector int8 quantization scale: max|x| / 127 (symmetric
+    scalar quantization — the 4× storage cut for 100 TB embedding
+    tables)."""
+    amax = F.array_max(F.transform(_d(a), F.abs))
+    return amax / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """array<int> of quantized values in [-127, 127].
+
+    ``floor(x/scale + 0.5)`` rather than round(): an explicitly
+    defined halfway rule that Spark and DuckDB evaluate identically
+    (round() half-up vs half-even conventions differ by type/engine).
+    A zero vector (scale 0) quantizes to zeros instead of dividing by
+    zero."""
+    q = F.transform(_d(a), lambda x: F.floor(x / scale + F.lit(0.5)))
+    zeros = F.transform(_d(a), lambda x: F.lit(0).cast("long"))
+    return F.when(scale == 0, zeros).otherwise(q).cast("array<int>")
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -73,6 +73,7 @@ _FRONTLOAD_R3 = [
     "repetition_stats",
     "token_shard_plan",
     "streaming_view_purchase_join",
+    "embedding_quantization",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

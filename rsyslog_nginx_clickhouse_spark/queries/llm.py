@@ -405,6 +405,67 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round(norm("embedding"), 6).alias("l2_norm"))
 
 
+_Q8_DEQ = ("[floor({e}[i]::double / scale + 0.5) * scale "
+           "for i in generate_series(1, len({e}))]")
+
+
+@query(
+    "embedding_quantization",
+    # deq is materialized in a CTE so the cosine/err expressions read
+    # it; halfway rule is floor(x/scale + 0.5) — explicitly defined so
+    # both engines agree (round() conventions differ)
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max([abs(embedding[i]::double)
+                       for i in generate_series(1, len(embedding))])
+               / 127.0 AS scale
+      FROM embeddings),
+    d AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0
+                  THEN [0.0 for i in generate_series(1, len(embedding))]
+                  ELSE {_Q8_DEQ.format(e='embedding')} END AS deq
+      FROM s)
+    SELECT vec_id, round(scale, 9) AS scale,
+           round({_cos_sql('embedding', 'deq')}, 6) AS cos_sim,
+           round(list_max([abs(embedding[i]::double - deq[i])
+                           for i in generate_series(1, len(embedding))]),
+                 6) AS max_err
+    FROM d ORDER BY vec_id
+    """,
+    doc="int8 scalar quantization audit: per-vector symmetric scale "
+        "(max|x|/127), quantize → dequantize, report the cosine between "
+        "original and dequantized plus the max elementwise error — the "
+        "4× storage cut every 100 TB embedding table takes, with its "
+        "quality loss measured rather than assumed. Pure zip_with/"
+        "transform expressions, JVM-side, no UDF, no shuffle",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.vectors import (
+        dequantize_int8,
+        q8_scale,
+        quantize_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id", "embedding", q8_scale("embedding").alias("scale"))
+    deq = dequantize_int8(
+        quantize_int8(F.col("embedding"), F.col("scale")), F.col("scale"))
+    scaled = scaled.withColumn("deq", deq)
+    max_err = F.array_max(F.zip_with(
+        F.col("embedding").cast("array<double>"), F.col("deq"),
+        lambda x, y: F.abs(x - y)))
+    return (scaled.select(
+                "vec_id",
+                F.round("scale", 9).alias("scale"),
+                F.round(cosine("embedding", F.col("deq")), 6)
+                 .alias("cos_sim"),
+                F.round(max_err, 6).alias("max_err"))
+            .orderBy("vec_id"))
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 1):
     """Fetch the query vector (a parameter, not data — tiny driver fetch)."""
     row = (load(spark, sf_dir, "embeddings")

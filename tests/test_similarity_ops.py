@@ -89,3 +89,27 @@ def test_ivf_kmeans_centroids_improve_or_match_recall(spark, sf_dir):
     assigned = ivf_assign(emb, C)
     sizes = assigned.groupBy("list_id").count().collect()
     assert len(sizes) >= 4  # k-means actually spreads the lists
+
+
+def test_quantize_int8_roundtrip_and_zero_guard(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from rsyslog_nginx_clickhouse_spark.functions.vectors import (
+        dequantize_int8,
+        q8_scale,
+        quantize_int8,
+    )
+
+    vecs = [(0, [1.0, -0.5, 0.25, 127.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = (df.withColumn("scale", q8_scale("embedding"))
+             .withColumn("q", quantize_int8(F.col("embedding"),
+                                            F.col("scale")))
+             .withColumn("deq", dequantize_int8(F.col("q"), F.col("scale")))
+             .collect())
+    r0 = next(r for r in out if r["vec_id"] == 0)
+    assert max(abs(q) for q in r0["q"]) == 127  # max element hits full range
+    err = np.abs(np.array(r0["deq"]) - np.array(vecs[0][1]))
+    assert err.max() <= r0["scale"] / 2 + 1e-12  # half-step error bound
+    r1 = next(r for r in out if r["vec_id"] == 1)
+    assert r1["q"] == [0, 0, 0, 0] and r1["deq"] == [0.0, 0.0, 0.0, 0.0]
