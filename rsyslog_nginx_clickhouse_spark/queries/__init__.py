@@ -74,6 +74,7 @@ _FRONTLOAD_R3 = [
     "token_shard_plan",
     "streaming_view_purchase_join",
     "embedding_quantization",
+    "replacing_upsert_roundtrip",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

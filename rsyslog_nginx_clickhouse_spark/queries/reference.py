@@ -388,6 +388,53 @@ def nginx_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "replacing_upsert_roundtrip",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 3 = 0
+                THEN round(round(value, 4) * 2, 4)
+                ELSE round(value, 4) END AS value,
+           CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ver
+    FROM events ORDER BY event_id
+    """,
+    doc="ReplacingMergeTree analog (plans/replacing.py), end to end: "
+        "append version-0 rows for every event, append version-1 "
+        "updates for every third event (value doubled), then merge-on-"
+        "read — highest-version row per key via one map-side-combined "
+        "max(struct) aggregate, no window sort, no read-modify-write. "
+        "The oracle derives the expected post-upsert state straight "
+        "from events, so the append/merge machinery itself is under "
+        "test. This is the mutable-dimension tier (user profiles, doc "
+        "metadata) the reference's append-only MergeTree lacks",
+)
+def replacing_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.replacing import (
+        append_versions,
+        read_latest,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"replacing_{os.path.basename(sf_dir)}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    append_versions(ev.withColumn("ver", F.lit(0)), path)
+    append_versions(
+        ev.where(F.col("event_id") % 3 == 0)
+          .withColumn("value", F.round(F.col("value") * 2, 4))
+          .withColumn("ver", F.lit(1)),
+        path)
+    return (read_latest(spark, path, ["event_id"], "ver",
+                        ["user_id", "value"])
+            .select("event_id", "user_id", "value", "ver")
+            .orderBy("event_id"))
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

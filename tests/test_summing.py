@@ -39,3 +39,40 @@ def test_partial_appends_merge_and_compact(spark, tmp_path):
             read_summed(spark, path, ["k"], ["v"]).collect()}
     assert got2 == got  # serving result unchanged by compaction
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+
+
+def test_replacing_latest_wins_and_compaction(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+    from rsyslog_nginx_clickhouse_spark.plans.replacing import (
+        append_versions,
+        compact_replacing,
+        read_latest,
+    )
+
+    path = str(tmp_path / "repl")
+    rows_v0 = [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+    rows_v1 = [(2, "B", 1)]
+    rows_v2 = [(2, "BB", 2), (3, "CC", 2)]
+    for rows in (rows_v0, rows_v1, rows_v2):
+        append_versions(
+            spark.createDataFrame(rows, "k long, payload string, ver int"),
+            path)
+
+    def latest():
+        return {r["k"]: (r["payload"], r["ver"])
+                for r in read_latest(spark, path, ["k"], "ver",
+                                     ["payload"]).collect()}
+
+    expect = {1: ("a", 0), 2: ("BB", 2), 3: ("CC", 2)}
+    assert latest() == expect
+    # compaction drops superseded versions but not the answer
+    compact_replacing(spark, path, ["k"], "ver", ["payload"])
+    assert latest() == expect
+    assert spark.read.parquet(path).count() == 3  # one row per key now
+    # same-version tie: struct-greatest payload wins, deterministically
+    append_versions(
+        spark.createDataFrame([(1, "z", 0), (1, "y", 0)],
+                              "k long, payload string, ver int"), path)
+    assert latest()[1] == ("z", 0)
