@@ -76,6 +76,21 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     # separator so '.' or '|' split literally, not as regex
     "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>",
                     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    # JSON accessors (the events table carries a props JSON column;
+    # ClickHouse dashboards lean on these constantly). get_json_object
+    # returns NULL on missing/invalid — matching the ...OrNull family;
+    # the non-null ClickHouse variants return ''/0 defaults, so
+    # coalesce accordingly.
+    "JSONExtractString": ("j STRING, k STRING", "STRING",
+                          "coalesce(get_json_object(j, concat('$.', k)), '')"),
+    "JSONExtractInt": ("j STRING, k STRING", "BIGINT",
+                       "coalesce(try_cast(get_json_object(j, "
+                       "concat('$.', k)) as bigint), 0)"),
+    "JSONExtractFloat": ("j STRING, k STRING", "DOUBLE",
+                         "coalesce(try_cast(get_json_object(j, "
+                         "concat('$.', k)) as double), 0.0)"),
+    "JSONHas": ("j STRING, k STRING", "BOOLEAN",
+                "get_json_object(j, concat('$.', k)) IS NOT NULL"),
 }
 
 #: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap

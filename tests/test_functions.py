@@ -251,3 +251,20 @@ def test_toint64_exact_above_double_precision(spark):
     register_clickhouse_functions(spark)
     row = spark.sql("SELECT toInt64('9007199254740993') AS v").collect()[0]
     assert row["v"] == 9007199254740993  # double would round to ...992
+
+
+def test_clickhouse_json_accessors(spark):
+    register_clickhouse_functions(spark)
+    row = spark.sql("""
+        SELECT JSONExtractString('{"a": "x", "n": 3}', 'a')  AS s,
+               JSONExtractString('{"a": "x"}', 'missing')    AS s_miss,
+               JSONExtractInt('{"n": 3}', 'n')               AS i,
+               JSONExtractInt('{"n": "nope"}', 'n')          AS i_bad,
+               JSONExtractFloat('{"f": 2.5}', 'f')           AS f,
+               JSONHas('{"a": 1}', 'a')                      AS has_a,
+               JSONHas('{"a": 1}', 'b')                      AS has_b
+    """).collect()[0]
+    assert row["s"] == "x" and row["s_miss"] == ""
+    assert row["i"] == 3 and row["i_bad"] == 0
+    assert abs(row["f"] - 2.5) < 1e-12
+    assert row["has_a"] is True and row["has_b"] is False
