@@ -19,27 +19,38 @@ from rsyslog_nginx_clickhouse_spark.queries import load_all
 from tools.selfcheck import value_hash
 
 EDGE_DOCS = [
-    (1, "", "en"),
-    (2, "   ", "en"),
-    (3, "word", "en"),
-    (4, "two words", "en"),
-    (5, "!!! ??? ... ;;;", "en"),
-    (6, "the the the the the", "en"),
-    (7, "   ", "de"),               # exact dup of 2 after normalization
-    (8, "Tab\tand\nnewline   runs", "en"),
-    (9, "word", "fr"),              # exact dup of 3
-    (10, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en"),
+    (1, "", "en", "src0"),
+    (2, "   ", "en", "src0"),
+    (3, "word", "en", "src1"),
+    (4, "two words", "en", "src1"),
+    (5, "!!! ??? ... ;;;", "en", "src2"),
+    (6, "the the the the the", "en", "src2"),
+    (7, "   ", "de", "src0"),       # exact dup of 2 after normalization
+    (8, "Tab\tand\nnewline   runs", "en", "src1"),
+    (9, "word", "fr", "src2"),      # exact dup of 3
+    (10, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en",
+     "src0"),
+    # PII-bearing docs: the driver corpus has none, so only this
+    # fixture exercises nonzero-match oracle parity for the redaction
+    (11, "mail a.b+c@ex.org or x@y.io from 10.0.0.1 call +4915112345678",
+     "en", "src1"),
+    (12, "ip 192.168.001.255 vs version 1.2.3.4000 and 1.2.3.4", "en",
+     "src2"),
 ]
 
 TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 "doc_fingerprints", "dedup_exact", "lang_detect",
-                "dedup_ngram_jaccard", "top_bigrams"]
+                "dedup_ngram_jaccard", "top_bigrams",
+                "pii_redaction", "repetition_stats", "token_shard_plan",
+                "duplicated_ngram_fraction", "gopher_quality_filter",
+                "source_overlap", "domain_mixture", "stratified_sample"]
 
 
 @pytest.fixture(scope="module")
 def edge_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge"))
-    df = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string, lang string")
+    df = spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string")
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     return d
 
