@@ -75,6 +75,7 @@ _FRONTLOAD_R3 = [
     "streaming_view_purchase_join",
     "embedding_quantization",
     "replacing_upsert_roundtrip",
+    "collapsing_state_roundtrip",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

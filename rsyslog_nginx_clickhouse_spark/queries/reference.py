@@ -435,6 +435,53 @@ def replacing_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collapsing_state_roundtrip",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 4 = 0
+                THEN round(round(value, 4) + 1, 4)
+                ELSE round(value, 4) END AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="CollapsingMergeTree analog (plans/collapsing.py), end to end: "
+        "+1 state rows for every event, then for every fourth event a "
+        "cancellation pair (-1 old payload, +1 payload with value+1) — "
+        "the append-only mutation protocol. Read-time collapse is one "
+        "map-side-combined aggregate keeping net-positive (key, "
+        "payload) groups; the oracle derives the expected final state "
+        "straight from events, so the cancellation machinery is what's "
+        "under test. Completes the MergeTree family: plain (D1), "
+        "Summing, Replacing, Collapsing",
+)
+def collapsing_state_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.collapsing import (
+        append_signed,
+        read_collapsed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"collapsing_{os.path.basename(sf_dir)}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    append_signed(ev.withColumn("sign", F.lit(1)), path)
+    upd = ev.where(F.col("event_id") % 4 == 0)
+    append_signed(upd.withColumn("sign", F.lit(-1)), path)
+    append_signed(
+        upd.withColumn("value", F.round(F.col("value") + 1, 4))
+           .withColumn("sign", F.lit(1)),
+        path)
+    return (read_collapsed(spark, path, ["event_id"],
+                           ["user_id", "value"])
+            .orderBy("event_id"))
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

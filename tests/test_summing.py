@@ -76,3 +76,32 @@ def test_replacing_latest_wins_and_compaction(spark, tmp_path):
         spark.createDataFrame([(1, "z", 0), (1, "y", 0)],
                               "k long, payload string, ver int"), path)
     assert latest()[1] == ("z", 0)
+
+
+def test_collapsing_cancels_pairs(spark, tmp_path):
+    from rsyslog_nginx_clickhouse_spark.plans.collapsing import (
+        append_signed,
+        compact_collapsed,
+        read_collapsed,
+    )
+
+    path = str(tmp_path / "coll")
+    append_signed(spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, p string, sign int"), path)
+    # mutate k=1: cancel old, insert new; delete k=2 outright
+    append_signed(spark.createDataFrame(
+        [(1, "a", -1), (1, "A", 1), (2, "b", -1)],
+        "k long, p string, sign int"), path)
+
+    def state():
+        return {(r["k"], r["p"])
+                for r in read_collapsed(spark, path, ["k"], ["p"]).collect()}
+
+    assert state() == {(1, "A")}
+    compact_collapsed(spark, path, ["k"], ["p"])
+    assert state() == {(1, "A")}
+    assert spark.read.parquet(path).count() == 1  # cancelled pairs gone
+    # appends keep composing after compaction
+    append_signed(spark.createDataFrame(
+        [(1, "A", -1), (1, "AA", 1)], "k long, p string, sign int"), path)
+    assert state() == {(1, "AA")}
