@@ -76,6 +76,7 @@ _FRONTLOAD_R3 = [
     "embedding_quantization",
     "replacing_upsert_roundtrip",
     "collapsing_state_roundtrip",
+    "curation_pipeline",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

@@ -339,6 +339,104 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _curation_oracle() -> str:
+    # compose the published oracle pieces: shingles + exact-Jaccard
+    # pairs (llm.py) + the recursive-CTE components (dedup_components
+    # oracle) + gopher thresholds + the lang-ID argmax — one
+    # normalization (normed.toks) throughout. lang first-wins ties:
+    # detected 'en' ⟺ en > 0 AND en >= max(de, fr, es).
+    from rsyslog_nginx_clickhouse_spark.queries.llm import (
+        _PAIRS_SQL,
+        _SHINGLES_CTE,
+    )
+
+    def hits(markers: str) -> str:
+        return (f"len(list_filter(toks, x -> list_contains({markers}, x)))")
+
+    en = hits("['the','and','of','to','is']")
+    de = hits("['der','die','und','ist','nicht']")
+    fr = hits("['le','la','les','est','une']")
+    es = hits("['el','los','que','es','una']")
+    return (_SHINGLES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+            + _PAIRS_SQL + f"""
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (
+      SELECT id AS doc_id, min(label) AS component
+      FROM reach GROUP BY id),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) BETWEEN 50 AND 100000
+                   AND (length(array_to_string(toks, ' ')) - len(toks)
+                        + 1.0) / len(toks) BETWEEN 3.0 AND 10.0
+                   AND len(list_filter(toks,
+                           w -> w IN ({_SQL_STOPWORDS})))::double
+                       / len(toks) > 0.01
+                  THEN 1 ELSE 0 END AS q_keep,
+             CASE WHEN {en} > 0 AND {en} >= greatest({de}, {fr}, {es})
+                  THEN 1 ELSE 0 END AS lang_keep
+      FROM normed)
+    SELECT f.doc_id, f.q_keep, f.lang_keep,
+           CASE WHEN c.component IS NULL OR c.component = f.doc_id
+                THEN 1 ELSE 0 END AS dup_keep,
+           CASE WHEN f.q_keep = 1 AND f.lang_keep = 1
+                 AND (c.component IS NULL OR c.component = f.doc_id)
+                THEN 1 ELSE 0 END AS keep
+    FROM flags f LEFT JOIN comps c USING (doc_id)
+    ORDER BY f.doc_id
+    """)
+
+
+@query(
+    "curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="the END-TO-END curation decision table: Gopher quality \u2227 "
+        "English lang-ID \u2227 near-dup keep-policy (connected-component "
+        "representative) as per-document flags plus the final keep bit "
+        "\u2014 the composition a training-data pipeline actually ships, "
+        "with every stage's flag auditable. Quality/lang are one "
+        "projection over the scan; the dedup tier reuses the shingle "
+        "pass; the keep-policy join is a left join against the (tiny, "
+        "pairs-only) components table",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.text import lang_id
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        spread,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    comps = connected_components(
+        ngram_jaccard_pairs(docs, threshold=0.5))
+    losers = comps.where(F.col("component") != F.col("doc_id")) \
+                  .select("doc_id", F.lit(0).alias("dup_flag"))
+    toks = _toks(F.col("text"))
+    nw = F.size(toks)
+    mwl = (F.length(normalized_text(F.col("text"))) - nw + 1.0) / nw
+    sw = F.size(F.filter(
+        toks, lambda w: w.isin(*STOPWORDS))).cast("double") / nw
+    q_keep = F.coalesce(
+        (nw.between(50, 100000) & mwl.between(3.0, 10.0)
+         & (sw > 0.01)).cast("int"), F.lit(0))
+    flags = docs.select(
+        "doc_id", q_keep.alias("q_keep"),
+        (lang_id("text") == "en").cast("int").alias("lang_keep"))
+    out = (flags.join(losers, "doc_id", "left")
+                .select("doc_id", "q_keep", "lang_keep",
+                        F.coalesce("dup_flag", F.lit(1))
+                         .alias("dup_keep")))
+    keep = ((F.col("q_keep") == 1) & (F.col("lang_keep") == 1)
+            & (F.col("dup_keep") == 1)).cast("int")
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
 #: Tokens per output shard for the shard-planning query. Sized so the
 #: sf0.01 corpus yields a handful of shards; a real pipeline passes
 #: ~100M-1B (tokens per training file).
