@@ -57,13 +57,45 @@ def natural_interval_s(time_from: str, time_to: str) -> int:
     return NATURAL_FALLBACK_S
 
 
+#: Comparison operators the $adhoc expansion accepts (the plugin's
+#: ad-hoc filter UI set).
+_ADHOC_OPS = ("=", "!=", "<", "<=", ">", ">=", "LIKE", "NOT LIKE")
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+
+
+def adhoc_predicate(
+        filters: list[tuple[str, str, object]] | None) -> str:
+    """Dashboard ad-hoc filters → one AND-joined SQL predicate
+    (``1=1`` when none — the plugin's no-filter expansion).
+
+    Values are data, not SQL: strings are quoted with '' doubling and
+    column names must be plain identifiers — the macro layer is string
+    templating, so this is where injection has to be stopped.
+    """
+    if not filters:
+        return "1=1"
+    parts = []
+    for col, op, val in filters:
+        if op not in _ADHOC_OPS:
+            raise ValueError(f"unsupported ad-hoc operator: {op!r}")
+        if not _IDENT.match(col):
+            raise ValueError(f"invalid ad-hoc filter column: {col!r}")
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            val = "'" + str(val).replace("'", "''") + "'"
+        parts.append(f"{col} {op} {val}")
+    return "(" + " AND ".join(parts) + ")"
+
+
 def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
                   interval_s: int = 3600,
                   time_from: str | None = None,
-                  time_to: str | None = None) -> str:
+                  time_to: str | None = None,
+                  adhoc_filters: list[tuple[str, str, object]]
+                  | None = None) -> str:
     """Expand the vertamedia plugin macro set into Spark SQL:
     $timeSeries / $naturalTimeSeries / $timeFilter / $table /
-    $interval / $from / $to.
+    $interval / $from / $to / $adhoc.
 
     ``$timeSeries`` → canonical vertamedia expansion
     ``intDiv(toUInt32(t), $interval) * $interval`` re-expressed as a
@@ -98,6 +130,7 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
            .replace("$timeSeries", bucket_expr(interval_s))
            .replace("$timeFilter", filt)
            .replace("$table", table)
+           .replace("$adhoc", adhoc_predicate(adhoc_filters))
            .replace("$interval", str(interval_s)))
     # \b: "$to" must not eat the prefix of other macros or identifiers
     if "$from" in out:

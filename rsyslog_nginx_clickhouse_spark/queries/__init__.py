@@ -77,6 +77,7 @@ _FRONTLOAD_R3 = [
     "replacing_upsert_roundtrip",
     "collapsing_state_roundtrip",
     "curation_pipeline",
+    "grafana_adhoc_filters",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",

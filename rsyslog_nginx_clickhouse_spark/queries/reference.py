@@ -85,6 +85,32 @@ def grafana_from_to_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grafana_adhoc_filters",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS t, count(*) AS cnt
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_T_FROM}' AND TIMESTAMP '{_T_TO}'
+      AND event_type = 'view' AND value > 10.0
+    GROUP BY t ORDER BY t
+    """,
+    doc="$adhoc: dashboard ad-hoc filters expanded into the WHERE "
+        "clause (string values ''-escaped, identifiers validated — the "
+        "macro layer is string templating, so the expansion is where "
+        "injection is stopped); completes the vertamedia macro set",
+)
+def grafana_adhoc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_ah")
+    q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
+         "WHERE $timeFilter AND $adhoc GROUP BY t ORDER BY t")
+    return engine_sql(spark, q, table="grafana_events_pruned_ah",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO,
+                      adhoc_filters=[("event_type", "=", "view"),
+                                     ("value", ">", 10.0)])
+
+
+@query(
     "grafana_natural_timeseries",
     # 15-day span → the day tier of NATURAL_TIERS. CAST: DuckDB's
     # date_trunc('day') returns DATE, Spark's bucket is TIMESTAMP

@@ -268,3 +268,24 @@ def test_clickhouse_json_accessors(spark):
     assert row["i"] == 3 and row["i_bad"] == 0
     assert abs(row["f"] - 2.5) < 1e-12
     assert row["has_a"] is True and row["has_b"] is False
+
+
+def test_adhoc_macro_expansion():
+    import pytest
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        adhoc_predicate,
+        expand_macros,
+    )
+
+    assert adhoc_predicate(None) == "1=1"
+    assert adhoc_predicate([]) == "1=1"
+    p = adhoc_predicate([("event_type", "=", "o'brien"), ("value", ">", 10)])
+    assert p == "(event_type = 'o''brien' AND value > 10)"
+    with pytest.raises(ValueError):
+        adhoc_predicate([("col; DROP TABLE x", "=", "v")])
+    with pytest.raises(ValueError):
+        adhoc_predicate([("c", "BETWEEN", "v")])
+    out = expand_macros(
+        "SELECT count(*) FROM $table WHERE $adhoc", table="t",
+        adhoc_filters=[("a", "LIKE", "x%")])
+    assert out == "SELECT count(*) FROM t WHERE (a LIKE 'x%')"
