@@ -69,7 +69,10 @@ def adhoc_predicate(
     """Dashboard ad-hoc filters → one AND-joined SQL predicate
     (``1=1`` when none — the plugin's no-filter expansion).
 
-    Values are data, not SQL: strings are quoted with '' doubling and
+    Values are data, not SQL: strings are quoted with backslash
+    doubling THEN '' doubling (Spark's default parser treats \\' as an
+    escaped quote, so a value ending in a lone backslash would
+    otherwise swallow the closing quote and re-open the literal) and
     column names must be plain identifiers — the macro layer is string
     templating, so this is where injection has to be stopped.
     """
@@ -82,7 +85,9 @@ def adhoc_predicate(
         if not _IDENT.match(col):
             raise ValueError(f"invalid ad-hoc filter column: {col!r}")
         if isinstance(val, bool) or not isinstance(val, (int, float)):
-            val = "'" + str(val).replace("'", "''") + "'"
+            val = ("'"
+                   + str(val).replace("\\", "\\\\").replace("'", "''")
+                   + "'")
         parts.append(f"{col} {op} {val}")
     return "(" + " AND ".join(parts) + ")"
 
@@ -130,7 +135,6 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
            .replace("$timeSeries", bucket_expr(interval_s))
            .replace("$timeFilter", filt)
            .replace("$table", table)
-           .replace("$adhoc", adhoc_predicate(adhoc_filters))
            .replace("$interval", str(interval_s)))
     # \b: "$to" must not eat the prefix of other macros or identifiers
     if "$from" in out:
@@ -141,6 +145,10 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
         if not time_to:
             raise ValueError("$to used without time_to")
         out = re.sub(r"\$to\b", str(_epoch_s(time_to)), out)
+    # $adhoc expands LAST: its quoted filter VALUES are user data, so a
+    # value containing "$interval"/"$from"/... must reach the query
+    # byte-identical, not be macro-substituted inside the literal
+    out = out.replace("$adhoc", adhoc_predicate(adhoc_filters))
     return rewrite_aggregates(out)
 
 

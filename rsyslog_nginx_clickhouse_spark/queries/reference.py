@@ -321,22 +321,81 @@ def nginx_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead.agg(F.count("*").alias("n_dead"), F.count("*").alias("n_bad"))
 
 
+#: KMV sketch size. 1024 gives ~1/sqrt(k) ≈ 3% relative error once a
+#: group exceeds k distinct users; below k the estimate is EXACT.
+_KMV_K = 1024
+
+
 @query(
     "approx_daily_users",
-    # rows-only BY NECESSITY, not omission: the HLL++ estimate is
-    # deterministic but engine-specific (measured at sf0.01: ±1 off
-    # the exact count on 17/30 days — no DuckDB SQL reproduces Spark's
-    # bias-corrected sketch). The exact twin `daily_unique_users`
-    # value-oracles the same rollup; tests/test_operators.py bounds
-    # this sketch's relative error against it.
-    oracle=None,
-    doc="uniq() analog — approx_count_distinct (HyperLogLog++). The "
-        "100 TB form of daily_unique_users: the sketch merges map-side, "
-        "shuffle carries O(groups·sketch) not O(groups·users); exact "
-        "twin holds the value oracle, this one gets rows-only + a "
-        "relative-error pytest bound",
+    # Deterministic KMV (bottom-k / k-minimum-values) sketch — unlike
+    # HLL++ (whose bias-corrected estimate is engine-specific and was
+    # this registry's one permanent rows-only row through r3), KMV is
+    # pure order statistics over md5, so DuckDB reproduces the value
+    # bit-exactly. Estimator [Bar-Yossef et al. 2002]: with h uniform
+    # on [0, 2^32), E[h_(k)] ≈ k/(n+1)·2^32, so n̂ = (k-1)·2^32/h_(k);
+    # when a group holds < k distinct hashes the sketch IS the distinct
+    # set and the count is exact. The production 100 TB form stays
+    # approx_count_distinct (HLL++: O(sketch) state, map-side merge) —
+    # approx_daily_users_hll below, pytest-bounded vs the exact twin.
+    # This KMV form is itself scale-sane: distinct(d,h) is one shuffle,
+    # the bottom-k is a sort-based window (spills, never collects a
+    # per-day set), and the final agg carries ≤ k rows per day.
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT cast(ts AS date) AS d,
+               ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint AS h
+        FROM events
+    ), bottomk AS (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM hashed
+    )
+    SELECT d,
+           cast(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                     ELSE floor({_KMV_K - 1} * 4294967296.0 / max(h))
+                END AS bigint) AS approx_users
+    FROM bottomk WHERE rn <= {_KMV_K}
+    GROUP BY d ORDER BY d
+    """,
+    doc="uniq() analog — deterministic KMV bottom-k sketch (k=1024) "
+        "over conv(substr(md5(user_id),1,8),16,10); exact below k, "
+        "(k-1)*2^32/h_(k) above; value-oracled cross-engine. HLL++ "
+        "remains the documented production path "
+        "(approx_daily_users_hll)",
 )
 def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _KMV_K
+    hashed = (load(spark, sf_dir, "events")
+              .select(F.to_date("ts").alias("d"),
+                      F.conv(F.substring(
+                          F.md5(F.col("user_id").cast("string")), 1, 8),
+                          16, 10).cast("bigint").alias("h"))
+              .distinct())
+    w = Window.partitionBy("d").orderBy("h")
+    bottomk = (hashed.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") <= k))
+    return (bottomk.groupBy("d")
+            .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+            .select("d",
+                    F.when(F.col("n") < k, F.col("n"))
+                     .otherwise(F.floor(
+                         F.lit(float(k - 1)) * 4294967296.0 / F.col("hk")))
+                     .cast("bigint").alias("approx_users"))
+            .orderBy("d"))
+
+
+def approx_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale form: HLL++ via approx_count_distinct.
+
+    At 100 TB this beats the KMV registry form — the sketch merges
+    map-side and the shuffle carries O(days · sketch_bytes) instead of
+    O(days · users) distinct pairs. Not registered (its estimate is
+    engine-specific, so no cross-engine value oracle exists — the r1-r3
+    lesson); tests/test_operators.py bounds its relative error against
+    the exact twin `daily_unique_users`.
+    """
     return (load(spark, sf_dir, "events")
             .groupBy(F.to_date("ts").alias("d"))
             .agg(F.approx_count_distinct("user_id", rsd=0.02)

@@ -289,3 +289,42 @@ def test_adhoc_macro_expansion():
         "SELECT count(*) FROM $table WHERE $adhoc", table="t",
         adhoc_filters=[("a", "LIKE", "x%")])
     assert out == "SELECT count(*) FROM t WHERE (a LIKE 'x%')"
+
+
+def test_adhoc_backslash_injection_blocked(spark):
+    """A value ending in a backslash must not swallow the closing quote
+    (Spark's default parser reads \\' as an escaped quote): the pair of
+    values  trailing-\\  +  " OR 1=1 --"  would otherwise merge into one
+    literal and inject the OR clause."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        adhoc_predicate,
+    )
+
+    p = adhoc_predicate([("event_type", "=", "x\\"),
+                         ("props", "=", " OR 1=1 --")])
+    assert p == "(event_type = 'x\\\\' AND props = ' OR 1=1 --')"
+    # end-to-end through the parser: the crafted pair matches nothing
+    df = spark.createDataFrame(
+        [("x\\", "v"), ("y", "w")], "event_type string, props string")
+    df.createOrReplaceTempView("inj_t")
+    assert spark.sql(f"SELECT count(*) c FROM inj_t WHERE {p}") \
+        .collect()[0]["c"] == 0
+    # and a literal trailing-backslash value still round-trips
+    p2 = adhoc_predicate([("event_type", "=", "x\\")])
+    assert spark.sql(f"SELECT count(*) c FROM inj_t WHERE {p2}") \
+        .collect()[0]["c"] == 1
+
+
+def test_adhoc_values_expand_last():
+    """Macro tokens INSIDE a quoted ad-hoc value are user data and must
+    reach the SQL byte-identical, not get macro-substituted."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        expand_macros,
+    )
+
+    out = expand_macros(
+        "SELECT count(*) FROM $table WHERE $timeFilter AND $adhoc",
+        table="t", time_col="ts", interval_s=300,
+        time_from="2024-01-01T00:00:00", time_to="2024-01-02T00:00:00",
+        adhoc_filters=[("props", "=", "pay $interval of $from costs")])
+    assert "'pay $interval of $from costs'" in out

@@ -91,15 +91,25 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
     from rsyslog_nginx_clickhouse_spark.catalog import load
     from rsyslog_nginx_clickhouse_spark.queries import load_all
 
+    from rsyslog_nginx_clickhouse_spark.queries.reference import (
+        approx_daily_users_hll,
+    )
+
     reg = load_all()
-    approx = {r["d"]: r["approx_users"] for r in
-              reg["approx_daily_users"].spark(spark, sf_dir).collect()}
     exact = {r["d"]: r["u"] for r in
              load(spark, sf_dir, "events")
              .groupBy(F.to_date("ts").alias("d"))
              .agg(F.count_distinct("user_id").alias("u")).collect()}
+    # registry KMV form: EXACT below k=1024 distinct users per day
+    approx = {r["d"]: r["approx_users"] for r in
+              reg["approx_daily_users"].spark(spark, sf_dir).collect()}
     for d, u in exact.items():
-        assert abs(approx[d] - u) <= max(2, 0.05 * u)
+        assert approx[d] == u
+    # production HLL++ form: bounded relative error vs the exact twin
+    hll = {r["d"]: r["approx_users"] for r in
+           approx_daily_users_hll(spark, sf_dir).collect()}
+    for d, u in exact.items():
+        assert abs(hll[d] - u) <= max(2, 0.05 * u)
 
     aq = {r["event_type"]: (r["p50"], r["p99"]) for r in
           reg["approx_latency_quantiles"].spark(spark, sf_dir).collect()}
@@ -107,6 +117,29 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
           reg["latency_quantiles"].spark(spark, sf_dir).collect()}
     for et, (p50, p99) in eq.items():
         assert abs(aq[et][0] - p50) <= max(1.0, 0.05 * p50)
+
+
+def test_kmv_estimator_branch_above_k(spark, tmp_path):
+    """Above k distinct users the KMV estimate (not the exact count)
+    fires; bound its relative error at ~3/sqrt(k)."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+    from rsyslog_nginx_clickhouse_spark.queries.reference import _KMV_K
+
+    n = 5000  # >> k=1024
+    (spark.range(n)
+     .select(F.lit(1).alias("event_id"),
+             F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+             F.col("id").alias("user_id"),
+             F.lit("view").alias("event_type"),
+             F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+     .write.parquet(str(tmp_path / "events.parquet")))
+    rows = load_all()["approx_daily_users"].spark(
+        spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    est = rows[0]["approx_users"]
+    assert abs(est - n) <= 3.0 / (_KMV_K ** 0.5) * n
 
 
 def test_range_join_buckets_and_boundaries(spark):
