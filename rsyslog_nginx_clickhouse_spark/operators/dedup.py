@@ -142,12 +142,27 @@ def shingle_udf(n: int, distinct: bool = True):
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3,
-                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                 extra_cols: tuple[str, ...] = (),
+                 balance: bool = True) -> DataFrame:
     """(id, *extra_cols, shingles: array<string> distinct) — shared by
     all near-dup ops. ``extra_cols`` are passed through untouched (the
     spread key stays ``id_col``, which is what balances partitions —
     low-cardinality attributes like ``source`` must not be spread keys).
+
+    ``balance=False`` skips the ``spread`` repartition: right for
+    consumers whose next step is a shuffling aggregation anyway (e.g.
+    a shingle-keyed count) — the extra text-carrying exchange only pays
+    off when the downstream work is per-doc heavy (pair similarity),
+    not when the agg immediately re-keys. Isolated sf0.1 probe
+    (PLANS.md): the spread costs ~1.1 s flat on top_bigrams with no
+    downstream win.
     """
+    if not balance:
+        return docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            shingle_udf(n)(F.col(text_col)).alias("shingles"),
+        )
     return spread(docs, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],

@@ -818,13 +818,18 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus bigram DOCUMENT frequency (the boilerplate-detection "
         "signal): Arrow-vectorized 2-shingles → explode → count → "
         "top-20 via TakeOrdered; shuffle carries (bigram, partial "
-        "count), bounded by vocabulary not corpus size",
+        "count), bounded by vocabulary not corpus size. balance=False: "
+        "the bigram groupBy re-keys immediately, so the doc-balancing "
+        "spread shuffle is pure overhead here (isolated sf0.1: "
+        "2.06→0.95 s; native-expression bigrams probed 6.9 s — the "
+        "Arrow UDF stays)",
 )
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
     from rsyslog_nginx_clickhouse_spark.operators.topk import topk
 
-    sh = doc_shingles(load(spark, sf_dir, "documents"), n=2)
+    sh = doc_shingles(load(spark, sf_dir, "documents"), n=2,
+                      balance=False)
     counts = (sh.select(F.explode("shingles").alias("bigram"))
                 .groupBy("bigram").agg(F.count("*").alias("doc_freq")))
     return topk(counts, 20, F.desc("doc_freq"), F.col("bigram"))

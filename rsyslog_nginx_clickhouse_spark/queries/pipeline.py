@@ -237,7 +237,10 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     # cached: feeds both the per-shingle source sets and the sizes agg
-    ex = (doc_shingles(docs, n=3, extra_cols=("source",))
+    # balance=False: the very next step re-keys to (source, s) via
+    # distinct, so a doc_id-balancing shuffle upstream is pure overhead
+    ex = (doc_shingles(docs, n=3, extra_cols=("source",),
+                       balance=False)
           .select("source", F.explode("shingles").alias("s"))
           .distinct()
           .cache())
