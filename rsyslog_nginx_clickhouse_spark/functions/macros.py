@@ -92,6 +92,141 @@ def adhoc_predicate(
     return "(" + " AND ".join(parts) + ")"
 
 
+#: SQL keywords that cannot be a trailing alias in a macro argument
+_ALIAS_STOPWORDS = {"as", "from", "where", "and", "or", "not", "by",
+                    "group", "order", "select", "on", "join"}
+
+
+def _split_expr_alias(arg: str) -> tuple[str, str]:
+    """``expr [AS] alias`` → (expr, alias); a bare identifier aliases
+    itself. The alias split is the LAST whitespace at paren depth 0,
+    so ``countIf(a = 1) good`` and ``sum(x) AS total`` both parse."""
+    s = arg.strip()
+    if _IDENT.match(s):
+        return s, s
+    depth, last_space = 0, -1
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch.isspace() and depth == 0:
+            last_space = i
+    if last_space > 0:
+        cand = s[last_space + 1:]
+        if _IDENT.match(cand) and cand.lower() not in _ALIAS_STOPWORDS:
+            expr = s[:last_space].rstrip()
+            if expr.lower().endswith(" as"):
+                expr = expr[:-3].rstrip()
+            return expr, cand
+    raise ValueError(
+        f"macro argument needs an alias (got {arg!r}): write "
+        "'expr AS name' — the alias becomes the output column")
+
+
+def _take_call_args(sql: str, open_paren: int) -> tuple[list[str], int]:
+    """Args of the call whose ``(`` is at ``open_paren`` (top-level
+    comma split) and the index just past its ``)``."""
+    depth, i = 1, open_paren + 1
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parens in macro call")
+    return [a for a in _split_top_level(sql[open_paren + 1:i - 1])], i
+
+
+def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
+    """The vertamedia plugin's function-style macros — $rate /
+    $perSecond / $columns / $rateColumns / $perSecondColumns
+    (plugin named at /root/reference/README.md:275). Each replaces the
+    whole SELECT head: the query reads ``$macro(args) FROM ...``.
+
+    Spark-first re-expressions (documented deviations from the
+    plugin's ClickHouse emissions):
+    - runningDifference(col) → ``col - lag(col) OVER (ORDER BY t)``;
+      the first bucket's rate is NULL (the plugin emits a 0-divide).
+    - $perSecond's counter-reset guard emits NULL, not nan (nan
+      poisons Spark aggregates; Grafana renders both as gaps).
+    - $columns / $rateColumns / $perSecondColumns return TIDY LONG
+      format (t, key, value) ordered by (t, key) instead of the
+      plugin's groupArray-of-tuples wide pivot: the pivot is
+      presentation (Grafana splits series client-side), and long form
+      keeps the plan a plain partial-agg + one exchange at any scale —
+      a per-t collect_list would concentrate every key of a bucket
+      into one row.
+
+    ``bucket`` is the already-rendered $timeSeries expression;
+    windows order by the bucket, so the lag is the PREVIOUS NON-EMPTY
+    bucket, exactly like runningDifference over the plugin's grouped
+    subquery.
+    """
+    m = re.match(
+        r"\s*\$(rate|perSecond|columns|rateColumns|perSecondColumns)"
+        r"\s*\(", sql)
+    if not m:
+        return sql
+    name = m.group(1)
+    args, after = _take_call_args(sql, m.end() - 1)
+    tail = sql[after:].strip()  # "FROM $table WHERE ..." — kept intact
+    if not tail.lower().startswith("from"):
+        raise ValueError(f"${name}(...) must be followed by FROM")
+    dt = "(unix_timestamp(t) - unix_timestamp(lag(t) OVER (ORDER BY t)))"
+
+    if name == "rate":
+        pairs = [_split_expr_alias(a) for a in args]
+        inner = ", ".join(f"{e} AS {al}" for e, al in pairs)
+        outer = ", ".join(f"{al} / dt AS {al}" for _, al in pairs)
+        return (f"SELECT t, {outer} FROM ("
+                f"SELECT t, {', '.join(al for _, al in pairs)}, {dt} AS dt"
+                f" FROM (SELECT {bucket} AS t, {inner} {tail}"
+                f" GROUP BY t)) ORDER BY t")
+
+    if name == "perSecond":
+        pairs = [_split_expr_alias(a) for a in args]
+        inner = ", ".join(f"max({e}) AS {al}" for e, al in pairs)
+        diffs = ", ".join(
+            f"({al} - lag({al}) OVER (ORDER BY t)) AS d_{al}"
+            for _, al in pairs)
+        outer = ", ".join(
+            f"CASE WHEN d_{al} < 0 THEN NULL ELSE d_{al} / dt END"
+            f" AS {al}PerSecond" for _, al in pairs)
+        return (f"SELECT t, {outer} FROM ("
+                f"SELECT t, {diffs}, {dt} AS dt"
+                f" FROM (SELECT {bucket} AS t, {inner} {tail}"
+                f" GROUP BY t)) ORDER BY t")
+
+    # the *Columns family: args = (key, value)
+    if len(args) != 2:
+        raise ValueError(f"${name}(key, value) takes exactly 2 args")
+    kexpr, kal = _split_expr_alias(args[0])
+    vexpr, val = _split_expr_alias(args[1])
+    if name == "columns":
+        return (f"SELECT {bucket} AS t, {kexpr} AS {kal}, "
+                f"{vexpr} AS {val} {tail} "
+                f"GROUP BY t, {kal} ORDER BY t, {kal}")
+    pdt = ("(unix_timestamp(t) - unix_timestamp("
+           f"lag(t) OVER (PARTITION BY {kal} ORDER BY t)))")
+    if name == "rateColumns":
+        return (f"SELECT t, {kal}, {val} / dt AS {val} FROM ("
+                f"SELECT t, {kal}, {val}, {pdt} AS dt"
+                f" FROM (SELECT {bucket} AS t, {kexpr} AS {kal},"
+                f" {vexpr} AS {val} {tail} GROUP BY t, {kal}))"
+                f" ORDER BY t, {kal}")
+    # perSecondColumns
+    return (f"SELECT t, {kal}, CASE WHEN d < 0 THEN NULL"
+            f" ELSE d / dt END AS {val}PerSecond FROM ("
+            f"SELECT t, {kal},"
+            f" ({val} - lag({val}) OVER (PARTITION BY {kal} ORDER BY t))"
+            f" AS d, {pdt} AS dt"
+            f" FROM (SELECT {bucket} AS t, {kexpr} AS {kal},"
+            f" max({vexpr}) AS {val} {tail} GROUP BY t, {kal}))"
+            f" ORDER BY t, {kal}")
+
+
 def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
                   interval_s: int = 3600,
                   time_from: str | None = None,
@@ -115,6 +250,11 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
     def bucket_expr(width_s: int) -> str:
         return (f"timestamp_seconds(floor(unix_timestamp({time_col})"
                 f" / {width_s}) * {width_s})")
+
+    # function-style macros first: they rewrite the SELECT head into
+    # plain SQL whose FROM/WHERE tail still holds $table/$timeFilter
+    # for the generic replacements below
+    sql = expand_function_macros(sql, bucket_expr(interval_s), interval_s)
 
     bounds = []
     if time_from:
@@ -174,6 +314,8 @@ def rewrite_aggregates(out: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     out = _STR_LIT.sub(_mask, out)
+    # ClickHouse's zero-arg count() — Spark requires an argument
+    out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)

@@ -51,44 +51,77 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 
 #: The driver's correctness snapshot covers only the FIRST 50 registry
-#: entries per round, so queries lacking a green driver row are
-#: front-loaded each round. Round-3 front-load:
-#: - never driver-verified (oracles added r2 past the window):
-#:   dedup_simhash, knn_lsh, knn_ivf
-#: - hash-failed r2 on an oracle dtype bug (fixed: CAST ... AS BIGINT):
-#:   q12_priority_shipping, domain_mixture
-#: - broken r2 by the TIMESTAMP_NTZ testdata change (fixed in
-#:   catalog.normalize_ts / load_time_range): grafana_timeseries,
-#:   timeseries_5min_by_type, user_event_gaps,
-#:   funnel_view_click_purchase, similar_activity_users,
-#:   events_in_sessions_rangejoin
-#: - new round-3 queries (no row yet).
-#: All pass the identical in-repo gate (tools/selfcheck.py)
-#: regardless of order.
-_FRONTLOAD_R3 = [
-    "grafana_from_to_macros",
-    "grafana_natural_timeseries",
-    "source_overlap",
-    "pii_redaction",
-    "repetition_stats",
-    "token_shard_plan",
-    "streaming_view_purchase_join",
-    "embedding_quantization",
-    "replacing_upsert_roundtrip",
-    "collapsing_state_roundtrip",
-    "curation_pipeline",
-    "grafana_adhoc_filters",
-    "dedup_simhash",
-    "knn_lsh",
-    "knn_ivf",
-    "q12_priority_shipping",
-    "domain_mixture",
-    "grafana_timeseries",
-    "timeseries_5min_by_type",
-    "user_event_gaps",
-    "funnel_view_click_purchase",
-    "similar_activity_users",
-    "events_in_sessions_rangejoin",
+#: entries per round, so queries lacking a CURRENT green driver row
+#: are front-loaded each round. Round-4 rotation (VERDICT r3 item 1):
+#: everything in CORRECTNESS_r03.json is green as of r3, so the window
+#: flips to the 50 entries last verified in r1/r2 — the NTZ incident
+#: proved ever-green rows rot. Two new round-4 macro queries
+#: (grafana_rate_macro, grafana_columns_macro) take the top slots;
+#: to make room, top_users and event_type_share (single-table
+#: built-in-only aggregations whose load/topk/window code paths are
+#: exercised by several other front-loaded entries) wait for the r5
+#: window along with the other three r4 macro queries
+#: (grafana_rate_columns_macro, grafana_per_second_macro,
+#: grafana_per_second_columns_macro). All 105 pass the identical
+#: in-repo gate (tools/selfcheck.py) regardless of order.
+#: Generated from (CORRECTNESS_r01 ∪ r02) − r03, minus the two
+#: displaced entries, new/rewritten queries first. Exactly 50.
+_FRONTLOAD_R4 = [
+    # new this round — never driver-verified
+    "grafana_rate_macro",
+    "grafana_columns_macro",
+    # rewritten this round (KMV sketch — was the registry's only
+    # never-green row; balance=False perf fix) — verify first
+    "approx_daily_users",
+    "top_bigrams",
+    # last driver row in r1
+    "corpus_selection",
+    "daily_unique_users",
+    "dedup_components",
+    "embedding_neardup_pairs",
+    "error_rate_daily",
+    "knn_bruteforce",
+    "multimodal_features",
+    "multimodal_frames",
+    "nginx_dead_letters",
+    "nginx_pipeline",
+    "props_json_stats",
+    "token_counts",
+    "train_test_split",
+    # last driver row in r2
+    "approx_latency_quantiles",
+    "bot_traffic_share",
+    "bucketed_join_revenue",
+    "decontamination",
+    "duplicated_ngram_fraction",
+    "embedding_neardup_exact",
+    "gopher_quality_filter",
+    "nginx_table_roundtrip",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_cohort",
+    "skew_salted_event_counts",
+    "status_class_share",
+    "stratified_sample",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_summed_rollup",
+    "streaming_user_counts",
+    "tfidf_top_terms",
+    "zorder_pruned_scan",
 ]
 
 
@@ -103,6 +136,6 @@ def load_all() -> dict[str, Query]:
         tpch_plus,
     )
 
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R3 if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R4 if n in REGISTRY}
     ordered.update(REGISTRY)
     return ordered

@@ -133,6 +133,149 @@ def grafana_natural_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       time_from=_T_FROM, time_to=_T_TO)
 
 
+# --- the vertamedia function-style macro family (plugin named at
+# /root/reference/README.md:275): $rate / $perSecond / $columns /
+# $rateColumns / $perSecondColumns. Expansion semantics documented at
+# functions/macros.py:expand_function_macros; the req/s panel every
+# nginx dashboard starts with is grafana_rate_macro. ---
+
+_RATE_WINDOW = "WHERE ts BETWEEN TIMESTAMP '{f}' AND TIMESTAMP '{t}'" \
+    .format(f=_T_FROM, t=_T_TO)
+
+
+@query(
+    "grafana_rate_macro",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS t, count(*) AS hits
+      FROM events {_RATE_WINDOW} GROUP BY t)
+    SELECT t,
+           hits / (epoch(t) - lag(epoch(t)) OVER (ORDER BY t)) AS hits
+    FROM b ORDER BY t
+    """,
+    doc="$rate(count() hits): req/s — hourly count divided by the "
+        "seconds since the previous non-empty bucket (lag window over "
+        "the grouped series, the runningDifference re-expression); "
+        "first bucket NULL",
+)
+def grafana_rate_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_rate")
+    q = "$rate(count() AS hits) FROM $table WHERE $timeFilter"
+    return engine_sql(spark, q, table="grafana_events_pruned_rate",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_columns_macro",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS t, event_type AS etype,
+           count(*) AS c
+    FROM events {_RATE_WINDOW}
+    GROUP BY t, etype ORDER BY t, etype
+    """,
+    doc="$columns(key, value): per-key series — tidy long format "
+        "(t, key, value); the plugin's groupArray wide pivot is "
+        "presentation-layer (a per-t collect_list would concentrate "
+        "every key of a bucket into one row at scale)",
+)
+def grafana_columns_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_cols")
+    q = ("$columns(event_type AS etype, count() AS c) "
+         "FROM $table WHERE $timeFilter")
+    return engine_sql(spark, q, table="grafana_events_pruned_cols",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_rate_columns_macro",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS t, event_type AS etype,
+             count(*) AS c
+      FROM events {_RATE_WINDOW} GROUP BY t, etype)
+    SELECT t, etype,
+           c / (epoch(t) - lag(epoch(t))
+                OVER (PARTITION BY etype ORDER BY t)) AS c
+    FROM b ORDER BY t, etype
+    """,
+    doc="$rateColumns(key, value): per-key rate — $columns' long "
+        "format with the lag window PARTITIONED BY key, so each "
+        "series' runningDifference is independent",
+)
+def grafana_rate_columns_macro(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_rcols")
+    q = ("$rateColumns(event_type AS etype, count() AS c) "
+         "FROM $table WHERE $timeFilter")
+    return engine_sql(spark, q, table="grafana_events_pruned_rcols",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_per_second_macro",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS t, max(value) AS v
+      FROM events {_RATE_WINDOW} GROUP BY t),
+    d AS (
+      SELECT t, v - lag(v) OVER (ORDER BY t) AS dv,
+             epoch(t) - lag(epoch(t)) OVER (ORDER BY t) AS dt
+      FROM b)
+    SELECT t, CASE WHEN dv < 0 THEN NULL ELSE dv / dt END AS vPerSecond
+    FROM d ORDER BY t
+    """,
+    doc="$perSecond(col): counter rate — max per bucket, "
+        "runningDifference over buckets, counter-reset (negative "
+        "diff) → NULL (the plugin emits nan; NULL doesn't poison "
+        "Spark aggregates and Grafana renders both as gaps)",
+)
+def grafana_per_second_macro(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_ps")
+    q = "$perSecond(value AS v) FROM $table WHERE $timeFilter"
+    return engine_sql(spark, q, table="grafana_events_pruned_ps",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
+@query(
+    "grafana_per_second_columns_macro",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS t, event_type AS etype,
+             max(value) AS v
+      FROM events {_RATE_WINDOW} GROUP BY t, etype),
+    d AS (
+      SELECT t, etype,
+             v - lag(v) OVER (PARTITION BY etype ORDER BY t) AS dv,
+             epoch(t) - lag(epoch(t))
+                 OVER (PARTITION BY etype ORDER BY t) AS dt
+      FROM b)
+    SELECT t, etype,
+           CASE WHEN dv < 0 THEN NULL ELSE dv / dt END AS vPerSecond
+    FROM d ORDER BY t, etype
+    """,
+    doc="$perSecondColumns(key, col): per-key counter rate — "
+        "$perSecond semantics with the window partitioned by key",
+)
+def grafana_per_second_columns_macro(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_pscols")
+    q = ("$perSecondColumns(event_type AS etype, value AS v) "
+         "FROM $table WHERE $timeFilter")
+    return engine_sql(spark, q, table="grafana_events_pruned_pscols",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO)
+
+
 @query(
     "timeseries_5min_by_type",
     oracle="""

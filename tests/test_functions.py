@@ -291,7 +291,75 @@ def test_adhoc_macro_expansion():
     assert out == "SELECT count(*) FROM t WHERE (a LIKE 'x%')"
 
 
-def test_adhoc_backslash_injection_blocked(spark):
+def test_function_macro_expansion():
+    """$rate / $perSecond / $columns / $rateColumns /
+    $perSecondColumns — the vertamedia function-style macros."""
+    import pytest
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        expand_macros,
+    )
+
+    kw = dict(table="ev", time_col="ts", interval_s=60)
+    out = expand_macros("$rate(count() AS hits) FROM $table", **kw)
+    assert out.startswith("SELECT t, hits / dt AS hits FROM (")
+    assert "lag(t) OVER (ORDER BY t)" in out
+    assert "count(*) AS hits" in out          # count() compat rewrite
+    assert "GROUP BY t" in out and "FROM ev" in out
+
+    out = expand_macros(
+        "$rate(countIf(v > 1) good, count() AS total) FROM $table", **kw)
+    assert "good / dt AS good" in out and "total / dt AS total" in out
+    assert "count_if(v > 1) AS good" in out   # countIf compat rewrite
+
+    out = expand_macros("$perSecond(bytes AS b) FROM $table", **kw)
+    assert "max(bytes) AS b" in out
+    assert "CASE WHEN d_b < 0 THEN NULL" in out
+    assert "AS bPerSecond" in out
+
+    out = expand_macros(
+        "$columns(etype AS k, count() AS c) FROM $table WHERE x=1", **kw)
+    assert "GROUP BY t, k ORDER BY t, k" in out and "WHERE x=1" in out
+
+    out = expand_macros(
+        "$rateColumns(etype AS k, count() AS c) FROM $table", **kw)
+    assert "PARTITION BY k ORDER BY t" in out and "c / dt AS c" in out
+
+    out = expand_macros(
+        "$perSecondColumns(etype AS k, bytes AS b) FROM $table", **kw)
+    assert "max(bytes) AS b" in out and "PARTITION BY k" in out
+    assert "AS bPerSecond" in out
+
+    # a bare identifier aliases itself
+    out = expand_macros("$perSecond(bytes) FROM $table", **kw)
+    assert "max(bytes) AS bytes" in out
+    # alias required for computed exprs
+    with pytest.raises(ValueError, match="alias"):
+        expand_macros("$rate(count(*)) FROM $table", **kw)
+    # macro must head the statement and be followed by FROM
+    with pytest.raises(ValueError, match="FROM"):
+        expand_macros("$rate(count() c) WHERE 1=1", **kw)
+    # non-head occurrences are left to the generic path, not mangled
+    out = expand_macros("SELECT '$rate(x y)' AS s FROM $table", **kw)
+    assert out == "SELECT '$rate(x y)' AS s FROM ev"
+
+
+def test_function_macro_rate_values(spark):
+    """End-to-end $rate: empty buckets make dt > interval, first
+    bucket rate is NULL."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:30",), ("2024-01-01 00:00:40",),
+         # minute 00:01 empty — next bucket's dt = 120 s
+         ("2024-01-01 00:02:10",)],
+        "ts string").selectExpr("cast(ts as timestamp) AS ts")
+    df.createOrReplaceTempView("rate_ev")
+    rows = engine_sql(
+        spark, "$rate(count() AS hits) FROM $table",
+        table="rate_ev", time_col="ts", interval_s=60).collect()
+    assert [r["hits"] for r in rows] == [None, 1.0 / 120.0]
     """A value ending in a backslash must not swallow the closing quote
     (Spark's default parser reads \\' as an escaped quote): the pair of
     values  trailing-\\  +  " OR 1=1 --"  would otherwise merge into one
