@@ -77,20 +77,32 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>",
                     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
     # JSON accessors (the events table carries a props JSON column;
-    # ClickHouse dashboards lean on these constantly). get_json_object
-    # returns NULL on missing/invalid — matching the ...OrNull family;
-    # the non-null ClickHouse variants return ''/0 defaults, so
-    # coalesce accordingly.
+    # ClickHouse dashboards lean on these constantly). ClickHouse edge
+    # semantics honored: the key is a LITERAL member name — bracket
+    # path $['k'] stops a '.' in the key from being read as nesting
+    # (CH nests via extra varargs, which a fixed 2-arg SQL UDF can't
+    # take — single-key only, documented deviation); JSONExtractInt
+    # TRUNCATES non-integer numerics like CH (3.7 → 3, via the double
+    # route — the direct bigint branch first so ids above 2^53 stay
+    # exact); JSONHas uses json_object_keys so a key present with JSON
+    # null is has=true (get_json_object can't tell null from absent).
+    # get_json_object returns NULL on missing/invalid — the non-null
+    # ClickHouse variants return ''/0 defaults, so coalesce.
     "JSONExtractString": ("j STRING, k STRING", "STRING",
-                          "coalesce(get_json_object(j, concat('$.', k)), '')"),
+                          "coalesce(get_json_object(j, "
+                          "concat('$[''', k, ''']')), '')"),
     "JSONExtractInt": ("j STRING, k STRING", "BIGINT",
                        "coalesce(try_cast(get_json_object(j, "
-                       "concat('$.', k)) as bigint), 0)"),
+                       "concat('$[''', k, ''']')) as bigint), "
+                       "try_cast(try_cast(get_json_object(j, "
+                       "concat('$[''', k, ''']')) as double) as bigint)"
+                       ", 0)"),
     "JSONExtractFloat": ("j STRING, k STRING", "DOUBLE",
                          "coalesce(try_cast(get_json_object(j, "
-                         "concat('$.', k)) as double), 0.0)"),
+                         "concat('$[''', k, ''']')) as double), 0.0)"),
     "JSONHas": ("j STRING, k STRING", "BOOLEAN",
-                "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+                "coalesce(array_contains(json_object_keys(j), k), "
+                "false)"),
 }
 
 #: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap

@@ -286,16 +286,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     banding are removed by the verify step; false negatives bounded by
     the (32 hashes, 8 bands) S-curve.
     """
-    sh = doc_shingles(docs, id_col, text_col, n).cache()
-    # The signature cache is a REQUIRED barrier, not just reuse:
+    # localCheckpoint (not cache): a REQUIRED barrier, not just reuse —
     # CollapseProject inlines a referenced expression into EVERY
     # consumer, so an un-materialized sig would be recomputed once per
     # band key and per self-join side. (The expression twins
     # shingle_hashes/minhash_signature exist for oracle documentation;
-    # the Arrow UDF computes identical values in one pass.)
+    # the Arrow UDF computes identical values in one pass.) Checkpoint
+    # blocks are freed by ContextCleaner on GC; a .cache() here pinned
+    # CacheManager blocks for the session lifetime.
+    sh = doc_shingles(docs, id_col, text_col, n).localCheckpoint()
     sig_df = sh.select(F.col(id_col),
-                       minhash_sig_udf(F.col("shingles")).alias("sig")).cache()
-    sig_df.count()  # materialize sh + sig once; consumers share the caches
+                       minhash_sig_udf(F.col("shingles")).alias("sig")) \
+        .localCheckpoint()
     banded = (sig_df.select(id_col,
                             F.explode(minhash_bands(F.col("sig"))).alias("b"))
                     .select(id_col, F.col("b.band").alias("band"),
@@ -348,7 +350,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     over the shingle key; the self-join that follows shuffles on the
     same key, so AQE reuses the exchange rather than re-partitioning.
     """
-    sh = doc_shingles(docs, id_col, text_col, n).cache()
+    # localCheckpoint, not cache: three consumers (sizes + both
+    # self-join sides) share the materialized shingles; blocks are
+    # GC-released instead of pinned in CacheManager for the session
+    sh = doc_shingles(docs, id_col, text_col, n).localCheckpoint()
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     # Docfreq cap, adaptively (results are identical on every path —
     # the cap only changes WHEN work happens, never what comes out):
@@ -366,7 +371,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # ~1.2 s at sf0.1 even with zero hot shingles.
     if docs.count() > max_doc_freq:
         hot = (ex.groupBy("s").agg(F.count("*").alias("nd"))
-                 .where(F.col("nd") > max_doc_freq).select("s").cache())
+                 .where(F.col("nd") > max_doc_freq).select("s")
+                 .localCheckpoint())
         if hot.limit(1).count():
             ex = ex.join(hot, "s", "left_anti")
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))

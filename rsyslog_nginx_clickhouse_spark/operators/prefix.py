@@ -34,13 +34,18 @@ def distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = spark.sparkContext.defaultParallelism
-    # cache pins the RANGE BOUNDARIES: repartitionByRange samples to
-    # pick them, and without the barrier the totals pass and the window
-    # pass would re-execute the shuffle with fresh samples — per-range
-    # offsets computed against one partitioning, applied to another
+    # localCheckpoint pins the RANGE BOUNDARIES: repartitionByRange
+    # samples to pick them, and without the barrier the totals pass and
+    # the window pass would re-execute the shuffle with fresh samples —
+    # per-range offsets computed against one partitioning, applied to
+    # another. Checkpoint, not cache: a cache entry pins CacheManager
+    # blocks for the session lifetime (the leak connected_components
+    # avoids) and an evicted block would silently RESAMPLE on
+    # recompute; checkpoint blocks are freed by ContextCleaner when the
+    # plan is GC'd and never re-derive.
     ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
                 .withColumn("__rng", F.spark_partition_id())
-                .cache())
+                .localCheckpoint())
     # per-range totals: num_ranges rows — the driver fetch is
     # parameter-sized (one row per partition), never data-sized
     totals = (ranged.groupBy("__rng")

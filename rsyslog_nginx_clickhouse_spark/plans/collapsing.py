@@ -50,7 +50,10 @@ def compact_collapsed(spark: SparkSession, path: str, keys: list[str],
     """↔ CollapsingMergeTree background merge: drop cancelled pairs.
 
     Surviving rows are rewritten with ``sign = +1`` so later appends
-    keep composing. Temp-sibling write + swap (see summing/replacing).
+    keep composing. Temp-sibling write + swap (see
+    plans/summing.compact_summed, incl. its LOCAL-FILESYSTEM ONLY
+    caveat: shutil doesn't speak HDFS/S3 and the swap is not atomic
+    for concurrent readers).
     """
     import shutil
 

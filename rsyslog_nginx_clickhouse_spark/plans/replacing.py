@@ -50,7 +50,9 @@ def compact_replacing(spark: SparkSession, path: str, keys: list[str],
     """↔ ReplacingMergeTree background merge: drop superseded versions.
 
     Temp-sibling write + directory swap (never overwrite the path a
-    lazy plan may still read — see plans/summing.compact_summed).
+    lazy plan may still read — see plans/summing.compact_summed, incl.
+    its LOCAL-FILESYSTEM ONLY caveat: shutil doesn't speak HDFS/S3 and
+    the swap is not atomic for concurrent readers).
     """
     import shutil
 

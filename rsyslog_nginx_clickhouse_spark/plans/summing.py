@@ -51,6 +51,15 @@ def compact_summed(spark: SparkSession, path: str, keys: list[str],
     cache block after the delete would recompute from deleted files).
     Rollup tables are O(distinct keys) — small by construction — so the
     single-writer coalesce is fine.
+
+    LOCAL-FILESYSTEM ONLY (applies to compact_replacing /
+    compact_collapsed too): shutil.move/rmtree don't speak
+    HDFS/S3 URIs, and the two-step swap leaves a window where the
+    table path is absent for a concurrent reader. On an object store
+    or under concurrent readers, use a transactional table format
+    (Delta/Iceberg — REPLACE TABLE is their native compaction) or an
+    atomic FileSystem.rename through the Hadoop API; this helper is
+    the single-writer local-bench analog of the background merge.
     """
     import shutil
 

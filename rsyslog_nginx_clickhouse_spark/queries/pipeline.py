@@ -238,12 +238,15 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # cached: feeds both the per-shingle source sets and the sizes agg
     # balance=False: the very next step re-keys to (source, s) via
-    # distinct, so a doc_id-balancing shuffle upstream is pure overhead
+    # distinct, so a doc_id-balancing shuffle upstream is pure overhead.
+    # localCheckpoint, not cache: feeds both the per-shingle source
+    # sets and the sizes agg; blocks GC-release instead of pinning
+    # CacheManager for the session.
     ex = (doc_shingles(docs, n=3, extra_cols=("source",),
                        balance=False)
           .select("source", F.explode("shingles").alias("s"))
           .distinct()
-          .cache())
+          .localCheckpoint())
     grp = (ex.groupBy("s")
              .agg(F.array_sort(F.collect_set("source")).alias("srcs")))
     # (x, i) → pair x with every later (= lexicographically greater)

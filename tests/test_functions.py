@@ -268,6 +268,22 @@ def test_clickhouse_json_accessors(spark):
     assert row["i"] == 3 and row["i_bad"] == 0
     assert abs(row["f"] - 2.5) < 1e-12
     assert row["has_a"] is True and row["has_b"] is False
+    # ClickHouse edge semantics (ADVICE r3): present-with-null key,
+    # fractional Int truncation, literal '.' in a key, invalid JSON
+    edge = spark.sql("""
+        SELECT JSONHas('{"a": null}', 'a')              AS has_null_val,
+               JSONHas('not json', 'a')                 AS has_invalid,
+               JSONExtractInt('{"n": 3.7}', 'n')        AS i_trunc,
+               JSONExtractInt('{"n": -3.7}', 'n')       AS i_trunc_neg,
+               JSONExtractInt('{"n": 9007199254740993}', 'n') AS i_big,
+               JSONExtractString('{"a.b": "dot"}', 'a.b') AS dot_key,
+               JSONExtractFloat('{"a.b": 1.5}', 'a.b')  AS dot_key_f
+    """).collect()[0]
+    assert edge["has_null_val"] is True       # CH: key exists → 1
+    assert edge["has_invalid"] is False
+    assert edge["i_trunc"] == 3 and edge["i_trunc_neg"] == -3
+    assert edge["i_big"] == 9007199254740993  # no double round-trip
+    assert edge["dot_key"] == "dot" and edge["dot_key_f"] == 1.5
 
 
 def test_adhoc_macro_expansion():
