@@ -60,9 +60,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: to make room, top_users and event_type_share (single-table
 #: built-in-only aggregations whose load/topk/window code paths are
 #: exercised by several other front-loaded entries) wait for the r5
-#: window along with the other three r4 macro queries
+#: window along with the other new r4 queries
 #: (grafana_rate_columns_macro, grafana_per_second_macro,
-#: grafana_per_second_columns_macro). All 105 pass the identical
+#: grafana_per_second_columns_macro, value_histogram). All 106 pass
+#: the identical
 #: in-repo gate (tools/selfcheck.py) regardless of order.
 #: Generated from (CORRECTNESS_r01 ∪ r02) − r03, minus the two
 #: displaced entries, new/rewritten queries first. Exactly 50.

@@ -977,3 +977,49 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.percentile("gap_us", 0.5), 4)
                    .alias("median_gap_us"))
              .orderBy("user_id"))
+
+
+@query(
+    "value_histogram",
+    # Bounds come from the same SQL min/max, widths and bucket indices
+    # are identical IEEE arithmetic, so the histogram is deterministic
+    # cross-engine. v == max lands in the last bucket via least().
+    oracle="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    h AS (
+      SELECT least(cast(floor((value - lo) / ((hi - lo) / 20)) AS int),
+                   19) AS bucket,
+             lo, hi, value
+      FROM events, b)
+    SELECT bucket,
+           round(min(lo) + bucket * ((min(hi) - min(lo)) / 20), 6)
+               AS bucket_lo,
+           count(*) AS cnt,
+           round(avg(value), 6) AS mean_value
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+    doc="ClickHouse histogram() analog for dashboard distribution "
+        "panels, re-expressed deterministically: histogram(N) streams "
+        "an ADAPTIVE-boundary sketch (engine-specific), this is the "
+        "fixed-width 20-bucket equivalent — bounds from one tiny "
+        "min/max aggregate BROADCAST-joined to the scan (no driver "
+        "collect, single pass over the fact + one metadata-sized agg; "
+        "at 100 TB the bounds agg is a map-side-combined scan that "
+        "AQE plans as a broadcast side automatically)",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(F.floor((F.col("value") - F.col("lo")) / w)
+                      .cast("int"), F.lit(19))
+    return (ev.crossJoin(F.broadcast(bounds))
+              .select(bucket.alias("bucket"), "lo", "hi", "value")
+              .groupBy("bucket")
+              .agg(F.round(F.min("lo")
+                           + F.col("bucket")
+                           * ((F.min("hi") - F.min("lo")) / 20), 6)
+                    .alias("bucket_lo"),
+                   F.count("*").alias("cnt"),
+                   F.round(F.avg("value"), 6).alias("mean_value"))
+              .orderBy("bucket"))

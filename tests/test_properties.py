@@ -194,3 +194,27 @@ def test_rewrite_if_combinators_idempotent(s, name):
     assert once == (f"SELECT {IF_COMBINATORS[name]}"
                     f"(if(col = {lit}, v, NULL)) AS c FROM t")
     assert rewrite_aggregates(once) == once  # stable under re-rewrite
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(val=st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=0x20,
+                           max_codepoint=0x7E),
+    min_size=0, max_size=24))
+def test_adhoc_value_roundtrip_through_parser(spark, val):
+    """ANY printable-ASCII ad-hoc filter value — quotes, backslashes,
+    $-macro tokens, SQL fragments — must round-trip through the
+    expansion and Spark's parser as pure data: the predicate matches
+    exactly the rows whose column equals the value."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        adhoc_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(val,), (val + "x",), ("decoy",)], "c string")
+    p = adhoc_predicate([("c", "=", val)])
+    got = [r["c"] for r in df.where(F.expr(p)).collect()]
+    assert got == [val]

@@ -27,23 +27,35 @@ NOISE_FLOOR_S = 0.3
 
 
 def load_bench(path: str) -> dict:
-    """Extract the bench JSON from a raw bench line or driver wrapper."""
+    """Extract the bench JSON from a raw bench line or driver wrapper.
+
+    Since r4 bench.py's stdout line is a COMPACT subset (slowest
+    queries only, to fit the driver's 2000-char tail window) pointing
+    at the complete object via "queries_file"; follow that pointer
+    when the file is available so the diff covers every query.
+    """
     with open(path) as f:
         doc = json.load(f)
-    if "queries" in doc:
-        return doc
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON found")
-    return json.loads(m.group(0))
+    if "queries" not in doc:
+        m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+        if not m:
+            raise SystemExit(f"{path}: no bench JSON found")
+        doc = json.loads(m.group(0))
+    qf = doc.get("queries_file")
+    if qf:
+        for cand in (os.path.join(os.path.dirname(path), qf), qf):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return json.load(f)
+    return doc
 
 
 def run_bench() -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      os.pardir, "bench.py")],
-        capture_output=True, text=True, check=True).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    repo = os.path.join(os.path.dirname(__file__), os.pardir)
+    subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                   capture_output=True, text=True, check=True)
+    with open(os.path.join(repo, "BENCH_LAST.json")) as f:
+        return json.load(f)
 
 
 def main() -> int:
