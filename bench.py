@@ -65,10 +65,16 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 dt = round(time.time() - t0, 3)
                 best = dt if best < 0 else min(best, dt)
-                # Release per-query caches (dedup ops cache
-                # intermediates) so later queries aren't taxed by
-                # leftover executor memory.
+                # Release per-query state so later queries aren't
+                # taxed by leftover executor memory: clearCache drops
+                # CacheManager entries, and gc.collect() releases the
+                # Python DataFrame wrappers so ContextCleaner can free
+                # localCheckpoint blocks (which clearCache does NOT
+                # touch — they'd otherwise accumulate across the suite)
                 spark.catalog.clearCache()
+                import gc
+
+                gc.collect()
             timings[name] = best
         except Exception as e:  # report, don't abort the whole bench
             timings[name] = -1.0

@@ -170,6 +170,20 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
     if not m:
         return sql
     name = m.group(1)
+    # mask string literals so a ')' or ',' INSIDE a quoted value can't
+    # derail the paren scan / arg split; restored on the final string
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    sql = _STR_LIT.sub(_mask, sql)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r"\x00(\d+)\x00",
+                      lambda mm: lits[int(mm.group(1))], s)
+
     args, after = _take_call_args(sql, m.end() - 1)
     tail = sql[after:].strip()  # "FROM $table WHERE ..." — kept intact
     if not tail.lower().startswith("from"):
@@ -180,7 +194,7 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
         pairs = [_split_expr_alias(a) for a in args]
         inner = ", ".join(f"{e} AS {al}" for e, al in pairs)
         outer = ", ".join(f"{al} / dt AS {al}" for _, al in pairs)
-        return (f"SELECT t, {outer} FROM ("
+        return _unmask(f"SELECT t, {outer} FROM ("
                 f"SELECT t, {', '.join(al for _, al in pairs)}, {dt} AS dt"
                 f" FROM (SELECT {bucket} AS t, {inner} {tail}"
                 f" GROUP BY t)) ORDER BY t")
@@ -194,7 +208,7 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
         outer = ", ".join(
             f"CASE WHEN d_{al} < 0 THEN NULL ELSE d_{al} / dt END"
             f" AS {al}PerSecond" for _, al in pairs)
-        return (f"SELECT t, {outer} FROM ("
+        return _unmask(f"SELECT t, {outer} FROM ("
                 f"SELECT t, {diffs}, {dt} AS dt"
                 f" FROM (SELECT {bucket} AS t, {inner} {tail}"
                 f" GROUP BY t)) ORDER BY t")
@@ -205,19 +219,19 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
     kexpr, kal = _split_expr_alias(args[0])
     vexpr, val = _split_expr_alias(args[1])
     if name == "columns":
-        return (f"SELECT {bucket} AS t, {kexpr} AS {kal}, "
+        return _unmask(f"SELECT {bucket} AS t, {kexpr} AS {kal}, "
                 f"{vexpr} AS {val} {tail} "
                 f"GROUP BY t, {kal} ORDER BY t, {kal}")
     pdt = ("(unix_timestamp(t) - unix_timestamp("
            f"lag(t) OVER (PARTITION BY {kal} ORDER BY t)))")
     if name == "rateColumns":
-        return (f"SELECT t, {kal}, {val} / dt AS {val} FROM ("
+        return _unmask(f"SELECT t, {kal}, {val} / dt AS {val} FROM ("
                 f"SELECT t, {kal}, {val}, {pdt} AS dt"
                 f" FROM (SELECT {bucket} AS t, {kexpr} AS {kal},"
                 f" {vexpr} AS {val} {tail} GROUP BY t, {kal}))"
                 f" ORDER BY t, {kal}")
     # perSecondColumns
-    return (f"SELECT t, {kal}, CASE WHEN d < 0 THEN NULL"
+    return _unmask(f"SELECT t, {kal}, CASE WHEN d < 0 THEN NULL"
             f" ELSE d / dt END AS {val}PerSecond FROM ("
             f"SELECT t, {kal},"
             f" ({val} - lag({val}) OVER (PARTITION BY {kal} ORDER BY t))"

@@ -348,6 +348,13 @@ def test_function_macro_expansion():
     # a bare identifier aliases itself
     out = expand_macros("$perSecond(bytes) FROM $table", **kw)
     assert "max(bytes) AS bytes" in out
+    # string literals inside args: ')' ',' '(' in a quoted value must
+    # not derail the paren scan or arg split, and must round-trip
+    out = expand_macros(
+        "$rate(countIf(etype = 'a,(b)') AS odd, count() AS n)"
+        " FROM $table", **kw)
+    assert "'a,(b)'" in out and "odd / dt AS odd" in out
+    assert "n / dt AS n" in out
     # alias required for computed exprs
     with pytest.raises(ValueError, match="alias"):
         expand_macros("$rate(count(*)) FROM $table", **kw)

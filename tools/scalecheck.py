@@ -58,6 +58,9 @@ def main() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                     spark.catalog.clearCache()
+                    import gc
+
+                    gc.collect()  # free localCheckpoint blocks too
             except Exception:
                 best = float("nan")
             times.append(best)

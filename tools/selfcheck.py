@@ -66,8 +66,13 @@ def main() -> int:
             continue
         finally:
             # release per-query caches (dedup ops cache intermediates)
-            # so later queries aren't taxed by leftover executor memory
+            # so later queries aren't taxed by leftover executor
+            # memory; gc.collect() lets ContextCleaner free
+            # localCheckpoint blocks, which clearCache does not touch
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
         if q.oracle is None:
             print(f"okro {name}: rows-only, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
