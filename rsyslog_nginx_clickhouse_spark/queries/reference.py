@@ -1001,24 +1001,23 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ClickHouse histogram() analog for dashboard distribution "
         "panels, re-expressed deterministically: histogram(N) streams "
         "an ADAPTIVE-boundary sketch (engine-specific), this is the "
-        "fixed-width 20-bucket equivalent — bounds from one tiny "
-        "min/max aggregate BROADCAST-joined to the scan (no driver "
-        "collect, single pass over the fact + one metadata-sized agg; "
-        "at 100 TB the bounds agg is a map-side-combined scan that "
-        "AQE plans as a broadcast side automatically)",
+        "fixed-width 20-bucket equivalent. Bounds are a PARAMETER-"
+        "SIZED driver fetch (one min/max row — the z-order-bounds "
+        "pattern) embedded as literals, so the plan is exactly two "
+        "single-column passes with a partial agg each: a broadcast "
+        "crossJoin variant planned as a flagged nested-loop and a "
+        "scalar-subquery variant re-scanned once per reference "
+        "(7 scans) — both measured, see plancheck",
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    w = (F.col("hi") - F.col("lo")) / 20
-    bucket = F.least(F.floor((F.col("value") - F.col("lo")) / w)
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    w = (hi - lo) / 20
+    bucket = F.least(F.floor((F.col("value") - F.lit(lo)) / F.lit(w))
                       .cast("int"), F.lit(19))
-    return (ev.crossJoin(F.broadcast(bounds))
-              .select(bucket.alias("bucket"), "lo", "hi", "value")
+    return (ev.select(bucket.alias("bucket"), "value")
               .groupBy("bucket")
-              .agg(F.round(F.min("lo")
-                           + F.col("bucket")
-                           * ((F.min("hi") - F.min("lo")) / 20), 6)
+              .agg(F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 6)
                     .alias("bucket_lo"),
                    F.count("*").alias("cnt"),
                    F.round(F.avg("value"), 6).alias("mean_value"))
