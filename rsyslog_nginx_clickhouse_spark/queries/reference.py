@@ -951,7 +951,8 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT user_id,
            count(*) AS n_gaps,
-           round(avg(gap_us), 4) AS mean_gap_us,
+           cast((sum(gap_us) * 20000 + count(*)) // (2 * count(*))
+                AS double) / 10000.0 AS mean_gap_us,
            round(quantile_cont(gap_us, 0.5), 4) AS median_gap_us
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id ORDER BY user_id
@@ -965,17 +966,28 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    # integer µs gaps: exact in int64, so avg/median interpolation is
+    # integer µs gaps: exact in int64, so the median interpolation is
     # bit-identical across engines (float gaps differ in the last ulp
-    # and flip the rounded 4th decimal — observed)
+    # and flip the rounded 4th decimal — observed). The 4-decimal mean
+    # is rounded in EXACT INTEGER arithmetic — (sum·2e4 + n) div (2n),
+    # then one exact final /1e4 — because at sf0.1 magnitudes (3e10 ×
+    # 4 decimals ≈ 15 significant digits) DuckDB's double round()
+    # rounds the wrong way by one ulp (measured: the true quotient
+    # ...1481475830078125 rounds to .1482 there), so no double-round
+    # formulation can hash-match.
     gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     g = ev.select("user_id", gap.alias("gap_us")) \
           .where(F.col("gap_us").isNotNull())
     return (g.groupBy("user_id")
              .agg(F.count("*").alias("n_gaps"),
-                  F.round(F.avg("gap_us"), 4).alias("mean_gap_us"),
+                  F.sum("gap_us").alias("sum_gap"),
                   F.round(F.percentile("gap_us", 0.5), 4)
                    .alias("median_gap_us"))
+             .select("user_id", "n_gaps",
+                     (F.expr("(sum_gap * 20000 + n_gaps) "
+                             "DIV (2 * n_gaps)").cast("double")
+                      / 10000.0).alias("mean_gap_us"),
+                     "median_gap_us")
              .orderBy("user_id"))
 
 
