@@ -62,9 +62,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: exercised by several other front-loaded entries) wait for the r5
 #: window along with the other new r4 queries
 #: (grafana_rate_columns_macro, grafana_per_second_macro,
-#: grafana_per_second_columns_macro, value_histogram). All 106 pass
-#: the identical
-#: in-repo gate (tools/selfcheck.py) regardless of order.
+#: grafana_per_second_columns_macro, value_histogram, dedup_keep_best,
+#: mixture_rebalance_plan). All 108 pass the identical in-repo gate
+#: (tools/selfcheck.py) regardless of order.
 #: Generated from (CORRECTNESS_r01 ∪ r02) − r03, minus the two
 #: displaced entries, new/rewritten queries first. Exactly 50.
 _FRONTLOAD_R4 = [

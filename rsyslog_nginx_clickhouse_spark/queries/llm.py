@@ -880,6 +880,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    oracle=_SHINGLES_CTE.replace("WITH", "WITH RECURSIVE", 1) + _PAIRS_SQL + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id AS doc_id, min(label) AS component
+              FROM reach GROUP BY id),
+    jc AS (
+      SELECT c.component, c.doc_id, d.n_chars
+      FROM comps c JOIN documents d USING (doc_id)),
+    best AS (
+      SELECT component, doc_id AS kept_doc,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM jc)
+    SELECT j.component, count(*) AS n_members,
+           min(b.kept_doc) AS kept_doc, max(j.n_chars) AS kept_chars
+    FROM jc j
+    JOIN (SELECT component, kept_doc FROM best WHERE rn = 1) b
+      USING (component)
+    GROUP BY j.component ORDER BY j.component
+    """,
+    doc="dedup keep-policy, quality variant: within each near-dup "
+        "component keep the LONGEST member (n_chars, ties → min "
+        "doc_id) instead of dedup_components' min-id — the policy "
+        "curation pipelines actually want (the canonical copy is "
+        "usually the most complete one). One max_by aggregate over the "
+        "(component ⋈ docs) join — no window sort; the struct "
+        "(n_chars, -doc_id) makes the argmax total and deterministic. "
+        "Scale: components are near-dup clusters (bounded size), the "
+        "agg is one partial-agg shuffle on component",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    jc = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (jc.groupBy("component")
+              .agg(F.count("*").alias("n_members"),
+                   F.expr("max_by(doc_id, named_struct("
+                          "'c', n_chars, 'd', -doc_id))")
+                    .alias("kept_doc"),
+                   F.max("n_chars").alias("kept_chars"))
+              .orderBy("component"))
+
+
+@query(
     "corpus_selection",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

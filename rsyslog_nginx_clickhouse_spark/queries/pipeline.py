@@ -345,6 +345,52 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query(
+    "mixture_rebalance_plan",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g'),
+                                       ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER ()::double
+               / count(*) OVER () AS target_tokens
+      FROM per)
+    SELECT source, n_tokens,
+           round(least(1.0, target_tokens / n_tokens), 6) AS keep_rate,
+           CAST(floor(round(least(1.0, target_tokens / n_tokens), 6)
+                      * n_tokens) AS BIGINT) AS planned_tokens
+    FROM tot ORDER BY source
+    """,
+    doc="Data-mixing step after domain_mixture: per-source keep-rates "
+        "that move the corpus toward a UNIFORM token budget per source "
+        "— rate = min(1, target/n_tokens), so over-represented heads "
+        "are downsampled and tails kept whole (the downsample itself "
+        "is split_bucket(doc_id) < rate, the stratified_sample "
+        "machinery). Window over the |sources|-row aggregate, one "
+        "partial-agg fact pass; planned_tokens floor'd in exact "
+        "arithmetic on the rounded rate so both engines agree",
+)
+def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+               .agg(F.sum(F.size(_toks(F.col("text"))))
+                     .alias("n_tokens")))
+    w = Window.partitionBy()
+    target = (F.sum("n_tokens").over(w).cast("double")
+              / F.count("*").over(w))
+    rate = F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
+    return (per.select(
+                "source", "n_tokens",
+                rate.alias("keep_rate"),
+                F.floor(rate * F.col("n_tokens")).cast("bigint")
+                 .alias("planned_tokens"))
+            .orderBy("source"))
+
+
 def _curation_oracle() -> str:
     # compose the published oracle pieces: shingles + exact-Jaccard
     # pairs (llm.py) + the recursive-CTE components (dedup_components
