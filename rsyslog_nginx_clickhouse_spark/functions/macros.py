@@ -96,6 +96,14 @@ def adhoc_predicate(
 _ALIAS_STOPWORDS = {"as", "from", "where", "and", "or", "not", "by",
                     "group", "order", "select", "on", "join"}
 
+#: Plugin macro names a Grafana template variable must not shadow
+_RESERVED_MACRO_NAMES = {
+    "table", "timeFilter", "timeFilterByColumn", "timeSeries",
+    "naturalTimeSeries", "interval", "from", "to", "adhoc", "rate",
+    "perSecond", "columns", "rateColumns", "perSecondColumns",
+    "conditionalTest", "unescape",
+}
+
 
 def _split_expr_alias(arg: str) -> tuple[str, str]:
     """``expr [AS] alias`` → (expr, alias); a bare identifier aliases
@@ -241,15 +249,56 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
             f" ORDER BY t, {kal}")
 
 
+def _expand_conditional_test(sql: str, template_vars: dict) -> str:
+    """``$conditionalTest(SQL, $var)`` → SQL when the dashboard
+    template variable ``var`` holds a non-empty value, else nothing —
+    the plugin helper for optional WHERE fragments. The split is the
+    LAST top-level comma (the SQL part may itself contain commas);
+    string literals are masked during the scan like everywhere else.
+    """
+    while True:
+        m = re.search(r"\$conditionalTest\s*\(", sql)
+        if not m:
+            return sql
+        lits: list[str] = []
+
+        def _mask(mm: re.Match) -> str:
+            lits.append(mm.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        masked = _STR_LIT.sub(_mask, sql)
+        m2 = re.search(r"\$conditionalTest\s*\(", masked)
+        args, after = _take_call_args(masked, m2.end() - 1)
+        if len(args) < 2:
+            raise ValueError(
+                "$conditionalTest(SQL, $variable) takes 2 arguments")
+        var = args[-1].strip()
+        if not var.startswith("$"):
+            raise ValueError(
+                f"$conditionalTest variable must start with $: {var!r}")
+        val = template_vars.get(var[1:])
+        body = ",".join(args[:-1]).strip() if val not in (
+            None, "", [], ()) else ""
+
+        def _unmask(s: str) -> str:
+            return re.sub(r"\x00(\d+)\x00",
+                          lambda mm: lits[int(mm.group(1))], s)
+
+        sql = _unmask(masked[:m2.start()] + body + masked[after:])
+
+
 def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
                   interval_s: int = 3600,
                   time_from: str | None = None,
                   time_to: str | None = None,
                   adhoc_filters: list[tuple[str, str, object]]
-                  | None = None) -> str:
+                  | None = None,
+                  template_vars: dict[str, object] | None = None) -> str:
     """Expand the vertamedia plugin macro set into Spark SQL:
-    $timeSeries / $naturalTimeSeries / $timeFilter / $table /
-    $interval / $from / $to / $adhoc.
+    $timeSeries / $naturalTimeSeries / $timeFilter /
+    $timeFilterByColumn / $table / $interval / $from / $to / $adhoc /
+    $conditionalTest / $unescape (+ the function-style rate/column
+    family, expand_function_macros).
 
     ``$timeSeries`` → canonical vertamedia expansion
     ``intDiv(toUInt32(t), $interval) * $interval`` re-expressed as a
@@ -258,26 +307,54 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
     the same bucket with the width picked from the range span
     (NATURAL_TIERS). ``$from``/``$to`` → epoch SECONDS (the plugin's
     convention), so ``toDateTime($from)`` round-trips through the
-    compat scalar.
+    compat scalar. ``$timeFilterByColumn(col)`` applies the dashboard
+    range to an arbitrary column (the plugin helper for tables with a
+    second time column). ``$conditionalTest(SQL, $var)`` keeps SQL only
+    when ``template_vars`` has a non-empty value for var;
+    ``$unescape('expr')`` splices expr without the quotes.
     """
 
     def bucket_expr(width_s: int) -> str:
         return (f"timestamp_seconds(floor(unix_timestamp({time_col})"
                 f" / {width_s}) * {width_s})")
 
-    # function-style macros first: they rewrite the SELECT head into
+    def col_bounds(col: str) -> str:
+        b = []
+        if time_from:
+            b.append(f"{col} >= timestamp'{time_from}'")
+        if time_to:
+            b.append(f"{col} <= timestamp'{time_to}'")
+        return " AND ".join(b) if b else "1=1"
+
+    # template-level macros first — they decide which SQL text even
+    # exists before any other expansion sees it
+    sql = _expand_conditional_test(sql, template_vars or {})
+    # Grafana core substitutes $var template tokens before the
+    # datasource plugin runs; mirror that here. Names must not shadow
+    # the plugin macro set (that would silently corrupt expansion).
+    for var, val in (template_vars or {}).items():
+        if var in _RESERVED_MACRO_NAMES:
+            raise ValueError(
+                f"template variable ${var} shadows a plugin macro")
+        sql = re.sub(rf"\${re.escape(var)}\b", str(val), sql)
+    sql = re.sub(r"\$unescape\(\s*'([^']*)'\s*\)", r"\1", sql)
+    # function-style macros next: they rewrite the SELECT head into
     # plain SQL whose FROM/WHERE tail still holds $table/$timeFilter
     # for the generic replacements below
     sql = expand_function_macros(sql, bucket_expr(interval_s), interval_s)
 
-    bounds = []
-    if time_from:
-        bounds.append(f"{time_col} >= timestamp'{time_from}'")
-    if time_to:
-        bounds.append(f"{time_col} <= timestamp'{time_to}'")
-    # one-sided ranges are honored — silently expanding a lone
-    # time_from to 1=1 would full-scan and return pre-range rows
-    filt = " AND ".join(bounds) if bounds else "1=1"
+    # $timeFilterByColumn(col) — identifier-validated, same bounds
+    # translation as $timeFilter but on the named column
+    def _tfbc(m: re.Match) -> str:
+        col = m.group(1).strip()
+        if not _IDENT.match(col):
+            raise ValueError(
+                f"invalid $timeFilterByColumn column: {col!r}")
+        return col_bounds(col)
+
+    sql = re.sub(r"\$timeFilterByColumn\(([^)]*)\)", _tfbc, sql)
+
+    filt = col_bounds(time_col)
     if "$naturalTimeSeries" in sql:
         if not (time_from and time_to):
             raise ValueError(

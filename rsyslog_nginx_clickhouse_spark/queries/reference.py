@@ -246,6 +246,35 @@ def grafana_per_second_macro(spark: SparkSession,
 
 
 @query(
+    "grafana_conditional_filters",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS t, count(*) AS cnt
+    FROM events
+    WHERE ts >= TIMESTAMP '{_T_FROM}' AND ts <= TIMESTAMP '{_T_TO}'
+      AND event_type = 'click'
+    GROUP BY t ORDER BY t
+    """,
+    doc="$conditionalTest + template-variable substitution + "
+        "$timeFilterByColumn: the optional-WHERE-fragment pattern "
+        "dashboards use for 'All'-able template variables — the "
+        "fragment exists only when the variable is set, and the "
+        "time filter binds to an explicitly named column",
+)
+def grafana_conditional_filters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView("grafana_events_pruned_cond")
+    q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
+         "WHERE $timeFilterByColumn(ts) "
+         "$conditionalTest(AND event_type = '$etype', $etype) "
+         "GROUP BY t ORDER BY t")
+    return engine_sql(spark, q, table="grafana_events_pruned_cond",
+                      time_col="ts", interval_s=3600,
+                      time_from=_T_FROM, time_to=_T_TO,
+                      template_vars={"etype": "click"})
+
+
+@query(
     "grafana_per_second_columns_macro",
     oracle=f"""
     WITH b AS (

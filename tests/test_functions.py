@@ -366,6 +366,49 @@ def test_function_macro_expansion():
     assert out == "SELECT '$rate(x y)' AS s FROM ev"
 
 
+def test_template_level_macros():
+    """$conditionalTest / $unescape / $timeFilterByColumn / template
+    variable substitution — the remaining vertamedia helper macros."""
+    import pytest
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        expand_macros,
+    )
+
+    kw = dict(table="ev", time_col="ts", interval_s=60,
+              time_from="2024-01-01T00:00:00",
+              time_to="2024-01-02T00:00:00")
+    q = ("SELECT count(*) FROM $table WHERE $timeFilter "
+         "$conditionalTest(AND event_type = '$etype', $etype)")
+    # var set → fragment kept, $etype substituted (Grafana-core order)
+    out = expand_macros(q, template_vars={"etype": "view"}, **kw)
+    assert "AND event_type = 'view'" in out
+    # var unset/empty → fragment dropped entirely
+    for tv in ({}, {"etype": ""}, None):
+        out = expand_macros(q, template_vars=tv, **kw)
+        assert "event_type" not in out
+    # SQL part may contain commas and nested parens
+    out = expand_macros(
+        "SELECT 1 FROM $table WHERE 1=1 "
+        "$conditionalTest(AND x IN (1, 2, 3), $xs)",
+        template_vars={"xs": [1, 2]}, table="t")
+    assert "AND x IN (1, 2, 3)" in out
+    # $unescape splices raw text
+    assert expand_macros("SELECT $unescape('a, b') FROM $table",
+                         table="t") == "SELECT a, b FROM t"
+    # $timeFilterByColumn: arbitrary column, identifier-validated
+    out = expand_macros(
+        "SELECT 1 FROM $table WHERE $timeFilterByColumn(updated)", **kw)
+    assert "updated >= timestamp'2024-01-01T00:00:00'" in out
+    with pytest.raises(ValueError, match="timeFilterByColumn"):
+        expand_macros(
+            "SELECT 1 FROM $table WHERE $timeFilterByColumn(x; DROP)",
+            **kw)
+    # a template variable must not shadow a plugin macro
+    with pytest.raises(ValueError, match="shadows"):
+        expand_macros("SELECT 1 FROM $table",
+                      template_vars={"interval": 5}, **kw)
+
+
 def test_function_macro_rate_values(spark):
     """End-to-end $rate: empty buckets make dt > interval, first
     bucket rate is NULL."""
