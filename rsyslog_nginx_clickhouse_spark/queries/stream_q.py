@@ -267,3 +267,29 @@ def streaming_summed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d",
                 F.round(F.col("value"), 4).alias("total_value"),
                 F.col("_n").alias("cnt"))
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('hour', ts) AS h
+    FROM events
+    """,
+    doc="in-flight exact dedup — dropDuplicatesWithinWatermark on "
+        "(user_id, event_type, hour): the streaming half of the dedup "
+        "family (suppress repeats as they arrive instead of batch-"
+        "dedup later); state is bounded by the 2 h watermark horizon "
+        "per key. Output is the KEY SET (arrival order decides which "
+        "duplicate row wins, so only the keys are deterministic — the "
+        "batch twin is SELECT DISTINCT); ~1% of events at sf0.01 are "
+        "hour-duplicates, so the operator provably fires",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (_events_stream(spark, sf_dir)
+          .withWatermark("ts", "2 hours")
+          .withColumn("h", F.date_trunc("hour", "ts")))
+    dedup = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "h"])
+    out = dedup.select("user_id", "event_type", "h")
+    return _run_to_memory_table(spark, out, "append")
