@@ -103,6 +103,56 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     "JSONHas": ("j STRING, k STRING", "BOOLEAN",
                 "coalesce(array_contains(json_object_keys(j), k), "
                 "false)"),
+    "JSONExtractBool": ("j STRING, k STRING", "BOOLEAN",
+                        "coalesce(try_cast(get_json_object(j, "
+                        "concat('$[''', k, ''']')) as boolean), "
+                        "false)"),
+    # raw JSON text of the member (objects/arrays come back as JSON,
+    # strings come back QUOTED — CH behavior; '' on missing/invalid).
+    # VARIANT route: get_json_object strips quotes from extracted
+    # strings, so the raw text is only recoverable via parse_json
+    "JSONExtractRaw": ("j STRING, k STRING", "STRING",
+                       "coalesce(to_json(try_variant_get("
+                       "try_parse_json(j), concat('$[''', k, ''']'), "
+                       "'variant')), '')"),
+    # length of a JSON array, or member count of a JSON object; 0 on
+    # anything else (CH JSONLength)
+    "JSONLength": ("j STRING", "BIGINT",
+                   "coalesce(json_array_length(j), "
+                   "size(json_object_keys(j)), 0)"),
+    # --- URL functions (the nginx dashboard staple set). Spark's
+    # parse_url mirrors ClickHouse's pick-the-part semantics; CH
+    # returns '' (not NULL) when a part is absent, so coalesce. CH
+    # domain() accepts schemeless 'host/path' strings too — prepend a
+    # scheme when none is present so parse_url can cope.
+    "domain": ("url STRING", "STRING",
+               "coalesce(parse_url(CASE WHEN url LIKE '%://%' THEN url "
+               "ELSE concat('http://', url) END, 'HOST'), '')"),
+    "path": ("url STRING", "STRING",
+             "coalesce(parse_url(CASE WHEN url LIKE '%://%' THEN url "
+             "ELSE concat('http://', url) END, 'PATH'), '')"),
+    "protocol": ("url STRING", "STRING",
+                 "coalesce(parse_url(url, 'PROTOCOL'), '')"),
+    "extractURLParameter": ("url STRING, name STRING", "STRING",
+                            "coalesce(parse_url(CASE WHEN url LIKE "
+                            "'%://%' THEN url ELSE "
+                            "concat('http://', url) END, "
+                            "'QUERY', name), '')"),
+    # everything before the first '?' (CH cutQueryString keeps the
+    # fragmentless URL; '#fragment' after the query is cut with it)
+    "cutQueryString": ("url STRING", "STRING",
+                       "split(url, '\\\\?', 2)[0]"),
+    # --- string helpers. empty()/notEmpty() treat NULL as empty (CH
+    # NULL-in → NULL-out differs; documented). NOTE: CH position() and
+    # extract() are deliberately NOT mapped — Spark has its own
+    # position(substr IN str) and extract(field FROM ts) built-ins and
+    # CREATE FUNCTION cannot (and should not) shadow them, the any()
+    # precedent above; CH position(h, n) ≡ Spark locate(n, h), CH
+    # extract(h, re) ≈ regexp_extract(h, re, 1).
+    "empty": ("s STRING", "BOOLEAN",
+              "s IS NULL OR length(s) = 0"),
+    "notEmpty": ("s STRING", "BOOLEAN",
+                 "s IS NOT NULL AND length(s) > 0"),
 }
 
 #: ClickHouse aggregate names → Spark builtin (SQL UDFs can't wrap

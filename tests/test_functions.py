@@ -286,6 +286,47 @@ def test_clickhouse_json_accessors(spark):
     assert edge["dot_key"] == "dot" and edge["dot_key_f"] == 1.5
 
 
+def test_url_and_string_compat_functions(spark):
+    """ClickHouse URL family + empty/notEmpty + extended JSON
+    accessors (round-4 additions)."""
+    from rsyslog_nginx_clickhouse_spark.functions.clickhouse import (
+        register_clickhouse_functions,
+    )
+
+    register_clickhouse_functions(spark)
+    r = spark.sql("""
+        SELECT domain('https://example.com/a/b?x=1')          AS d1,
+               domain('example.com/a')                        AS d2,
+               path('https://example.com/a/b?x=1')            AS p1,
+               protocol('https://example.com/a')              AS pr,
+               extractURLParameter('http://h/a?x=1&y=2', 'y') AS qp,
+               extractURLParameter('http://h/a?x=1', 'z')     AS qp0,
+               cutQueryString('http://h/a?x=1&y=2')           AS cq,
+               cutQueryString('http://h/a')                   AS cq0,
+               empty('')    AS e1, empty(NULL)  AS e2,
+               empty('x')   AS e3, notEmpty('x') AS ne,
+               JSONExtractBool('{"b": true}', 'b')    AS jb,
+               JSONExtractBool('{"b": "no"}', 'b')    AS jb0,
+               JSONExtractRaw('{"o": {"a": 1}}', 'o') AS jraw,
+               JSONExtractRaw('{"s": "x"}', 's')      AS jraw_s,
+               JSONExtractRaw('{"s": "x"}', 'zz')     AS jraw0,
+               JSONLength('[1,2,3]')       AS jl_arr,
+               JSONLength('{"a":1,"b":2}') AS jl_obj,
+               JSONLength('junk')          AS jl_bad
+    """).collect()[0]
+    assert r["d1"] == "example.com" and r["d2"] == "example.com"
+    assert r["p1"] == "/a/b" and r["pr"] == "https"
+    assert r["qp"] == "2" and r["qp0"] == ""
+    assert r["cq"] == "http://h/a" and r["cq0"] == "http://h/a"
+    assert r["e1"] is True and r["e2"] is True and r["e3"] is False
+    assert r["ne"] is True
+    assert r["jb"] is True and r["jb0"] is False
+    assert r["jraw"] == '{"a":1}'
+    assert r["jraw_s"] == '"x"'   # CH keeps the quotes on raw strings
+    assert r["jraw0"] == ""
+    assert r["jl_arr"] == 3 and r["jl_obj"] == 2 and r["jl_bad"] == 0
+
+
 def test_adhoc_macro_expansion():
     import pytest
     from rsyslog_nginx_clickhouse_spark.functions.macros import (
