@@ -297,6 +297,81 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                                       schema=out_schema)
 
 
+def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
+             dim: int | None = None, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Multi-query ANN: for every row matching ``query_pred``, its
+    top-``k`` cosine neighbors among ALL rows (self excluded) —
+    the kNN JOIN, the similarity-search primitive batch pipelines
+    need (retrieval eval, nearest-neighbor labeling, dedup triage),
+    where knn_bruteforce/knn_lsh/knn_ivf answer ONE query vector.
+
+    Candidates via the same banded hyperplane LSH as
+    cosine_dedup_pairs (LSH_BANDS × LSH_ROWS_PER_BAND, seed-42 planes
+    — oracle-replicable); cosines computed INSIDE each (band, key)
+    group as one numpy GEMM of the bucket's queries × the bucket's
+    rows, so the shuffle carries vectors×bands rows, never candidate
+    pairs; then one (qid, cid) max-dedup and a per-query top-k window
+    (partitions = queries, each holding its own candidate list — no
+    global sort). Recall follows the band S-curve; a query whose
+    buckets hold no other row returns no neighbors (callers decide
+    the fallback). Two-table form = union the tables with the tag
+    predicate.
+    """
+    if dim is None:
+        raise ValueError("knn_join requires dim=")
+    from pyspark.sql import Window
+
+    n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
+    P = np.asarray(hyperplanes(dim, n_planes), dtype=np.float64)
+    R = LSH_ROWS_PER_BAND
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_t}, cid {id_t}, cos_sim double"
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ P.T) >= 0
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[b * R:(b + 1) * R] for b in range(LSH_BANDS)])
+        return pd.Series(out)
+
+    bands = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        query_pred.cast("boolean").alias("__isq"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"))
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        Q = pdf[pdf["__isq"]]
+        if len(Q) == 0 or len(pdf) < 2:
+            return empty
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        QM = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in Q[vec_col]])
+        QM /= np.linalg.norm(QM, axis=1, keepdims=True)
+        S = np.round(QM @ M.T, 6)
+        qi, ci = np.nonzero(
+            Q[id_col].to_numpy()[:, None] != pdf[id_col].to_numpy())
+        return pd.DataFrame({"qid": Q[id_col].to_numpy()[qi],
+                             "cid": pdf[id_col].to_numpy()[ci],
+                             "cos_sim": S[qi, ci]})
+
+    cand = (bands.groupBy("band", "key")
+                 .applyInPandas(bucket_knn, schema=out_schema)
+                 .groupBy("qid", "cid")
+                 .agg(F.max("cos_sim").alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k).drop("__rn"))
+
+
 # ------------------------------------------------------------------ IVF --
 
 N_LISTS = 16

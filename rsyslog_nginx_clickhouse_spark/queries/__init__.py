@@ -64,7 +64,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (grafana_rate_columns_macro, grafana_per_second_macro,
 #: grafana_per_second_columns_macro, value_histogram, dedup_keep_best,
 #: mixture_rebalance_plan, grafana_conditional_filters,
-#: streaming_dedup). All 110 pass the identical in-repo gate
+#: streaming_dedup, knn_label_accuracy). All 111 pass the identical in-repo gate
 #: (tools/selfcheck.py) regardless of order.
 #: Generated from (CORRECTNESS_r01 ∪ r02) − r03, minus the two
 #: displaced entries, new/rewritten queries first. Exactly 50.

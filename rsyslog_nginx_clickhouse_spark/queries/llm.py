@@ -774,6 +774,88 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_label_accuracy",
+    # queries = every 10th vector; candidates via the SAME banded LSH
+    # as the Spark side (32 plane literals inlined, 8 bands × 4);
+    # rank by (round-6 cosine DESC, cid); majority vote ties → min
+    # label; queries whose buckets hold no other row drop out of both
+    # engines identically.
+    oracle=f"""
+    WITH planes(p, pv) AS (VALUES {_planes_values(32)}),
+    s AS ({_SIG_CTE}),
+    bands AS (
+      SELECT vec_id, b AS band, substr(sig, b*4 + 1, 4) AS key
+      FROM s, unnest(generate_series(0, 7)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM bands q JOIN bands c USING (band, key)
+      WHERE q.vec_id % 10 = 0 AND q.vec_id != c.vec_id),
+    sims AS (
+      SELECT qid, cid,
+             round({_cos_sql('eq.embedding', 'ec.embedding')}, 6) AS c
+      FROM cand JOIN embeddings eq ON eq.vec_id = qid
+                JOIN embeddings ec ON ec.vec_id = cid),
+    topk AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, cid) AS rn
+        FROM sims) WHERE rn <= 5),
+    votes AS (
+      SELECT t.qid, e.label, count(*) AS n
+      FROM topk t JOIN embeddings e ON e.vec_id = t.cid
+      GROUP BY t.qid, e.label),
+    pred AS (
+      SELECT qid, label AS pred_label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY n DESC, label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT e.label AS label, count(*) AS n_queries,
+           CAST(sum(CASE WHEN p.pred_label = e.label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN p.pred_label = e.label
+                          THEN 1 ELSE 0 END)::double / count(*), 6)
+               AS accuracy
+    FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+    GROUP BY e.label ORDER BY label
+    """,
+    doc="retrieval evaluation — 5-NN majority-vote label prediction "
+        "accuracy per true label, the standard embedding-quality "
+        "check a pipeline runs before trusting ANN dedup/search. "
+        "Built on the knn_join operator (banded-LSH multi-query ANN: "
+        "shuffle carries vectors×bands, per-bucket GEMM, per-query "
+        "top-k window — no cross product, no driver collect); "
+        "exercises the so-far-unused `label` column",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn = knn_join(emb, F.col("vec_id") % 10 == 0, k=5, dim=64)
+    labels = emb.select("vec_id", "label")
+    votes = (nn.join(labels.withColumnRenamed("vec_id", "cid"), "cid")
+               .groupBy("qid", "label").agg(F.count("*").alias("n")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1)
+                 .select("qid", F.col("label").alias("pred_label")))
+    truth = labels.withColumnRenamed("vec_id", "qid")
+    hit = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return (pred.join(truth, "qid")
+                .groupBy("label")
+                .agg(F.count("*").alias("n_queries"),
+                     F.sum(hit).cast("bigint").alias("n_correct"),
+                     F.round(F.sum(hit).cast("double") / F.count("*"), 6)
+                      .alias("accuracy"))
+                .orderBy("label"))
+
+
+@query(
     "multimodal_frames",
     oracle="""
     WITH f AS (

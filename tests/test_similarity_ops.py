@@ -113,3 +113,36 @@ def test_quantize_int8_roundtrip_and_zero_guard(spark):
     assert err.max() <= r0["scale"] / 2 + 1e-12  # half-step error bound
     r1 = next(r for r in out if r["vec_id"] == 1)
     assert r1["q"] == [0, 0, 0, 0] and r1["deq"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_knn_join_finds_exact_duplicates_first(spark):
+    """Identical vectors share every LSH band, so a duplicate must be
+    its twin's top-1 neighbor at cos 1.0; self is never a neighbor;
+    no query returns more than k rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        knn_join,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v], i))
+        rows.append((i * 2 + 1, [float(x) for x in v], i))  # exact dup
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    nn = knn_join(emb, F.lit(True), k=3, dim=64).collect()
+    by_q = {}
+    for r in nn:
+        assert r["qid"] != r["cid"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, lst in by_q.items():
+        assert len(lst) <= 3
+        top = max(lst, key=lambda r: (r["cos_sim"], -r["cid"]))
+        twin = qid + 1 if qid % 2 == 0 else qid - 1
+        assert top["cid"] == twin and top["cos_sim"] == 1.0
+    assert len(by_q) == 12  # every vector queried, none dropped
