@@ -78,8 +78,14 @@ class Engine:
 
     def sql(self, query: str, time_col: str = "logdatetime",
             interval_s: int = 3600, time_from: str | None = None,
-            time_to: str | None = None) -> DataFrame:
-        """Run (Grafana-macro / ClickHouse-flavored) SQL over the table."""
+            time_to: str | None = None, **macro_kwargs) -> DataFrame:
+        """Run (Grafana-macro / ClickHouse-flavored) SQL over the table.
+
+        ``macro_kwargs`` passes the rest of the macro surface through:
+        ``adhoc_filters=[(col, op, value), ...]`` for $adhoc and
+        ``template_vars={name: value}`` for $conditionalTest / $name
+        substitution.
+        """
         from rsyslog_nginx_clickhouse_spark.functions import macros
 
         self.table().createOrReplaceTempView(TABLE_NAME)
@@ -88,7 +94,8 @@ class Engine:
         # this logic had already drifted once)
         return macros.sql(self.spark, query, table=TABLE_NAME,
                           time_col=time_col, interval_s=interval_s,
-                          time_from=time_from, time_to=time_to)
+                          time_from=time_from, time_to=time_to,
+                          **macro_kwargs)
 
     def dead_letters(self, log_path: str) -> DataFrame:
         """Lines the parser rejected (debug tee, R2)."""

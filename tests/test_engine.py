@@ -38,6 +38,17 @@ def test_engine_ingest_then_grafana_sql(spark, tmp_path):
                  "GROUP BY d ORDER BY d").collect()
     assert [(r["d"], r["c"]) for r in ch] == [(20200406, 5), (20200407, 3)]
 
+    # the rest of the macro surface flows through the facade too:
+    # $adhoc dashboard filters and $conditionalTest template vars
+    ad = eng.sql(
+        "SELECT count(*) AS c FROM $table WHERE $timeFilter AND $adhoc"
+        " $conditionalTest(AND response = $code, $code)",
+        time_from="2020-04-06 00:00:00", time_to="2020-04-08 00:00:00",
+        adhoc_filters=[("clientip", "=", "2.2.2.2")],
+        template_vars={"code": 404},
+    ).collect()
+    assert ad[0]["c"] == 3
+
     # dead letters visible through the debug tee
     assert eng.dead_letters(log).count() == 1
 
