@@ -196,10 +196,22 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
     tail = sql[after:].strip()  # "FROM $table WHERE ..." — kept intact
     if not tail.lower().startswith("from"):
         raise ValueError(f"${name}(...) must be followed by FROM")
+
+    def _check_alias(al: str) -> str:
+        # the expansions project internal columns t / dt / d_<alias>;
+        # a user alias colliding with them would emit duplicate or
+        # self-referential projections ('dt / dt') — fail fast instead
+        if al in ("t", "dt") or al.startswith("d_"):
+            raise ValueError(
+                f"macro alias {al!r} collides with an internal column "
+                "of the expansion (t, dt, d_*) — pick another name")
+        return al
+
     dt = "(unix_timestamp(t) - unix_timestamp(lag(t) OVER (ORDER BY t)))"
 
     if name == "rate":
-        pairs = [_split_expr_alias(a) for a in args]
+        pairs = [(e, _check_alias(al)) for e, al in
+                 (_split_expr_alias(a) for a in args)]
         inner = ", ".join(f"{e} AS {al}" for e, al in pairs)
         outer = ", ".join(f"{al} / dt AS {al}" for _, al in pairs)
         return _unmask(f"SELECT t, {outer} FROM ("
@@ -208,7 +220,8 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
                 f" GROUP BY t)) ORDER BY t")
 
     if name == "perSecond":
-        pairs = [_split_expr_alias(a) for a in args]
+        pairs = [(e, _check_alias(al)) for e, al in
+                 (_split_expr_alias(a) for a in args)]
         inner = ", ".join(f"max({e}) AS {al}" for e, al in pairs)
         diffs = ", ".join(
             f"({al} - lag({al}) OVER (ORDER BY t)) AS d_{al}"
@@ -225,7 +238,9 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
     if len(args) != 2:
         raise ValueError(f"${name}(key, value) takes exactly 2 args")
     kexpr, kal = _split_expr_alias(args[0])
+    _check_alias(kal)
     vexpr, val = _split_expr_alias(args[1])
+    _check_alias(val)
     if name == "columns":
         return _unmask(f"SELECT {bucket} AS t, {kexpr} AS {kal}, "
                 f"{vexpr} AS {val} {tail} "
@@ -254,12 +269,11 @@ def _expand_conditional_test(sql: str, template_vars: dict) -> str:
     template variable ``var`` holds a non-empty value, else nothing —
     the plugin helper for optional WHERE fragments. The split is the
     LAST top-level comma (the SQL part may itself contain commas);
-    string literals are masked during the scan like everywhere else.
+    string literals are masked during the scan like everywhere else —
+    a '$conditionalTest(' appearing only INSIDE a literal is user data
+    and is left untouched.
     """
     while True:
-        m = re.search(r"\$conditionalTest\s*\(", sql)
-        if not m:
-            return sql
         lits: list[str] = []
 
         def _mask(mm: re.Match) -> str:
@@ -267,7 +281,12 @@ def _expand_conditional_test(sql: str, template_vars: dict) -> str:
             return f"\x00{len(lits) - 1}\x00"
 
         masked = _STR_LIT.sub(_mask, sql)
+        # the loop exit MUST test the MASKED text: a raw-sql search
+        # finds in-literal occurrences that masking then hides, which
+        # crashed here on m2=None
         m2 = re.search(r"\$conditionalTest\s*\(", masked)
+        if not m2:
+            return sql
         args, after = _take_call_args(masked, m2.end() - 1)
         if len(args) < 2:
             raise ValueError(
@@ -336,7 +355,11 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
         if var in _RESERVED_MACRO_NAMES:
             raise ValueError(
                 f"template variable ${var} shadows a plugin macro")
-        sql = re.sub(rf"\${re.escape(var)}\b", str(val), sql)
+        # lambda replacement: a plain str(val) would be parsed for
+        # regex escapes — a value containing '\l' raises re.error and
+        # '\t' silently becomes a TAB in the emitted SQL
+        sql = re.sub(rf"\${re.escape(var)}\b",
+                     lambda _m, v=str(val): v, sql)
     sql = re.sub(r"\$unescape\(\s*'([^']*)'\s*\)", r"\1", sql)
     # function-style macros next: they rewrite the SELECT head into
     # plain SQL whose FROM/WHERE tail still holds $table/$timeFilter

@@ -153,6 +153,41 @@ def knn_lsh(embeddings: DataFrame, query_vec, dim: int, k: int = 10,
             .limit(k))
 
 
+def make_band_keys_udf(dim: int):
+    """ONE Arrow UDF emitting every LSH band key per row (a per-band
+    substring over a shared signature column would either re-run the
+    signature UDF per band or need a cache barrier). Shared by
+    cosine_dedup_pairs and knn_join so their candidate sets — and
+    their DuckDB oracles, which inline the same seed-42 planes —
+    can never desynchronize."""
+    n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
+    P = np.asarray(hyperplanes(dim, n_planes), dtype=np.float64)
+    R = LSH_ROWS_PER_BAND
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ P.T) >= 0
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[b * R:(b + 1) * R] for b in range(LSH_BANDS)])
+        return pd.Series(out)
+
+    return band_keys
+
+
+def _unit_rows(M: "np.ndarray") -> "np.ndarray":
+    """Row-normalize, mapping zero vectors to zero rows (cosine 0 to
+    everything) instead of 0/0 NaN — a NaN cosine would sort ABOVE 1.0
+    in a descending Spark window and displace real neighbors."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
 def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int | None = None,
@@ -189,26 +224,7 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             raise ValueError("cosine_dedup_pairs(use_lsh=True) requires dim=")
         id_t = embeddings.schema[id_col].dataType.simpleString()
         out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
-        n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
-        planes = hyperplanes(dim, n_planes)
-        P = np.asarray(planes, dtype=np.float64)
-        R = LSH_ROWS_PER_BAND
-
-        # ONE Arrow UDF emits every band key per row (a per-band
-        # substring over a shared signature column would either
-        # re-run the signature UDF per band or need a cache barrier)
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def band_keys(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            bits = (M @ P.T) >= 0
-            out = []
-            for row in bits:
-                s = "".join("1" if b else "0" for b in row)
-                out.append([s[b * R:(b + 1) * R]
-                            for b in range(LSH_BANDS)])
-            return pd.Series(out)
+        band_keys = make_band_keys_udf(dim)
 
         bands = embeddings.select(
             F.col(id_col), F.col(vec_col),
@@ -227,9 +243,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                      "cos_sim": []})
             pdf = pdf.sort_values(id_col)
             ids = pdf[id_col].to_numpy()
-            M = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in pdf[vec_col]]))
             S = np.round(M @ M.T, 6)
             ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
             return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
@@ -271,8 +286,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         A = pdf[pdf["__blk"] == bi]
         if len(A) == 0:
             return empty
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in A[vec_col]])
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in A[vec_col]]))
         a_ids = A[id_col].to_numpy()
         if bi == bj:
             S = np.round(M @ M.T, 6)
@@ -284,8 +299,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         B = pdf[pdf["__blk"] == bj]
         if len(B) == 0:
             return empty
-        N = np.stack([np.asarray(v, dtype=np.float64) for v in B[vec_col]])
-        N /= np.linalg.norm(N, axis=1, keepdims=True)
+        N = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in B[vec_col]]))
         b_ids = B[id_col].to_numpy()
         S = np.round(M @ N.T, 6)
         ii, jj = np.nonzero(S >= threshold)
@@ -322,27 +337,16 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
         raise ValueError("knn_join requires dim=")
     from pyspark.sql import Window
 
-    n_planes = LSH_BANDS * LSH_ROWS_PER_BAND
-    P = np.asarray(hyperplanes(dim, n_planes), dtype=np.float64)
-    R = LSH_ROWS_PER_BAND
     id_t = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"qid {id_t}, cid {id_t}, cos_sim double"
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def band_keys(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (M @ P.T) >= 0
-        out = []
-        for row in bits:
-            s = "".join("1" if b else "0" for b in row)
-            out.append([s[b * R:(b + 1) * R] for b in range(LSH_BANDS)])
-        return pd.Series(out)
+    band_keys = make_band_keys_udf(dim)
 
     bands = embeddings.select(
         F.col(id_col), F.col(vec_col),
-        query_pred.cast("boolean").alias("__isq"),
+        # coalesce: a NULL predicate row would reach the pandas mask
+        # as dtype=object None and crash the boolean indexing
+        F.coalesce(query_pred.cast("boolean"), F.lit(False))
+         .alias("__isq"),
         F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"))
 
     def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -350,12 +354,10 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
         Q = pdf[pdf["__isq"]]
         if len(Q) == 0 or len(pdf) < 2:
             return empty
-        M = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in pdf[vec_col]])
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        QM = np.stack([np.asarray(v, dtype=np.float64)
-                       for v in Q[vec_col]])
-        QM /= np.linalg.norm(QM, axis=1, keepdims=True)
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in pdf[vec_col]]))
+        QM = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                  for v in Q[vec_col]]))
         S = np.round(QM @ M.T, 6)
         qi, ci = np.nonzero(
             Q[id_col].to_numpy()[:, None] != pdf[id_col].to_numpy())

@@ -467,6 +467,9 @@ def test_function_macro_rate_values(spark):
         spark, "$rate(count() AS hits) FROM $table",
         table="rate_ev", time_col="ts", interval_s=60).collect()
     assert [r["hits"] for r in rows] == [None, 1.0 / 120.0]
+
+
+def test_adhoc_backslash_injection_blocked(spark):
     """A value ending in a backslash must not swallow the closing quote
     (Spark's default parser reads \\' as an escaped quote): the pair of
     values  trailing-\\  +  " OR 1=1 --"  would otherwise merge into one

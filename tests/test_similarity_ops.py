@@ -146,3 +146,36 @@ def test_knn_join_finds_exact_duplicates_first(spark):
         twin = qid + 1 if qid % 2 == 0 else qid - 1
         assert top["cid"] == twin and top["cos_sim"] == 1.0
     assert len(by_q) == 12  # every vector queried, none dropped
+
+
+def test_knn_join_zero_vector_and_null_pred(spark):
+    """A zero (padding) vector must yield cosine 0 — not NaN, which
+    sorts above 1.0 in a descending window and would displace real
+    neighbors; a NULL query predicate row counts as not-a-query
+    instead of crashing the pandas boolean mask."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        knn_join,
+    )
+
+    v = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(0, v, 1), (1, v, 1),
+         (2, [0.0] * 64, None)],   # zero vector, NULL label
+        "vec_id long, embedding array<float>, label int")
+    # zero vector shares the all-ones sign bucket (0 >= 0), so it IS a
+    # candidate — its cosine must come out 0.0
+    nn = knn_join(emb, F.lit(True), k=3, dim=64).collect()
+    for r in nn:
+        assert not math.isnan(r["cos_sim"])
+        if 2 in (r["qid"], r["cid"]):
+            assert r["cos_sim"] == 0.0
+    top0 = max((r for r in nn if r["qid"] == 0),
+               key=lambda r: r["cos_sim"])
+    assert top0["cid"] == 1 and top0["cos_sim"] == 1.0
+    # NULL predicate (label == 1 is NULL for vec 2) must not crash
+    nn2 = knn_join(emb, F.col("label") == 1, k=3, dim=64).collect()
+    assert {r["qid"] for r in nn2} == {0, 1}

@@ -46,7 +46,18 @@ def load_bench(path: str) -> dict:
         for cand in (os.path.join(os.path.dirname(path), qf), qf):
             if os.path.exists(cand):
                 with open(cand) as f:
-                    return json.load(f)
+                    full = json.load(f)
+                # the pointer target is overwritten by every bench run
+                # — only trust it when it is the SAME run (else two
+                # different round records would silently both resolve
+                # to the current file and diff as all-zeros)
+                if full.get("value") == doc.get("value") \
+                        and full.get("sf") == doc.get("sf"):
+                    return full
+                print(f"# note: {cand} is from a different run "
+                      f"(value {full.get('value')} != {doc.get('value')})"
+                      f" — using the compact record from {path}")
+                break
     return doc
 
 
