@@ -114,15 +114,22 @@ def shingle_udf(n: int, distinct: bool = True):
 
     The expression form (transform/slice/array_join) runs as
     interpreted lambdas — never codegen — at ~0.8 ms/doc; the Python
-    loop over an Arrow batch is ~10× faster and value-identical: same
-    \\s+ split of the lowercased trimmed text, same short-doc
-    whole-text fallback, and (``distinct=True``) the same
-    first-occurrence dedup order. ``distinct=False`` keeps every
-    occurrence — the form the duplicated-n-gram measure needs.
+    loop over an Arrow batch is ~10× faster and token-identical on the
+    engines' COMMON \\s semantics: the split is compiled re.ASCII
+    because Java's \\s (the expression twin) and RE2's \\s (the DuckDB
+    oracles) are both ASCII-only while Python's default is
+    Unicode-aware — without the flag a NBSP-containing doc shingles
+    differently here than in the oracle. Exact-Unicode-whitespace
+    tokenization is explicitly NOT promised by any twin. Other
+    deviations from ``word_shingles``: the short-doc whole-text
+    fallback matches; ``distinct=True`` first-occurrence dedup matches
+    the oracles' list_distinct, while the EXPRESSION twin keeps
+    duplicates (use ``distinct=False`` for that form — the
+    duplicated-n-gram measure needs it).
     """
     import re
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingle(texts: pd.Series) -> pd.Series:
@@ -369,7 +376,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # A window-over-s formulation was tried and rejected: it
     # full-sorts the exploded rows, cannot map-side-combine, and cost
     # ~1.2 s at sf0.1 even with zero hot shingles.
-    if docs.count() > max_doc_freq:
+    n_docs = docs.count()
+    if n_docs > max_doc_freq:
         hot = (ex.groupBy("s").agg(F.count("*").alias("nd"))
                  .where(F.col("nd") > max_doc_freq).select("s")
                  .localCheckpoint())
@@ -385,8 +393,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
-    return (inter.join(F.broadcast(sz_a), "id_a")
-                 .join(F.broadcast(sz_b), "id_b")
+    # sizes is one (id, int) row per DOC — broadcasting it is only a
+    # win (and only safe) while that fits executor memory; on a large
+    # corpus an unconditional hint would bypass the auto threshold
+    # and OOM the driver, so fall back to a plain hash join there
+    if n_docs <= 4_000_000:
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+    return (inter.join(sz_a, "id_a")
+                 .join(sz_b, "id_b")
                  .select("id_a", "id_b",
                          F.round(F.col("n_inter")
                                  / F.greatest(union_sz, F.lit(1)), 6)

@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
 
-#: Output schema of the feature-extraction stage.
+#: Output schema of the feature-extraction stage (id column/type are
+#: substituted from the input — see extract_features).
 FEATURES_SCHEMA = (
-    "doc_id long, n_bytes int, content_hash string, features array<float>"
+    "{id_col} {id_type}, n_bytes int, content_hash string, "
+    "features array<float>"
 )
 
 
@@ -65,59 +67,67 @@ def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
         "this container; call with fake=True for the deterministic stub")
 
 
-def extract_features(multimodal: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(multimodal: DataFrame, fake: bool = True,
+                     id_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature extraction: binary payload → feature vector.
 
     Arrow-batched; each batch is decoded in bulk. Partitioning is
     inherited from the scan — at 100 TB pair with
     ``spark.sql.files.maxPartitionBytes`` so one task holds one
-    batch-sized slice of payloads.
+    batch-sized slice of payloads. The id column name AND type come
+    from the input schema (attach_binary parameterizes id_col, so a
+    hardcoded 'doc_id long' broke renamed or string ids).
     """
+    id_type = multimodal.schema[id_col].dataType.simpleString()
+    schema = FEATURES_SCHEMA.format(id_col=id_col, id_type=id_type)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decode_stub(p, fake=fake).tolist() for p in pdf["payload"]]
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
+                id_col: pdf[id_col],
                 "n_bytes": [len(p) for p in pdf["payload"]],
                 "content_hash": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
                 "features": feats,
             })
 
-    return multimodal.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return multimodal.mapInPandas(run, schema=schema)
 
 
 FRAME_BYTES = 16
 
 
 def frame_sample(multimodal: DataFrame, frame_bytes: int = FRAME_BYTES,
-                 stride: int = 4) -> DataFrame:
+                 stride: int = 4, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling plumbing for video-like payloads.
 
     Splits the binary payload into fixed ``frame_bytes`` chunks, keeps
-    every ``stride``-th frame, emits (doc_id, frame_idx, frame_hash).
+    every ``stride``-th frame, emits (id, frame_idx, frame_hash).
     The chunk/sample schedule is the real scale-path logic (a video
     pipeline samples frames the same way, with a codec instead of md5);
     mapInPandas streams Arrow batches so a task never materializes all
-    frames of its partition at once.
+    frames of its partition at once. Id column name/type are taken
+    from the input schema like extract_features.
     """
+    id_type = multimodal.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
-                    ids.append(doc_id)
+                    ids.append(rid)
                     idxs.append(i)
                     hashes.append(hashlib.md5(
                         data[i * frame_bytes:(i + 1) * frame_bytes]).hexdigest())
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame_hash": hashes})
 
     return multimodal.mapInPandas(
-        run, schema="doc_id long, frame_idx int, frame_hash string")
+        run,
+        schema=f"{id_col} {id_type}, frame_idx int, frame_hash string")
 
 
 def resize_stub(features: "np.ndarray", out_dim: int = 4,

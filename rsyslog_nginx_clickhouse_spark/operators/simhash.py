@@ -91,8 +91,11 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     base, extra = divmod(64, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    fp = simhash_fingerprints(docs, id_col, text_col).cache()
-    fp.count()  # materialize before the self-join races both sides into it
+    # localCheckpoint, not cache: materializes before the self-join
+    # races both sides into recomputation, AND the blocks GC-release
+    # via ContextCleaner instead of pinning CacheManager for the
+    # session (the leak the dedup operators re-engineered around)
+    fp = simhash_fingerprints(docs, id_col, text_col).localCheckpoint()
     chunks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

@@ -325,8 +325,11 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
     cosine_dedup_pairs (LSH_BANDS × LSH_ROWS_PER_BAND, seed-42 planes
     — oracle-replicable); cosines computed INSIDE each (band, key)
     group as one numpy GEMM of the bucket's queries × the bucket's
-    rows, so the shuffle carries vectors×bands rows, never candidate
-    pairs; then one (qid, cid) max-dedup and a per-query top-k window
+    rows, truncated to each query's in-bucket top-k before emission
+    (exact — a global top-k neighbor is in the top-k of every bucket
+    containing it), so the input shuffle carries vectors×bands rows
+    and the output at most |Q|·k per bucket, never |Q|·|bucket| pair
+    rows; then one (qid, cid) max-dedup and a per-query top-k window
     (partitions = queries, each holding its own candidate list — no
     global sort). Recall follows the band S-curve; a query whose
     buckets hold no other row returns no neighbors (callers decide
@@ -359,11 +362,29 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
         QM = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                   for v in Q[vec_col]]))
         S = np.round(QM @ M.T, 6)
-        qi, ci = np.nonzero(
-            Q[id_col].to_numpy()[:, None] != pdf[id_col].to_numpy())
-        return pd.DataFrame({"qid": Q[id_col].to_numpy()[qi],
-                             "cid": pdf[id_col].to_numpy()[ci],
-                             "cos_sim": S[qi, ci]})
+        # truncate to each query's top-k WITHIN the bucket, with the
+        # same (cos DESC, cid ASC) total order as the final window:
+        # exact (a global top-k neighbor is in the top-k of every
+        # bucket containing it) and bounds emission at |Q|·k per
+        # bucket instead of |Q|·|bucket| pair rows — the blow-up the
+        # cosine_dedup_pairs comment measured at 13×
+        ids = pdf[id_col].to_numpy()
+        qids = Q[id_col].to_numpy()
+        out_q: list = []
+        out_c: list = []
+        out_s: list = []
+        for row_i in range(len(QM)):
+            cand = np.nonzero(ids != qids[row_i])[0]
+            if cand.size == 0:
+                continue
+            srow = S[row_i]
+            order = np.lexsort((ids[cand], -srow[cand]))
+            take = cand[order[:k]]
+            out_q.extend([qids[row_i]] * len(take))
+            out_c.extend(ids[take])
+            out_s.extend(srow[take])
+        return pd.DataFrame({"qid": out_q, "cid": out_c,
+                             "cos_sim": out_s})
 
     cand = (bands.groupBy("band", "key")
                  .applyInPandas(bucket_knn, schema=out_schema)
@@ -390,7 +411,11 @@ def ivf_centroids(embeddings: DataFrame, n_lists: int = N_LISTS,
     rows = (embeddings.orderBy(id_col).limit(n_lists)
             .select(vec_col).collect())
     C = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    return C / np.linalg.norm(C, axis=1, keepdims=True)
+    # zero-guarded: a zero (padding) vector among the seed rows would
+    # make a NaN centroid, and NaN assignments route EVERY vector to
+    # the NaN list, which probe ranking then never selects — silent
+    # empty results for all queries
+    return _unit_rows(C)
 
 
 def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
@@ -407,8 +432,8 @@ def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in vecs]))
         return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
 
     return embeddings.select(F.col(id_col), F.col(vec_col),
@@ -424,7 +449,8 @@ def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
     """
     C = ivf_centroids(embeddings, n_lists, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
-    q = q / np.linalg.norm(q)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)  # zero query -> probe by raw dot (0s)
     probes = [int(i) for i in np.argsort(-(C @ q))[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     assigned = ivf_assign(embeddings, C, id_col, vec_col)

@@ -56,6 +56,25 @@ def test_frame_sample_golden(spark):
     assert got[2] == hashlib.md5(b"x" * 8).hexdigest()  # partial tail frame
 
 
+def test_multimodal_custom_id_column(spark):
+    """attach_binary parameterizes id_col; the downstream stages must
+    honor a renamed/string id instead of hardcoding 'doc_id long'."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [("v-1", "hello"), ("v-2", "world!")],
+        "vid string, text string")
+    mm = attach_binary(docs, id_col="vid")
+    feats = extract_features(mm, id_col="vid").collect()
+    assert {r["vid"] for r in feats} == {"v-1", "v-2"}
+    assert all(len(r["features"]) == 8 for r in feats)
+    frames = frame_sample(mm, frame_bytes=4, stride=1,
+                          id_col="vid").collect()
+    assert {r["vid"] for r in frames} == {"v-1", "v-2"}
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("Hello, world42 !!",)], "text string")
     row = df.select(bpe_ish_tokens("text").alias("t"),
