@@ -58,8 +58,13 @@ def compact_collapsed(spark: SparkSession, path: str, keys: list[str],
     import shutil
 
     tmp = path.rstrip("/") + ".compact-tmp"
+    # the rewritten +1 keeps the table's ORIGINAL sign dtype: a bare
+    # lit(1) is int32, and one compaction next to int64 appends would
+    # leave the directory with mixed parquet physical types that a
+    # single-footer schema inference then misreads
+    sign_t = spark.read.parquet(path).schema[sign_col].dataType
     read_collapsed(spark, path, keys, payload, sign_col) \
-        .withColumn(sign_col, F.lit(1)) \
+        .withColumn(sign_col, F.lit(1).cast(sign_t)) \
         .write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(old, ignore_errors=True)

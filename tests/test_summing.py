@@ -105,3 +105,30 @@ def test_collapsing_cancels_pairs(spark, tmp_path):
     append_signed(spark.createDataFrame(
         [(1, "A", -1), (1, "AA", 1)], "k long, p string, sign int"), path)
     assert state() == {(1, "AA")}
+
+
+def test_collapsing_compaction_keeps_sign_dtype(spark, tmp_path):
+    """A bigint sign column must survive compaction as bigint: an
+    int32 rewrite next to int64 appends leaves the directory with
+    mixed parquet physical types that single-footer schema inference
+    then misreads."""
+    from pyspark.sql import types as T
+
+    from rsyslog_nginx_clickhouse_spark.plans.collapsing import (
+        append_signed,
+        compact_collapsed,
+        read_collapsed,
+    )
+
+    path = str(tmp_path / "coll64")
+    append_signed(spark.createDataFrame(
+        [(1, "a", 1), (1, "a", -1), (2, "b", 1)],
+        "k long, p string, sign long"), path)
+    compact_collapsed(spark, path, ["k"], ["p"])
+    assert spark.read.parquet(path).schema["sign"].dataType \
+        == T.LongType()
+    # post-compaction appends with the original dtype still read back
+    append_signed(spark.createDataFrame(
+        [(2, "b", -1)], "k long, p string, sign long"), path)
+    assert {(r["k"], r["p"]) for r in
+            read_collapsed(spark, path, ["k"], ["p"]).collect()} == set()
