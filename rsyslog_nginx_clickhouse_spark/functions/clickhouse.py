@@ -187,9 +187,19 @@ IF_COMBINATORS: dict[str, str] = {
 
 
 def register_clickhouse_functions(spark: SparkSession) -> None:
-    """Register the ClickHouse-compat scalar names in the session."""
+    """Register the ClickHouse-compat scalar names in the session.
+
+    Idempotent AND cheap to re-call: macros.sql() invokes this before
+    every query, so without the guard each dashboard query paid 42
+    CREATE OR REPLACE TEMPORARY FUNCTION catalog round-trips. The
+    guard is a per-SparkSession marker (not a catalog probe per name);
+    re-registration only happens in a fresh session.
+    """
+    if getattr(spark, "_ch_compat_registered", False):
+        return
     for name, (args, ret, body) in _CLICKHOUSE_FNS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
             f"RETURNS {ret} RETURN {body}"
         )
+    spark._ch_compat_registered = True

@@ -147,7 +147,7 @@ def _take_call_args(sql: str, open_paren: int) -> tuple[list[str], int]:
     return [a for a in _split_top_level(sql[open_paren + 1:i - 1])], i
 
 
-def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
+def expand_function_macros(sql: str, bucket: str) -> str:
     """The vertamedia plugin's function-style macros — $rate /
     $perSecond / $columns / $rateColumns / $perSecondColumns
     (plugin named at /root/reference/README.md:275). Each replaces the
@@ -201,10 +201,10 @@ def expand_function_macros(sql: str, bucket: str, interval_s: int) -> str:
         # the expansions project internal columns t / dt / d_<alias>;
         # a user alias colliding with them would emit duplicate or
         # self-referential projections ('dt / dt') — fail fast instead
-        if al in ("t", "dt") or al.startswith("d_"):
+        if al in ("t", "dt", "d") or al.startswith("d_"):
             raise ValueError(
                 f"macro alias {al!r} collides with an internal column "
-                "of the expansion (t, dt, d_*) — pick another name")
+                "of the expansion (t, dt, d, d_*) — pick another name")
         return al
 
     dt = "(unix_timestamp(t) - unix_timestamp(lag(t) OVER (ORDER BY t)))"
@@ -364,7 +364,21 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
     # function-style macros next: they rewrite the SELECT head into
     # plain SQL whose FROM/WHERE tail still holds $table/$timeFilter
     # for the generic replacements below
-    sql = expand_function_macros(sql, bucket_expr(interval_s), interval_s)
+    sql = expand_function_macros(sql, bucket_expr(interval_s))
+
+    # Everything from here on must NOT touch string literals: a quoted
+    # value containing "$table"/"$interval"/... is query DATA (the
+    # invariant $adhoc and rewrite_aggregates already hold). NOTE the
+    # template-var substitution above intentionally runs UNMASKED —
+    # Grafana core substitutes '$var' inside quoted literals too, and
+    # dashboards rely on it ('... WHERE etype = ''$etype''').
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    sql = _STR_LIT.sub(_mask, sql)
 
     # $timeFilterByColumn(col) — identifier-validated, same bounds
     # translation as $timeFilter but on the named column
@@ -390,8 +404,11 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
            .replace("$timeFilter", filt)
            .replace("$table", table)
            .replace("$interval", str(interval_s)))
-    # \b: "$to" must not eat the prefix of other macros or identifiers
-    if "$from" in out:
+    # \b: "$to" must not eat the prefix of other macros or identifiers,
+    # and the presence TEST must use the same boundary as the
+    # replacement — a substring 'in' test made '$fromX' raise a bogus
+    # "used without time_from"
+    if re.search(r"\$from\b", out):
         if not time_from:
             raise ValueError("$from used without time_from")
         out = re.sub(r"\$from\b", str(_epoch_s(time_from)), out)
@@ -399,9 +416,9 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
         if not time_to:
             raise ValueError("$to used without time_to")
         out = re.sub(r"\$to\b", str(_epoch_s(time_to)), out)
-    # $adhoc expands LAST: its quoted filter VALUES are user data, so a
-    # value containing "$interval"/"$from"/... must reach the query
-    # byte-identical, not be macro-substituted inside the literal
+    out = re.sub(r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], out)
+    # $adhoc expands after unmasking, LAST: its quoted filter VALUES
+    # are user data and were never exposed to the substitutions above
     out = out.replace("$adhoc", adhoc_predicate(adhoc_filters))
     return rewrite_aggregates(out)
 
@@ -428,8 +445,11 @@ def rewrite_aggregates(out: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     out = _STR_LIT.sub(_mask, out)
-    # ClickHouse's zero-arg count() — Spark requires an argument
-    out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out)
+    # ClickHouse's zero-arg count() — Spark requires an argument.
+    # IGNORECASE: CH resolves standard aggregates case-insensitively,
+    # so a reference-era COUNT() must rewrite too.
+    out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out,
+                 flags=re.IGNORECASE)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
@@ -439,8 +459,37 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(
         rf"\b(percentile_approx|percentile)\(([^()]*)\)\(({nested})\)",
         r"\1(\3, \2)", out)
+    # bare CH quantile(x) / quantileExact(x) default to the median;
+    # Spark's percentile family REQUIRES the fraction, so a renamed
+    # single-arg call gets ', 0.5' appended (arg-aware scan — skipped
+    # when a '(p)(x)' parametric pair survived the collapse above)
+    out = _default_quantile_fraction(out)
     out = _rewrite_if_combinators(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
+
+
+def _default_quantile_fraction(out: str) -> str:
+    """``percentile_approx(x)`` → ``percentile_approx(x, 0.5)`` (and
+    percentile): the ClickHouse no-parameter quantile defaults to the
+    median, while Spark's function has no default fraction. Runs on
+    literal-masked text."""
+    for name in ("percentile_approx", "percentile"):
+        pos = 0
+        while True:
+            m = re.compile(rf"\b{name}\s*\(").search(out, pos)
+            if not m:
+                break
+            try:
+                args, after = _take_call_args(out, m.end() - 1)
+            except ValueError:
+                break  # unbalanced tail: leave as-is
+            rest = out[after:].lstrip()
+            if len(args) == 1 and not rest.startswith("("):
+                out = out[:after - 1] + ", 0.5" + out[after - 1:]
+                pos = after + len(", 0.5")
+            else:
+                pos = m.end()
+    return out
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -461,15 +510,22 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _rewrite_if_combinators(out: str) -> str:
-    """``aggIf(value, cond)`` → ``agg(if(cond, value, NULL))``.
+    """``aggIf(value, cond)`` → ``agg(if(cond, value, NULL))``, with
+    ``sumIf`` additionally COALESCED TO 0: ClickHouse's sumIf returns
+    0 for a group with no matching rows (verified deviation — the
+    plain rewrite yielded NULL and turned dashboard zero-lines into
+    gaps). minIf/maxIf/avgIf keep NULL-on-empty, a DOCUMENTED
+    deviation (CH returns the type default 0 for min/max and nan for
+    avg; NULL composes with Spark aggregates and renders as the same
+    gap in Grafana).
 
     Argument-aware (a token rename cannot reorder args): scans to the
     matching close paren, splits the two args at the top level, and
     rebuilds. Runs on literal-MASKED text (see rewrite_aggregates), so
     quotes need no handling here. A call without exactly two top-level
-    args is left untouched. After a rewrite the scan resumes INSIDE
-    the replacement, so a same-name combinator nested in the rewritten
-    args (scalar subqueries) is rewritten too.
+    args is left untouched. After a rewrite the scan resumes just past
+    the original position, so a same-name combinator nested in the
+    rewritten args (scalar subqueries) is rewritten too.
     """
     for name, agg in IF_COMBINATORS.items():
         pos = 0
@@ -490,9 +546,11 @@ def _rewrite_if_combinators(out: str) -> str:
                 pos = m.end()  # malformed/other arity: skip past it
                 continue
             val, cond = args[0].strip(), args[1].strip()
-            out = out[:m.start()] + f"{agg}(if({cond}, {val}, NULL))" \
-                + out[i:]
-            pos = m.start() + len(f"{agg}(if(")
+            repl = f"{agg}(if({cond}, {val}, NULL))"
+            if name == "sumIf":
+                repl = f"coalesce({repl}, 0)"
+            out = out[:m.start()] + repl + out[i:]
+            pos = m.start() + 1
     return out
 
 

@@ -85,15 +85,20 @@ def parse_lines(raw: DataFrame, line_col: str = "value") -> DataFrame:
     """
     line = F.col(line_col)
     # ONE regex execution per line (not one per field): rewrite the
-    # matched line into a \x01-joined capture list, then split. A line
-    # whose fields contain \x01 themselves would mis-split — detected
-    # by the arity check and dead-lettered rather than mis-parsed.
+    # matched line into a \x01-joined capture list, then split.
     sep = "\x01"
     repl = sep.join(f"${i}" for i in range(1, len(PARSED_FIELDS) + 1))
     arr = F.split(F.regexp_replace(line, NGINX_LINE_REGEX, repl), sep, -1)
     # regexp_replace returns the line UNCHANGED when the rule doesn't
-    # match; a matched line always yields exactly 16 parts
-    matched = F.size(arr) == len(PARSED_FIELDS)
+    # match; a matched line always yields exactly 16 parts. The arity
+    # check alone is NOT sufficient: an unmatched garbage line that
+    # itself contains exactly 15 \x01 bytes splits into 16 parts and
+    # would silently land fragments in the typed columns — so any line
+    # CONTAINING the separator is dead-lettered outright (a real
+    # access-log line never carries \x01; one cheap substring scan,
+    # no second regex execution).
+    matched = (F.size(arr) == len(PARSED_FIELDS)) \
+        & ~F.contains(line, F.lit(sep))
     cols = [line.alias("message"), matched.alias("_parse_ok")]
     for i, name in enumerate(PARSED_FIELDS):
         cols.append(F.when(matched, arr[i]).alias(name))

@@ -182,8 +182,11 @@ def test_if_combinators_rewrite_and_run(spark):
     # nested call + string literal inside the value arg survive
     out = rewrite_aggregates(
         "SELECT sumIf(toUInt32(t), status = 'err'), avgIf(v, v > 0) FROM x")
-    assert out == ("SELECT sum(if(status = 'err', toUInt32(t), NULL)), "
-                   "avg(if(v > 0, v, NULL)) FROM x")
+    # sumIf coalesces to 0 (CH returns 0 on empty match sets); avgIf
+    # keeps NULL-on-empty (documented deviation)
+    assert out == (
+        "SELECT coalesce(sum(if(status = 'err', toUInt32(t), NULL)), 0), "
+        "avg(if(v > 0, v, NULL)) FROM x")
     spark.createDataFrame(
         [(1.0, "ok"), (2.0, "err"), (3.0, "err"), (-4.0, "ok")],
         "v double, status string").createOrReplaceTempView("tc")
@@ -225,10 +228,12 @@ def test_rewrite_preserves_string_literals_and_escapes(spark):
     # backslash-escaped quote with a comma inside the literal: the arg
     # split must not derail
     out = rewrite_aggregates("SELECT sumIf(v, s = 'a\\'b,c') FROM e")
-    assert out == "SELECT sum(if(s = 'a\\'b,c', v, NULL)) FROM e"
+    assert out == \
+        "SELECT coalesce(sum(if(s = 'a\\'b,c', v, NULL)), 0) FROM e"
     # doubled-quote escape form too
     out2 = rewrite_aggregates("SELECT sumIf(v, s = 'a''b,c') FROM e")
-    assert out2 == "SELECT sum(if(s = 'a''b,c', v, NULL)) FROM e"
+    assert out2 == \
+        "SELECT coalesce(sum(if(s = 'a''b,c', v, NULL)), 0) FROM e"
 
 
 def test_rewrite_handles_nested_same_name_combinator():

@@ -190,9 +190,12 @@ def test_rewrite_if_combinators_idempotent(s, name):
     q = f"SELECT {name}(v, col = {lit}) AS c FROM t"
     once = rewrite_aggregates(q)
     # exact expected form (works even when the literal itself contains
-    # a combinator name — literals are masked, never rewritten)
-    assert once == (f"SELECT {IF_COMBINATORS[name]}"
-                    f"(if(col = {lit}, v, NULL)) AS c FROM t")
+    # a combinator name — literals are masked, never rewritten);
+    # sumIf coalesces to 0, matching ClickHouse's empty-match result
+    inner = f"{IF_COMBINATORS[name]}(if(col = {lit}, v, NULL))"
+    if name == "sumIf":
+        inner = f"coalesce({inner}, 0)"
+    assert once == f"SELECT {inner} AS c FROM t"
     assert rewrite_aggregates(once) == once  # stable under re-rewrite
 
 
