@@ -30,6 +30,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def iso_epoch_us(ts: str) -> int:
+    """ISO timestamp string → UTC epoch MICROSECONDS; naive input means
+    session time = UTC (session.py pins it), explicit offsets honored.
+    The single source of the repo's naive-timestamp contract — the
+    macro layer's epoch-seconds twin delegates here.
+    """
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    d = d.astimezone(_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000 + d.microsecond
+
+
+
 def normalize_ts(df: DataFrame, name: str) -> DataFrame:
     """Cast the table's known time columns to session-UTC TimestampType.
 
@@ -72,8 +88,6 @@ def load_time_range(spark: SparkSession, sf_dir: str, name: str, col: str,
     the range lands in PushedFilters. For other tables it degrades to a
     plain (already-pushable) between.
     """
-    import datetime as _dt
-
     if col not in _TS_COLS.get(name, ()):
         return load(spark, sf_dir, name).where(F.col(col).between(
             F.lit(t_from).cast("timestamp"), F.lit(t_to).cast("timestamp")))
@@ -83,14 +97,8 @@ def load_time_range(spark: SparkSession, sf_dir: str, name: str, col: str,
     dt = raw.schema[col].dataType
 
     if isinstance(dt, T.LongType):  # legacy nanos-as-long file
-        def _us(s: str) -> int:
-            d = _dt.datetime.fromisoformat(s)
-            if d.tzinfo is None:
-                d = d.replace(tzinfo=_dt.timezone.utc)  # naive = session UTC
-            d = d.astimezone(_dt.timezone.utc)  # honor explicit offsets
-            return int(d.timestamp()) * 1_000_000 + d.microsecond
-
-        lo, hi = F.lit(_us(t_from) * 1000), F.lit(_us(t_to) * 1000 + 999)
+        lo = F.lit(iso_epoch_us(t_from) * 1000)
+        hi = F.lit(iso_epoch_us(t_to) * 1000 + 999)
     elif isinstance(dt, T.TimestampNTZType):
         # NTZ bounds filter the raw column directly (pushable); the
         # naive wall-clock comparison equals the session-UTC one

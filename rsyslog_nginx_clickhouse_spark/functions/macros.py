@@ -39,13 +39,11 @@ NATURAL_FALLBACK_S = 7 * 86400  # > 90 d → 1 week
 
 
 def _epoch_s(ts: str) -> int:
-    """Naive timestamps are session time = UTC (session.py pins it)."""
-    import datetime as _dt
+    """Epoch SECONDS of an ISO timestamp — delegates to the repo's one
+    naive-means-session-UTC implementation (catalog.iso_epoch_us)."""
+    from rsyslog_nginx_clickhouse_spark.catalog import iso_epoch_us
 
-    d = _dt.datetime.fromisoformat(ts)
-    if d.tzinfo is None:
-        d = d.replace(tzinfo=_dt.timezone.utc)
-    return int(d.astimezone(_dt.timezone.utc).timestamp())
+    return iso_epoch_us(ts) // 1_000_000
 
 
 def natural_interval_s(time_from: str, time_to: str) -> int:

@@ -451,7 +451,11 @@ def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / (qn if qn else 1.0)  # zero query -> probe by raw dot (0s)
-    probes = [int(i) for i in np.argsort(-(C @ q))[:nprobe]]
+    # kind='stable': the registry oracle breaks cosine ties by lowest
+    # list_id (ORDER BY cos DESC, list_id); default introsort may
+    # order a tied pair either way and silently probe different lists
+    probes = [int(i) for i in
+              np.argsort(-(C @ q), kind="stable")[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
     return (assigned

@@ -138,6 +138,11 @@ def load_all() -> dict[str, Query]:
         tpch_plus,
     )
 
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R4 if n in REGISTRY}
+    # loud invariant: a misspelled front-load name would silently
+    # demote that query out of the driver's 50-entry verification
+    # window and shrink the round's coverage with no error anywhere
+    missing = [n for n in _FRONTLOAD_R4 if n not in REGISTRY]
+    assert not missing, f"_FRONTLOAD names not in registry: {missing}"
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R4}
     ordered.update(REGISTRY)
     return ordered

@@ -514,13 +514,21 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_in_sessions_rangejoin",
+    # gap rule mirrors sessionize's FLOORED-SECOND diff (unix_timestamp
+    # truncation), same as the user_sessions oracle — an exact
+    # sub-second epoch(ts - prev) rule places some boundaries
+    # differently (e.g. exact diff 1800.8 s vs floored 1800) and would
+    # only be masked here because n_matched degenerates to the event
+    # count under any boundary placement
     oracle="""
     WITH s AS (
       SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
       FROM (
         SELECT user_id, ts,
                sum(CASE WHEN prev IS NULL
-                        OR epoch(ts - prev) > 1800 THEN 1 ELSE 0 END)
+                        OR floor(epoch(ts))::bigint
+                           - floor(epoch(prev))::bigint > 1800
+                        THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts
                        ROWS UNBOUNDED PRECEDING) AS sid
         FROM (SELECT user_id, ts,

@@ -1116,7 +1116,9 @@ def similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.topk import topk
 
     ev = load(spark, sf_dir, "events")
-    vecs = activity_vectors(ev, "user_id", "ts", "2024-01-01", 30).cache()
+    # localCheckpoint, not cache (GC-released, no CacheManager pin)
+    vecs = activity_vectors(ev, "user_id", "ts", "2024-01-01", 30) \
+        .localCheckpoint()
     # query curve is a parameter: tiny driver fetch, inlined as literals
     # (a crossJoin against the 1-row curve would plan BroadcastNestedLoop)
     qv = vecs.where(F.col("user_id") == 1).select("vec").first()[0]

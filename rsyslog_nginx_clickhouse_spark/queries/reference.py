@@ -37,6 +37,22 @@ GRAFANA_SQL = ("SELECT $timeSeries as t, count(*) as cnt "
 _T_FROM, _T_TO = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
 
 
+def _pruned_events_view(spark: SparkSession, sf_dir: str,
+                        suffix: str) -> str:
+    """Range-pruned events view for the grafana_* queries; returns the
+    view name. The $timeFilter predicate on the normalized (cast)
+    column can't push down, so the view itself carries the range in
+    the raw column's native type (catalog.load_time_range) — the scan
+    skips row groups. The SUFFIX must be unique per query: these views
+    are session-global, and rebinding one to a different subset would
+    contaminate any other query reading it.
+    """
+    name = f"grafana_events_pruned_{suffix}"
+    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
+        .createOrReplaceTempView(name)
+    return name
+
+
 @query(
     "grafana_timeseries",
     oracle=f"""
@@ -54,9 +70,8 @@ def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan skips row groups. The view name is query-private:
     # rebinding the session-wide "events" view to a filtered subset
     # would contaminate later queries.
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned")
-    return engine_sql(spark, GRAFANA_SQL, table="grafana_events_pruned",
+    view = _pruned_events_view(spark, sf_dir, "main")
+    return engine_sql(spark, GRAFANA_SQL, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -74,12 +89,11 @@ def grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toDateTime — the other half of the vertamedia macro surface",
 )
 def grafana_from_to_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_ft")
+    view = _pruned_events_view(spark, sf_dir, "ft")
     q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
          "WHERE ts >= toDateTime($from) AND ts <= toDateTime($to) "
          "GROUP BY t ORDER BY t")
-    return engine_sql(spark, q, table="grafana_events_pruned_ft",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -99,11 +113,10 @@ def grafana_from_to_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
         "injection is stopped); completes the vertamedia macro set",
 )
 def grafana_adhoc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_ah")
+    view = _pruned_events_view(spark, sf_dir, "ah")
     q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
          "WHERE $timeFilter AND $adhoc GROUP BY t ORDER BY t")
-    return engine_sql(spark, q, table="grafana_events_pruned_ah",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO,
                       adhoc_filters=[("event_type", "=", "view"),
@@ -124,11 +137,10 @@ def grafana_adhoc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "range span (15 d → 1-day buckets per NATURAL_TIERS)",
 )
 def grafana_natural_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_nat")
+    view = _pruned_events_view(spark, sf_dir, "nat")
     q = ("SELECT $naturalTimeSeries as t, count(*) as cnt FROM $table "
          "WHERE $timeFilter GROUP BY t ORDER BY t")
-    return engine_sql(spark, q, table="grafana_events_pruned_nat",
+    return engine_sql(spark, q, table=view,
                       time_col="ts",
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -159,10 +171,9 @@ _RATE_WINDOW = "WHERE ts BETWEEN TIMESTAMP '{f}' AND TIMESTAMP '{t}'" \
         "first bucket NULL",
 )
 def grafana_rate_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_rate")
+    view = _pruned_events_view(spark, sf_dir, "rate")
     q = "$rate(count() AS hits) FROM $table WHERE $timeFilter"
-    return engine_sql(spark, q, table="grafana_events_pruned_rate",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -181,11 +192,10 @@ def grafana_rate_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every key of a bucket into one row at scale)",
 )
 def grafana_columns_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_cols")
+    view = _pruned_events_view(spark, sf_dir, "cols")
     q = ("$columns(event_type AS etype, count() AS c) "
          "FROM $table WHERE $timeFilter")
-    return engine_sql(spark, q, table="grafana_events_pruned_cols",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -208,11 +218,10 @@ def grafana_columns_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grafana_rate_columns_macro(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_rcols")
+    view = _pruned_events_view(spark, sf_dir, "rcols")
     q = ("$rateColumns(event_type AS etype, count() AS c) "
          "FROM $table WHERE $timeFilter")
-    return engine_sql(spark, q, table="grafana_events_pruned_rcols",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -237,10 +246,9 @@ def grafana_rate_columns_macro(spark: SparkSession,
 )
 def grafana_per_second_macro(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_ps")
+    view = _pruned_events_view(spark, sf_dir, "ps")
     q = "$perSecond(value AS v) FROM $table WHERE $timeFilter"
-    return engine_sql(spark, q, table="grafana_events_pruned_ps",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 
@@ -262,13 +270,12 @@ def grafana_per_second_macro(spark: SparkSession,
 )
 def grafana_conditional_filters(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_cond")
+    view = _pruned_events_view(spark, sf_dir, "cond")
     q = ("SELECT $timeSeries as t, count(*) as cnt FROM $table "
          "WHERE $timeFilterByColumn(ts) "
          "$conditionalTest(AND event_type = '$etype', $etype) "
          "GROUP BY t ORDER BY t")
-    return engine_sql(spark, q, table="grafana_events_pruned_cond",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO,
                       template_vars={"etype": "click"})
@@ -296,11 +303,10 @@ def grafana_conditional_filters(spark: SparkSession,
 )
 def grafana_per_second_columns_macro(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
-    load_time_range(spark, sf_dir, "events", "ts", _T_FROM, _T_TO) \
-        .createOrReplaceTempView("grafana_events_pruned_pscols")
+    view = _pruned_events_view(spark, sf_dir, "pscols")
     q = ("$perSecondColumns(event_type AS etype, value AS v) "
          "FROM $table WHERE $timeFilter")
-    return engine_sql(spark, q, table="grafana_events_pruned_pscols",
+    return engine_sql(spark, q, table=view,
                       time_col="ts", interval_s=3600,
                       time_from=_T_FROM, time_to=_T_TO)
 

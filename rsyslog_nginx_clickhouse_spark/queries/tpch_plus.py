@@ -302,7 +302,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
              .agg(F.round(F.sum(_revenue()), 1).alias("total_revenue")))
-    rev = rev.cache()  # computed once, read by both the join and the max
+    # localCheckpoint, not cache: computed once, read by both the
+    # join and the max; blocks GC-release instead of pinning
+    # CacheManager for the session (repo-wide convention)
+    rev = rev.localCheckpoint()
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load(spark, sf_dir, "supplier")
     return (rev.join(F.broadcast(mx))
