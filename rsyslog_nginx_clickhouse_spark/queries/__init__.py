@@ -52,26 +52,33 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 #: The driver's correctness snapshot covers only the FIRST 50 registry
 #: entries per round, so queries lacking a CURRENT green driver row
-#: are front-loaded each round. Round-4 rotation (VERDICT r3 item 1):
-#: everything in CORRECTNESS_r03.json is green as of r3, so the window
-#: flips to the 50 entries last verified in r1/r2 — the NTZ incident
-#: proved ever-green rows rot. Two new round-4 macro queries
-#: (grafana_rate_macro, grafana_columns_macro) take the top slots;
-#: to make room, top_users and event_type_share (single-table
-#: built-in-only aggregations whose load/topk/window code paths are
-#: exercised by several other front-loaded entries) wait for the r5
-#: window along with the other new r4 queries
-#: (grafana_rate_columns_macro, grafana_per_second_macro,
-#: grafana_per_second_columns_macro, value_histogram, dedup_keep_best,
-#: mixture_rebalance_plan, grafana_conditional_filters,
-#: streaming_dedup, knn_label_accuracy). All 111 pass the identical in-repo gate
+#: are front-loaded each round. Round-4 rotation (VERDICT r3 item 1,
+#: adjusted): a query with NO driver row ever is a worse signal than a
+#: query whose last green row is two rounds old (the verdict called out
+#: approx_daily_users for exactly this), so all 11 never-verified
+#: entries — the 9 new round-4 queries plus the two new macro queries —
+#: take the top slots, followed by the rewritten pair, then every entry
+#: last verified in r1, then r2-last entries oldest-first. To fit 50,
+#: eleven built-in-only TPC-H queries green in r2 (q4 q7 q8 q11 q13 q15
+#: q16 q17 q19 q20 q22 — pure Spark SQL over unmodified load paths, the
+#: code least able to rot when operator modules change) rotate to the
+#: r5 window together with top_users and event_type_share. After r4,
+#: every registry entry's last driver row is r4, r3, or r2 — none older,
+#: none absent. All 111 pass the identical in-repo gate
 #: (tools/selfcheck.py) regardless of order.
-#: Generated from (CORRECTNESS_r01 ∪ r02) − r03, minus the two
-#: displaced entries, new/rewritten queries first. Exactly 50.
 _FRONTLOAD_R4 = [
     # new this round — never driver-verified
     "grafana_rate_macro",
     "grafana_columns_macro",
+    "grafana_rate_columns_macro",
+    "grafana_per_second_macro",
+    "grafana_per_second_columns_macro",
+    "grafana_conditional_filters",
+    "value_histogram",
+    "dedup_keep_best",
+    "mixture_rebalance_plan",
+    "streaming_dedup",
+    "knn_label_accuracy",
     # rewritten this round (KMV sketch — was the registry's only
     # never-green row; balance=False perf fix) — verify first
     "approx_daily_users",
@@ -90,6 +97,8 @@ _FRONTLOAD_R4 = [
     "props_json_stats",
     "token_counts",
     "train_test_split",
+    "top_users",
+    "event_type_share",
     # last driver row in r2
     "approx_latency_quantiles",
     "bot_traffic_share",
@@ -99,20 +108,9 @@ _FRONTLOAD_R4 = [
     "embedding_neardup_exact",
     "gopher_quality_filter",
     "nginx_table_roundtrip",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
     "q21_waiting_suppliers",
-    "q22_idle_customers",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
     "retention_cohort",
     "skew_salted_event_counts",
