@@ -25,13 +25,26 @@ from rsyslog_nginx_clickhouse_spark.queries import load_all
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
 
-def audit(plan: str) -> dict:
-    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+def audit(plan: str, formatted: str) -> dict:
+    # Scan properties come from the FORMATTED explain: the one-line
+    # tree representation truncates long scan lines at a char limit,
+    # which can cut `PushedFilters: [...` before its closing bracket
+    # and silently under-report pushdown (seen on
+    # grafana_conditional_filters, whose 5 pushed filters vanished).
+    # Formatted mode prints one attribute per line, never truncated.
+    scan_cols, pushed = [], []
+    for block in re.split(r"\n\s*\n", formatted):
+        if not re.match(r"\(\d+\) Scan parquet", block.strip()):
+            continue
+        m = re.search(r"Output \[(\d+)\]", block)
+        scan_cols.append(int(m.group(1)) if m else 0)
+        p = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        pushed.append(
+            len([f for f in p.group(1).split(",") if f.strip()]) if p else 0)
     return {
-        "scans": len(scans),
-        "scan_cols": [len(s.split(",")) if s else 0 for s in scans],
-        "pushed": [len([f for f in p.split(",") if f.strip()]) for p in pushed],
+        "scans": len(scan_cols),
+        "scan_cols": scan_cols,
+        "pushed": pushed,
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "shj": plan.count("ShuffledHashJoin"),
@@ -55,10 +68,12 @@ def main() -> int:
         try:
             df = q.spark(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            formatted = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
         except Exception as e:
             print(f"SKIP {name}: {e}")
             continue
-        a = audit(plan)
+        a = audit(plan, formatted)
         flags = []
         if a["cartesian"]:
             flags.append("CARTESIAN")
