@@ -48,6 +48,19 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(
         _noop, schema="id long").count()
+    # ... and the rest of the heavy-query machinery, so the first
+    # registry entry that uses it isn't charged the one-time setup
+    # (grouped-Arrow python workers, broadcast-exchange thread pool,
+    # checkpoint block manager): whichever query runs first shifts
+    # with the front-load rotation, and per-query numbers should be
+    # comparable across rounds.
+    warm = spark.range(64).selectExpr("id", "id % 8 AS g")
+    warm.groupBy("g").applyInPandas(
+        lambda pdf: pdf, schema="id long, g long").count()
+    from pyspark.sql.functions import broadcast
+    warm.join(broadcast(spark.range(8).selectExpr("id AS g")),
+              "g").count()
+    warm.localCheckpoint(eager=True).count()
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
