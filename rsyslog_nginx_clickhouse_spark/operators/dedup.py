@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.text import fingerprint
 
 #: 32 hashes in 8 bands of 4: P(candidate | J) = 1-(1-J^4)^8 — ≈0.97 at
@@ -319,8 +320,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
                     .select("id_a", "id_b",
-                            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
-                             .alias("jaccard"))
+                            # tie_round, not round: |∩|/|∪| is an exact
+                            # int ratio — can sit ON a tie point where
+                            # the engines' round() methods disagree
+                            tie_round(jaccard(F.col("sh_a"),
+                                              F.col("sh_b")), 6)
+                            .alias("jaccard"))
                     .where(F.col("jaccard") >= threshold))
     return verified
 
@@ -402,9 +407,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (inter.join(sz_a, "id_a")
                  .join(sz_b, "id_b")
                  .select("id_a", "id_b",
-                         F.round(F.col("n_inter")
-                                 / F.greatest(union_sz, F.lit(1)), 6)
-                          .alias("jaccard"))
+                         # tie_round: exact int ratio (see rounding.py)
+                         tie_round(F.col("n_inter")
+                                   / F.greatest(union_sz, F.lit(1)), 6)
+                         .alias("jaccard"))
                  .where(F.col("jaccard") >= threshold))
 
 

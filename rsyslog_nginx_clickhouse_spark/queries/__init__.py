@@ -6,11 +6,18 @@ the same parquet tables. Column names are part of the contract: the
 driver sorts columns by name before value-hashing, so Spark aliases and
 SQL ``AS`` names must match exactly.
 
-Float discipline (why every aggregate is rounded): Spark and DuckDB sum
-doubles in different orders, so the last bits differ. We round sums of
-large magnitudes to 1 decimal and ratios/averages to 4-6 decimals —
-orders of magnitude above the reordering error, orders below anything
-semantically meaningful.
+Float discipline (why every aggregate is rounded, and how): Spark and
+DuckDB sum doubles in different orders, so the last bits differ; we
+round orders of magnitude above the reordering error. Rounding itself
+is tiered by what can sit ON a tie point (functions/rounding.py):
+irrational-valued results (cosines, norms, log-weighted scores,
+non-terminating ratios) use plain round(); per-row exact-decimal
+results (integer ratios, quotients of money) use tie_round, the same
+IEEE op sequence in both engines; ROUNDED SUMS of exact decimals
+(money at 1 decimal) are summed as exact integer units with integer
+HALF_UP — the only form whose value is independent of partitioning.
+Rounding an exact 2-decimal value at >= 2 decimals is exact and needs
+no special form.
 
 Modules:
 - reference — the reference's own surface (SURVEY §2.6 Q1-Q6) over the

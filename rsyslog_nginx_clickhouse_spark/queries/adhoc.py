@@ -19,24 +19,66 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+    exact_units,
+    exact_units_sql,
+    int_ratio_round,
+    int_ratio_round_sql,
+    int_sum_round,
+    int_sum_round_sql,
+)
 from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
 from rsyslog_nginx_clickhouse_spark.operators.sessionize import session_stats
 from rsyslog_nginx_clickhouse_spark.operators.topk import topk_per_group
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
+#: q1 money aggregates in exact integer units (see functions/rounding
+#: .py): prices/discounts/taxes are exact 2-decimal values, so group
+#: sums are exact cent (10^-2), a·(100-b) ten-thousandth (10^-4) and
+#: a·(100-b)·(100+c) millionth (10^-6) integers — summed as int64/
+#: HUGEINT they are order-independent, and the final HALF_UP is integer
+#: arithmetic. Float sums land a few ulps to either side of the exact
+#: value DEPENDING ON PARTITIONING, which flips the rounded digit
+#: whenever the exact sum sits on a tie (q1's N/O group at sf0.01 IS
+#: one: sum_base_price = ...182.45).
+_Q1_A = exact_units_sql("l_extendedprice", 2)
+_Q1_B = exact_units_sql("l_discount", 2)
+_Q1_C = exact_units_sql("l_tax", 2)
+
+#: Discounted revenue in exact integer ten-thousandths (shared with
+#: tpch_plus — see that module / functions/rounding.py for why float
+#: revenue sums can't be rounded reproducibly).
+_REV_UNITS_SQL = f"({_Q1_A} * (100 - {_Q1_B}))"
+_REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
+#: q6's ext*disc in exact ten-thousandths (a·b, both cents)
+_Q6_REV = int_sum_round_sql(f"sum({_Q1_A} * {_Q1_B})", 4, 1)
+
+
+def _rev_round1() -> F.Column:
+    units = (exact_units(F.col("l_extendedprice"), 2)
+             * (100 - exact_units(F.col("l_discount"), 2)))
+    return int_sum_round(F.sum(units), 4, 1)
+
+
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 1) AS sum_qty,
-           round(sum(l_extendedprice), 1) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1)
+           {int_sum_round_sql(f'sum({_Q1_A})', 2, 1)} AS sum_base_price,
+           {int_sum_round_sql(f'sum({_Q1_A} * (100 - {_Q1_B}))', 4, 1)}
+             AS sum_disc_price,
+           {int_sum_round_sql(
+               f'sum({_Q1_A} * (100 - {_Q1_B}) * (100 + {_Q1_C}))', 6, 1)}
              AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           {int_ratio_round_sql(
+               f'sum({exact_units_sql("l_quantity", 0)})', 'count(*)', 4)}
+             AS avg_qty,
+           {int_ratio_round_sql(f'sum({_Q1_A})', 'count(*) * 100', 4)}
+             AS avg_price,
+           {int_ratio_round_sql(f'sum({_Q1_B})', 'count(*) * 100', 4)}
+             AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,30 +86,40 @@ from rsyslog_nginx_clickhouse_spark.queries import query
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1: scan-heavy grouped aggregation; partial agg map-side, "
-        "shuffle carries 4 groups not 600k rows",
+        "shuffle carries 4 groups not 600k rows. Money aggregates are "
+        "exact-integer-unit sums (order-independent) with integer "
+        "HALF_UP — float sums straddle rounding ties per-partitioning",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    a = exact_units(F.col("l_extendedprice"), 2)
+    b = exact_units(F.col("l_discount"), 2)
+    c = exact_units(F.col("l_tax"), 2)
+    n = F.count("*")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
-                 F.round(F.sum(disc_price), 1).alias("sum_disc_price"),
-                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 1)
-                  .alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 int_sum_round(F.sum(a), 2, 1).alias("sum_base_price"),
+                 int_sum_round(F.sum(a * (100 - b)), 4, 1)
+                 .alias("sum_disc_price"),
+                 int_sum_round(F.sum(a * (100 - b) * (100 + c)), 6, 1)
+                 .alias("sum_charge"),
+                 int_ratio_round(
+                     F.sum(exact_units(F.col("l_quantity"), 0)), n, 4)
+                 .alias("avg_qty"),
+                 int_ratio_round(F.sum(a), n * F.lit(100), 4)
+                 .alias("avg_price"),
+                 int_ratio_round(F.sum(b), n * F.lit(100), 4)
+                 .alias("avg_disc"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           {_REV_ROUND1_SQL} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -90,17 +142,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 1)
-                    .alias("revenue"))
+              .agg(_rev_round1().alias("revenue"))
               .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
               .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
 
 
 @query(
     "q5_regional_revenue",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    oracle=f"""
+    SELECT n_name, {_REV_ROUND1_SQL} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -129,16 +179,14 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
               .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
               .groupBy("n_name")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 1)
-                    .alias("revenue"))
+              .agg(_rev_round1().alias("revenue"))
               .orderBy(F.desc("revenue"), "n_name"))
 
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 1) AS revenue
+    oracle=f"""
+    SELECT {_Q6_REV} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -152,8 +200,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
                      & (F.col("l_discount").between(0.05, 0.07))
                      & (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 1)
-                  .alias("revenue")))
+            .agg(int_sum_round(
+                     F.sum(exact_units(F.col("l_extendedprice"), 2)
+                           * exact_units(F.col("l_discount"), 2)), 4, 1)
+                 .alias("revenue")))
 
 
 @query(
@@ -359,9 +409,9 @@ def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           {_REV_ROUND1_SQL} AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -374,7 +424,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.cube("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum(rev), 1).alias("revenue"),
+              .agg(_rev_round1().alias("revenue"),
                    F.count("*").alias("n")))
 
 
@@ -455,9 +505,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           {_REV_ROUND1_SQL} AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -483,9 +533,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
               .groupBy("c_custkey", "c_name", "n_name")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 1)
-                    .alias("revenue"))
+              .agg(_rev_round1().alias("revenue"))
               .select("c_custkey", "c_name", "revenue", "n_name")
               .orderBy(F.desc("revenue"), "c_custkey").limit(20))
 

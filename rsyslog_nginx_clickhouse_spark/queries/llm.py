@@ -30,6 +30,10 @@ from rsyslog_nginx_clickhouse_spark.functions.text import (
     token_count,
     tokens,
 )
+from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+    tie_round,
+    tie_round_sql,
+)
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, norm
 from rsyslog_nginx_clickhouse_spark.operators.dedup import (
     exact_dedup_groups,
@@ -96,25 +100,27 @@ _PUNCT_SQL = """'[.,!?;:''"()\\[\\]{}-]'"""
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            len(toks) AS n_tokens,
-           round((length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::double
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
-                 / greatest(len(toks), 1), 6) AS stopword_ratio,
-           round(coalesce(list_sum(list_transform(toks, x -> length(x))),
+           {tie_round_sql(f'''(length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::double
+                 / greatest(length(text), 1)''', 6)} AS punct_ratio,
+           {tie_round_sql(f'''len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::double
+                 / greatest(len(toks), 1)''', 6)} AS stopword_ratio,
+           {tie_round_sql('''coalesce(list_sum(list_transform(toks, x -> length(x))),
                           0)::double
-                 / greatest(len(toks), 1), 6) AS mean_token_len
+                 / greatest(len(toks), 1)''', 6)} AS mean_token_len
     FROM t
     """,
-    doc="token counting + quality signals, pure Catalyst expressions",
+    doc="token counting + quality signals, pure Catalyst expressions; "
+        "ratios use tie_round (count/length int ratios CAN sit exactly "
+        "on round-tie points — see functions/rounding.py)",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(mean_token_len("text"), 6).alias("mean_token_len"),
+        tie_round(punct_ratio("text"), 6).alias("punct_ratio"),
+        tie_round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        tie_round(mean_token_len("text"), 6).alias("mean_token_len"),
     )
 
 
@@ -132,20 +138,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(toks, x -> length(x)))::double
                / greatest(len(toks), 1) AS mlen
       FROM t)
-    SELECT doc_id, round(
+    SELECT doc_id, {tie_round_sql('''
         least(n_tok / 20.0, 1.0) * 0.4
         + (1.0 - least(pr * 5, 1.0)) * 0.2
         + (CASE WHEN sw >= 0.05 AND sw <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.2
-        + (CASE WHEN mlen >= 2.5 AND mlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2,
-      6) AS quality
+        + (CASE WHEN mlen >= 2.5 AND mlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+      ''', 6)} AS quality
     FROM m
     """,
-    doc="composite document quality score for corpus filtering",
+    doc="composite document quality score for corpus filtering; "
+        "tie_round — the score is a linear combination of exact short "
+        "decimals and int ratios, which can sit on round-tie points",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id",
-                       F.round(quality_score("text"), 6).alias("quality"))
+                       tie_round(quality_score("text"), 6).alias("quality"))
 
 
 @query(
@@ -231,13 +239,13 @@ def _ngram_jaccard_oracle() -> str:
       FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
-           round(n_inter::double
-                 / greatest(sa.sz + sb.sz - n_inter, 1), 6) AS jaccard
+           {tie_round_sql('''n_inter::double
+                 / greatest(sa.sz + sb.sz - n_inter, 1)''', 6)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(n_inter::double
-                / greatest(sa.sz + sb.sz - n_inter, 1), 6) >= 0.5
+    WHERE {tie_round_sql('''n_inter::double
+                / greatest(sa.sz + sb.sz - n_inter, 1)''', 6)} >= 0.5
     """
 
 
@@ -286,15 +294,15 @@ _MH_A, _MH_B = _minhash_oracle_lists()
       FROM bands a JOIN bands b USING (band, key)
       WHERE a.doc_id < b.doc_id)
     SELECT id_a, id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::double
-                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
-                 6) AS jaccard
+           {tie_round_sql('''len(list_intersect(sa.shingles, sb.shingles))::double
+                 / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)''',
+                 6)} AS jaccard
     FROM cand
     JOIN sh sa ON sa.doc_id = id_a
     JOIN sh sb ON sb.doc_id = id_b
-    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
-                / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
-                6) >= 0.5
+    WHERE {tie_round_sql('''len(list_intersect(sa.shingles, sb.shingles))::double
+                / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)''',
+                6)} >= 0.5
     """,
     doc="MinHash (one md5/shingle + 32 universal-hash permutations) + "
         "LSH (8 bands × 4) + exact-Jaccard verify — the 100 TB near-dup "
@@ -645,8 +653,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_shingles,
            cast(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
                 AS bigint) AS n_contaminated,
-           round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0
-                     END)::double / count(*), 6) AS contamination
+           floor((sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0
+                      END)::double / count(*))
+                 * 1000000 + 0.5) / 1000000 AS contamination
     FROM tr LEFT JOIN bench USING (s)
     GROUP BY tr.doc_id
     """,
@@ -671,8 +680,9 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("*").alias("n_shingles"),
                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
                     .cast("long").alias("n_contaminated"),
-                   F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                           / F.count("*"), 6).alias("contamination")))
+                   # tie_round: hits/n_shingles is an exact int ratio
+                   tie_round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                             / F.count("*"), 6).alias("contamination")))
 
 
 # ---------------------------------------------------------- multimodal --
@@ -814,9 +824,9 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.label AS label, count(*) AS n_queries,
            CAST(sum(CASE WHEN p.pred_label = e.label
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           round(sum(CASE WHEN p.pred_label = e.label
-                          THEN 1 ELSE 0 END)::double / count(*), 6)
-               AS accuracy
+           floor((sum(CASE WHEN p.pred_label = e.label
+                           THEN 1 ELSE 0 END)::double / count(*))
+                 * 1000000 + 0.5) / 1000000 AS accuracy
     FROM pred p JOIN embeddings e ON e.vec_id = p.qid
     GROUP BY e.label ORDER BY label
     """,
@@ -850,8 +860,9 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("label")
                 .agg(F.count("*").alias("n_queries"),
                      F.sum(hit).cast("bigint").alias("n_correct"),
-                     F.round(F.sum(hit).cast("double") / F.count("*"), 6)
-                      .alias("accuracy"))
+                     # tie_round: correct/total is an exact int ratio
+                     tie_round(F.sum(hit).cast("double") / F.count("*"),
+                               6).alias("accuracy"))
                 .orderBy("label"))
 
 
@@ -927,9 +938,9 @@ _PAIRS_SQL = """
       FROM cand
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
-      WHERE round(len(list_intersect(sa.shingles, sb.shingles))::double
-                  / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1),
-                  6) >= 0.5)
+      WHERE floor((len(list_intersect(sa.shingles, sb.shingles))::double
+                   / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1))
+                  * 1000000 + 0.5) / 1000000 >= 0.5)
 """
 
 
@@ -1044,9 +1055,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS fingerprint,
              min(doc_id) AS doc_id
       FROM documents GROUP BY fingerprint)
-    SELECT s.doc_id, round(s.q, 6) AS quality
+    SELECT s.doc_id, floor(s.q * 1000000 + 0.5) / 1000000 AS quality
     FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
-    WHERE round(s.q, 6) >= 0.5 AND s.en_hits > 0
+    WHERE floor(s.q * 1000000 + 0.5) / 1000000 >= 0.5 AND s.en_hits > 0
     ORDER BY s.doc_id
     """,
     doc="the LLM training-data selection pipeline END-TO-END: exact-"
@@ -1061,7 +1072,8 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id",
-        F.round(quality_score("text"), 6).alias("quality"),
+        # tie_round: see quality_scores (same formula, same hazard)
+        tie_round(quality_score("text"), 6).alias("quality"),
         lang_score("text", "en").alias("en_hits"),
     )
     keepers = exact_dedup_groups(docs).select(

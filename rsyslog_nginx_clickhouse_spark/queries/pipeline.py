@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.text import normalized_text
 from rsyslog_nginx_clickhouse_spark.operators.dedup import split_bucket
 from rsyslog_nginx_clickhouse_spark.queries import query
@@ -59,10 +60,11 @@ def _toks(col: F.Column) -> F.Column:
       FROM documents)
     SELECT doc_id,
            len(toks) AS n_words,
-           round((n_chars - len(toks) + 1.0) / len(toks), 4)
-             AS mean_word_len,
-           round(len(list_filter(toks, w -> w IN ({_SQL_STOPWORDS})))
-                 ::double / len(toks), 4) AS stopword_frac,
+           floor(((n_chars - len(toks) + 1.0) / len(toks))
+                 * 10000 + 0.5) / 10000 AS mean_word_len,
+           floor((len(list_filter(toks, w -> w IN ({_SQL_STOPWORDS})))
+                  ::double / len(toks)) * 10000 + 0.5) / 10000
+             AS stopword_frac,
            CASE WHEN len(toks) BETWEEN 50 AND 100000
                  AND (n_chars - len(toks) + 1.0) / len(toks)
                      BETWEEN 3.0 AND 10.0
@@ -100,8 +102,10 @@ def gopher_flags(docs: DataFrame, text_col: str = "text",
     return docs.select(
         id_col,
         nw.alias("n_words"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(sw, 4).alias("stopword_frac"),
+        # tie_round, not round: these are exact int ratios which can
+        # sit ON a rounding tie point (see functions/rounding.py)
+        tie_round(mwl, 4).alias("mean_word_len"),
+        tie_round(sw, 4).alias("stopword_frac"),
         keep.alias("keep"))
 
 
@@ -145,8 +149,8 @@ def ngram_occurrences(col: F.Column, n: int = DUP_NGRAM_N) -> F.Column:
     docfreq AS (SELECT g, count(DISTINCT doc_id) AS nd
                 FROM occ GROUP BY g)
     SELECT occ.doc_id,
-           round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::double
-                 / count(*), 6) AS dup_frac
+           floor((sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::double
+                  / count(*)) * 1000000 + 0.5) / 1000000 AS dup_frac
     FROM occ JOIN docfreq USING (g)
     GROUP BY occ.doc_id ORDER BY occ.doc_id
     """,
@@ -190,8 +194,8 @@ def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
     return (per_doc_gram
             .select(id_col, F.col("c"), dup_c.alias("dup_c"))
             .groupBy(id_col)
-            .agg(F.round(F.sum("dup_c").cast("double") / F.sum("c"), 6)
-                  .alias("dup_frac")))
+            .agg(tie_round(F.sum("dup_c").cast("double") / F.sum("c"), 6)
+                 .alias("dup_frac")))
 
 
 @query(
@@ -216,7 +220,8 @@ def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
       WHERE a.source < b.source
       GROUP BY 1, 2)
     SELECT src_a, src_b, n_shared,
-           round(n_shared::double / (sa.n + sb.n - n_shared), 6) AS jaccard
+           floor((n_shared::double / (sa.n + sb.n - n_shared))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter JOIN sizes sa ON sa.source = src_a
                JOIN sizes sb ON sb.source = src_b
     ORDER BY src_a, src_b
@@ -265,10 +270,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.join(F.broadcast(sz_a), "src_a")
                  .join(F.broadcast(sz_b), "src_b")
                  .select("src_a", "src_b", "n_shared",
-                         F.round(F.col("n_shared").cast("double")
-                                 / (F.col("na") + F.col("nb")
-                                    - F.col("n_shared")), 6)
-                          .alias("jaccard"))
+                         # tie_round: exact int ratio (rounding.py)
+                         tie_round(F.col("n_shared").cast("double")
+                                   / (F.col("na") + F.col("nb")
+                                      - F.col("n_shared")), 6)
+                         .alias("jaccard"))
                  .orderBy("src_a", "src_b"))
 
 
@@ -317,9 +323,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source)
     SELECT source, n_docs, n_tokens,
-           round(n_tokens::double / sum(n_tokens) OVER (), 6)
-             AS token_share,
-           round(n_tokens::double / n_docs, 2) AS avg_doc_tokens
+           floor((n_tokens::double / sum(n_tokens) OVER ())
+                 * 1000000 + 0.5) / 1000000 AS token_share,
+           floor((n_tokens::double / n_docs) * 100 + 0.5) / 100
+             AS avg_doc_tokens
     FROM per ORDER BY source
     """,
     doc="Domain-mixture accounting: per-source doc and token counts "
@@ -337,11 +344,13 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     return (per.select(
                 "source", "n_docs", "n_tokens",
-                F.round(F.col("n_tokens").cast("double")
-                        / F.sum("n_tokens").over(total), 6)
-                 .alias("token_share"),
-                F.round(F.col("n_tokens").cast("double")
-                        / F.col("n_docs"), 2).alias("avg_doc_tokens"))
+                # tie_round: exact int ratios (tokens/total, tokens/
+                # docs) can sit ON rounding tie points (rounding.py)
+                tie_round(F.col("n_tokens").cast("double")
+                          / F.sum("n_tokens").over(total), 6)
+                .alias("token_share"),
+                tie_round(F.col("n_tokens").cast("double")
+                          / F.col("n_docs"), 2).alias("avg_doc_tokens"))
             .orderBy("source"))
 
 
@@ -360,8 +369,10 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(*) OVER () AS target_tokens
       FROM per)
     SELECT source, n_tokens,
-           round(least(1.0, target_tokens / n_tokens), 6) AS keep_rate,
-           CAST(floor(round(least(1.0, target_tokens / n_tokens), 6)
+           floor(least(1.0, target_tokens / n_tokens)
+                 * 1000000 + 0.5) / 1000000 AS keep_rate,
+           CAST(floor(floor(least(1.0, target_tokens / n_tokens)
+                            * 1000000 + 0.5) / 1000000
                       * n_tokens) AS BIGINT) AS planned_tokens
     FROM tot ORDER BY source
     """,
@@ -382,7 +393,9 @@ def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     target = (F.sum("n_tokens").over(w).cast("double")
               / F.count("*").over(w))
-    rate = F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
+    # tie_round: target/n_tokens can be an exact short decimal
+    # (rounding.py); the floor product below amplifies a tie flip
+    rate = tie_round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
     return (per.select(
                 "source", "n_tokens",
                 rate.alias("keep_rate"),
@@ -609,7 +622,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt)
     SELECT doc_id, tok AS top_token, c AS top_count,
            CAST(n_tok AS BIGINT) AS n_tokens,
-           round(c::double / n_tok, 6) AS top_share
+           floor((c::double / n_tok) * 1000000 + 0.5) / 1000000
+             AS top_share
     FROM ranked WHERE rn = 1 ORDER BY doc_id
     """,
     doc="Gopher-style repetition signal: each document's most frequent "
@@ -637,6 +651,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("tok").alias("top_token"),
                           F.col("c").alias("top_count"),
                           F.col("n_tok").cast("long").alias("n_tokens"),
-                          F.round(F.col("c").cast("double")
-                                  / F.col("n_tok"), 6).alias("top_share"))
+                          # tie_round: exact int ratio (rounding.py)
+                          tie_round(F.col("c").cast("double")
+                                    / F.col("n_tok"), 6)
+                          .alias("top_share"))
                   .orderBy("doc_id"))

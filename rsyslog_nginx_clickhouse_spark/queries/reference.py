@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load, load_time_range
 from rsyslog_nginx_clickhouse_spark.functions.macros import sql as engine_sql
+from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+    exact_units,
+    exact_units_sql,
+    int_ratio_round,
+    int_ratio_round_sql,
+    int_sum_round,
+    int_sum_round_sql,
+    tie_round,
+)
 from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
     timeseries_count,
 )
@@ -365,7 +374,8 @@ def daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type_share",
     oracle="""
     SELECT event_type, count(*) AS cnt,
-           round(count(*)::double / sum(count(*)) OVER (), 6) AS share
+           floor((count(*)::double / sum(count(*)) OVER ())
+                 * 1000000 + 0.5) / 1000000 AS share
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="distribution panel: share via window over aggregate",
@@ -377,7 +387,9 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum("cnt").over(Window.partitionBy())
     return counts.select(
         "event_type", "cnt",
-        F.round(F.col("cnt") / total, 6).alias("share")).orderBy("event_type")
+        # tie_round: exact int ratio (functions/rounding.py)
+        tie_round(F.col("cnt") / total, 6).alias("share")) \
+        .orderBy("event_type")
 
 
 @query(
@@ -387,8 +399,8 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint)
              AS n_errors,
            count(*) AS n_total,
-           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::double
-                 / count(*), 6) AS error_rate
+           floor((sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::double
+                  / count(*)) * 1000000 + 0.5) / 1000000 AS error_rate
     FROM events GROUP BY d ORDER BY d
     """,
     doc="conditional aggregation: the 5xx-rate panel",
@@ -399,7 +411,10 @@ def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.to_date("ts").alias("d"))
             .agg(F.sum(is_err).cast("long").alias("n_errors"),
                  F.count("*").alias("n_total"),
-                 F.round(F.sum(is_err) / F.count("*"), 6).alias("error_rate"))
+                 # tie_round: errors/total is an exact int ratio that
+                 # can sit ON a rounding tie (functions/rounding.py)
+                 tie_round(F.sum(is_err) / F.count("*"), 6)
+                 .alias("error_rate"))
             .orderBy("d"))
 
 
@@ -751,7 +766,8 @@ def collapsing_state_roundtrip(spark: SparkSession,
       SELECT (200 + (event_id % 4) * 100) AS response FROM events)
     SELECT (response // 100) || 'xx' AS status_class,
            count(*) AS cnt,
-           round(count(*)::double / sum(count(*)) OVER (), 6) AS share
+           floor((count(*)::double / sum(count(*)) OVER ())
+                 * 1000000 + 0.5) / 1000000 AS share
     FROM t GROUP BY status_class ORDER BY status_class
     """,
     doc="the 2xx/3xx/4xx/5xx dashboard panel over the PARSED typed "
@@ -769,7 +785,9 @@ def status_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count("*").alias("cnt")))
     total = F.sum("cnt").over(Window.partitionBy())
     return (counts.select("status_class", "cnt",
-                          F.round(F.col("cnt") / total, 6).alias("share"))
+                          # tie_round: exact int ratio (rounding.py)
+                          tie_round(F.col("cnt") / total, 6)
+                          .alias("share"))
                   .orderBy("status_class"))
 
 
@@ -827,9 +845,15 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bucketed_join_revenue",
-    oracle="""
+    # revenue as an exact integer ten-thousandths sum + integer HALF_UP
+    # (functions/rounding.py): 5 large groups, so the float sum
+    # reorders across partitions and can straddle a rounding tie
+    oracle=f"""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+           {int_sum_round_sql(
+               f"sum({exact_units_sql('l_extendedprice', 2)}"
+               f" * (100 - {exact_units_sql('l_discount', 2)}))", 4, 1)}
+             AS revenue,
            count(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -858,10 +882,10 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(orders, to, "orderkey", buckets=16)
     write_bucketed(items, tl, "orderkey", buckets=16)
     j = bucketed_join(spark, to, tl, "orderkey")
+    units = (exact_units(F.col("l_extendedprice"), 2)
+             * (100 - exact_units(F.col("l_discount"), 2)))
     return (j.groupBy("o_orderpriority")
-             .agg(F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 1)
-                   .alias("revenue"),
+             .agg(int_sum_round(F.sum(units), 4, 1).alias("revenue"),
                   F.count("*").alias("n_items")))
 
 
@@ -1031,7 +1055,7 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounds come from the same SQL min/max, widths and bucket indices
     # are identical IEEE arithmetic, so the histogram is deterministic
     # cross-engine. v == max lands in the last bucket via least().
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
     h AS (
       SELECT least(cast(floor((value - lo) / ((hi - lo) / 20)) AS int),
@@ -1042,7 +1066,8 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(lo) + bucket * ((min(hi) - min(lo)) / 20), 6)
                AS bucket_lo,
            count(*) AS cnt,
-           round(avg(value), 6) AS mean_value
+           {int_ratio_round_sql(f"sum({exact_units_sql('value', 2)})",
+                                'count(*) * 100', 6)} AS mean_value
     FROM h GROUP BY bucket ORDER BY bucket
     """,
     doc="ClickHouse histogram() analog for dashboard distribution "
@@ -1067,5 +1092,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 6)
                     .alias("bucket_lo"),
                    F.count("*").alias("cnt"),
-                   F.round(F.avg("value"), 6).alias("mean_value"))
+                   # integer-exact mean: value is 2-decimal, so the
+                   # per-bucket mean is an exact rational that can tie
+                   # at the 7th decimal, and the float avg reorders
+                   # across partitions (functions/rounding.py)
+                   int_ratio_round(
+                       F.sum(exact_units(F.col("value"), 2)),
+                       F.count("*") * F.lit(100), 6)
+                   .alias("mean_value"))
               .orderBy("bucket"))

@@ -28,11 +28,38 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+    exact_units,
+    exact_units_sql,
+    int_sum_round,
+    int_sum_round_sql,
+)
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
 def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+#: Discounted revenue in exact integer ten-thousandths: price and
+#: discount are exact 2-decimal values, so a·(100-b) with a = cents,
+#: b = discount-cents is the EXACT revenue in 10^-4 units — int64 sums
+#: of it are order-independent, unlike float sums, which straddle a
+#: rounding tie differently per partitioning (see functions/rounding
+#: .py; measured on q1). Used by every query that ROUNDS a revenue sum.
+def _revenue_units() -> F.Column:
+    return (exact_units(F.col("l_extendedprice"), 2)
+            * (100 - exact_units(F.col("l_discount"), 2)))
+
+
+_REV_UNITS_SQL = (f"({exact_units_sql('l_extendedprice', 2)}"
+                  f" * (100 - {exact_units_sql('l_discount', 2)}))")
+#: round(sum(revenue), 1) — integer-exact, both engines
+_REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
+
+
+def _rev_round1() -> F.Column:
+    return int_sum_round(F.sum(_revenue_units()), 4, 1)
 
 
 @query(
@@ -68,10 +95,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+           {_REV_ROUND1_SQL} AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -107,7 +134,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("supp_nation") != F.col("cust_nation"))
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))
-              .agg(F.round(F.sum(_revenue()), 1).alias("revenue"))
+              .agg(_rev_round1().alias("revenue"))
               .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
@@ -172,9 +199,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q9_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 1) AS profit
+           {_REV_ROUND1_SQL} AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -204,22 +231,32 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
               .join(orders, li.l_orderkey == orders.o_orderkey)
               .groupBy("nation", "o_year")
-              .agg(F.round(F.sum(_revenue()), 1).alias("profit"))
+              .agg(_rev_round1().alias("profit"))
               .orderBy("nation", F.desc("o_year")))
+
+
+#: q11 shared body — integer-exact revenue units; the identical string
+#: is the DuckDB oracle AND the spark.sql text (ANSI CAST throughout).
+#: The 1.5x-mean threshold is written sum*1.5/count, not avg()*1.5:
+#: both engines convert the SAME exact integer sum to double and apply
+#: the same two float ops, where avg() implementations may accumulate
+#: differently.
+_Q11_BODY = f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum({_REV_UNITS_SQL}) AS raw_units
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, {int_sum_round_sql('raw_units', 4, 1)} AS part_value
+    FROM pv
+    WHERE raw_units > (SELECT CAST(sum(raw_units) AS DOUBLE) * 1.5
+                              / count(*) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+"""
 
 
 @query(
     "q11_important_parts",
-    oracle="""
-    WITH pv AS (
-      SELECT l_partkey,
-             sum(l_extendedprice * (1 - l_discount)) AS raw_value
-      FROM lineitem GROUP BY l_partkey)
-    SELECT l_partkey, round(raw_value, 1) AS part_value
-    FROM pv
-    WHERE raw_value > (SELECT avg(raw_value) * 1.5 FROM pv)
-    ORDER BY part_value DESC, l_partkey
-    """,
+    oracle=_Q11_BODY,
     doc="TPC-H Q11 (adapted: no partsupp — 'important stock' becomes "
         "parts whose traded value exceeds 1.5x the mean part's value, "
         "a relative threshold that stays meaningful at every sf): "
@@ -232,16 +269,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql("""
-        WITH pv AS (
-          SELECT l_partkey,
-                 sum(l_extendedprice * (1 - l_discount)) AS raw_value
-          FROM lineitem GROUP BY l_partkey)
-        SELECT l_partkey, round(raw_value, 1) AS part_value
-        FROM pv
-        WHERE raw_value > (SELECT avg(raw_value) * 1.5 FROM pv)
-        ORDER BY part_value DESC, l_partkey
-    """)
+    return spark.sql(_Q11_BODY)
 
 
 @query(
@@ -276,10 +304,10 @@ def q13_order_count_distribution(spark: SparkSession,
 
 @query(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 1)
+             {int_sum_round_sql(f'sum({_REV_UNITS_SQL})', 4, 1)}
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -301,7 +329,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-             .agg(F.round(F.sum(_revenue()), 1).alias("total_revenue")))
+             .agg(_rev_round1().alias("total_revenue")))
     # localCheckpoint, not cache: computed once, read by both the
     # join and the max; blocks GC-release instead of pinning
     # CacheManager for the session (repo-wide convention)
@@ -414,8 +442,8 @@ def q18_large_volume_customers(spark: SparkSession,
 
 @query(
     "q19_disjunctive_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+    oracle=f"""
+    SELECT {_REV_ROUND1_SQL} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 20)
@@ -441,15 +469,25 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (((F.col("p_brand") == "Brand#1") & q.between(1, 20))
             | ((F.col("p_brand") == "Brand#2") & q.between(10, 30))
             | ((F.col("p_brand") == "Brand#3") & q.between(20, 40)))
-    return j.where(cond).agg(
-        F.round(F.sum(_revenue()), 1).alias("revenue"))
+    return j.where(cond).agg(_rev_round1().alias("revenue"))
+
+
+#: totacctbal as an exact integer-cents sum + integer HALF_UP (see
+#: functions/rounding.py): c_acctbal is 2-decimal exact, so the float
+#: group sum can sit ON a round-1 tie and straddle it per-partitioning.
+#: The selected customers all have c_acctbal > avg > 0, so the sum is
+#: positive as int_ratio_round requires. ANSI CAST inside makes the
+#: same string valid in BOTH engines — it is used verbatim in the
+#: DuckDB oracle and the spark.sql body below.
+_Q22_TOT = int_sum_round_sql(
+    f"sum({exact_units_sql('c_acctbal', 2)})", 2, 1)
 
 
 @query(
     "q22_idle_customers",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, count(*) AS numcust,
-           round(sum(c_acctbal), 1) AS totacctbal
+           {_Q22_TOT} AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
@@ -469,9 +507,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT c_mktsegment, count(*) AS numcust,
-               round(sum(c_acctbal), 1) AS totacctbal
+               {_Q22_TOT} AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                            WHERE c_acctbal > 0.0)
@@ -505,7 +543,15 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN eu_supp ON l_suppkey = s_suppkey
       WHERE p_type = 'STANDARD' AND p_size <= 25)
     SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-           p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+           p_partkey, p_name,
+           -- NOT round(unit_cost, 4): a 2-decimal price over a small
+           -- integer quantity lands EXACTLY on .00005 tie points, where
+           -- the engines' round() disagree (DuckDB rounds the scaled
+           -- double, Spark HALF_UPs the double's exact decimal
+           -- expansion — observed 26.2412 vs 26.2413 at sf0.001).
+           -- floor(x*1e4 + 0.5)/1e4 is the same IEEE op sequence in
+           -- both engines, so ties break identically; unit_cost > 0.
+           floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
     FROM ranked WHERE rn = 1
     ORDER BY s_acctbal DESC, p_partkey LIMIT 100
     """,
@@ -543,7 +589,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("rn") == 1)
              .select(F.round("s_acctbal", 2).alias("s_acctbal"),
                      "s_name", "n_name", "p_partkey", "p_name",
-                     F.round("unit_cost", 4).alias("unit_cost"))
+                     # tie-exact twin of the oracle's floor(x*1e4+.5)/1e4
+                     # (see oracle comment: round() ties cross-engine)
+                     (F.floor(F.col("unit_cost") * F.lit(10000.0)
+                              + F.lit(0.5)) / F.lit(10000.0))
+                     .alias("unit_cost"))
              .orderBy(F.desc("s_acctbal"), "p_partkey")
              .limit(100))
 

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# The full pre-ship gate, one command — what CI should run.
+# Order: cheapest signal first, so a red fails fast.
+#
+#   bash tools/gate.sh            # pytest + oracle + plans + determinism
+#   bash tools/gate.sh --bench    # ... plus the sf0.1 bench at the end
+#
+# Exit nonzero on the first failing stage.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 pytest =="
+python -m pytest tests/ -x -q
+
+echo "== 2/4 oracle selfcheck (sf0.01, all queries) =="
+python tools/selfcheck.py /root/testdata/sf0.01 2>/dev/null | tail -3 | tee /tmp/gate_selfcheck.txt
+grep -q ", 0 fail" /tmp/gate_selfcheck.txt
+
+echo "== 3/4 plan audit =="
+python tools/plancheck.py /root/testdata/sf0.001 2>/dev/null | tail -2
+
+echo "== 4/4 re-execution determinism =="
+python tools/determinism.py 2>/dev/null | tail -2 | tee /tmp/gate_det.txt
+grep -q ", 0 flaky" /tmp/gate_det.txt
+
+if [[ "${1:-}" == "--bench" ]]; then
+  echo "== bench (sf0.1) =="
+  python bench.py 2>/dev/null | tail -1
+fi
+echo "GATE GREEN"

@@ -25,22 +25,32 @@ from rsyslog_nginx_clickhouse_spark.queries import load_all
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
 
-def audit(plan: str, formatted: str) -> dict:
+def audit(plan: str, formatted: str | None = None) -> dict:
     # Scan properties come from the FORMATTED explain: the one-line
     # tree representation truncates long scan lines at a char limit,
     # which can cut `PushedFilters: [...` before its closing bracket
     # and silently under-report pushdown (seen on
     # grafana_conditional_filters, whose 5 pushed filters vanished).
     # Formatted mode prints one attribute per line, never truncated.
+    # Callers with only the tree string (plan-shape tests asserting
+    # joins/exchanges) may omit `formatted` — scan columns/pushdown
+    # then parse from the tree, with the truncation caveat.
     scan_cols, pushed = [], []
-    for block in re.split(r"\n\s*\n", formatted):
-        if not re.match(r"\(\d+\) Scan parquet", block.strip()):
-            continue
-        m = re.search(r"Output \[(\d+)\]", block)
-        scan_cols.append(int(m.group(1)) if m else 0)
-        p = re.search(r"PushedFilters: \[([^\]]*)\]", block)
-        pushed.append(
-            len([f for f in p.group(1).split(",") if f.strip()]) if p else 0)
+    if formatted is None:
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        scan_cols = [len(s.split(",")) if s else 0 for s in scans]
+        pushed = [len([f for f in p.split(",") if f.strip()])
+                  for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)]
+    else:
+        for block in re.split(r"\n\s*\n", formatted):
+            if not re.match(r"\(\d+\) Scan parquet", block.strip()):
+                continue
+            m = re.search(r"Output \[(\d+)\]", block)
+            scan_cols.append(int(m.group(1)) if m else 0)
+            p = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+            pushed.append(
+                len([f for f in p.group(1).split(",") if f.strip()])
+                if p else 0)
     return {
         "scans": len(scan_cols),
         "scan_cols": scan_cols,
