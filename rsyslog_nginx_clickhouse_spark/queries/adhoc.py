@@ -54,6 +54,17 @@ _REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
 #: q6's ext*disc in exact ten-thousandths (a·b, both cents)
 _Q6_REV = int_sum_round_sql(f"sum({_Q1_A} * {_Q1_B})", 4, 1)
 
+#: parts_above_brand_avg shared body — ANSI SQL valid in BOTH engines;
+#: see the query's oracle comment for why the mean is not avg().
+_PARTS_ABOVE_AVG_BODY = f"""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice >
+          (SELECT CAST(sum({exact_units_sql('p2.p_retailprice', 2)})
+                       AS DOUBLE) / (count(*) * 100)
+           FROM part p2 WHERE p2.p_brand = part.p_brand)
+"""
+
 
 def _rev_round1() -> F.Column:
     units = (exact_units(F.col("l_extendedprice"), 2)
@@ -540,24 +551,20 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "parts_above_brand_avg",
-    oracle="""
-    SELECT p_partkey, p_brand, p_retailprice
-    FROM part
-    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-                           WHERE p2.p_brand = part.p_brand)
-    """,
+    # threshold as CAST(exact-cents-sum AS DOUBLE)/(count*100), not
+    # avg(): each engine's float avg accumulates in its own order, and
+    # a 2-decimal price can sit exactly ON the brand mean (sum_cents
+    # divisible by count), where the boundary would flip. One division
+    # of an identical exact integer is identical in both engines.
+    oracle=_PARTS_ABOVE_AVG_BODY,
     doc="correlated scalar subquery — Catalyst decorrelates it into an "
         "aggregate + join (no per-row re-execution); expressed via "
-        "spark.sql to exercise the SQL front door",
+        "spark.sql to exercise the SQL front door; identical text runs "
+        "as the DuckDB oracle (threshold integer-exact, see comment)",
 )
 def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql("""
-        SELECT p_partkey, p_brand, p_retailprice
-        FROM part
-        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-                               WHERE p2.p_brand = part.p_brand)
-    """)
+    return spark.sql(_PARTS_ABOVE_AVG_BODY)
 
 
 @query(

@@ -31,6 +31,8 @@ from rsyslog_nginx_clickhouse_spark.catalog import load
 from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     exact_units,
     exact_units_sql,
+    int_ratio_round,
+    int_ratio_round_sql,
     int_sum_round,
     int_sum_round_sql,
 )
@@ -375,18 +377,33 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_qty_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 1) AS avg_yearly
+    # integer-exact throughout (functions/rounding.py): the
+    # l_quantity < 0.2·avg(qty) predicate becomes q·5·n < sum(q) in
+    # int64 — a float 0.2·avg boundary can fall ON a quantity when
+    # sum(q) is a multiple of n, and each engine's avg double then
+    # decides the comparison; and sum(price)/7.0 DOES tie (cents =
+    # 700k+35 → exactly x.x5), so the output is HALF_UP(cents/700, 1)
+    # in integer arithmetic.
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             sum({exact_units_sql('l_quantity', 0)}) AS sq,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3' GROUP BY l_partkey)
+    SELECT {int_ratio_round_sql(
+        f"sum({exact_units_sql('l_extendedprice', 2)})", '700', 1)}
+      AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.pk = l_partkey
     WHERE p_brand = 'Brand#3'
-      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-                        WHERE l2.l_partkey = lineitem.l_partkey)
+      AND {exact_units_sql('l_quantity', 0)} * 5 * n < sq
     """,
     doc="TPC-H Q17: small-quantity-order revenue. The correlated "
         "per-part average is ONE grouped aggregation over the "
         "brand-pruned lineitem, broadcast back — not a re-executed "
-        "subquery per row. Both sides prune to Brand#3 parts first, so "
-        "the avg is computed over exactly the rows that can match",
+        "subquery per row; the threshold compare and the /7 output "
+        "are exact integer arithmetic (see oracle comment)",
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").where(
@@ -395,13 +412,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_partkey", "l_quantity", "l_extendedprice")
           .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
           .drop("p_partkey"))
+    qty = exact_units(F.col("l_quantity"), 0)
     avgs = (li.groupBy(F.col("l_partkey").alias("avg_partkey"))
-              .agg((F.avg("l_quantity") * 0.2).alias("qty_cut")))
+              .agg(F.sum(qty).alias("sq"), F.count("*").alias("n")))
     return (li.join(F.broadcast(avgs),
                     F.col("l_partkey") == F.col("avg_partkey"))
-              .where(F.col("l_quantity") < F.col("qty_cut"))
-              .agg(F.round(F.sum("l_extendedprice") / 7.0, 1)
-                    .alias("avg_yearly")))
+              .where(qty * F.lit(5) * F.col("n") < F.col("sq"))
+              .agg(int_ratio_round(
+                       F.sum(exact_units(F.col("l_extendedprice"), 2)),
+                       F.lit(700).cast("long"), 1)
+                   .alias("avg_yearly")))
 
 
 @query(
@@ -481,6 +501,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB oracle and the spark.sql body below.
 _Q22_TOT = int_sum_round_sql(
     f"sum({exact_units_sql('c_acctbal', 2)})", 2, 1)
+#: the above-average threshold as one float division of an EXACT
+#: integer cents sum: each engine's avg() accumulates doubles in its
+#: own order, and a customer whose balance equals the boundary would
+#: flip; sum-as-int → CAST → one division is identical in both.
+_Q22_THR = (f"(SELECT CAST(sum({exact_units_sql('c_acctbal', 2)})"
+            f" AS DOUBLE) / (count(*) * 100)"
+            f" FROM customer WHERE c_acctbal > 0.0)")
 
 
 @query(
@@ -489,8 +516,7 @@ _Q22_TOT = int_sum_round_sql(
     SELECT c_mktsegment, count(*) AS numcust,
            {_Q22_TOT} AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > {_Q22_THR}
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -511,8 +537,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, count(*) AS numcust,
                {_Q22_TOT} AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0.0)
+        WHERE c_acctbal > {_Q22_THR}
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >=
