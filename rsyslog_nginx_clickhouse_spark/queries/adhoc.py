@@ -26,6 +26,8 @@ from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     int_ratio_round_sql,
     int_sum_round,
     int_sum_round_sql,
+    tie_round,
+    tie_round_sql,
 )
 from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
 from rsyslog_nginx_clickhouse_spark.operators.sessionize import session_stats
@@ -46,9 +48,10 @@ _Q1_A = exact_units_sql("l_extendedprice", 2)
 _Q1_B = exact_units_sql("l_discount", 2)
 _Q1_C = exact_units_sql("l_tax", 2)
 
-#: Discounted revenue in exact integer ten-thousandths (shared with
-#: tpch_plus — see that module / functions/rounding.py for why float
-#: revenue sums can't be rounded reproducibly).
+#: Discounted revenue in exact integer ten-thousandths — the ONE home
+#: of the formula (tpch_plus and reference import these; see
+#: functions/rounding.py for why float revenue sums can't be rounded
+#: reproducibly).
 _REV_UNITS_SQL = f"({_Q1_A} * (100 - {_Q1_B}))"
 _REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
 #: q6's ext*disc in exact ten-thousandths (a·b, both cents)
@@ -66,10 +69,13 @@ _PARTS_ABOVE_AVG_BODY = f"""
 """
 
 
+def _rev_units() -> F.Column:
+    return (exact_units(F.col("l_extendedprice"), 2)
+            * (100 - exact_units(F.col("l_discount"), 2)))
+
+
 def _rev_round1() -> F.Column:
-    units = (exact_units(F.col("l_extendedprice"), 2)
-             * (100 - exact_units(F.col("l_discount"), 2)))
-    return int_sum_round(F.sum(units), 4, 1)
+    return int_sum_round(F.sum(_rev_units()), 4, 1)
 
 
 @query(
@@ -433,7 +439,6 @@ def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.cube("l_returnflag", "l_linestatus")
               .agg(_rev_round1().alias("revenue"),
                    F.count("*").alias("n")))
@@ -490,28 +495,38 @@ def repeat_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_revenue",
-    oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    # Both revenue sums are exact integer unit sums (order-independent
+    # → identical in both engines), the ratio is then the SAME two
+    # float ops on the SAME doubles, and tie_round closes the method
+    # gap — a ratio of float sums would straddle a round-4 tie
+    # per-partitioning like any other money sum. Pure-integer HALF_UP
+    # is not an option here: 2·A·10^4 overflows int64 at bench scale.
+    oracle=f"""
+    SELECT {tie_round_sql(
+        "100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
+        + _REV_UNITS_SQL
+        + " ELSE 0 END) AS DOUBLE) / CAST(sum("
+        + _REV_UNITS_SQL + ") AS DOUBLE)", 4)} AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
     """,
     doc="TPC-H Q14: conditional aggregation over a broadcast dim join — "
         "the CASE rides inside the partial aggregate, one shuffle of "
-        "two partial sums",
+        "two partial sums (exact integer units; see oracle comment)",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
     part = load(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    units = _rev_units()
+    promo = F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
     return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-              .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
-                    .alias("promo_pct")))
+              .agg(tie_round(F.lit(100.0)
+                             * F.sum(promo).cast("double")
+                             / F.sum(units).cast("double"), 4)
+                   .alias("promo_pct")))
 
 
 @query(

@@ -25,8 +25,11 @@ from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     int_ratio_round,
     int_ratio_round_sql,
     int_sum_round,
-    int_sum_round_sql,
     tie_round,
+)
+from rsyslog_nginx_clickhouse_spark.queries.adhoc import (
+    _REV_ROUND1_SQL,
+    _rev_units,
 )
 from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
     timeseries_count,
@@ -846,14 +849,12 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bucketed_join_revenue",
     # revenue as an exact integer ten-thousandths sum + integer HALF_UP
-    # (functions/rounding.py): 5 large groups, so the float sum
-    # reorders across partitions and can straddle a rounding tie
+    # (shared helpers in queries/adhoc.py, rationale in functions/
+    # rounding.py): 5 large groups, so the float sum reorders across
+    # partitions and can straddle a rounding tie
     oracle=f"""
     SELECT o_orderpriority,
-           {int_sum_round_sql(
-               f"sum({exact_units_sql('l_extendedprice', 2)}"
-               f" * (100 - {exact_units_sql('l_discount', 2)}))", 4, 1)}
-             AS revenue,
+           {_REV_ROUND1_SQL} AS revenue,
            count(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -882,10 +883,9 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(orders, to, "orderkey", buckets=16)
     write_bucketed(items, tl, "orderkey", buckets=16)
     j = bucketed_join(spark, to, tl, "orderkey")
-    units = (exact_units(F.col("l_extendedprice"), 2)
-             * (100 - exact_units(F.col("l_discount"), 2)))
     return (j.groupBy("o_orderpriority")
-             .agg(int_sum_round(F.sum(units), 4, 1).alias("revenue"),
+             .agg(int_sum_round(F.sum(_rev_units()), 4, 1)
+                  .alias("revenue"),
                   F.count("*").alias("n_items")))
 
 

@@ -35,6 +35,8 @@ from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     int_ratio_round_sql,
     int_sum_round,
     int_sum_round_sql,
+    tie_round,
+    tie_round_sql,
 )
 from rsyslog_nginx_clickhouse_spark.queries import query
 
@@ -43,25 +45,17 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-#: Discounted revenue in exact integer ten-thousandths: price and
-#: discount are exact 2-decimal values, so a·(100-b) with a = cents,
-#: b = discount-cents is the EXACT revenue in 10^-4 units — int64 sums
-#: of it are order-independent, unlike float sums, which straddle a
-#: rounding tie differently per partitioning (see functions/rounding
-#: .py; measured on q1). Used by every query that ROUNDS a revenue sum.
-def _revenue_units() -> F.Column:
-    return (exact_units(F.col("l_extendedprice"), 2)
-            * (100 - exact_units(F.col("l_discount"), 2)))
-
-
-_REV_UNITS_SQL = (f"({exact_units_sql('l_extendedprice', 2)}"
-                  f" * (100 - {exact_units_sql('l_discount', 2)}))")
-#: round(sum(revenue), 1) — integer-exact, both engines
-_REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
-
-
-def _rev_round1() -> F.Column:
-    return int_sum_round(F.sum(_revenue_units()), 4, 1)
+#: Discounted revenue in exact integer ten-thousandths — shared single
+#: definition in adhoc.py (a·(100-b) with a = cents, b = discount-
+#: cents; int64 sums are order-independent where float sums straddle a
+#: rounding tie per-partitioning — functions/rounding.py, measured on
+#: q1). Used by every query that ROUNDS a revenue sum.
+from rsyslog_nginx_clickhouse_spark.queries.adhoc import (  # noqa: E402
+    _REV_ROUND1_SQL,
+    _REV_UNITS_SQL,
+    _rev_round1,
+    _rev_units,
+)
 
 
 @query(
@@ -142,13 +136,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q8_market_share",
-    oracle="""
+    # volume as exact integer units; the share is then the SAME float
+    # division of identical doubles in both engines + tie_round (the
+    # q14 pattern — a ratio of float sums straddles ties
+    # per-partitioning; pure-int HALF_UP would overflow int64)
+    oracle=f"""
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           {tie_round_sql(
+               "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume"
+               " ELSE 0 END) AS DOUBLE)"
+               " / CAST(sum(volume) AS DOUBLE)", 6)} AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {_REV_UNITS_SQL} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
@@ -185,17 +185,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
     li = load(spark, sf_dir, "lineitem")
-    vol = _revenue().alias("volume")
+    vol = _rev_units().alias("volume")
     joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
                 .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
                 .join(orders, li.l_orderkey == orders.o_orderkey)
                 .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
                 .select("o_year", "supp_nation", vol))
     target = F.when(F.col("supp_nation") == "NATION_2",
-                    F.col("volume")).otherwise(F.lit(0.0))
+                    F.col("volume")).otherwise(F.lit(0))
     return (joined.groupBy("o_year")
-            .agg(F.round(F.sum(target) / F.sum("volume"), 6)
-                  .alias("mkt_share"))
+            .agg(tie_round(F.sum(target).cast("double")
+                           / F.sum("volume").cast("double"), 6)
+                 .alias("mkt_share"))
             .orderBy("o_year"))
 
 
@@ -309,7 +310,7 @@ def q13_order_count_distribution(spark: SparkSession,
     oracle=f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             {int_sum_round_sql(f'sum({_REV_UNITS_SQL})', 4, 1)}
+             {_REV_ROUND1_SQL}
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

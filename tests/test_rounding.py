@@ -40,6 +40,9 @@ TIES = [
     (0.0000005, 6),
     (12.5, 0),
     (0.15, 1),
+    (1.005, 2),       # double sits BELOW the decimal tie (1.00499…):
+                      # exact-decimal arithmetic would give 1.01, the
+                      # IEEE path both engines actually run gives 1.0
 ]
 
 
@@ -48,8 +51,14 @@ def test_tie_round_matches_duckdb_on_ties(spark):
     for v, p in TIES:
         got = spark.range(1).select(
             tie_round(F.lit(v), p).alias("r")).collect()[0]["r"]
+        # CAST AS DOUBLE: a bare repr(v) literal parses as DECIMAL in
+        # DuckDB, which tests exact decimal arithmetic instead of the
+        # IEEE-double path the helpers pin down (production oracles
+        # read DOUBLE parquet columns; at 1.005/p=2 the decimal path
+        # gives 1.01 while the double path gives 1.0)
         want = con.execute(
-            f"SELECT {tie_round_sql(repr(v), p)}").fetchone()[0]
+            "SELECT "
+            + tie_round_sql(f"CAST({v!r} AS DOUBLE)", p)).fetchone()[0]
         assert got == want, (v, p, got, want)
 
 
@@ -97,7 +106,8 @@ def test_exact_units_recovers_cents(spark):
     con = duckdb.connect()
     for v in vals:
         want = con.execute(
-            f"SELECT {exact_units_sql(repr(v), 2)}").fetchone()[0]
+            "SELECT "
+            + exact_units_sql(f"CAST({v!r} AS DOUBLE)", 2)).fetchone()[0]
         got = (spark.createDataFrame([(v,)], "v double")
                .select(exact_units(F.col("v"), 2).alias("c"))
                .collect()[0]["c"])
