@@ -59,76 +59,81 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 #: The driver's correctness snapshot covers only the FIRST 50 registry
 #: entries per round, so queries lacking a CURRENT green driver row
-#: are front-loaded each round. Round-4 rotation (VERDICT r3 item 1,
-#: adjusted): a query with NO driver row ever is a worse signal than a
-#: query whose last green row is two rounds old (the verdict called out
-#: approx_daily_users for exactly this), so all 11 never-verified
-#: entries — the 9 new round-4 queries plus the two new macro queries —
-#: take the top slots, followed by the rewritten pair, then every entry
-#: last verified in r1, then r2-last entries oldest-first. To fit 50,
-#: eleven built-in-only TPC-H queries green in r2 (q4 q7 q8 q11 q13 q15
-#: q16 q17 q19 q20 q22 — pure Spark SQL over unmodified load paths, the
-#: code least able to rot when operator modules change) rotate to the
-#: r5 window together with top_users and event_type_share. After r4,
-#: every registry entry's last driver row is r4, r3, or r2 — none older,
-#: none absent. All 111 pass the identical in-repo gate
-#: (tools/selfcheck.py) regardless of order.
-_FRONTLOAD_R4 = [
-    # new this round — never driver-verified
-    "grafana_rate_macro",
-    "grafana_columns_macro",
-    "grafana_rate_columns_macro",
-    "grafana_per_second_macro",
-    "grafana_per_second_columns_macro",
-    "grafana_conditional_filters",
-    "value_histogram",
-    "dedup_keep_best",
-    "mixture_rebalance_plan",
-    "streaming_dedup",
-    "knn_label_accuracy",
-    # rewritten this round (KMV sketch — was the registry's only
-    # never-green row; balance=False perf fix) — verify first
-    "approx_daily_users",
-    "top_bigrams",
-    # last driver row in r1
-    "corpus_selection",
-    "daily_unique_users",
-    "dedup_components",
-    "embedding_neardup_pairs",
-    "error_rate_daily",
-    "knn_bruteforce",
-    "multimodal_features",
-    "multimodal_frames",
-    "nginx_dead_letters",
-    "nginx_pipeline",
-    "props_json_stats",
-    "token_counts",
-    "train_test_split",
-    "top_users",
-    "event_type_share",
-    # last driver row in r2
-    "approx_latency_quantiles",
-    "bot_traffic_share",
-    "bucketed_join_revenue",
-    "decontamination",
-    "duplicated_ngram_fraction",
-    "embedding_neardup_exact",
-    "gopher_quality_filter",
-    "nginx_table_roundtrip",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "retention_cohort",
-    "skew_salted_event_counts",
-    "status_class_share",
-    "stratified_sample",
-    "streaming_hourly_counts",
-    "streaming_sessions",
-    "streaming_summed_rollup",
-    "streaming_user_counts",
-    "tfidf_top_terms",
-    "zorder_pruned_scan",
+#: are front-loaded each round. Round-5 rotation (VERDICT r4 item 1):
+#: the round-4 tie-exact rounding commits (ff729a6, d281b62, b069a88)
+#: rewrote query+oracle text AFTER the r2/r3 driver windows ran, so
+#: every query whose text changed since its last driver row is green
+#: only on the in-repo selfcheck until the driver's independent oracle
+#: re-runs it. Ordering (staleness computed per-query from
+#: ``git diff 40a444e..HEAD`` mapped to registered decorator spans):
+#: (1) the 11 TPC-H built-ins last driver-checked in r2;
+#: (2) the semantically-rewritten money/ratio queries not in the r4
+#: window (ratio-of-integer-unit-sums, integer-exact thresholds);
+#: (3) the remaining rounding-touched entries last checked in r3;
+#: (4) untouched r3-checked entries, as many as fit. Untouched r3
+#: entries that do not fit (orders_moving_avg, orderstatus_pivot,
+#: purchase_last_view_asof, q12_priority_shipping,
+#: replacing_upsert_roundtrip, rollup_customer_balance,
+#: running_customer_spend, streaming_view_purchase_join,
+#: timeseries_5min_by_type, top3_parts_per_brand, user_sessions) carry
+#: text identical to what r3 verified and rotate in next round. All
+#: registry entries pass the identical in-repo gate (tools/selfcheck.py)
+#: regardless of order.
+_FRONTLOAD_R5 = [
+    # (1) last driver row r2 — also rounding-touched
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    # (2) semantics rewritten by the rounding conversion, last row r3
+    "q1_pricing_summary",
+    "q14_promo_revenue",
+    "parts_above_brand_avg",
+    "latency_quantiles",
+    "user_event_gaps",
+    # (3) remaining rounding-touched, last row r3
+    "collapsing_state_roundtrip",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "domain_mixture",
+    "events_in_sessions_rangejoin",
+    "grafana_adhoc_filters",
+    "grafana_from_to_macros",
+    "grafana_natural_timeseries",
+    "grafana_timeseries",
+    "knn_ivf",
+    "pii_redaction",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "quality_scores",
+    "repeat_users_intersect",
+    "repetition_stats",
+    "revenue_cube",
+    "similar_activity_users",
+    "source_overlap",
+    "text_stats",
+    # (4) untouched since their r3 green row — fill to 50
+    "dedup_simhash",
+    "doc_fingerprints",
+    "funnel_view_click_purchase",
+    "knn_lsh",
+    "lang_detect",
+    "token_shard_plan",
+    "big_spender_customers",
+    "customers_without_orders",
+    "embedding_norms",
+    "embedding_quantization",
 ]
 
 
@@ -146,8 +151,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R4 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R5 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R4}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R5}
     ordered.update(REGISTRY)
     return ordered
