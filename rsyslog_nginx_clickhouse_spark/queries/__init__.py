@@ -70,9 +70,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (2) the semantically-rewritten money/ratio queries not in the r4
 #: window (ratio-of-integer-unit-sums, integer-exact thresholds);
 #: (3) the remaining rounding-touched entries last checked in r3;
-#: (4) untouched r3-checked entries, as many as fit. Untouched r3
-#: entries that do not fit (orders_moving_avg, orderstatus_pivot,
-#: purchase_last_view_asof, q12_priority_shipping,
+#: (4) untouched r3-checked entries, as many as fit — preceded by (0),
+#: queries NEW this round (never driver-verified). Untouched r3
+#: entries that do not fit (embedding_quantization, orders_moving_avg,
+#: orderstatus_pivot, purchase_last_view_asof, q12_priority_shipping,
 #: replacing_upsert_roundtrip, rollup_customer_balance,
 #: running_customer_spend, streaming_view_purchase_join,
 #: timeseries_5min_by_type, top3_parts_per_brand, user_sessions) carry
@@ -80,6 +81,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: registry entries pass the identical in-repo gate (tools/selfcheck.py)
 #: regardless of order.
 _FRONTLOAD_R5 = [
+    # (0) new this round — never driver-verified
+    "nginx_pipeline_rulebase",
     # (1) last driver row r2 — also rounding-touched
     "q4_order_priority",
     "q7_volume_shipping",
@@ -133,7 +136,6 @@ _FRONTLOAD_R5 = [
     "big_spender_customers",
     "customers_without_orders",
     "embedding_norms",
-    "embedding_quantization",
 ]
 
 

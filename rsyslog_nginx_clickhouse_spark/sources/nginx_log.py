@@ -23,11 +23,19 @@ input partitions (no shuffle anywhere in the parse path).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rsyslog_nginx_clickhouse_spark.sources.lookup import MONTHS, lookup_map
+
+if TYPE_CHECKING:
+    from rsyslog_nginx_clickhouse_spark.sources.rulebase import (
+        CompiledRule,
+        LookupTable,
+    )
 
 #: One anchored regex == nginx.rule:3. Group numbers (1-based):
 #: 1 clientip, 2 ident, 3 auth, 4 day, 5 month, 6 year, 7 rtime, 8 tz,
@@ -75,45 +83,64 @@ def read_access_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def parse_lines(raw: DataFrame, line_col: str = "value") -> DataFrame:
-    """Tokenize raw lines into the 16 string fields (↔ mmnormalize, P1).
+def parse_lines(raw: DataFrame, line_col: str = "value",
+                rule: "CompiledRule | None" = None) -> DataFrame:
+    """Tokenize raw lines into typed-string fields (↔ mmnormalize, P1).
+
+    ``rule`` defaults to the built-in transliteration of nginx.rule:3
+    (NGINX_LINE_REGEX / PARSED_FIELDS); pass a
+    ``sources.rulebase.CompiledRule`` (e.g. from ``load_rulebase``) to
+    parse with a user-edited rule file instead — README.md:49 expects
+    users to extend the rule per added field without touching engine
+    code.
 
     Output: one StringType column per parsed field plus ``message`` (the
     raw line, kept verbatim per nginx.conf:22) and ``_parse_ok`` marking
     lines the rule matched. Non-matching lines keep null fields — the
     dead-letter channel (liblognorm unmatched-event behavior).
     """
+    regex = NGINX_LINE_REGEX if rule is None else rule.regex
+    fields = PARSED_FIELDS if rule is None else rule.fields
     line = F.col(line_col)
     # ONE regex execution per line (not one per field): rewrite the
     # matched line into a \x01-joined capture list, then split.
     sep = "\x01"
-    repl = sep.join(f"${i}" for i in range(1, len(PARSED_FIELDS) + 1))
-    arr = F.split(F.regexp_replace(line, NGINX_LINE_REGEX, repl), sep, -1)
+    repl = sep.join(f"${i}" for i in range(1, len(fields) + 1))
+    arr = F.split(F.regexp_replace(line, regex, repl), sep, -1)
     # regexp_replace returns the line UNCHANGED when the rule doesn't
-    # match; a matched line always yields exactly 16 parts. The arity
-    # check alone is NOT sufficient: an unmatched garbage line that
-    # itself contains exactly 15 \x01 bytes splits into 16 parts and
-    # would silently land fragments in the typed columns — so any line
-    # CONTAINING the separator is dead-lettered outright (a real
-    # access-log line never carries \x01; one cheap substring scan,
-    # no second regex execution).
-    matched = (F.size(arr) == len(PARSED_FIELDS)) \
+    # match; a matched line always yields exactly len(fields) parts. The
+    # arity check alone is NOT sufficient: an unmatched garbage line that
+    # itself contains exactly len(fields)-1 \x01 bytes splits into
+    # len(fields) parts and would silently land fragments in the typed
+    # columns — so any line CONTAINING the separator is dead-lettered
+    # outright (a real access-log line never carries \x01; one cheap
+    # substring scan, no second regex execution).
+    matched = (F.size(arr) == len(fields)) \
         & ~F.contains(line, F.lit(sep))
     cols = [line.alias("message"), matched.alias("_parse_ok")]
-    for i, name in enumerate(PARSED_FIELDS):
+    for i, name in enumerate(fields):
         cols.append(F.when(matched, arr[i]).alias(name))
     return raw.select(*cols)
 
 
-def month_number(month_col: Column) -> Column:
-    """P4: lookup("monthes", $!month) with nomatch → 'unk' (nginx.table:1)."""
-    return lookup_map(MONTHS, month_col, default="unk")
+def month_number(month_col: Column,
+                 table: "LookupTable | None" = None) -> Column:
+    """P4: lookup("monthes", $!month) with nomatch → 'unk' (nginx.table:1).
+
+    ``table`` defaults to the built-in month map; pass a
+    ``sources.rulebase.LookupTable`` (from ``load_lookup_table``) to use
+    a user-edited table file — its ``nomatch`` replaces the default.
+    """
+    if table is None:
+        return lookup_map(MONTHS, month_col, default="unk")
+    return lookup_map(table.mapping, month_col, default=table.nomatch)
 
 
 def to_typed_table(parsed: DataFrame,
                    hostname: str = "spark",
                    syslogtag: str = "nginx",
-                   keep_tz: bool = False) -> DataFrame:
+                   keep_tz: bool = False,
+                   month_table: "LookupTable | None" = None) -> DataFrame:
     """Typed projection ↔ template ``ng`` (nginx.conf:2-46, P5+P6).
 
     - ``logdate``  = concat(year,'-',nxm,'-',day) cast to date
@@ -133,7 +160,7 @@ def to_typed_table(parsed: DataFrame,
     100 TB ingest job), landing the row in the null partition rather
     than corrupting a real day.
     """
-    nxm = month_number(F.col("month"))
+    nxm = month_number(F.col("month"), month_table)
     datestr = F.concat_ws("-", F.col("year"), nxm, F.col("day"))
     dtstr = F.concat(datestr, F.lit(" "), F.col("rtime"))
     if keep_tz:
@@ -167,9 +194,11 @@ def to_typed_table(parsed: DataFrame,
     )
 
 
-def ingest_batch(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+def ingest_batch(spark: SparkSession, path: str,
+                 rule: "CompiledRule | None" = None, **kwargs) -> DataFrame:
     """Full batch ingest chain: read → parse → typed (R1 ruleset chain)."""
-    return to_typed_table(parse_lines(read_access_log(spark, path)), **kwargs)
+    return to_typed_table(
+        parse_lines(read_access_log(spark, path), rule=rule), **kwargs)
 
 
 def dead_letters(parsed: DataFrame) -> DataFrame:
