@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.text import fingerprint
 
@@ -302,10 +304,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # the Arrow UDF computes identical values in one pass.) Checkpoint
     # blocks are freed by ContextCleaner on GC; a .cache() here pinned
     # CacheManager blocks for the session lifetime.
-    sh = doc_shingles(docs, id_col, text_col, n).localCheckpoint()
+    sh = doc_shingles(docs, id_col, text_col, n).transform(barrier)
     sig_df = sh.select(F.col(id_col),
                        minhash_sig_udf(F.col("shingles")).alias("sig")) \
-        .localCheckpoint()
+        .transform(barrier)
     banded = (sig_df.select(id_col,
                             F.explode(minhash_bands(F.col("sig"))).alias("b"))
                     .select(id_col, F.col("b.band").alias("band"),
@@ -365,7 +367,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # localCheckpoint, not cache: three consumers (sizes + both
     # self-join sides) share the materialized shingles; blocks are
     # GC-released instead of pinned in CacheManager for the session
-    sh = doc_shingles(docs, id_col, text_col, n).localCheckpoint()
+    sh = doc_shingles(docs, id_col, text_col, n).transform(barrier)
     ex = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
     # Docfreq cap, adaptively (results are identical on every path —
     # the cap only changes WHEN work happens, never what comes out):
@@ -385,7 +387,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     if n_docs > max_doc_freq:
         hot = (ex.groupBy("s").agg(F.count("*").alias("nd"))
                  .where(F.col("nd") > max_doc_freq).select("s")
-                 .localCheckpoint())
+                 .transform(barrier))
         if hot.limit(1).count():
             ex = ex.join(hot, "s", "left_anti")
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
@@ -446,9 +448,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
-                  .distinct().localCheckpoint())
+                  .distinct().transform(barrier))
     labels = (edges.select(F.col("src").alias("id")).distinct()
-                   .withColumn("label", F.col("id")).localCheckpoint())
+                   .withColumn("label", F.col("id")).transform(barrier))
     converged = False
     for it in range(max_iter):
         neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
@@ -462,7 +464,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                     .alias("label")))
         if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
             # truncate the logical plan (eager: also materializes)
-            new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.transform(barrier)
         else:
             new_labels = new_labels.cache()
         # one action per round: the probe materializes cache/checkpoint
@@ -486,7 +488,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # session (one leaked labels copy per call); checkpoint blocks are
     # freed by GC once the caller drops the result
     out = labels.select(F.col("id").alias("doc_id"),
-                        F.col("label").alias("component")).localCheckpoint()
+                        F.col("label").alias("component")).transform(barrier)
     labels.unpersist()
     return out
 

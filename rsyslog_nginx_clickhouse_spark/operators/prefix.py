@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 
 def distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
                        num_ranges: int | None = None,
@@ -45,7 +47,7 @@ def distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
     # plan is GC'd and never re-derive.
     ranged = (df.repartitionByRange(num_ranges, F.col(order_col))
                 .withColumn("__rng", F.spark_partition_id())
-                .localCheckpoint())
+                .transform(barrier))
     # per-range totals: num_ranges rows — the driver fetch is
     # parameter-sized (one row per partition), never data-sized
     totals = (ranged.groupBy("__rng")

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 from rsyslog_nginx_clickhouse_spark.functions.text import normalized_text
 
 HAMMING_BUDGET = 3
@@ -95,7 +97,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     # races both sides into recomputation, AND the blocks GC-release
     # via ContextCleaner instead of pinning CacheManager for the
     # session (the leak the dedup operators re-engineered around)
-    fp = simhash_fingerprints(docs, id_col, text_col).localCheckpoint()
+    fp = simhash_fingerprints(docs, id_col, text_col).transform(barrier)
     chunks = fp.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 from rsyslog_nginx_clickhouse_spark.catalog import load
 from rsyslog_nginx_clickhouse_spark.functions.text import (
     fingerprint,
@@ -1130,7 +1132,7 @@ def similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # localCheckpoint, not cache (GC-released, no CacheManager pin)
     vecs = activity_vectors(ev, "user_id", "ts", "2024-01-01", 30) \
-        .localCheckpoint()
+        .transform(barrier)
     # query curve is a parameter: tiny driver fetch, inlined as literals
     # (a crossJoin against the 1-row curve would plan BroadcastNestedLoop)
     qv = vecs.where(F.col("user_id") == 1).select("vec").first()[0]

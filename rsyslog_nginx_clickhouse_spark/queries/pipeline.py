@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 from rsyslog_nginx_clickhouse_spark.catalog import load
 from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.text import normalized_text
@@ -251,7 +253,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                        balance=False)
           .select("source", F.explode("shingles").alias("s"))
           .distinct()
-          .localCheckpoint())
+          .transform(barrier))
     grp = (ex.groupBy("s")
              .agg(F.array_sort(F.collect_set("source")).alias("srcs")))
     # (x, i) → pair x with every later (= lexicographically greater)

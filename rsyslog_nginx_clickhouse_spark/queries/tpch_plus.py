@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
 from rsyslog_nginx_clickhouse_spark.catalog import load
 from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     exact_units,
@@ -336,7 +338,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache: computed once, read by both the
     # join and the max; blocks GC-release instead of pinning
     # CacheManager for the session (repo-wide convention)
-    rev = rev.localCheckpoint()
+    rev = rev.transform(barrier)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load(spark, sf_dir, "supplier")
     return (rev.join(F.broadcast(mx))

@@ -67,11 +67,18 @@ def audit(plan: str, formatted: str | None = None) -> dict:
 
 
 def main() -> int:
+    # Disable localCheckpoint barriers (plans/barrier.py) while building
+    # plans: a checkpointed DataFrame's plan starts at the checkpoint
+    # READ, which hid the real scans/exchanges of the iterative and
+    # self-join queries (scans=0 rows — VERDICT r4 item 3). Audit mode
+    # only builds and explains; it never executes the returned plans.
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     registry = load_all()
     spark = get_spark("plancheck")
     bad = 0
+    skipped = 0
     for name, q in registry.items():
         if only and name not in only:
             continue
@@ -81,14 +88,24 @@ def main() -> int:
             formatted = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
         except Exception as e:
+            # counted and fatal: a silent plan-build regression must not
+            # leave the gate green (ADVICE r4)
             print(f"SKIP {name}: {e}")
+            skipped += 1
             continue
         a = audit(plan, formatted)
         flags = []
         if a["cartesian"]:
             flags.append("CARTESIAN")
-        line = (f"{name:28s} scans={a['scans']} cols={a['scan_cols']} "
-                f"pushed={a['pushed']} bhj={a['bhj']} smj={a['smj']} "
+
+        def _fmt(vals: list) -> str:
+            # iterative plans repeat one scan dozens of times — compact
+            if len(vals) > 6 and len(set(vals)) == 1:
+                return f"[{vals[0]}]x{len(vals)}"
+            return str(vals)
+
+        line = (f"{name:28s} scans={a['scans']} cols={_fmt(a['scan_cols'])} "
+                f"pushed={_fmt(a['pushed'])} bhj={a['bhj']} smj={a['smj']} "
                 f"exch={a['exchanges']} "
                 f"{'partial-agg ' if a['partial_agg'] else ''}"
                 f"{'topk ' if a['take_ordered'] else ''}"
@@ -96,8 +113,8 @@ def main() -> int:
         print(("WARN " if flags else "ok   ") + line)
         bad += bool(flags)
         spark.catalog.clearCache()
-    print(f"\n{bad} queries flagged")
-    return 1 if bad else 0
+    print(f"\n{bad} queries flagged, {skipped} skipped")
+    return 1 if bad or skipped else 0
 
 
 if __name__ == "__main__":
