@@ -739,42 +739,75 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count("text").cast("long").alias("n_chars"))
 
 
+def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
+                      dim: int = 64) -> str:
+    """The knn_ivf oracle: replay the deterministic Lloyd training
+    (operators/similarity.py ivf_centroids_lloyd) in SQL, iteration by
+    iteration. Assignment = argmax cosine (row_number ties → lowest
+    list_id, matching np.argmax first-max); centroid update =
+    per-dimension mean TIE-ROUNDED exactly as the Spark side
+    (floor(x·1e6+0.5)/1e6 — functions/rounding.py), so both engines
+    iterate from bit-identical centroid values; an empty list keeps
+    its previous centroid (count(cm)=0 CASE ↔ the `touched` set)."""
+    ctes = [f"""c0 AS (
+      SELECT list_id, cv FROM (
+        SELECT embedding::DOUBLE[] AS cv,
+               row_number() OVER (ORDER BY vec_id) - 1 AS list_id
+        FROM embeddings ORDER BY vec_id LIMIT {n_lists}))"""]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""asg{i} AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+      SELECT a.list_id, d.d AS dim,
+             floor(avg(a.embedding[d.d]::double) * 1000000 + 0.5)
+               / 1000000 AS cm
+      FROM asg{i} a, unnest(generate_series(1, {dim})) AS d(d)
+      GROUP BY a.list_id, d.d)""")
+        ctes.append(f"""c{i} AS (
+      SELECT p.list_id,
+             CASE WHEN count(m.cm) = 0 THEN p.cv
+                  ELSE list(m.cm ORDER BY m.dim) END AS cv
+      FROM {prev} p LEFT JOIN m{i} m USING (list_id)
+      GROUP BY p.list_id, p.cv)""")
+        prev = f"c{i}"
+    ctes.append(f"""asgf AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append("q AS (SELECT embedding AS qv FROM embeddings "
+                "WHERE vec_id = 1)")
+    ctes.append(f"""probes AS (
+      SELECT c.list_id FROM {prev} c, q
+      ORDER BY {_cos_sql('c.cv', 'qv')} DESC, c.list_id ASC LIMIT 4)""")
+    ctes.append(f"""sims AS (
+      SELECT a.vec_id, {_cos_sql('a.embedding', 'qv')} AS c
+      FROM asgf a, q
+      WHERE a.list_id IN (SELECT list_id FROM probes))""")
+    return ("WITH " + ",\n    ".join(ctes) + """
+    SELECT vec_id, round(c, 6) AS cos_sim
+    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10""")
+
+
 @query(
     "knn_ivf",
-    # the centroids are DERIVED FROM THE DATA (16 lowest-vec_id
-    # vectors), so the oracle recomputes them in SQL — no literals
-    # needed: assignment = argmax cosine (row_number ties → lowest
-    # list_id, matching np.argmax first-max), probes = top-4 centroid
-    # lists by query cosine (argsort stability → lowest list_id)
-    oracle=f"""
-    WITH c0 AS (
-      SELECT embedding AS cv,
-             row_number() OVER (ORDER BY vec_id) - 1 AS list_id
-      FROM embeddings ORDER BY vec_id LIMIT 16),
-    scored AS (
-      SELECT e.vec_id, e.embedding, c.list_id,
-             {_cos_sql('e.embedding', 'c.cv')} AS cc
-      FROM embeddings e CROSS JOIN c0 c),
-    asg AS (
-      SELECT vec_id, embedding, list_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cc DESC, list_id ASC) AS rn
-        FROM scored) WHERE rn = 1),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
-    probes AS (
-      SELECT c.list_id FROM c0 c, q
-      ORDER BY {_cos_sql('c.cv', 'qv')} DESC, c.list_id ASC LIMIT 4),
-    sims AS (
-      SELECT a.vec_id, {_cos_sql('a.embedding', 'qv')} AS c
-      FROM asg a, q
-      WHERE a.list_id IN (SELECT list_id FROM probes))
-    SELECT vec_id, round(c, 6) AS cos_sim
-    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
-    """,
-    doc="IVF ANN top-10: nprobe=4 of 16 deterministic centroid lists, "
-        "exact cosine re-rank inside probed lists; recall vs brute force "
-        "asserted in tests/test_similarity_ops.py; oracle recomputes "
-        "centroids/assignment/probes entirely in SQL",
+    # the centroids are DERIVED FROM THE DATA by the deterministic
+    # Lloyd k-means (2 iterations from the 16 lowest-vec_id seeds), so
+    # the oracle replays the whole training in SQL — no literals needed
+    oracle=_ivf_lloyd_oracle(),
+    doc="IVF ANN top-10: nprobe=4 of 16 k-means centroid lists "
+        "(deterministic distributed Lloyd, tie-rounded means), exact "
+        "cosine re-rank inside probed lists; recall vs brute force "
+        "recorded in tests/test_similarity_ops.py; oracle replays "
+        "training/assignment/probes entirely in SQL",
 )
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.similarity import knn_ivf
