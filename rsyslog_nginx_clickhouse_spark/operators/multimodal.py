@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 FEATURE_DIM = 8
 
 #: Output schema of the feature-extraction stage (id column/type are
-#: substituted from the input — see extract_features).
+#: substituted from the input — see extract_features). Features are
+#: double so the real-decode values survive to the oracle comparison
+#: bit-exactly (a float32 round-trip would perturb round-6 values).
 FEATURES_SCHEMA = (
     "{id_col} {id_type}, n_bytes int, content_hash string, "
-    "features array<float>"
+    "features array<double>"
 )
 
 
@@ -59,12 +61,109 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (raw / np.float64(0xFFFFFFFF)).astype(np.float32)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Dependency-free BMP decoder: uncompressed 24-bit BI_RGB.
+
+    Returns an (H, W, 3) uint8 RGB array. Handles the bottom-up row
+    order and 4-byte row padding of the format; rejects anything else
+    (compressed, paletted, other depths) loudly — a silently-wrong
+    decode would corrupt every downstream feature.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported "
+            f"(got bpp={bpp}, compression={compression})")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * height,
+                         offset=data_off).reshape(height, row_bytes)
+    img = rows[:, :width * 3].reshape(height, width, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR on disk -> RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Dependency-free binary PPM (P6) decoder → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <width> <height> <maxval>, any whitespace, # comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval=255 PPM (got {maxval})")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(payload, dtype=np.uint8, count=need,
+                         offset=pos).reshape(height, width, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the payload magic and decode: BMP ('BM') or PPM ('P6')."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "unrecognized image format (supported dependency-free: 24-bit "
+        "BMP, P6 PPM); JPEG/PNG/audio/video need codec libraries not "
+        "present in this container")
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from a decoded image: split the grayscale
+    pixels (channel mean) into FEATURE_DIM equal-as-possible chunks in
+    row-major order and take each chunk's mean / 255. Deterministic and
+    exactly reproducible in SQL when the pixel values are known."""
+    gray = np.asarray(img, dtype=np.float64).mean(axis=2).ravel()
+    chunks = np.array_split(gray, FEATURE_DIM)
+    return np.array([c.mean() / 255.0 if len(c) else 0.0 for c in chunks],
+                    dtype=np.float64)
+
+
 def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Payload → FEATURE_DIM feature floats.
+
+    ``fake=True``: the md5-derived deterministic stand-in (any bytes).
+    ``fake=False``: REAL decode for the dependency-free formats (24-bit
+    BMP, P6 PPM) followed by ``image_features``; other formats raise
+    NotImplementedError (codec libraries absent in this container).
+    """
     if fake:
         return _fake_decode(payload)
-    raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present in "
-        "this container; call with fake=True for the deterministic stub")
+    return image_features(decode_image(payload))
 
 
 def extract_features(multimodal: DataFrame, fake: bool = True,
@@ -134,12 +233,78 @@ def resize_stub(features: "np.ndarray", out_dim: int = 4,
                 fake: bool = False) -> "np.ndarray":
     """'Resize' stand-in: average-pool the feature vector to ``out_dim``.
 
-    Real image resize needs codec libs absent here; the pooling is the
-    deterministic fake with the same signature/batch shape.
+    For decoded IMAGES use ``resize_image`` (real, dependency-free);
+    this stub pools 1-D feature vectors and keeps the historical
+    fake-gated signature.
     """
     if not fake:
         raise NotImplementedError(
-            "real image resize requires codec libraries not present in "
-            "this container; call with fake=True for the pooling stub")
+            "resize_stub pools feature vectors only; for decoded images "
+            "call resize_image (real nearest-neighbor resize)")
     f = np.asarray(features, dtype=np.float64)
     return f.reshape(out_dim, -1).mean(axis=1).astype(np.float32)
+
+
+def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Real dependency-free image resize: nearest-neighbor sampling
+    (the standard pixel-center mapping), any (H, W, C) uint8 array."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int),
+                    h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int),
+                    w - 1)
+    return img[ys][:, xs]
+
+
+# ------------------------------------------------- synthetic payloads --
+
+BMP_W = BMP_H = 8
+
+
+def render_bmp_bytes(text: str, width: int = BMP_W,
+                     height: int = BMP_H) -> bytes:
+    """A real 24-bit BMP whose pixels carry the text's bytes: pixel p
+    (row-major) has r=g=b=ord(text[p mod len(text)]). Gives the decode
+    path genuine format payloads whose decoded values an external
+    oracle can derive from the text alone."""
+    tb = text.encode("utf-8")
+    n = width * height
+    vals = np.frombuffer((tb * (n // len(tb) + 1))[:n], dtype=np.uint8)
+    img = np.repeat(vals, 3).reshape(height, width, 3)  # r=g=b
+    row_bytes = (width * 3 + 3) & ~3
+    pad = row_bytes - width * 3
+    # bottom-up rows, BGR (equal channels, so only the flip matters)
+    body = b"".join(
+        img[y].tobytes() + b"\x00" * pad for y in range(height - 1, -1, -1))
+    size = 54 + len(body)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + width.to_bytes(4, "little", signed=True)
+              + height.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + len(body).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+              + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    return header + body
+
+
+def attach_bmp(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Multimodal table with REAL image payloads: render each text as
+    the BMP above (Arrow-batched mapInPandas — the render is the
+    stand-in for reading image files from an object store; schema and
+    batch shape identical to attach_binary)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_bmp_bytes(t) for t in pdf[text_col]],
+            })
+
+    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
+                                        "payload binary")

@@ -72,7 +72,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (3) the remaining rounding-touched entries last checked in r3;
 #: (4) untouched r3-checked entries, as many as fit — preceded by (0),
 #: queries NEW this round (never driver-verified). Untouched r3
-#: entries that do not fit (embedding_quantization, orders_moving_avg,
+#: entries that do not fit (customers_without_orders, embedding_norms,
+#: embedding_quantization, orders_moving_avg,
 #: orderstatus_pivot, purchase_last_view_asof, q12_priority_shipping,
 #: replacing_upsert_roundtrip, rollup_customer_balance,
 #: running_customer_spend, streaming_view_purchase_join,
@@ -81,8 +82,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: registry entries pass the identical in-repo gate (tools/selfcheck.py)
 #: regardless of order.
 _FRONTLOAD_R5 = [
-    # (0) new this round — never driver-verified
+    # (0) new this round — never driver-verified; plus r4-green queries
+    # whose code path changed this round (features schema float→double)
     "nginx_pipeline_rulebase",
+    "multimodal_decode_bmp",
+    "multimodal_features",
     # (1) last driver row r2 — also rounding-touched
     "q4_order_priority",
     "q7_volume_shipping",
@@ -134,8 +138,6 @@ _FRONTLOAD_R5 = [
     "lang_detect",
     "token_shard_plan",
     "big_spender_customers",
-    "customers_without_orders",
-    "embedding_norms",
 ]
 
 

@@ -99,6 +99,102 @@ def test_ivf_assign_covers_all_lists_used(spark, sf_dir):
     assert lists <= set(range(4)) and len(lists) >= 2
 
 
+def test_bmp_render_decode_roundtrip():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_bmp,
+        render_bmp_bytes,
+    )
+
+    text = "hello multimodal"
+    img = decode_bmp(render_bmp_bytes(text))
+    assert img.shape == (8, 8, 3)
+    tb = text.encode()
+    want = np.array([tb[p % len(tb)] for p in range(64)],
+                    dtype=np.uint8).reshape(8, 8)
+    assert (img[..., 0] == want).all()          # r channel carries text
+    assert (img == img[..., :1]).all()          # r == g == b
+
+
+def test_bmp_row_padding_roundtrip():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_bmp,
+        render_bmp_bytes,
+    )
+
+    # width 3 -> 9-byte rows pad to 12; decoder must skip the padding
+    img = decode_bmp(render_bmp_bytes("abcdef", width=3, height=2))
+    want = np.array([ord(c) for c in "abcdef"],
+                    dtype=np.uint8).reshape(2, 3)
+    assert (img[..., 0] == want).all()
+
+
+def test_ppm_decode_with_comment():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_image,
+        decode_ppm,
+    )
+
+    pixels = bytes(range(2 * 2 * 3))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + pixels
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 2, 3)
+    assert (img.ravel() == np.frombuffer(pixels, dtype=np.uint8)).all()
+    assert (decode_image(ppm) == img).all()
+
+
+def test_decode_rejects_garbage_loudly():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        render_bmp_bytes,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XXnot a bmp" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(render_bmp_bytes("abc")[:-10])
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_decode_stub_real_path_features():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_stub,
+        render_bmp_bytes,
+    )
+
+    text = "feature extraction golden"
+    feats = decode_stub(render_bmp_bytes(text), fake=False)
+    tb = text.encode()
+    vals = np.array([tb[p % len(tb)] for p in range(64)], dtype=np.float64)
+    want = vals.reshape(8, 8).mean(axis=1) / 255.0
+    assert feats.shape == (8,)
+    assert np.array_equal(feats, want)  # bit-exact, not allclose
+
+
+def test_resize_image_nearest_neighbor():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    img = np.arange(4, dtype=np.uint8).reshape(2, 2, 1)
+    up = resize_image(img, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert (up[:2, :2, 0] == 0).all() and (up[2:, 2:, 0] == 3).all()
+    down = resize_image(up, 2, 2)
+    assert (down == img).all()
+
+
 def test_frame_sample_golden(spark):
     text = "x" * 40  # 3 frames of 16 bytes (last partial), stride 2 → idx 0, 2
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
