@@ -81,8 +81,22 @@ def int_ratio_round(p_num: Column, q_den: Column, p: int) -> Column:
     """HALF_UP(p_num / q_den, p) via exact integer arithmetic:
     floor((2·P·10^p + Q) / (2Q)) / 10^p, the floor realized as
     n - n % d (exact in int64; Spark has no integer-division Column
-    op). Requires P >= 0, Q > 0 integer Columns/literals."""
-    num = p_num * F.lit(2 * 10 ** p) + q_den
+    op). Requires P >= 0, Q > 0 integer Columns/literals.
+
+    Overflow is GUARDED, not assumed (ADVICE r4): Spark's non-ANSI
+    sum(long) wraps silently, and 2·P·10^p must stay under 2^63 while
+    the DuckDB oracle sums in HUGEINT — a wrap would surface as an
+    opaque value-hash mismatch. P beyond the bound (2^61/10^p, a 2×
+    safety margin; ≈ TPC-H sf2 for q1's charge units at p=1) raises
+    loudly with the decimal(38,0) remedy. The guard runs on
+    post-aggregation rows (a handful per group), not the hot path."""
+    bound = 2 ** 61 // 10 ** p
+    guarded = F.when(p_num <= F.lit(bound), p_num).otherwise(
+        F.raise_error(F.lit(
+            f"int_ratio_round overflow: numerator sum exceeds the int64 "
+            f"headroom 2*P*10^{p} < 2^63; rerun the aggregation summing "
+            f"in decimal(38,0) instead of long")))
+    num = guarded * F.lit(2 * 10 ** p) + q_den
     den = q_den * F.lit(2)
     quo = num - (num % den)
     return quo / (den * F.lit(10 ** p))

@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+from rsyslog_nginx_clickhouse_spark.functions.revenue import (
+    DISCOUNT_CENTS_SQL,
+    PRICE_CENTS_SQL,
+    REV_ROUND1_SQL,
+    REV_UNITS_SQL,
+    rev_round1,
+    rev_units,
+)
 from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     exact_units,
     exact_units_sql,
@@ -44,16 +52,10 @@ from rsyslog_nginx_clickhouse_spark.queries import query
 #: value DEPENDING ON PARTITIONING, which flips the rounded digit
 #: whenever the exact sum sits on a tie (q1's N/O group at sf0.01 IS
 #: one: sum_base_price = ...182.45).
-_Q1_A = exact_units_sql("l_extendedprice", 2)
-_Q1_B = exact_units_sql("l_discount", 2)
+_Q1_A = PRICE_CENTS_SQL
+_Q1_B = DISCOUNT_CENTS_SQL
 _Q1_C = exact_units_sql("l_tax", 2)
 
-#: Discounted revenue in exact integer ten-thousandths — the ONE home
-#: of the formula (tpch_plus and reference import these; see
-#: functions/rounding.py for why float revenue sums can't be rounded
-#: reproducibly).
-_REV_UNITS_SQL = f"({_Q1_A} * (100 - {_Q1_B}))"
-_REV_ROUND1_SQL = int_sum_round_sql(f"sum({_REV_UNITS_SQL})", 4, 1)
 #: q6's ext*disc in exact ten-thousandths (a·b, both cents)
 _Q6_REV = int_sum_round_sql(f"sum({_Q1_A} * {_Q1_B})", 4, 1)
 
@@ -67,15 +69,6 @@ _PARTS_ABOVE_AVG_BODY = f"""
                        AS DOUBLE) / (count(*) * 100)
            FROM part p2 WHERE p2.p_brand = part.p_brand)
 """
-
-
-def _rev_units() -> F.Column:
-    return (exact_units(F.col("l_extendedprice"), 2)
-            * (100 - exact_units(F.col("l_discount"), 2)))
-
-
-def _rev_round1() -> F.Column:
-    return int_sum_round(F.sum(_rev_units()), 4, 1)
 
 
 @query(
@@ -136,7 +129,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT o_orderkey,
-           {_REV_ROUND1_SQL} AS revenue,
+           {REV_ROUND1_SQL} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -159,7 +152,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-              .agg(_rev_round1().alias("revenue"))
+              .agg(rev_round1().alias("revenue"))
               .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
               .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
 
@@ -167,7 +160,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_regional_revenue",
     oracle=f"""
-    SELECT n_name, {_REV_ROUND1_SQL} AS revenue
+    SELECT n_name, {REV_ROUND1_SQL} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -196,7 +189,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
               .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
               .groupBy("n_name")
-              .agg(_rev_round1().alias("revenue"))
+              .agg(rev_round1().alias("revenue"))
               .orderBy(F.desc("revenue"), "n_name"))
 
 
@@ -428,7 +421,7 @@ def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_REV_ROUND1_SQL} AS revenue,
+           {REV_ROUND1_SQL} AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -440,7 +433,7 @@ def latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
-              .agg(_rev_round1().alias("revenue"),
+              .agg(rev_round1().alias("revenue"),
                    F.count("*").alias("n")))
 
 
@@ -504,9 +497,9 @@ def repeat_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {tie_round_sql(
         "100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
-        + _REV_UNITS_SQL
+        + REV_UNITS_SQL
         + " ELSE 0 END) AS DOUBLE) / CAST(sum("
-        + _REV_UNITS_SQL + ") AS DOUBLE)", 4)} AS promo_pct
+        + REV_UNITS_SQL + ") AS DOUBLE)", 4)} AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
@@ -520,7 +513,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
     part = load(spark, sf_dir, "part")
-    units = _rev_units()
+    units = rev_units()
     promo = F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
     return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
               .agg(tie_round(F.lit(100.0)
@@ -533,7 +526,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {_REV_ROUND1_SQL} AS revenue,
+           {REV_ROUND1_SQL} AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -559,7 +552,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
               .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
               .groupBy("c_custkey", "c_name", "n_name")
-              .agg(_rev_round1().alias("revenue"))
+              .agg(rev_round1().alias("revenue"))
               .select("c_custkey", "c_name", "revenue", "n_name")
               .orderBy(F.desc("revenue"), "c_custkey").limit(20))
 

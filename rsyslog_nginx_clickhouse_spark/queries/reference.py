@@ -27,9 +27,9 @@ from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     int_sum_round,
     tie_round,
 )
-from rsyslog_nginx_clickhouse_spark.queries.adhoc import (
-    _REV_ROUND1_SQL,
-    _rev_units,
+from rsyslog_nginx_clickhouse_spark.functions.revenue import (
+    REV_ROUND1_SQL,
+    rev_units,
 )
 from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
     timeseries_count,
@@ -891,7 +891,7 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions and can straddle a rounding tie
     oracle=f"""
     SELECT o_orderpriority,
-           {_REV_ROUND1_SQL} AS revenue,
+           {REV_ROUND1_SQL} AS revenue,
            count(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -921,7 +921,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(items, tl, "orderkey", buckets=16)
     j = bucketed_join(spark, to, tl, "orderkey")
     return (j.groupBy("o_orderpriority")
-             .agg(int_sum_round(F.sum(_rev_units()), 4, 1)
+             .agg(int_sum_round(F.sum(rev_units()), 4, 1)
                   .alias("revenue"),
                   F.count("*").alias("n_items")))
 

@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
 
 from rsyslog_nginx_clickhouse_spark.catalog import load
+#: Discounted revenue in exact integer ten-thousandths — the shared
+#: public definition (functions/revenue.py; int64 sums are order-
+#: independent where float sums straddle a rounding tie per-
+#: partitioning — functions/rounding.py, measured on q1). Used by
+#: every query that ROUNDS a revenue sum.
+from rsyslog_nginx_clickhouse_spark.functions.revenue import (
+    REV_ROUND1_SQL,
+    REV_UNITS_SQL,
+    rev_round1,
+    rev_units,
+)
 from rsyslog_nginx_clickhouse_spark.functions.rounding import (
     exact_units,
     exact_units_sql,
@@ -45,19 +56,6 @@ from rsyslog_nginx_clickhouse_spark.queries import query
 
 def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-#: Discounted revenue in exact integer ten-thousandths — shared single
-#: definition in adhoc.py (a·(100-b) with a = cents, b = discount-
-#: cents; int64 sums are order-independent where float sums straddle a
-#: rounding tie per-partitioning — functions/rounding.py, measured on
-#: q1). Used by every query that ROUNDS a revenue sum.
-from rsyslog_nginx_clickhouse_spark.queries.adhoc import (  # noqa: E402
-    _REV_ROUND1_SQL,
-    _REV_UNITS_SQL,
-    _rev_round1,
-    _rev_units,
-)
 
 
 @query(
@@ -96,7 +94,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           {_REV_ROUND1_SQL} AS revenue
+           {REV_ROUND1_SQL} AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -132,7 +130,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("supp_nation") != F.col("cust_nation"))
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))
-              .agg(_rev_round1().alias("revenue"))
+              .agg(rev_round1().alias("revenue"))
               .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
@@ -150,7 +148,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                " / CAST(sum(volume) AS DOUBLE)", 6)} AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             {_REV_UNITS_SQL} AS volume,
+             {REV_UNITS_SQL} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
@@ -187,7 +185,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
     li = load(spark, sf_dir, "lineitem")
-    vol = _rev_units().alias("volume")
+    vol = rev_units().alias("volume")
     joined = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
                 .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
                 .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -206,7 +204,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           {_REV_ROUND1_SQL} AS profit
+           {REV_ROUND1_SQL} AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -236,7 +234,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
               .join(orders, li.l_orderkey == orders.o_orderkey)
               .groupBy("nation", "o_year")
-              .agg(_rev_round1().alias("profit"))
+              .agg(rev_round1().alias("profit"))
               .orderBy("nation", F.desc("o_year")))
 
 
@@ -249,7 +247,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_BODY = f"""
     WITH pv AS (
       SELECT l_partkey,
-             sum({_REV_UNITS_SQL}) AS raw_units
+             sum({REV_UNITS_SQL}) AS raw_units
       FROM lineitem GROUP BY l_partkey)
     SELECT l_partkey, {int_sum_round_sql('raw_units', 4, 1)} AS part_value
     FROM pv
@@ -312,7 +310,7 @@ def q13_order_count_distribution(spark: SparkSession,
     oracle=f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             {_REV_ROUND1_SQL}
+             {REV_ROUND1_SQL}
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -334,7 +332,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-             .agg(_rev_round1().alias("total_revenue")))
+             .agg(rev_round1().alias("total_revenue")))
     # localCheckpoint, not cache: computed once, read by both the
     # join and the max; blocks GC-release instead of pinning
     # CacheManager for the session (repo-wide convention)
@@ -466,7 +464,7 @@ def q18_large_volume_customers(spark: SparkSession,
 @query(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT {_REV_ROUND1_SQL} AS revenue
+    SELECT {REV_ROUND1_SQL} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 1 AND 20)
@@ -492,7 +490,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (((F.col("p_brand") == "Brand#1") & q.between(1, 20))
             | ((F.col("p_brand") == "Brand#2") & q.between(10, 30))
             | ((F.col("p_brand") == "Brand#3") & q.between(20, 40)))
-    return j.where(cond).agg(_rev_round1().alias("revenue"))
+    return j.where(cond).agg(rev_round1().alias("revenue"))
 
 
 #: totacctbal as an exact integer-cents sum + integer HALF_UP (see

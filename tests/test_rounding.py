@@ -141,3 +141,26 @@ def test_int_sum_round_tie(spark):
     want = con.execute(
         f"SELECT {int_sum_round_sql('28757518245', 2, 1)}").fetchone()[0]
     assert got == want
+
+
+def test_int_ratio_round_overflow_guard_raises(spark):
+    # ADVICE r4: past the int64 headroom the guard must fail loudly
+    # (a silent non-ANSI wrap would show up as an opaque value-hash
+    # mismatch against the HUGEINT-summing oracle)
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+        int_ratio_round,
+    )
+
+    big = spark.range(1).select(
+        F.lit(2 ** 61).cast("long").alias("p"),
+        F.lit(100).cast("long").alias("q"))
+    with pytest.raises(Exception, match="int_ratio_round overflow"):
+        big.select(int_ratio_round(F.col("p"), F.col("q"), 4)).collect()
+    # just inside the bound still computes
+    ok = spark.range(1).select(
+        int_ratio_round(F.lit(12345).cast("long"),
+                        F.lit(100).cast("long"), 4).alias("r")
+    ).collect()[0]["r"]
+    assert ok == 123.45
