@@ -62,14 +62,25 @@ def main() -> None:
               "g").count()
     warm.localCheckpoint(eager=True).count()
 
+    import gc
+
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
-    for name, q in registry.items():
-        best = -1.0
-        try:
-            # min over iterations: the box runs concurrent work, so a
-            # single sample mostly measures scheduler noise.
-            for _ in range(iters):
+    dead: set[str] = set()
+    # box load recorded at start and after each pass: a reader of
+    # BENCH_r{N}.json can separate microVM steal (load >> local work)
+    # from a real regression without re-running anything (VERDICT r4
+    # item 8 / PLANS.md variance note)
+    loads = [round(os.getloadavg()[0], 2)]
+    # min over INTERLEAVED passes (pass 1 runs every query, then pass 2
+    # runs every query): a contention spike taxes one pass of many
+    # queries instead of both samples of the same query, so the min
+    # survives it. Back-to-back same-query iterations shared the spike.
+    for _ in range(iters):
+        for name, q in registry.items():
+            if name in dead:
+                continue
+            try:
                 t0 = time.time()
                 df = q.spark(spark, SF_DIR)
                 # noop sink: forces evaluation of EVERY output column
@@ -77,25 +88,25 @@ def main() -> None:
                 # benchmarked), writes nothing.
                 df.write.mode("overwrite").format("noop").save()
                 dt = round(time.time() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
-                # Release per-query state so later queries aren't
-                # taxed by leftover executor memory: clearCache drops
-                # CacheManager entries, and gc.collect() releases the
-                # Python DataFrame wrappers so ContextCleaner can free
-                # localCheckpoint blocks (which clearCache does NOT
-                # touch — they'd otherwise accumulate across the suite)
-                spark.catalog.clearCache()
-                import gc
-
-                gc.collect()
-            timings[name] = best
-        except Exception as e:  # report, don't abort the whole bench
-            timings[name] = -1.0
-            # one stderr line, no multiline tracebacks: a failed round
-            # must not be able to garble the stdout JSON or flood logs
-            msg = " ".join(str(e).split())[:300]
-            print(f"# bench error {name}: {type(e).__name__}: {msg}",
-                  file=sys.stderr)
+                prev = timings.get(name)
+                timings[name] = dt if prev is None else min(prev, dt)
+            except Exception as e:  # report, don't abort the bench
+                timings[name] = -1.0
+                dead.add(name)
+                # one stderr line, no multiline tracebacks: a failed
+                # round must not garble the stdout JSON or flood logs
+                msg = " ".join(str(e).split())[:300]
+                print(f"# bench error {name}: {type(e).__name__}: {msg}",
+                      file=sys.stderr)
+            # Release per-query state so later queries aren't
+            # taxed by leftover executor memory: clearCache drops
+            # CacheManager entries, and gc.collect() releases the
+            # Python DataFrame wrappers so ContextCleaner can free
+            # localCheckpoint blocks (which clearCache does NOT
+            # touch — they'd otherwise accumulate across the suite)
+            spark.catalog.clearCache()
+            gc.collect()
+        loads.append(round(os.getloadavg()[0], 2))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sorted(n for n, t in timings.items() if t < 0)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -109,6 +120,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "iters": iters,
+        "load_avg": loads,
     }
     if failed:
         # a crashed query must not read as a speedup of the total
