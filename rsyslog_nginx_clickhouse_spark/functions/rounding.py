@@ -96,8 +96,19 @@ def int_ratio_round(p_num: Column, q_den: Column, p: int) -> Column:
             f"int_ratio_round overflow: numerator sum exceeds the int64 "
             f"headroom 2*P*10^{p} < 2^63; rerun the aggregation summing "
             f"in decimal(38,0) instead of long")))
-    num = guarded * F.lit(2 * 10 ** p) + q_den
-    den = q_den * F.lit(2)
+    # Q gets the same discipline (ADVICE r5): num = 2·10^p·P + Q and the
+    # final 2·Q·10^p divisor both wrap for Q near 2^62 even when P is
+    # small — and a sum that wrapped UPSTREAM arrives here looking
+    # small. Callers pass count-scale denominators today; the guard
+    # makes that contract loud instead of latent.
+    guarded_q = F.when(
+        (q_den > F.lit(0)) & (q_den <= F.lit(bound)), q_den).otherwise(
+        F.raise_error(F.lit(
+            f"int_ratio_round overflow: denominator outside "
+            f"(0, 2^61/10^{p}]; a wrapped or oversized Q would corrupt "
+            f"the integer HALF_UP silently — sum in decimal(38,0)")))
+    num = guarded * F.lit(2 * 10 ** p) + guarded_q
+    den = guarded_q * F.lit(2)
     quo = num - (num % den)
     return quo / (den * F.lit(10 ** p))
 

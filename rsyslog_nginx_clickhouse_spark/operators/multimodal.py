@@ -267,8 +267,20 @@ def render_bmp_bytes(text: str, width: int = BMP_W,
     """A real 24-bit BMP whose pixels carry the text's bytes: pixel p
     (row-major) has r=g=b=ord(text[p mod len(text)]). Gives the decode
     path genuine format payloads whose decoded values an external
-    oracle can derive from the text alone."""
+    oracle can derive from the text alone.
+
+    Non-empty ASCII only (enforced, ADVICE r5): the SQL oracle indexes
+    the text by CODE POINT (substr/ascii) while this renderer indexes
+    UTF-8 BYTES — identical only for ASCII — and empty text would be a
+    modulo-by-zero. Verified octet_length == length across all testdata
+    documents; a loud raise here beats a silent query/oracle divergence
+    if that ever changes."""
     tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_bmp_bytes requires non-empty ASCII text: the "
+            "external oracle indexes code points, the renderer indexes "
+            "UTF-8 bytes — they diverge on non-ASCII input")
     n = width * height
     vals = np.frombuffer((tb * (n // len(tb) + 1))[:n], dtype=np.uint8)
     img = np.repeat(vals, 3).reshape(height, width, 3)  # r=g=b

@@ -22,6 +22,8 @@ a new oracle-facing numpy path must re-justify that boundary.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import struct
 
 import numpy as np
@@ -445,6 +447,57 @@ def ivf_assign(embeddings: DataFrame, centroids: "np.ndarray",
 #: while keeping the replayed-in-SQL oracle a bounded CTE chain.
 LLOYD_ITER = 2
 
+#: 2^50: the power-of-two scale that maps every float32 embedding
+#: component to an EXACT integer (a float32 has a 24-bit mantissa; the
+#: smallest nonzero |v| in the testdata is ~2^-19.5, so its ulp is
+#: ≥ 2^-44 and v·2^50 is integral — asserted at runtime, not assumed).
+#: Power-of-two scaling of a binary float is exact in BOTH engines.
+EMB_SCALE_BITS = 50
+EMB_SCALE = 2 ** EMB_SCALE_BITS
+
+
+def _lloyd_update_exact(asg: DataFrame, C_raw: "np.ndarray",
+                        vec_col: str) -> "np.ndarray":
+    """One exact Lloyd centroid update (ADVICE r5: no float-sum ulp).
+
+    Each component is scaled by 2^50 into an exact integer, summed in
+    decimal(38,0) (exact, ORDER-INDEPENDENT — per-list sums reach
+    ~8e19, past int64), and the mean is tie-rounded to 6 decimals with
+    pure integer arithmetic: floor(mean·1e6 + 0.5) =
+    (2·1e6·S_off + D) // (2·D) − 4·1e6, where D = n·2^50 and
+    S_off = S + 4·D offsets the numerator positive (|mean| < 2,
+    guarded) so Python floor-div and the oracle's truncating HUGEINT
+    division agree. The DuckDB oracle replays the identical integer
+    sequence, so both engines iterate from bit-identical centroids
+    regardless of partitioning or accumulation order.
+    """
+    sc = F.col("col").cast("double") * F.lit(float(EMB_SCALE))
+    stats = (asg.select("list_id", F.posexplode(F.col(vec_col)))
+                .groupBy("list_id", "pos")
+                .agg(F.sum(sc.cast("decimal(38,0)")).alias("s"),
+                     F.count("*").alias("n"),
+                     F.max(F.abs(sc - F.round(sc, 0))).alias("offint"),
+                     F.max(F.abs(F.col("col"))).alias("mx"))
+                .collect())
+    C_next = C_raw.copy()  # empty lists keep their centroid
+    for r in stats:
+        if r["offint"] != 0.0:
+            raise ValueError(
+                f"embedding component · 2^{EMB_SCALE_BITS} is not an "
+                f"exact integer (off by {r['offint']}): raise "
+                "EMB_SCALE_BITS (and the oracle's scale literal) for "
+                "this data")
+        if r["mx"] >= 2.0:
+            raise ValueError(
+                "embedding component |v| >= 2: the +4 positivity "
+                "offset in the exact mean no longer covers the range")
+        S, n = int(r["s"]), int(r["n"])
+        d = n * EMB_SCALE
+        num = 2 * 1_000_000 * (S + 4 * d) + d
+        mi = num // (2 * d) - 4_000_000
+        C_next[r["list_id"], r["pos"]] = mi / 1e6
+    return C_next
+
 
 def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,
                         n_iter: int = LLOYD_ITER,
@@ -456,10 +509,10 @@ def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,
     Init: the ``n_lists`` lowest-id vectors (raw). Each iteration:
     assign every vector to its max-cosine centroid (ties → lowest
     list, np.argmax first-max), then recompute each centroid as the
-    per-dimension mean of its vectors, TIE-ROUNDED to 6 decimals
-    (floor(x·1e6+0.5)/1e6 — functions/rounding.py's cross-engine-exact
-    form, so the DuckDB oracle replays the identical iteration from
-    identical centroid values); an empty list keeps its previous
+    per-dimension mean of its vectors via ``_lloyd_update_exact`` —
+    integer-exact and tie-rounded to 6 decimals, so the DuckDB oracle
+    replays the identical iteration from bit-identical centroid
+    values on any partitioning; an empty list keeps its previous
     centroid. Returns RAW (unnormalized) centroids — cosine assignment
     is normalization-invariant, and the oracle tracks raw values.
 
@@ -468,28 +521,15 @@ def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,
     groups; the driver fetch per iteration is n_lists·dim values —
     parameter-sized, never data-sized. Unlike pyspark.ml KMeans
     (``ivf_centroids_kmeans``), every step is deterministic given the
-    data, independent of partitioning up to float-sum last-ulps.
+    data, independent of partitioning — the exact-integer mean closes
+    the last-ulp float-sum caveat the r5 version documented.
     """
     rows = (embeddings.orderBy(id_col).limit(n_lists)
             .select(vec_col).collect())
     C_raw = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     for _ in range(n_iter):
         asg = ivf_assign(embeddings, _unit_rows(C_raw), id_col, vec_col)
-        means = (asg.select("list_id", F.posexplode(F.col(vec_col)))
-                    .groupBy("list_id", "pos")
-                    .agg(F.avg("col").alias("m"))
-                    .collect())
-        C_next = C_raw.copy()  # empty lists keep their centroid
-        touched = set()
-        for r in means:
-            # identical IEEE op sequence to tie_round/tie_round_sql
-            C_next[r["list_id"], r["pos"]] = (
-                np.floor(r["m"] * 1e6 + 0.5) / 1e6)
-            touched.add(r["list_id"])
-        for li in range(n_lists):
-            if li not in touched:
-                C_next[li] = C_raw[li]
-        C_raw = C_next
+        C_raw = _lloyd_update_exact(asg, C_raw, vec_col)
     return C_raw
 
 
@@ -527,6 +567,106 @@ def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
             .where(F.col("list_id").isin(probes))
             .select(F.col(id_col),
                     F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k))
+
+
+# ------------------------------------------- persisted IVF index --
+#
+# VERDICT r5 item 3: real ANN at 100 TB builds the index ONCE and
+# probes it many times — retraining k-means inside every query is the
+# wrong amortization. ivf_build trains + persists; ivf_probe reads
+# only the probed lists back (partition pruning on list_id does at the
+# storage layer what the in-memory filter did before).
+
+
+def _ivf_meta(embeddings_src: str | None, n_lists: int,
+              n_iter: int) -> dict:
+    meta = {"n_lists": n_lists, "n_iter": n_iter,
+            "scale_bits": EMB_SCALE_BITS, "source": embeddings_src}
+    if embeddings_src and os.path.exists(embeddings_src):
+        st = os.stat(embeddings_src)
+        meta["source_mtime"] = st.st_mtime
+        meta["source_size"] = st.st_size
+    return meta
+
+
+def ivf_index_fresh(index_dir: str, embeddings_src: str | None,
+                    n_lists: int = N_LISTS,
+                    n_iter: int = LLOYD_ITER) -> bool:
+    """True iff ``index_dir`` holds an index built from exactly this
+    source file (path+mtime+size) with these training parameters."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            return json.load(f) == _ivf_meta(embeddings_src, n_lists,
+                                             n_iter)
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def ivf_build(spark, embeddings: DataFrame, index_dir: str,
+              n_lists: int = N_LISTS, n_iter: int = LLOYD_ITER,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              embeddings_src: str | None = None) -> DataFrame:
+    """Train and PERSIST an IVF index; returns the centroid table read
+    back from disk (list_id, dim 1-based, cm) — proof of round-trip.
+
+    Layout under ``index_dir``:
+    - ``centroids/``  parquet, n_lists·dim rows (parameter-sized);
+    - ``assign/``     parquet PARTITIONED BY list_id — at 100 TB each
+      query reads only nprobe/n_lists of the data via partition
+      pruning, the storage-level analog of ClickHouse skipping parts;
+    - ``meta.json``   source fingerprint + training params, so a stale
+      index is rebuilt instead of silently probed.
+    """
+    C = ivf_centroids_lloyd(embeddings, n_lists, n_iter, id_col, vec_col)
+    asg = ivf_assign(embeddings, _unit_rows(C), id_col, vec_col)
+    (asg.repartition(n_lists, "list_id")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(os.path.join(index_dir, "assign")))
+    cent = spark.createDataFrame(
+        [(int(li), int(d) + 1, float(C[li, d]))
+         for li in range(C.shape[0]) for d in range(C.shape[1])],
+        "list_id bigint, dim bigint, cm double")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids"))
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(_ivf_meta(embeddings_src, n_lists, n_iter), f)
+    return (spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .select("list_id", "dim", "cm"))
+
+
+def ivf_probe(spark, index_dir: str, query_vec: list, k: int = 10,
+              nprobe: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a PERSISTED IVF index: parameter-sized centroid
+    fetch picks the ``nprobe`` nearest lists, then a partition-pruned
+    scan of only those lists' files with exact cosine re-rank — no
+    training jobs on the query path."""
+    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .orderBy("list_id", "dim").collect())
+    n_lists = max(r["list_id"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows)
+    C_raw = np.zeros((n_lists, dim))
+    for r in rows:
+        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
+    C = _unit_rows(C_raw)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    probes = [int(i) for i in
+              np.argsort(-(C @ q), kind="stable")[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]) \
+        .cast("array<double>")
+    assigned = spark.read.parquet(os.path.join(index_dir, "assign"))
+    return (assigned
+            .where(F.col("list_id").isin(probes))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), qcol), 6)
+                    .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
 

@@ -16,6 +16,8 @@ recomputes them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -776,16 +778,27 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count("text").cast("long").alias("n_chars"))
 
 
-def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
-                      dim: int = 64) -> str:
-    """The knn_ivf oracle: replay the deterministic Lloyd training
+def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
+                    dim: int = 64) -> tuple[list[str], str]:
+    """CTE chain replaying the deterministic Lloyd training
     (operators/similarity.py ivf_centroids_lloyd) in SQL, iteration by
-    iteration. Assignment = argmax cosine (row_number ties → lowest
-    list_id, matching np.argmax first-max); centroid update =
-    per-dimension mean TIE-ROUNDED exactly as the Spark side
-    (floor(x·1e6+0.5)/1e6 — functions/rounding.py), so both engines
-    iterate from bit-identical centroid values; an empty list keeps
-    its previous centroid (count(cm)=0 CASE ↔ the `touched` set)."""
+    iteration; returns (ctes, name-of-final-centroid-CTE). Shared by
+    the ivf_build and knn_ivf oracles so the replay cannot drift.
+
+    Assignment = argmax cosine (row_number ties → lowest list_id,
+    matching np.argmax first-max). Centroid update = the INTEGER-EXACT
+    mean of _lloyd_update_exact (ADVICE r5): components scaled by 2^50
+    into exact integers, summed (BIGINT→HUGEINT, exact in any order),
+    mean tie-rounded to 6 decimals as
+    (2·1e6·(S+4·D) + D) // (2·D) − 4·1e6 over D = n·2^50 — the
+    identical integer sequence the Spark side computes, so both
+    engines iterate from bit-identical centroids regardless of
+    partitioning. An empty list keeps its previous centroid
+    (count(cm)=0 CASE ↔ the empty-stats fallthrough)."""
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        EMB_SCALE,
+    )
+
     ctes = [f"""c0 AS (
       SELECT list_id, cv FROM (
         SELECT embedding::DOUBLE[] AS cv,
@@ -800,12 +813,18 @@ def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
                                   ORDER BY {_cos_sql('e.embedding', 'c.cv')}
                                         DESC, c.list_id ASC) AS rn
         FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""s{i} AS (
+      SELECT a.list_id, g.g AS dim,
+             sum(CAST(a.embedding[g.g]::DOUBLE * {EMB_SCALE} AS BIGINT))
+               AS sm,
+             count(*)::HUGEINT * {EMB_SCALE} AS den
+      FROM asg{i} a, unnest(generate_series(1, {dim})) AS g(g)
+      GROUP BY a.list_id, g.g)""")
         ctes.append(f"""m{i} AS (
-      SELECT a.list_id, d.d AS dim,
-             floor(avg(a.embedding[d.d]::double) * 1000000 + 0.5)
-               / 1000000 AS cm
-      FROM asg{i} a, unnest(generate_series(1, {dim})) AS d(d)
-      GROUP BY a.list_id, d.d)""")
+      SELECT list_id, dim,
+             ((2000000 * (sm + 4 * den) + den) // (2 * den)
+              - 4000000) / 1000000.0 AS cm
+      FROM s{i})""")
         ctes.append(f"""c{i} AS (
       SELECT p.list_id,
              CASE WHEN count(m.cm) = 0 THEN p.cv
@@ -813,6 +832,15 @@ def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
       FROM {prev} p LEFT JOIN m{i} m USING (list_id)
       GROUP BY p.list_id, p.cv)""")
         prev = f"c{i}"
+    return ctes, prev
+
+
+def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
+                      dim: int = 64) -> str:
+    """The knn_ivf oracle: full Lloyd training replay
+    (_ivf_train_ctes), final assignment, probe selection, and exact
+    cosine re-rank inside the probed lists — entirely in SQL."""
+    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim)
     ctes.append(f"""asgf AS (
       SELECT vec_id, embedding, list_id FROM (
         SELECT e.vec_id, e.embedding, c.list_id,
@@ -834,25 +862,86 @@ def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
     FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10""")
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-sf_dir home for the persisted IVF index. Overridable so a
+    read-only checkout can point somewhere writable; defaults beside
+    the repo's other written artifacts (spark-warehouse, gitignored).
+    """
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "spark-warehouse", "ivf"))
+    return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ivf_ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted IVF index iff absent/stale (fingerprint =
+    embeddings.parquet path+mtime+size + training params); returns the
+    index dir. Training is deterministic, so a cached index and a
+    fresh build yield byte-identical probe results."""
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_fresh,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir)
+    if not ivf_index_fresh(idx, src):
+        ivf_build(spark, load(spark, sf_dir, "embeddings"), idx,
+                  embeddings_src=src)
+    return idx
+
+
 @query(
-    "knn_ivf",
+    "ivf_build",
     # the centroids are DERIVED FROM THE DATA by the deterministic
     # Lloyd k-means (2 iterations from the 16 lowest-vec_id seeds), so
     # the oracle replays the whole training in SQL — no literals needed
+    oracle="WITH " + ",\n    ".join(_ivf_train_ctes()[0]) + f"""
+    SELECT p.list_id::BIGINT AS list_id, g.g::BIGINT AS dim,
+           p.cv[g.g] AS cm
+    FROM {_ivf_train_ctes()[1]} p,
+         unnest(generate_series(1, 64)) AS g(g)
+    ORDER BY list_id, dim""",
+    doc="the IVF index BUILD step, separated from the probe (VERDICT "
+        "r5 item 3: real ANN builds once, probes many — retraining "
+        "inside every query is the wrong amortization at 100 TB): "
+        "trains deterministic distributed Lloyd k-means "
+        "(integer-exact tie-rounded means), persists centroids + "
+        "assignments PARTITIONED BY list_id (probe-time partition "
+        "pruning), returns the centroid table read back from disk; "
+        "oracle replays the full training in SQL",
+)
+def ivf_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    return ivf_build(spark, load(spark, sf_dir, "embeddings"),
+                     _ivf_index_dir(sf_dir), embeddings_src=src)
+
+
+@query(
+    "knn_ivf",
     oracle=_ivf_lloyd_oracle(),
-    doc="IVF ANN top-10: nprobe=4 of 16 k-means centroid lists "
-        "(deterministic distributed Lloyd, tie-rounded means), exact "
-        "cosine re-rank inside probed lists; recall vs brute force "
+    doc="IVF ANN top-10 over the PERSISTED index (built by ivf_build "
+        "if absent/stale — deterministic training makes cached and "
+        "fresh indexes identical): parameter-sized centroid fetch "
+        "picks nprobe=4 of 16 lists, partition-pruned scan of only "
+        "those lists, exact cosine re-rank; recall vs brute force "
         "recorded in tests/test_similarity_ops.py; oracle replays "
         "training/assignment/probes entirely in SQL",
 )
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsyslog_nginx_clickhouse_spark.operators.similarity import knn_ivf
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_probe,
+    )
 
     row = (load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") == 1).select("embedding").first())
-    return knn_ivf(load(spark, sf_dir, "embeddings"),
-                   [float(x) for x in row[0]], k=10)
+    idx = _ivf_ensure_index(spark, sf_dir)
+    return ivf_probe(spark, idx, [float(x) for x in row[0]], k=10)
 
 
 @query(

@@ -517,8 +517,22 @@ def nginx_pipeline_rulebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_rulebase,
     )
 
-    rule = load_rulebase("/root/reference/nginx.rule")[0]
-    months = load_lookup_table("/root/reference/nginx.table")
+    # Config location is overridable (ADVICE r5): the verbatim files
+    # stay out of the repo (copy hygiene), so on a machine without the
+    # reference checkout point SPARK_GRAFT_REFERENCE_DIR at any dir
+    # holding nginx.rule + nginx.table instead of failing on a
+    # hardcoded path mid-selfcheck.
+    ref_dir = os.environ.get("SPARK_GRAFT_REFERENCE_DIR",
+                             "/root/reference")
+    rule_path = os.path.join(ref_dir, "nginx.rule")
+    if not os.path.exists(rule_path):
+        raise FileNotFoundError(
+            f"{rule_path} not found: nginx_pipeline_rulebase parses the "
+            "reference's verbatim config at runtime; set "
+            "SPARK_GRAFT_REFERENCE_DIR to a directory containing "
+            "nginx.rule and nginx.table")
+    rule = load_rulebase(rule_path)[0]
+    months = load_lookup_table(os.path.join(ref_dir, "nginx.table"))
     lines = _render_log_lines(load(spark, sf_dir, "events"))
     typed = to_typed_table(parse_lines(lines, rule=rule),
                            month_table=months)

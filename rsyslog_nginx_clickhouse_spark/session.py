@@ -26,6 +26,16 @@ def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
       would raise this to ~2-3× total cores),
     - Arrow on for the pandas-UDF operators.
     """
+    # Legacy audit switch (pre-r6 plancheck): barriers are
+    # correctness-load-bearing outside explain-only runs, so an
+    # inherited env var must fail loudly rather than silently skip
+    # them. The auditor now opts in via plans.barrier.set_audit_mode.
+    if os.environ.get("SPARK_GRAFT_PLAN_AUDIT", "") == "1":
+        raise RuntimeError(
+            "SPARK_GRAFT_PLAN_AUDIT=1 is set: this env var no longer "
+            "enables plan-audit mode and would have silently disabled "
+            "correctness-load-bearing barriers. Unset it; plan auditors "
+            "call plans.barrier.set_audit_mode(True) instead.")
     cpus = str(cpus or DEFAULT_CPUS)
     builder = (
         SparkSession.builder

