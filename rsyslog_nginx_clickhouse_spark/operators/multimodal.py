@@ -130,16 +130,112 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(height, width, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9 'Filtering'): nearest of left /
+    up / up-left to the linear estimate a + b − c, ties → a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Dependency-free PNG decoder: non-interlaced 8-bit RGB (color
+    type 2) or RGBA (6), zlib IDAT + per-row unfilter of all five
+    filter types (None/Sub/Up/Average/Paeth). Pure stdlib ``zlib`` —
+    the one raster codec with no external library needed. Returns an
+    (H, W, 3|4) uint8 array; anything else (interlace, palette, other
+    depths) rejects loudly — a silently-wrong decode would corrupt
+    every downstream feature.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ in (b"IHDR", b"IDAT"):
+            crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln],
+                                 "big")
+            if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+                raise ValueError(f"PNG {typ.decode()} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit RGB/RGBA PNG is supported "
+            f"(got depth={depth} color={color} interlace={interlace})")
+    bpp = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"bad PNG scanline payload: {len(raw)} bytes "
+                         f"for {height} rows of {stride}+1")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:  # Up — vectorized, no intra-row dependency
+            recon = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            recon = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, c)
+                recon[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} in row {y}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(height, width, bpp)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the payload magic and decode: BMP ('BM') or PPM ('P6')."""
+    """Sniff the payload magic and decode: BMP ('BM'), PPM ('P6') or
+    PNG (8-byte signature)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         "unrecognized image format (supported dependency-free: 24-bit "
-        "BMP, P6 PPM); JPEG/PNG/audio/video need codec libraries not "
-        "present in this container")
+        "BMP, P6 PPM, 8-bit RGB/RGBA PNG); JPEG/audio/video need codec "
+        "libraries not present in this container")
 
 
 def image_features(img: np.ndarray) -> np.ndarray:
@@ -301,6 +397,86 @@ def render_bmp_bytes(text: str, width: int = BMP_W,
               + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
               + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
     return header + body
+
+
+PNG_W, PNG_H = 16, 8
+
+
+def render_png_bytes(text: str, width: int = PNG_W, height: int = PNG_H,
+                     color_type: int = 2) -> bytes:
+    """A real PNG whose pixels carry the text's bytes: pixel p
+    (row-major) has r=g=b=ord(text[p mod len(text)]) (alpha=255 for
+    RGBA). Row y is written with filter type y mod 5, so a correct
+    decode must implement ALL five unfilter paths (None/Sub/Up/
+    Average/Paeth) — plus the zlib inflate — before the features can
+    match the text-derived oracle.
+
+    Same non-empty-ASCII contract as render_bmp_bytes: the SQL oracle
+    indexes code points, this renderer indexes UTF-8 bytes."""
+    import zlib
+
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_png_bytes requires non-empty ASCII text: the "
+            "external oracle indexes code points, the renderer indexes "
+            "UTF-8 bytes — they diverge on non-ASCII input")
+    bpp = 3 if color_type == 2 else 4
+    n = width * height
+    vals = np.frombuffer((tb * (n // len(tb) + 1))[:n], dtype=np.uint8)
+    img = np.repeat(vals, 3).reshape(height, width, 3)
+    if bpp == 4:
+        img = np.concatenate(
+            [img, np.full((height, width, 1), 255, np.uint8)], axis=2)
+    stride = width * bpp
+    flat = img.reshape(height, stride).astype(np.int32)
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = y % 5
+        row = flat[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(row[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            pred = (0 if ftype == 0 else a if ftype == 1 else
+                    b if ftype == 2 else (a + b) >> 1 if ftype == 3 else
+                    _paeth(a, b, c))
+            filt[i] = (int(row[i]) - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def attach_png(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Multimodal table with REAL PNG payloads (zlib-compressed,
+    per-row filtered) — same Arrow-batched mapInPandas shape as
+    attach_bmp."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_png_bytes(t) for t in pdf[text_col]],
+            })
+
+    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
+                                        "payload binary")
 
 
 def attach_bmp(docs: DataFrame, id_col: str = "doc_id",

@@ -746,6 +746,46 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("doc_id", "feat_idx"))
 
 
+@query(
+    "multimodal_decode_png",
+    # pixel p of the rendered 16x8 PNG has r=g=b=ord(text[p % len]);
+    # features = 16-pixel-chunk grayscale means / 255, so each feat is
+    # an integer sum / (16·255): the terminating cases have <= 5
+    # decimals (the 2-5 part of 4080 is 80), non-terminating cases
+    # cannot sit on a rounding tie — plain round(6) is cross-engine
+    # exact (functions/rounding.py discipline, same as the BMP query)
+    oracle="""
+    SELECT doc_id, (p.p // 16)::int AS feat_idx,
+           round(avg(ascii(substr(text, (p.p % length(text)) + 1, 1)))
+                 / 255.0, 6) AS feat
+    FROM documents, unnest(generate_series(0, 127)) AS p(p)
+    GROUP BY doc_id, p.p // 16
+    ORDER BY doc_id, feat_idx
+    """,
+    doc="REAL PNG decode, zero dependencies beyond stdlib zlib "
+        "(VERDICT r5 item 6): render each doc as a genuine 8-bit RGB "
+        "PNG — zlib-compressed IDAT, CRC-checked chunks, and a "
+        "DIFFERENT filter type per scanline (None/Sub/Up/Average/"
+        "Paeth cycling) — decode it back with the dependency-free "
+        "parser (inflate + all five unfilter paths), and emit the 8 "
+        "grayscale-chunk features; the oracle recomputes the decoded "
+        "values from the text bytes, so a single mis-unfiltered byte "
+        "anywhere fails the hash",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_png,
+    )
+
+    mm = attach_png(_docs(spark, sf_dir))
+    feats = extract_features(mm, fake=False)
+    return (feats.select("doc_id", F.posexplode("features"))
+                 .select("doc_id",
+                         F.col("pos").cast("int").alias("feat_idx"),
+                         F.round("col", 6).alias("feat"))
+                 .orderBy("doc_id", "feat_idx"))
+
+
 # -------------------------------------------------- tokens / ivf / frames --
 
 

@@ -413,3 +413,74 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
              .select(F.input_file_name().alias("f")).distinct().collect())
     dirs = {p["f"].split("list_id=")[1].split("/")[0] for p in files}
     assert dirs == {str(s) for s in some}
+
+
+def test_png_render_decode_roundtrip_all_filters():
+    """Every scanline of the rendered PNG uses a different filter type
+    (y mod 5), so this roundtrip fails if ANY of the five unfilter
+    paths (None/Sub/Up/Average/Paeth) or the zlib inflate is wrong."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_png,
+        render_png_bytes,
+    )
+
+    text = "hello multimodal png"
+    img = decode_png(render_png_bytes(text))
+    assert img.shape == (8, 16, 3)
+    tb = text.encode()
+    want = np.array([tb[p % len(tb)] for p in range(128)],
+                    dtype=np.uint8).reshape(8, 16)
+    assert (img[..., 0] == want).all()
+    assert (img == img[..., :1]).all()
+    # RGBA variant decodes with the alpha plane intact
+    rgba = decode_png(render_png_bytes(text, color_type=6))
+    assert rgba.shape == (8, 16, 4)
+    assert (rgba[..., :3] == img).all() and (rgba[..., 3] == 255).all()
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_png,
+        render_png_bytes,
+    )
+
+    good = bytearray(render_png_bytes("xyz"))
+    flipped = bytearray(good)
+    flipped[flipped.find(b"IDAT") + 6] ^= 1   # payload byte -> CRC fail
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + bytes(good[4:]))
+    import zlib as _zlib
+
+    interlaced = bytearray(good)
+    ihdr = interlaced.find(b"IHDR")
+    interlaced[ihdr + 4 + 12] = 1             # interlace flag in IHDR
+    # re-sign the edited chunk: the CRC gate runs before IHDR parsing
+    crc = _zlib.crc32(bytes(interlaced[ihdr:ihdr + 17])) & 0xFFFFFFFF
+    interlaced[ihdr + 17:ihdr + 21] = crc.to_bytes(4, "big")
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(interlaced))
+
+
+def test_png_decode_image_dispatch_and_features(spark):
+    """decode_image sniffs the PNG signature; the extracted features
+    equal the text-derived chunk means (the oracle formula)."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+        render_png_bytes,
+    )
+
+    text = "The quick brown fox"
+    f = image_features(decode_image(render_png_bytes(text)))
+    tb = text.encode()
+    vals = np.array([tb[p % len(tb)] for p in range(128)], dtype=float)
+    want = vals.reshape(8, 16).mean(axis=1) / 255.0
+    assert np.allclose(f, want, atol=0)
