@@ -14,6 +14,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rsyslog_nginx_clickhouse_spark.plans.barrier import audit_mode
+from rsyslog_nginx_clickhouse_spark.plans.stream_audit import (
+    record_stream_plan,
+)
 from rsyslog_nginx_clickhouse_spark.queries import query
 
 
@@ -61,13 +65,74 @@ def _run_to_completion(q, timeout_s: int = 300) -> None:
     awaitTermination timeout would silently return a partial memory
     table (or leave a rollup table still being appended) as if it were
     the full answer."""
+    sampler = _PlanSampler(q) if audit_mode() else None
     try:
         finished = q.awaitTermination(timeout_s)
         if not finished:
             raise TimeoutError(
                 f"streaming query did not finish within {timeout_s}s")
     finally:
+        if sampler is not None:
+            for p in sampler.stop():
+                record_stream_plan(p)
         q.stop()
+
+
+class _PlanSampler:
+    """Audit-mode-only: continuously sample ``explainInternal`` (the
+    plan of lastExecution — the micro-batch currently or most recently
+    running) from a daemon thread, recording every DISTINCT plan seen.
+
+    Why not one capture at the end: an availableNow run of a
+    watermarked operator ends with an empty state-flush batch
+    (LocalTableScan <empty>) whose plan would mask the data batch's
+    real scans; and lastExecution advances to the next batch before
+    lastProgress surfaces the previous one, so progress-keyed capture
+    races the same way. Sampling DURING execution (25 ms period vs
+    batches that run hundreds of ms) observes each batch while it is
+    still lastExecution. Best-effort by design — a sub-25 ms batch can
+    be missed — which is acceptable for a plan audit and never touches
+    production runs (plans/barrier audit flag is plancheck-scoped)."""
+
+    @staticmethod
+    def _shape_key(plan: str) -> str:
+        # two batches with the same SHAPE (differing only in epoch,
+        # plan ids, object addresses, state-store versions) count once
+        # — repeated identical batches would otherwise inflate the
+        # merged scan/exchange totals
+        import re
+
+        return re.sub(r"epoch: \d+|plan_id=\d+|@[0-9a-f]+|ver = \d+",
+                      "·", plan)
+
+    def __init__(self, q, period_s: float = 0.025):
+        import threading
+
+        self._q = q
+        self._seen: dict[str, str] = {}  # shape key -> first plan seen
+        self._stop = threading.Event()
+
+        def run() -> None:
+            while not self._stop.is_set():
+                try:
+                    p = q._jsq.explainInternal(False)
+                    self._seen.setdefault(self._shape_key(p), p)
+                except Exception:
+                    pass  # query not started yet / already stopped
+                self._stop.wait(period_s)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def stop(self) -> list[str]:
+        self._stop.set()
+        self._t.join(timeout=5)
+        try:  # final sample: the last batch is still lastExecution
+            p = self._q._jsq.explainInternal(False)
+            self._seen.setdefault(self._shape_key(p), p)
+        except Exception:
+            pass
+        return list(self._seen.values())
 
 
 @query(

@@ -22,6 +22,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rsyslog_nginx_clickhouse_spark.plans.barrier import set_audit_mode
+from rsyslog_nginx_clickhouse_spark.plans.stream_audit import (
+    drain_stream_plans,
+)
 from rsyslog_nginx_clickhouse_spark.queries import load_all
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
@@ -86,6 +89,7 @@ def main() -> int:
     for name, q in registry.items():
         if only and name not in only:
             continue
+        drain_stream_plans()  # drop leftovers from a failed prior query
         try:
             df = q.spark(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -97,7 +101,20 @@ def main() -> int:
             print(f"SKIP {name}: {e}")
             skipped += 1
             continue
-        a = audit(plan, formatted)
+        # streaming queries execute inside the callable and return the
+        # materialized sink (LocalTableScan — an empty audit). The run
+        # chokepoint recorded each executed micro-batch plan; audit
+        # those TOGETHER with the final frame so PLANS.md shows the
+        # real scans/exchanges/joins (VERDICT r5 item 4). Micro-batch
+        # plans are tree-form only → formatted-mode scan parsing is
+        # skipped for them (memory-sink final frames scan no parquet,
+        # so nothing is lost).
+        stream_plans = drain_stream_plans()
+        n_batches = len(stream_plans)
+        if stream_plans:
+            a = audit("\n\n".join(stream_plans + [plan]))
+        else:
+            a = audit(plan, formatted)
         flags = []
         if a["cartesian"]:
             flags.append("CARTESIAN")
@@ -113,6 +130,7 @@ def main() -> int:
                 f"exch={a['exchanges']} "
                 f"{'partial-agg ' if a['partial_agg'] else ''}"
                 f"{'topk ' if a['take_ordered'] else ''}"
+                f"{f'stream-batch-plans={n_batches} ' if n_batches else ''}"
                 f"{' '.join(flags)}")
         print(("WARN " if flags else "ok   ") + line)
         bad += bool(flags)
