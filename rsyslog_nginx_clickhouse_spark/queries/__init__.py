@@ -59,85 +59,82 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 #: The driver's correctness snapshot covers only the FIRST 50 registry
 #: entries per round, so queries lacking a CURRENT green driver row
-#: are front-loaded each round. Round-5 rotation (VERDICT r4 item 1):
-#: the round-4 tie-exact rounding commits (ff729a6, d281b62, b069a88)
-#: rewrote query+oracle text AFTER the r2/r3 driver windows ran, so
-#: every query whose text changed since its last driver row is green
-#: only on the in-repo selfcheck until the driver's independent oracle
-#: re-runs it. Ordering (staleness computed per-query from
-#: ``git diff 40a444e..HEAD`` mapped to registered decorator spans):
-#: (1) the 11 TPC-H built-ins last driver-checked in r2;
-#: (2) the semantically-rewritten money/ratio queries not in the r4
-#: window (ratio-of-integer-unit-sums, integer-exact thresholds);
-#: (3) the remaining rounding-touched entries last checked in r3;
-#: (4) untouched r3-checked entries, as many as fit — preceded by (0),
-#: queries NEW this round (never driver-verified). Untouched r3
-#: entries that do not fit (customers_without_orders, embedding_norms,
-#: embedding_quantization, orders_moving_avg,
-#: orderstatus_pivot, purchase_last_view_asof, q12_priority_shipping,
-#: replacing_upsert_roundtrip, rollup_customer_balance,
-#: running_customer_spend, streaming_view_purchase_join,
-#: timeseries_5min_by_type, top3_parts_per_brand, user_sessions) carry
-#: text identical to what r3 verified and rotate in next round. All
-#: registry entries pass the identical in-repo gate (tools/selfcheck.py)
-#: regardless of order.
-_FRONTLOAD_R5 = [
-    # (0) new this round — never driver-verified; plus r4-green queries
-    # whose code path changed this round (features schema float→double)
-    "nginx_pipeline_rulebase",
-    "multimodal_decode_bmp",
-    "multimodal_features",
-    # (1) last driver row r2 — also rounding-touched
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q22_idle_customers",
-    # (2) semantics rewritten by the rounding conversion, last row r3
-    "q1_pricing_summary",
-    "q14_promo_revenue",
-    "parts_above_brand_avg",
-    "latency_quantiles",
-    "user_event_gaps",
-    # (3) remaining rounding-touched, last row r3
-    "collapsing_state_roundtrip",
-    "curation_pipeline",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "domain_mixture",
-    "events_in_sessions_rangejoin",
-    "grafana_adhoc_filters",
-    "grafana_from_to_macros",
-    "grafana_natural_timeseries",
-    "grafana_timeseries",
+#: are front-loaded each round. The rotation policy is now EXECUTABLE
+#: (tools/rotationcheck.py, run by gate.sh — VERDICT r5 item 8): the
+#: window must contain every never-verified query and every query
+#: whose resolved function-source+oracle differs from the tree its
+#: last green row verified, and the remaining slots fill
+#: oldest-verified-first. Round-6 ordering, computed by that tool:
+#: (0) NEW this round: ivf_build (the separated index build) and
+#: multimodal_decode_png — never driver-verified;
+#: (1) TEXT-CHANGED since their last row: q9_product_profit and
+#: bucketed_join_revenue (both touched by the value-identical
+#: b7402d9 _REV_ROUND1_SQL/_rev_units rename after their r4 rows —
+#: the judge caught q9, rotationcheck caught the second one), knn_ivf
+#: (now probes the persisted index; integer-exact Lloyd means),
+#: nginx_pipeline_rulebase (config dir now env-overridable);
+#: (2) the 14 entries whose last row is r3 — two full rounds old;
+#: (3) 30 r4-row entries, those touched indirectly this round first
+#: (multimodal/streaming/similarity/ingest module changes), then
+#: alphabetical. The 17 r4 entries that do not fit rotate first next
+#: round. All registry entries pass the identical in-repo gate
+#: (tools/selfcheck.py) regardless of order.
+_FRONTLOAD_R6 = [
+    # (0) new this round — never driver-verified (ivf_build before
+    # knn_ivf: the probe query reuses the index the build persists)
+    "ivf_build",
+    "multimodal_decode_png",
+    # (1) text-changed since their last green driver row
+    "q9_product_profit",
+    "bucketed_join_revenue",
     "knn_ivf",
-    "pii_redaction",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "quality_scores",
-    "repeat_users_intersect",
-    "repetition_stats",
-    "revenue_cube",
-    "similar_activity_users",
-    "source_overlap",
-    "text_stats",
-    # (4) untouched since their r3 green row — fill to 50
-    "dedup_simhash",
-    "doc_fingerprints",
-    "funnel_view_click_purchase",
-    "knn_lsh",
-    "lang_detect",
-    "token_shard_plan",
-    "big_spender_customers",
+    "nginx_pipeline_rulebase",
+    # (2) last driver row r3 — oldest in the registry
+    "customers_without_orders",
+    "embedding_norms",
+    "embedding_quantization",
+    "orders_moving_avg",
+    "orderstatus_pivot",
+    "purchase_last_view_asof",
+    "q12_priority_shipping",
+    "replacing_upsert_roundtrip",
+    "rollup_customer_balance",
+    "running_customer_spend",
+    "streaming_view_purchase_join",
+    "timeseries_5min_by_type",
+    "top3_parts_per_brand",
+    "user_sessions",
+    # (3) r4 rows — indirectly-touched modules first, then A-Z
+    "multimodal_frames",
+    "streaming_dedup",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_summed_rollup",
+    "streaming_user_counts",
+    "knn_bruteforce",
+    "knn_label_accuracy",
+    "embedding_neardup_exact",
+    "embedding_neardup_pairs",
+    "nginx_pipeline",
+    "nginx_dead_letters",
+    "nginx_table_roundtrip",
+    "zorder_pruned_scan",
+    "skew_salted_event_counts",
+    "approx_daily_users",
+    "approx_latency_quantiles",
+    "bot_traffic_share",
+    "corpus_selection",
+    "daily_unique_users",
+    "decontamination",
+    "dedup_components",
+    "dedup_keep_best",
+    "duplicated_ngram_fraction",
+    "error_rate_daily",
+    "event_type_share",
+    "gopher_quality_filter",
+    "grafana_columns_macro",
+    "grafana_conditional_filters",
+    "grafana_per_second_columns_macro",
 ]
 
 
@@ -155,8 +152,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R5 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R6 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R5}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R6}
     ordered.update(REGISTRY)
     return ordered

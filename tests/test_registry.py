@@ -32,3 +32,20 @@ def test_query_runs_at_sf0001(spark, sf_dir, name):
     assert df.schema is not None
     # run the plan; row counts vary with sf, just require no execution error
     df.limit(5).collect()
+
+
+def test_rotation_policy_fails_on_stale_fixture():
+    """tools/rotationcheck.py encodes the driver-window staleness
+    policy; its selftest includes a synthetic stale rotation that MUST
+    produce violations (VERDICT r5 item 8: the invariant is
+    executable, not a comment)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "rotationcheck.py"),
+         "--selftest"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "selftest ok" in r.stdout

@@ -9,17 +9,21 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/4 pytest =="
+echo "== 1/5 rotation invariant (selftest + live) =="
+python tools/rotationcheck.py --selftest
+python tools/rotationcheck.py | tail -1
+
+echo "== 2/5 pytest =="
 python -m pytest tests/ -x -q
 
-echo "== 2/4 oracle selfcheck (sf0.01, all queries) =="
+echo "== 3/5 oracle selfcheck (sf0.01, all queries) =="
 python tools/selfcheck.py /root/testdata/sf0.01 2>/dev/null | tail -3 | tee /tmp/gate_selfcheck.txt
 grep -q ", 0 fail" /tmp/gate_selfcheck.txt
 
-echo "== 3/4 plan audit =="
+echo "== 4/5 plan audit =="
 python tools/plancheck.py /root/testdata/sf0.001 2>/dev/null | tail -2
 
-echo "== 4/4 re-execution determinism =="
+echo "== 5/5 re-execution determinism =="
 python tools/determinism.py 2>/dev/null | tail -2 | tee /tmp/gate_det.txt
 grep -q ", 0 flaky" /tmp/gate_det.txt
 
