@@ -31,6 +31,99 @@ from rsyslog_nginx_clickhouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+#: adjudication thresholds — match tools/benchdiff.py
+ADJ_RATIO = 1.5
+ADJ_FLOOR_S = 0.3
+
+
+def _plan_sig(df) -> str:
+    """Stable shape signature of a query's physical plan: expression
+    ids, object addresses, paths, and UUIDs stripped, md5'd. Recorded
+    per query in BENCH_LAST.json so the NEXT round's adjudication can
+    tell 'the plan changed' (expected time shift) from 'same plan,
+    slower' (steal or a real regression) without any manual diffing."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = re.sub(
+        r"#\d+|@[0-9a-f]+|file:[^\s,\)\]]*|/tmp/[^\s,\)\]]*"
+        r"|[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+        r"|plan_id=\d+|epoch: \d+|ver = \d+",
+        "·", plan)
+    return hashlib.md5(norm.encode()).hexdigest()[:12]
+
+
+def _best_known() -> tuple[dict[str, float], dict[str, str], dict[str, str]]:
+    """Per-query best wall across recorded rounds (+ which round, and
+    that round's plan signature when it recorded one)."""
+    import re as _re
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from benchdiff import load_bench
+
+    best: dict[str, float] = {}
+    rnd: dict[str, str] = {}
+    sigs: dict[str, str] = {}
+    for path in sorted(os.listdir(REPO)):
+        if not _re.match(r"BENCH_r\d+\.json$", path):
+            continue
+        try:
+            doc = load_bench(os.path.join(REPO, path))
+        except Exception:
+            continue
+        for name, t in doc.get("queries", {}).items():
+            if t is None or t <= 0:
+                continue
+            if name not in best or t < best[name]:
+                best[name] = t
+                rnd[name] = path
+                sig = doc.get("plan_sig", {}).get(name)
+                if sig:
+                    sigs[name] = sig
+    return best, rnd, sigs
+
+
+def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
+    """Pre-adjudicate regressions (VERDICT r5 item 7): any query >=
+    ADJ_RATIO× its best recorded round gets (a) a plan-signature
+    check — a changed plan is an EXPECTED shift, not steal — then (b)
+    an immediate isolated re-probe (min of 2, suite contention gone).
+    A probe back near best ⇒ the bench sample hit box steal; a probe
+    that reproduces ⇒ real, investigate. Verdicts ship inside the
+    bench artifact so no round burns a turn on contention ghosts."""
+    import time as _time
+
+    best, rnd, old_sigs = _best_known()
+    out = {}
+    for name, t in timings.items():
+        b = best.get(name)
+        if b is None or t <= 0 or t / b < ADJ_RATIO \
+                or max(t, b) < ADJ_FLOOR_S:
+            continue
+        entry = {"bench": t, "best": round(b, 3),
+                 "best_round": rnd[name].replace(".json", ""),
+                 "ratio": round(t / b, 2)}
+        if name in old_sigs and old_sigs[name] != plan_sigs.get(name):
+            entry["verdict"] = "plan-changed"
+        else:
+            probe = None
+            for _ in range(2):
+                t0 = _time.time()
+                registry[name].spark(spark, SF_DIR) \
+                    .write.mode("overwrite").format("noop").save()
+                dt = _time.time() - t0
+                probe = dt if probe is None else min(probe, dt)
+                spark.catalog.clearCache()
+                gc.collect()
+            entry["probe"] = round(probe, 3)
+            entry["probe_load"] = round(os.getloadavg()[0], 2)
+            entry["verdict"] = ("steal" if probe / b < ADJ_RATIO
+                                else "real")
+        out[name] = entry
+    return out
+
 
 def main() -> None:
     registry = load_all()
@@ -66,6 +159,7 @@ def main() -> None:
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
+    plan_sigs: dict[str, str] = {}
     dead: set[str] = set()
     # box load recorded at start and after each pass: a reader of
     # BENCH_r{N}.json can separate microVM steal (load >> local work)
@@ -90,6 +184,8 @@ def main() -> None:
                 dt = round(time.time() - t0, 3)
                 prev = timings.get(name)
                 timings[name] = dt if prev is None else min(prev, dt)
+                if name not in plan_sigs:
+                    plan_sigs[name] = _plan_sig(df)
             except Exception as e:  # report, don't abort the bench
                 timings[name] = -1.0
                 dead.add(name)
@@ -114,6 +210,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    adjudications = _adjudicate(registry, spark, timings, plan_sigs, gc)
     out = {
         "metric": "query_set_wall_seconds",
         "value": total,
@@ -122,7 +219,10 @@ def main() -> None:
         "sf": sf_val,
         "iters": iters,
         "load_avg": loads,
+        "plan_sig": plan_sigs,
     }
+    if adjudications:
+        out["adjudications"] = adjudications
     if failed:
         # a crashed query must not read as a speedup of the total
         out["failed"] = failed
@@ -137,6 +237,11 @@ def main() -> None:
     # the serialized line would exceed the budget.
     budget = 1700
     compact = dict(out)
+    compact.pop("plan_sig", None)  # full table lives in BENCH_LAST
+    if adjudications:
+        # verdicts are the headline — always in the recorded tail
+        compact["adjudications"] = {
+            n: a["verdict"] for n, a in adjudications.items()}
     compact["queries"] = {}
     compact["queries_file"] = "BENCH_LAST.json"
     for name in sorted(timings, key=lambda n: -timings[n]):

@@ -69,11 +69,34 @@ def run_bench() -> dict:
         return json.load(f)
 
 
+def best_known_baseline() -> dict:
+    """Synthetic baseline: per-query BEST wall across every recorded
+    BENCH_r*.json round (VERDICT r5 item 7) — the hardest honest bar,
+    immune to one slow round resetting expectations."""
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir)
+    best: dict[str, float] = {}
+    for path in sorted(os.listdir(repo)):
+        if not re.match(r"BENCH_r\d+\.json$", path):
+            continue
+        try:
+            doc = load_bench(os.path.join(repo, path))
+        except Exception:
+            continue
+        for name, t in doc.get("queries", {}).items():
+            if t and t > 0 and (name not in best or t < best[name]):
+                best[name] = t
+    return {"value": round(sum(best.values()), 3), "queries": best}
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    base = load_bench(sys.argv[1])
+    if sys.argv[1] == "--best":
+        base = best_known_baseline()
+    else:
+        base = load_bench(sys.argv[1])
     cur = load_bench(sys.argv[2]) if len(sys.argv) > 2 else run_bench()
     bq, cq = base["queries"], cur["queries"]
     regressed = []

@@ -1,20 +1,32 @@
-"""Synthesize an sf1-equivalent documents/embeddings pair (10× sf0.1)
-for the scaling probe's one-step-beyond-bench check (VERDICT r3 item 8).
+"""Synthesize sf1-equivalent tables (10× sf0.1) for the scaling
+probe's one-step-beyond-bench check (VERDICT r3 item 8; r5 item 5
+extends it to the join suite).
 
 NOT test input — the correctness gate runs only on the driver-provided
 /root/testdata parquet. This exists purely so tools/scalecheck.py can
-take one more 10× step on the dedup/ANN family and surface any
-super-linearity that fixed overheads mask at sf0.1.
+take one more 10× step and surface any super-linearity that fixed
+overheads mask at sf0.1.
 
-Construction keeps the DUPLICATE DENSITY of the source corpus constant
-(the property that makes the probe honest): each of the 10 replicas
-suffixes every token with the replica id, so shingle sets NEVER
-overlap across replicas — the corpus is 10 independent copies of
-sf0.1's dup structure, not a corpus where every doc suddenly has 9
-near-identical siblings (which would grow pair counts in the DATA and
-read as a fake super-linearity in the ENGINE). Embeddings are rolled
-by the replica id (np.roll preserves norms, scrambles cross-replica
-cosine structure) with doc_ids offset the same way.
+Construction keeps the per-key STRUCTURE of the source constant (the
+property that makes the probe honest) — the output is 10 independent
+key-disjoint shards of sf0.1, exactly how TPC-H itself scales:
+
+- documents: each replica suffixes every token with the replica id,
+  so shingle sets NEVER overlap across replicas — 10 independent
+  copies of sf0.1's dup structure, not a corpus where every doc
+  suddenly has 9 near-identical siblings (which would grow pair
+  counts in the DATA and read as fake engine super-linearity);
+- embeddings: vectors rolled by replica id (norm-preserving, breaks
+  cross-replica cosine structure), ids offset;
+- orders/lineitem/customer/supplier/part: every join key
+  (orderkey/custkey/partkey/suppkey) offset by replica·stride, so
+  join fan-in, group sizes, and selectivities are IDENTICAL to sf0.1
+  while the fact tables grow 10× — the right scaling for
+  q21/q9/q2/q18/bucketed_join_revenue;
+- nation/region: copied verbatim (shared dimensions, as in TPC-H).
+
+events is deliberately absent: a verbatim copy would read as a fake
+1× "scaling" row; event-table queries show nan at the sf1 column.
 
 Usage: python tools/sf1gen.py [out_dir]   (default /tmp/scalecheck_sf1)
 """
@@ -72,9 +84,32 @@ def main() -> None:
     big_emb.write.mode("overwrite") \
         .parquet(os.path.join(out, "embeddings.parquet"))
 
-    nd = spark.read.parquet(os.path.join(out, "documents.parquet")).count()
-    ne = spark.read.parquet(os.path.join(out, "embeddings.parquet")).count()
-    print(f"wrote {out}: documents={nd} embeddings={ne}")
+    # the join suite: fact/dim tables as 10 key-disjoint shards
+    keyed = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+    }
+    for tbl, keys in keyed.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet"))
+        big = df.crossJoin(reps)
+        for k in keys:
+            big = big.withColumn(
+                k, F.col(k) + F.col("__rep") * F.lit(ID_STRIDE))
+        big.drop("__rep").write.mode("overwrite") \
+            .parquet(os.path.join(out, f"{tbl}.parquet"))
+    for tbl in ("nation", "region"):
+        spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet")) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out, f"{tbl}.parquet"))
+
+    counts = {t: spark.read.parquet(os.path.join(out, f"{t}.parquet"))
+              .count()
+              for t in ("documents", "embeddings", "orders", "lineitem")}
+    print(f"wrote {out}: " + " ".join(f"{t}={n}"
+                                      for t, n in counts.items()))
 
 
 if __name__ == "__main__":
