@@ -71,7 +71,9 @@ def _best_known() -> tuple[dict[str, float], dict[str, str], dict[str, str]]:
             continue
         try:
             doc = load_bench(os.path.join(REPO, path))
-        except Exception:
+        except (Exception, SystemExit):
+            # r2/r3 recorded truncated tails with no parseable JSON —
+            # load_bench raises SystemExit for those, not Exception
             continue
         for name, t in doc.get("queries", {}).items():
             if t is None or t <= 0:

@@ -164,3 +164,22 @@ def test_int_ratio_round_overflow_guard_raises(spark):
                         F.lit(100).cast("long"), 4).alias("r")
     ).collect()[0]["r"]
     assert ok == 123.45
+
+
+def test_int_ratio_round_denominator_guard_raises(spark):
+    # ADVICE r5: Q near 2^62 wraps num = 2*10^p*P + Q and the final
+    # 2*Q*10^p divisor even when P is small — and a sum that wrapped
+    # UPSTREAM arrives looking small, so the guard must bound Q too
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.functions.rounding import (
+        int_ratio_round,
+    )
+
+    for bad_q in (2 ** 62, 0, -5):
+        df = spark.range(1).select(
+            F.lit(10).cast("long").alias("p"),
+            F.lit(bad_q).cast("long").alias("q"))
+        with pytest.raises(Exception, match="int_ratio_round overflow"):
+            df.select(int_ratio_round(F.col("p"), F.col("q"),
+                                      4)).collect()
