@@ -353,6 +353,209 @@ def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
     return img[ys][:, xs]
 
 
+# ----------------------------------------------------- audio / video --
+
+WAV_SAMPLES = 64
+WAV_RATE = 8000
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Dependency-free WAV decoder: RIFF/WAVE chunk walk, 16-bit PCM
+    mono only, → int16 sample array. Anything else (compressed codecs,
+    stereo, other depths) rejects loudly — the audio analog of
+    decode_bmp/decode_png."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM mono WAV is supported (got format="
+            f"{audio_format} channels={channels} bits={bits})")
+    return np.frombuffer(data, dtype="<i2").copy()
+
+
+def render_wav_bytes(text: str, n_samples: int = WAV_SAMPLES,
+                     rate: int = WAV_RATE) -> bytes:
+    """A real 16-bit PCM mono WAV whose samples carry the text's
+    bytes: sample p = (ord(text[p mod len]) − 128)·256 — centered,
+    full int16 range, and exactly derivable from the text by the SQL
+    oracle. Same non-empty-ASCII contract as render_bmp_bytes."""
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_wav_bytes requires non-empty ASCII text (oracle "
+            "indexes code points, renderer indexes UTF-8 bytes)")
+    vals = np.frombuffer((tb * (n_samples // len(tb) + 1))[:n_samples],
+                         dtype=np.uint8)
+    samples = ((vals.astype(np.int32) - 128) * 256).astype("<i2")
+    data = samples.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_features(samples: np.ndarray,
+                   n_chunks: int = FEATURE_DIM) -> np.ndarray:
+    """FEATURE_DIM floats from decoded PCM: per-chunk sample mean
+    normalized by the int16 scale. All-dyadic arithmetic (integer sums
+    over power-of-two chunk sizes, /32768), so the values are EXACT
+    doubles an external SQL oracle reproduces bit-for-bit — no
+    rounding discipline needed."""
+    s = np.asarray(samples, dtype=np.float64)
+    chunks = np.array_split(s, n_chunks)
+    return np.array([c.mean() / 32768.0 if len(c) else 0.0
+                     for c in chunks], dtype=np.float64)
+
+
+Y4M_W = Y4M_H = 8
+Y4M_FRAMES = 4
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Dependency-free YUV4MPEG2 (y4m) decoder: uncompressed 4:4:4
+    planar frames → (n_frames, H, W, 3) uint8 YUV array. The one
+    VIDEO container simple enough to parse with no codec library —
+    stream header + per-frame FRAME markers + raw planes."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace")
+    w = h = None
+    colorspace = "C420"  # the format's default when absent
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            colorspace = tok
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            f"only 4:4:4 y4m is supported (got {colorspace})")
+    pos, plane, frames = nl + 1, w * h, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        pos = fnl + 1
+        if pos + 3 * plane > len(payload):
+            raise ValueError("truncated y4m frame")
+        yuv = np.frombuffer(payload, np.uint8, 3 * plane, pos)
+        frames.append(yuv.reshape(3, h, w).transpose(1, 2, 0))
+        pos += 3 * plane
+    if not frames:
+        raise ValueError("y4m stream holds no frames")
+    return np.stack(frames)
+
+
+def render_y4m_bytes(text: str, width: int = Y4M_W, height: int = Y4M_H,
+                     n_frames: int = Y4M_FRAMES) -> bytes:
+    """A real y4m clip whose luma carries the text's bytes: frame f,
+    pixel p (row-major) has Y = ord(text[(f·W·H + p) mod len]),
+    U = V = 128 (neutral chroma). Same non-empty-ASCII contract as
+    the other renderers."""
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_y4m_bytes requires non-empty ASCII text (oracle "
+            "indexes code points, renderer indexes UTF-8 bytes)")
+    plane = width * height
+    total = n_frames * plane
+    vals = np.frombuffer((tb * (total // len(tb) + 1))[:total],
+                         dtype=np.uint8).reshape(n_frames, plane)
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n"
+           .encode("ascii")]
+    chroma = b"\x80" * plane
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(vals[f].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def extract_audio_features(multimodal: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode + features over WAV payloads, Arrow-batched
+    mapInPandas — the audio twin of extract_features(fake=False)."""
+    id_type = multimodal.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [audio_features(decode_wav(bytes(p))).tolist()
+                     for p in pdf["payload"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, features array<double>")
+
+
+def video_frame_stats(multimodal: DataFrame, stride: int = 2,
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL video decode + frame sampling over y4m payloads: keep
+    every ``stride``-th frame, emit its luma-plane mean — the codec
+    version of frame_sample's chunk/sample schedule."""
+    id_type = multimodal.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for rid, p in zip(pdf[id_col], pdf["payload"]):
+                v = decode_y4m(bytes(p))
+                for fi in range(0, v.shape[0], stride):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    means.append(float(
+                        v[fi, :, :, 0].astype(np.float64).mean()
+                        / 255.0))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
+                                "y_mean": means})
+
+    return multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, frame_idx int, y_mean double")
+
+
+def attach_payload(docs: DataFrame, render_fn, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Multimodal table with payloads from any renderer (BMP/PNG/WAV/
+    y4m …) — one Arrow-batched mapInPandas shape for all of them."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_fn(t) for t in pdf[text_col]],
+            })
+
+    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
+                                        "payload binary")
+
+
 # ------------------------------------------------- synthetic payloads --
 
 BMP_W = BMP_H = 8

@@ -65,8 +65,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: whose resolved function-source+oracle differs from the tree its
 #: last green row verified, and the remaining slots fill
 #: oldest-verified-first. Round-6 ordering, computed by that tool:
-#: (0) NEW this round: ivf_build (the separated index build) and
-#: multimodal_decode_png — never driver-verified;
+#: (0) NEW this round, never driver-verified: ivf_build (the
+#: separated index build), multimodal_decode_png, and the audio/video
+#: twins multimodal_decode_audio / multimodal_decode_video;
 #: (1) TEXT-CHANGED since their last row: q9_product_profit and
 #: bucketed_join_revenue (both touched by the value-identical
 #: b7402d9 _REV_ROUND1_SQL/_rev_units rename after their r4 rows —
@@ -74,9 +75,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (now probes the persisted index; integer-exact Lloyd means),
 #: nginx_pipeline_rulebase (config dir now env-overridable);
 #: (2) the 14 entries whose last row is r3 — two full rounds old;
-#: (3) 30 r4-row entries, those touched indirectly this round first
+#: (3) 28 r4-row entries, those touched indirectly this round first
 #: (multimodal/streaming/similarity/ingest module changes), then
-#: alphabetical. The 17 r4 entries that do not fit rotate first next
+#: alphabetical. The 19 r4 entries that do not fit rotate first next
 #: round. All registry entries pass the identical in-repo gate
 #: (tools/selfcheck.py) regardless of order.
 _FRONTLOAD_R6 = [
@@ -84,6 +85,8 @@ _FRONTLOAD_R6 = [
     # knn_ivf: the probe query reuses the index the build persists)
     "ivf_build",
     "multimodal_decode_png",
+    "multimodal_decode_audio",
+    "multimodal_decode_video",
     # (1) text-changed since their last green driver row
     "q9_product_profit",
     "bucketed_join_revenue",
@@ -133,8 +136,6 @@ _FRONTLOAD_R6 = [
     "event_type_share",
     "gopher_quality_filter",
     "grafana_columns_macro",
-    "grafana_conditional_filters",
-    "grafana_per_second_columns_macro",
 ]
 
 

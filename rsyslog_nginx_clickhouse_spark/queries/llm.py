@@ -786,6 +786,88 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("doc_id", "feat_idx"))
 
 
+@query(
+    "multimodal_decode_audio",
+    # sample p of the rendered WAV is (ord(text[p % len]) - 128)·256;
+    # features are 8-sample chunk means / 32768 — ALL-DYADIC
+    # arithmetic (integer sums over power-of-two divisors), so both
+    # engines produce bit-identical doubles and NO rounding discipline
+    # is needed (functions/rounding.py: exact values, no tie exists)
+    oracle="""
+    SELECT doc_id, (p.p // 8)::int AS chunk_idx,
+           avg((ascii(substr(text, (p.p % length(text)) + 1, 1)) - 128)
+               * 256.0) / 32768.0 AS level
+    FROM documents, unnest(generate_series(0, 63)) AS p(p)
+    GROUP BY doc_id, p.p // 8
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="REAL audio decode, zero dependencies: render each doc as a "
+        "genuine 16-bit PCM mono WAV (RIFF chunk layout, even-offset "
+        "padding rules), decode it back with the dependency-free "
+        "RIFF walker, and emit per-chunk PCM level features; the "
+        "oracle recomputes the decoded samples from the text bytes — "
+        "closing the audio half of the multimodal NotImplementedError "
+        "gate the same way BMP/PNG closed the image half",
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_payload,
+        extract_audio_features,
+        render_wav_bytes,
+    )
+
+    mm = attach_payload(_docs(spark, sf_dir), render_wav_bytes)
+    feats = extract_audio_features(mm)
+    return (feats.select("doc_id", F.posexplode("features"))
+                 .select("doc_id",
+                         F.col("pos").cast("int").alias("chunk_idx"),
+                         F.col("col").alias("level"))
+                 .orderBy("doc_id", "chunk_idx"))
+
+
+@query(
+    "multimodal_decode_video",
+    # frame f, pixel p of the rendered y4m has Y = ord(text[(f·64 + p)
+    # % len]); kept frames (stride 2 of 4) report luma mean / 255:
+    # terminating cases have <= 6 decimals (2-5 part of 64·255 is
+    # 320), non-terminating cases cannot sit on a tie — plain
+    # round(6) is cross-engine exact, same argument as the BMP query.
+    # Oracle divides the EXACT integer avg once (avg(y)/255), the
+    # same op order as the Spark side's mean-then-divide.
+    oracle="""
+    SELECT doc_id, f.f::int AS frame_idx,
+           round(avg(ascii(substr(text,
+                     ((f.f * 64 + p.p) % length(text)) + 1, 1)))
+                 / 255.0, 6) AS y_mean
+    FROM documents,
+         unnest(generate_series(0, 3)) AS f(f),
+         unnest(generate_series(0, 63)) AS p(p)
+    WHERE f.f % 2 = 0
+    GROUP BY doc_id, f.f
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL video decode, zero dependencies: render each doc as a "
+        "genuine YUV4MPEG2 clip (stream header, FRAME markers, 4:4:4 "
+        "planar YUV), decode it back with the dependency-free parser, "
+        "sample every 2nd frame, and emit per-frame luma means; the "
+        "oracle recomputes the kept frames' pixels from the text "
+        "bytes — the codec version of frame_sample's chunk/stride "
+        "schedule, closing the video half of the multimodal gate",
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_payload,
+        render_y4m_bytes,
+        video_frame_stats,
+    )
+
+    mm = attach_payload(_docs(spark, sf_dir), render_y4m_bytes)
+    stats = video_frame_stats(mm, stride=2)
+    return (stats.select("doc_id", "frame_idx",
+                         F.round("y_mean", 6).alias("y_mean"))
+                 .orderBy("doc_id", "frame_idx"))
+
+
 # -------------------------------------------------- tokens / ivf / frames --
 
 

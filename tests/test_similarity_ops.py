@@ -484,3 +484,70 @@ def test_png_decode_image_dispatch_and_features(spark):
     vals = np.array([tb[p % len(tb)] for p in range(128)], dtype=float)
     want = vals.reshape(8, 16).mean(axis=1) / 255.0
     assert np.allclose(f, want, atol=0)
+
+
+def test_wav_render_decode_roundtrip_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        render_wav_bytes,
+    )
+
+    text = "hello audio"
+    s = decode_wav(render_wav_bytes(text))
+    tb = text.encode()
+    want = np.array([(tb[p % len(tb)] - 128) * 256 for p in range(64)],
+                    dtype=np.int16)
+    assert (s == want).all()
+    # features are exact dyadic values: chunk mean / 32768, bit-equal
+    # to the independent computation
+    f = audio_features(s)
+    assert np.array_equal(
+        f, want.astype(float).reshape(8, 8).mean(axis=1) / 32768.0)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS not a wav")
+    good = bytearray(render_wav_bytes(text))
+    good[20] = 3  # audio_format -> IEEE float: unsupported, loud
+    with _pytest.raises(NotImplementedError, match="16-bit PCM"):
+        decode_wav(bytes(good))
+
+
+def test_y4m_render_decode_roundtrip_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_y4m,
+        render_y4m_bytes,
+    )
+
+    text = "video bytes!"
+    v = decode_y4m(render_y4m_bytes(text))
+    assert v.shape == (4, 8, 8, 3)
+    tb = text.encode()
+    total = 4 * 64
+    want = np.frombuffer((tb * (total // len(tb) + 1))[:total],
+                         np.uint8).reshape(4, 8, 8)
+    assert (v[..., 0] == want).all()
+    assert (v[..., 1] == 128).all() and (v[..., 2] == 128).all()
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF nope")
+    with _pytest.raises(NotImplementedError, match="4:4:4"):
+        decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\nFRAME\n" + b"x" * 96)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(render_y4m_bytes(text)[:-10])
+
+
+def test_audio_video_queries_run(spark, sf_dir):
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    reg = load_all()
+    a = reg["multimodal_decode_audio"].spark(spark, sf_dir)
+    rows = a.where(F.col("doc_id") == a.select("doc_id").first()[0]) \
+            .collect()
+    assert len(rows) == 8
+    v = reg["multimodal_decode_video"].spark(spark, sf_dir).collect()
+    assert {r["frame_idx"] for r in v} == {0, 2}
