@@ -552,8 +552,11 @@ def attach_payload(docs: DataFrame, render_fn, id_col: str = "doc_id",
                 "payload": [render_fn(t) for t in pdf[text_col]],
             })
 
-    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
-                                        "payload binary")
+    # explicit projection: Catalyst cannot prune columns THROUGH
+    # mapInPandas — without this the scan reads the full table
+    # for a 2-column transform
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
 
 
 # ------------------------------------------------- synthetic payloads --
@@ -678,8 +681,11 @@ def attach_png(docs: DataFrame, id_col: str = "doc_id",
                 "payload": [render_png_bytes(t) for t in pdf[text_col]],
             })
 
-    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
-                                        "payload binary")
+    # explicit projection: Catalyst cannot prune columns THROUGH
+    # mapInPandas — without this the scan reads the full table
+    # for a 2-column transform
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
 
 
 def attach_bmp(docs: DataFrame, id_col: str = "doc_id",
@@ -697,5 +703,8 @@ def attach_bmp(docs: DataFrame, id_col: str = "doc_id",
                 "payload": [render_bmp_bytes(t) for t in pdf[text_col]],
             })
 
-    return docs.mapInPandas(run, schema=f"{id_col} {id_type}, "
-                                        "payload binary")
+    # explicit projection: Catalyst cannot prune columns THROUGH
+    # mapInPandas — without this the scan reads the full table
+    # for a 2-column transform
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
