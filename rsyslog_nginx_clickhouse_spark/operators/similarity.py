@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -669,6 +669,82 @@ def ivf_probe(spark, index_dir: str, query_vec: list, k: int = 10,
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
+
+
+def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
+                 nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Batch kNN JOIN over the persisted IVF index — the retrieval
+    scale path (one query at a time doesn't amortize at 100 TB; a
+    training-data pipeline scores millions of queries per run).
+
+    Per Arrow batch, each query row is assigned its ``nprobe``
+    max-cosine lists with one numpy matmul against the parameter-sized
+    centroid table; the exploded (query, list_id) frame then cogroup-
+    joins the index's list_id-partitioned assignments, and a per-list
+    GEMM scores each list's queries against its candidates — work is
+    |Q|·nprobe·(n/n_lists) dot products inside bounded groups, never
+    all-pairs. Final top-k per query ranks the ROUNDED cosine (ties →
+    lowest candidate id) so the SQL oracle orders identically.
+    """
+    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .orderBy("list_id", "dim").collect())
+    n_lists = max(r["list_id"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows)
+    C_raw = np.zeros((n_lists, dim))
+    for r in rows:
+        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
+    C = _unit_rows(C_raw)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in vecs]))
+        # kind='stable': ties → lowest list_id, matching the oracle's
+        # ORDER BY cos DESC, list_id ASC
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")
+        return pd.Series([row[:nprobe].astype("int32").tolist()
+                          for row in order])
+
+    q_probes = (queries
+                .select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qv"),
+                        F.explode(probe_lists(F.col(vec_col)))
+                        .alias("list_id")))
+    assigned = spark.read.parquet(os.path.join(index_dir, "assign")) \
+        .select(F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"), "list_id")
+
+    out_schema = "qid long, cid long, cos_sim double"
+
+    def list_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = this list's queries, right = this list's candidates
+        if left.empty or right.empty:
+            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+        Q = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in left["qv"]]))
+        X = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in right["cv"]]))
+        S = np.round(Q @ X.T, 6)
+        nq, nc = S.shape
+        return pd.DataFrame({
+            "qid": np.repeat(left["qid"].to_numpy(), nc),
+            "cid": np.tile(right["cid"].to_numpy(), nq),
+            "cos_sim": S.ravel(),
+        })
+
+    # each index vector lives in exactly ONE list, so (qid, cid) pairs
+    # are unique across groups — no dedup needed before ranking
+    cand = (q_probes.groupBy("list_id")
+            .cogroup(assigned.groupBy("list_id"))
+            .applyInPandas(lambda left, right: list_knn(left, right),
+                           schema=out_schema))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
+                                          F.asc("cid"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k).drop("__rn"))
 
 
 def ivf_centroids_kmeans(embeddings: DataFrame, n_lists: int = N_LISTS,

@@ -67,7 +67,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest-verified-first. Round-6 ordering, computed by that tool:
 #: (0) NEW this round, never driver-verified: ivf_build (the
 #: separated index build), multimodal_decode_png, and the audio/video
-#: twins multimodal_decode_audio / multimodal_decode_video;
+#: twins multimodal_decode_audio / multimodal_decode_video, and the
+#: knn_join_ivf batch-retrieval join;
 #: (1) TEXT-CHANGED since their last row: q9_product_profit and
 #: bucketed_join_revenue (both touched by the value-identical
 #: b7402d9 _REV_ROUND1_SQL/_rev_units rename after their r4 rows —
@@ -75,9 +76,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (now probes the persisted index; integer-exact Lloyd means),
 #: nginx_pipeline_rulebase (config dir now env-overridable);
 #: (2) the 14 entries whose last row is r3 — two full rounds old;
-#: (3) 28 r4-row entries, those touched indirectly this round first
+#: (3) 27 r4-row entries, those touched indirectly this round first
 #: (multimodal/streaming/similarity/ingest module changes), then
-#: alphabetical. The 19 r4 entries that do not fit rotate first next
+#: alphabetical. The 20 r4 entries that do not fit rotate first next
 #: round. All registry entries pass the identical in-repo gate
 #: (tools/selfcheck.py) regardless of order.
 _FRONTLOAD_R6 = [
@@ -87,6 +88,7 @@ _FRONTLOAD_R6 = [
     "multimodal_decode_png",
     "multimodal_decode_audio",
     "multimodal_decode_video",
+    "knn_join_ivf",
     # (1) text-changed since their last green driver row
     "q9_product_profit",
     "bucketed_join_revenue",
@@ -135,7 +137,6 @@ _FRONTLOAD_R6 = [
     "error_rate_daily",
     "event_type_share",
     "gopher_quality_filter",
-    "grafana_columns_macro",
 ]
 
 

@@ -1066,6 +1066,66 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, idx, [float(x) for x in row[0]], k=10)
 
 
+def _ivf_join_oracle(n_iter: int = 2, n_lists: int = 16,
+                     dim: int = 64, every: int = 50, nprobe: int = 4,
+                     k: int = 10) -> str:
+    """knn_join_ivf oracle: shared training replay (_ivf_train_ctes),
+    final assignment, per-query nprobe probe selection (cos DESC,
+    list_id ASC — matching stable argsort), equi-join on list_id
+    (each vector lives in exactly one list, so pairs are unique), and
+    per-query top-k on the ROUNDED cosine (ties → lowest cid)."""
+    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim)
+    ctes.append(f"""asgf AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append(f"""qs AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {every} = 1)""")
+    ctes.append(f"""probes AS (
+      SELECT qid, qv, list_id FROM (
+        SELECT q.qid, q.qv, c.list_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {_cos_sql('c.cv', 'q.qv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM qs q CROSS JOIN {prev} c) WHERE rn <= {nprobe})""")
+    ctes.append(f"""sims AS (
+      SELECT p.qid, a.vec_id AS cid,
+             round({_cos_sql('a.embedding', 'p.qv')}, 6) AS cos_sim
+      FROM probes p JOIN asgf a USING (list_id))""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT qid, cid, cos_sim FROM (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, cid ASC) AS rn
+      FROM sims) WHERE rn <= {k}""")
+
+
+@query(
+    "knn_join_ivf",
+    oracle=_ivf_join_oracle(),
+    doc="batch kNN JOIN over the persisted IVF index (every 50th "
+        "vector as a query): Arrow-matmul probe assignment against "
+        "the parameter-sized centroid table, cogroup join on list_id "
+        "with per-list GEMM scoring — |Q|·nprobe·(n/n_lists) work in "
+        "bounded groups, never all-pairs, the retrieval shape that "
+        "amortizes at 100 TB; oracle replays training, assignment, "
+        "probe selection, and ranking entirely in SQL",
+)
+def knn_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        knn_join_ivf,
+    )
+
+    idx = _ivf_ensure_index(spark, sf_dir)
+    qs = (load(spark, sf_dir, "embeddings")
+          .where(F.col("vec_id") % 50 == 1))
+    return knn_join_ivf(spark, qs, idx)
+
+
 @query(
     "knn_label_accuracy",
     # queries = every 10th vector; candidates via the SAME banded LSH

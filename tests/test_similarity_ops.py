@@ -551,3 +551,34 @@ def test_audio_video_queries_run(spark, sf_dir):
     assert len(rows) == 8
     v = reg["multimodal_decode_video"].spark(spark, sf_dir).collect()
     assert {r["frame_idx"] for r in v} == {0, 2}
+
+
+def test_knn_join_ivf_matches_single_probes(spark, sf_dir, tmp_path):
+    """The batch retrieval join must return, for each query, exactly
+    the rows the single-query ivf_probe returns over the same
+    persisted index (same probes, same rounded-cosine ranking)."""
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        knn_join_ivf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(spark, emb, idx,
+              embeddings_src=os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.where(F.col("vec_id").isin([1, 51, 101]))
+    joined = knn_join_ivf(spark, qs, idx, k=5)
+    by_q = {}
+    for r in joined.collect():
+        by_q.setdefault(r["qid"], []).append((r["cid"], r["cos_sim"]))
+    assert set(by_q) == {1, 51, 101}
+    for qid, got in by_q.items():
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == qid)
+                 .select("embedding").first()[0]]
+        want = [(r["vec_id"], r["cos_sim"])
+                for r in ivf_probe(spark, idx, qv, k=5).collect()]
+        assert sorted(got, key=lambda t: (-t[1], t[0])) == want, qid
