@@ -722,7 +722,13 @@ def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
     def list_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = this list's queries, right = this list's candidates
         if left.empty or right.empty:
-            return pd.DataFrame({"qid": [], "cid": [], "cos_sim": []})
+            # explicit dtypes: a bare {} empty frame defaults float64,
+            # which Arrow may refuse to coerce to the long schema
+            return pd.DataFrame({
+                "qid": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            })
         Q = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                  for v in left["qv"]]))
         X = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
