@@ -639,6 +639,34 @@ def ivf_build(spark, embeddings: DataFrame, index_dir: str,
             .select("list_id", "dim", "cm"))
 
 
+def ivf_append(spark, new_vectors: DataFrame, index_dir: str,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing centroids and append them into the list_id-partitioned
+    layout — no retraining, no rewrite of existing lists.
+
+    This is the operation a 100 TB deployment actually runs daily:
+    centroids are retrained rarely (distribution drift), while new
+    data is folded in continuously at one matmul per Arrow batch plus
+    an append write into only the touched partitions. Probe/join
+    paths see the new vectors immediately (same partition pruning).
+    The meta fingerprint is NOT updated — it tracks the TRAINING
+    source, and append deliberately leaves training untouched.
+    """
+    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .orderBy("list_id", "dim").collect())
+    n_lists = max(r["list_id"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows)
+    C_raw = np.zeros((n_lists, dim))
+    for r in rows:
+        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
+    asg = ivf_assign(new_vectors, _unit_rows(C_raw), id_col, vec_col)
+    (asg.repartition(n_lists, "list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(os.path.join(index_dir, "assign")))
+
+
 def ivf_probe(spark, index_dir: str, query_vec: list, k: int = 10,
               nprobe: int = 4, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

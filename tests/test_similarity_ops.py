@@ -582,3 +582,39 @@ def test_knn_join_ivf_matches_single_probes(spark, sf_dir, tmp_path):
         want = [(r["vec_id"], r["cos_sim"])
                 for r in ivf_probe(spark, idx, qv, k=5).collect()]
         assert sorted(got, key=lambda t: (-t[1], t[0])) == want, qid
+
+
+def test_ivf_append_folds_new_vectors_without_retraining(spark, sf_dir,
+                                                         tmp_path):
+    """Incremental maintenance: append new vectors into the persisted
+    index (no retrain, no rewrite of existing lists) and the probe
+    must see them immediately. A near-duplicate of the query vector
+    appended under a new id must rank at the top."""
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_probe,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(spark, emb, idx,
+              embeddings_src=os.path.join(sf_dir, "embeddings.parquet"))
+    before = {r["vec_id"]
+              for r in spark.read.parquet(os.path.join(idx, "assign"))
+              .select("vec_id").collect()}
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 1).select("embedding").first()[0]]
+    new_id = max(before) + 1_000_000
+    new = spark.createDataFrame(
+        [(new_id, [float(x) for x in q])],
+        "vec_id long, embedding array<float>")
+    ivf_append(spark, new, idx)
+    after = spark.read.parquet(os.path.join(idx, "assign"))
+    assert after.count() == len(before) + 1
+    top = ivf_probe(spark, idx, q, k=2).collect()
+    ids = [r["vec_id"] for r in top]
+    # the appended exact duplicate and the original both score cos 1.0
+    assert set(ids) == {1, new_id}
