@@ -1,0 +1,62 @@
+"""AggregatingMergeTree-style rollup: persisted MERGEABLE sketch states.
+
+ClickHouse's AggregatingMergeTree stores partial aggregate STATES
+(``uniqState``/``quantileState``) per part and merges them at read or
+background-merge time (``uniqMerge``) — the pattern that makes
+pre-aggregated uniq-counting work at 100 TB: each ingest batch writes
+O(keys · sketch) rows, never reprocessing history, and serving cost is
+O(parts · keys · sketch) regardless of raw data size. The Summing
+analog (plans/summing.py) covers additive states; this module covers
+the non-additive sketch case with the engine's deterministic KMV
+bottom-k sketch (queries/reference.approx_daily_users).
+
+Why KMV merge is EXACT (and therefore value-oracle-able, unlike HLL's
+engine-specific bias correction): any hash among the k smallest of the
+UNION is necessarily among the k smallest of whichever part it came
+from, so bottom-k(⋃ parts' bottom-k states) == bottom-k(all data) —
+the merged estimate is bit-identical to the direct single-pass
+estimate, which is what the registry oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def append_kmv_partial(df: DataFrame, path: str, key_cols: list[str],
+                       hash_col: str, k: int) -> None:
+    """Append one part's partial KMV states: per key, the SORTED
+    bottom-k distinct-hash array (≤ k values — the uniqState analog).
+
+    Scale shape: one distinct + one window per batch (both spill,
+    nothing collects), and the written part is O(keys · k) however
+    large the batch was.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(hash_col)
+    (df.select(*key_cols, hash_col).distinct()
+       .withColumn("__rn", F.row_number().over(w))
+       .where(F.col("__rn") <= k)
+       .groupBy(*key_cols)
+       .agg(F.sort_array(F.collect_list(hash_col)).alias("state"))
+       .write.mode("append").parquet(path))
+
+
+def read_kmv_merged(spark: SparkSession, path: str, key_cols: list[str],
+                    k: int, out_col: str = "approx_users") -> DataFrame:
+    """Serving read — the uniqMerge analog: union the parts' states,
+    re-take the global bottom-k per key, and evaluate the KMV
+    estimator [Bar-Yossef et al. 2002]: exact count below k, else
+    (k−1)·2^32/h_(k). Input is O(parts · keys · k) rows, independent
+    of the raw data the states summarize."""
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    merged = (spark.read.parquet(path)
+              .select(*key_cols, F.explode("state").alias("h"))
+              .distinct()  # the same hash may survive in several parts
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= k))
+    est = (F.when(F.count("*") < k, F.count("*"))
+           .otherwise(F.floor(F.lit(float((k - 1) * 2 ** 32))
+                              / F.max("h"))))
+    return (merged.groupBy(*key_cols)
+            .agg(est.cast("bigint").alias(out_col)))

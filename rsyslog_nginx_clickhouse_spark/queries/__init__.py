@@ -68,7 +68,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (0) NEW this round, never driver-verified: ivf_build (the
 #: separated index build), multimodal_decode_png, and the audio/video
 #: twins multimodal_decode_audio / multimodal_decode_video, and the
-#: knn_join_ivf batch-retrieval join;
+#: knn_join_ivf batch-retrieval join and the kmv_rollup_users
+#: uniqState/uniqMerge rollup;
 #: (1) TEXT-CHANGED since their last row: q9_product_profit and
 #: bucketed_join_revenue (both touched by the value-identical
 #: b7402d9 _REV_ROUND1_SQL/_rev_units rename after their r4 rows —
@@ -76,9 +77,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (now probes the persisted index; integer-exact Lloyd means),
 #: nginx_pipeline_rulebase (config dir now env-overridable);
 #: (2) the 14 entries whose last row is r3 — two full rounds old;
-#: (3) 27 r4-row entries, those touched indirectly this round first
+#: (3) 26 r4-row entries, those touched indirectly this round first
 #: (multimodal/streaming/similarity/ingest module changes), then
-#: alphabetical. The 20 r4 entries that do not fit rotate first next
+#: alphabetical. The 21 r4 entries that do not fit rotate first next
 #: round. All registry entries pass the identical in-repo gate
 #: (tools/selfcheck.py) regardless of order.
 _FRONTLOAD_R6 = [
@@ -89,6 +90,7 @@ _FRONTLOAD_R6 = [
     "multimodal_decode_audio",
     "multimodal_decode_video",
     "knn_join_ivf",
+    "kmv_rollup_users",
     # (1) text-changed since their last green driver row
     "q9_product_profit",
     "bucketed_join_revenue",
@@ -136,7 +138,6 @@ _FRONTLOAD_R6 = [
     "duplicated_ngram_fraction",
     "error_rate_daily",
     "event_type_share",
-    "gopher_quality_filter",
 ]
 
 

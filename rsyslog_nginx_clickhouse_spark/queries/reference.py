@@ -633,6 +633,62 @@ def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d"))
 
 
+@query(
+    "kmv_rollup_users",
+    # merge is EXACT for bottom-k states (any global bottom-k hash is
+    # in its part's bottom-k), so the merged estimate is bit-identical
+    # to the direct single-pass KMV — the oracle is the SAME SQL as
+    # approx_daily_users, which is precisely the property being
+    # proved: uniqState parts + uniqMerge == uniq over raw data
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT cast(ts AS date) AS d,
+               ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint AS h
+        FROM events
+    ), bottomk AS (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM hashed
+    )
+    SELECT d,
+           cast(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                     ELSE floor({_KMV_K - 1} * 4294967296.0 / max(h))
+                END AS bigint) AS approx_users
+    FROM bottomk WHERE rn <= {_KMV_K}
+    GROUP BY d ORDER BY d
+    """,
+    doc="AggregatingMergeTree analog (uniqState/uniqMerge): events "
+        "arrive as three separate ingest batches, each appending only "
+        "its PARTIAL per-day KMV bottom-k state (O(keys·k) rows per "
+        "part, history never reprocessed); the serving read merges "
+        "the parts' states and evaluates the estimator — bit-equal "
+        "to the direct single-pass sketch because bottom-k merge is "
+        "exact, which the shared oracle verifies (plans/agg_rollup.py)",
+)
+def kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_kmv_partial,
+        read_kmv_merged,
+    )
+
+    k = _KMV_K
+    hashed = (load(spark, sf_dir, "events")
+              .select(F.to_date("ts").alias("d"),
+                      F.conv(F.substring(
+                          F.md5(F.col("user_id").cast("string")), 1, 8),
+                          16, 10).cast("bigint").alias("h"),
+                      F.col("event_id")))
+    path = tempfile.mkdtemp(prefix="kmv_rollup_")
+    shutil.rmtree(path, ignore_errors=True)
+    for part in range(3):  # three independent ingest batches
+        append_kmv_partial(
+            hashed.where(F.col("event_id") % 3 == part),
+            path, ["d"], "h", k)
+    return read_kmv_merged(spark, path, ["d"], k).orderBy("d")
+
+
 def approx_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale form: HLL++ via approx_count_distinct.
 

@@ -162,3 +162,55 @@ def test_range_join_buckets_and_boundaries(spark):
                        "2024-01-01 12:00:00"}
     # no duplicate matches even though the interval spans 13 bins
     assert got.count() == 3
+
+
+def test_kmv_rollup_merge_equals_direct_sketch(spark, sf_dir, tmp_path):
+    """AggregatingMergeTree analog: per-part KMV states merged at read
+    must be BIT-EQUAL to the direct single-pass sketch (bottom-k merge
+    is exact), and each persisted part must be state-sized (<= k rows'
+    worth of hashes per key), not data-sized."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_kmv_partial,
+        read_kmv_merged,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    k = 64  # small k so the estimator branch (n >= k) is exercised
+    hashed = (load(spark, sf_dir, "events")
+              .select(F.to_date("ts").alias("d"),
+                      F.conv(F.substring(
+                          F.md5(F.col("user_id").cast("string")), 1, 8),
+                          16, 10).cast("bigint").alias("h"),
+                      F.col("event_id")))
+    path = str(tmp_path / "rollup")
+    for part in range(3):
+        append_kmv_partial(hashed.where(F.col("event_id") % 3 == part),
+                           path, ["d"], "h", k)
+    # state-sized parts: every per-key state array holds <= k hashes
+    states = spark.read.parquet(path)
+    assert states.where(F.size("state") > k).count() == 0
+    merged = {(r["d"], r["approx_users"])
+              for r in read_kmv_merged(spark, path, ["d"], k).collect()}
+    # direct single-pass sketch at the same k
+    from pyspark.sql import Window
+    w = Window.partitionBy("d").orderBy("h")
+    direct = (hashed.select("d", "h").distinct()
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k).groupBy("d")
+              .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+              .select("d", F.when(F.col("n") < k, F.col("n"))
+                      .otherwise(F.floor(F.lit(float(k - 1))
+                                         * 4294967296.0 / F.col("hk")))
+                      .cast("bigint").alias("approx_users")))
+    assert merged == {(r["d"], r["approx_users"])
+                      for r in direct.collect()}
+    # registry query agrees with the direct full-k sketch
+    reg = load_all()
+    a = {tuple(r) for r in
+         reg["kmv_rollup_users"].spark(spark, sf_dir).collect()}
+    b = {tuple(r) for r in
+         reg["approx_daily_users"].spark(spark, sf_dir).collect()}
+    assert a == b
