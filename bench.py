@@ -55,36 +55,57 @@ def _plan_sig(df) -> str:
     return hashlib.md5(norm.encode()).hexdigest()[:12]
 
 
-def _best_known() -> tuple[dict[str, float], dict[str, str], dict[str, str]]:
-    """Per-query best wall across recorded rounds (+ which round, and
-    that round's plan signature when it recorded one)."""
-    import re as _re
-
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    from benchdiff import load_bench
-
+def _fold_best(docs: list[tuple[str, dict]]) -> tuple[
+        dict[str, float], dict[str, str], dict[str, str],
+        dict[str, tuple[str, str]]]:
+    """Fold per-round bench docs (sorted by round) into per-query best
+    wall, its round, that round's plan signature (absent when the best
+    round recorded none — pre-r5 rounds), and the EARLIEST recorded
+    signature per query (fallback baseline for the plan-changed check
+    when the best round predates signatures — VERDICT r6 item 5).
+    Factored pure so tests can drive it with synthetic rounds."""
     best: dict[str, float] = {}
     rnd: dict[str, str] = {}
     sigs: dict[str, str] = {}
-    for path in sorted(os.listdir(REPO)):
-        if not _re.match(r"BENCH_r\d+\.json$", path):
-            continue
-        try:
-            doc = load_bench(os.path.join(REPO, path))
-        except (Exception, SystemExit):
-            # r2/r3 recorded truncated tails with no parseable JSON —
-            # load_bench raises SystemExit for those, not Exception
-            continue
+    first_sigs: dict[str, tuple[str, str]] = {}  # name -> (sig, round)
+    for path, doc in docs:
         for name, t in doc.get("queries", {}).items():
+            sig = doc.get("plan_sig", {}).get(name)
+            if sig and name not in first_sigs:
+                first_sigs[name] = (sig, path)
             if t is None or t <= 0:
                 continue
             if name not in best or t < best[name]:
                 best[name] = t
                 rnd[name] = path
-                sig = doc.get("plan_sig", {}).get(name)
+                # a sig recorded by a PREVIOUS best round must not
+                # survive a new sig-less best (ADVICE r6): the stale
+                # pair would mislabel a real regression 'plan-changed'
+                sigs.pop(name, None)
                 if sig:
                     sigs[name] = sig
-    return best, rnd, sigs
+    return best, rnd, sigs, first_sigs
+
+
+def _best_known() -> tuple[dict[str, float], dict[str, str],
+                           dict[str, str], dict[str, tuple[str, str]]]:
+    """Per-query best wall across recorded rounds (see _fold_best)."""
+    import re as _re
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from benchdiff import load_bench
+
+    docs = []
+    for path in sorted(os.listdir(REPO)):
+        if not _re.match(r"BENCH_r\d+\.json$", path):
+            continue
+        try:
+            docs.append((path, load_bench(os.path.join(REPO, path))))
+        except (Exception, SystemExit):
+            # r2/r3 recorded truncated tails with no parseable JSON —
+            # load_bench raises SystemExit for those, not Exception
+            continue
+    return _fold_best(docs)
 
 
 def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
@@ -97,7 +118,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
     bench artifact so no round burns a turn on contention ghosts."""
     import time as _time
 
-    best, rnd, old_sigs = _best_known()
+    best, rnd, old_sigs, first_sigs = _best_known()
     out = {}
     for name, t in timings.items():
         b = best.get(name)
@@ -107,7 +128,17 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
         entry = {"bench": t, "best": round(b, 3),
                  "best_round": rnd[name].replace(".json", ""),
                  "ratio": round(t / b, 2)}
-        if name in old_sigs and old_sigs[name] != plan_sigs.get(name):
+        # plan-changed baseline: the best round's signature when it
+        # recorded one; else the EARLIEST signature-bearing round
+        # (pre-signature best rounds — r1..r3 — would otherwise make
+        # every deliberate plan rewrite read as 'real'; the r3
+        # per-bucket-GEMM rewrite of embedding_neardup_pairs was
+        # exactly this misclassification, VERDICT r6 item 5)
+        base_sig = old_sigs.get(name)
+        if base_sig is None and name in first_sigs:
+            base_sig, sig_round = first_sigs[name]
+            entry["sig_baseline"] = sig_round.replace(".json", "")
+        if base_sig is not None and base_sig != plan_sigs.get(name):
             entry["verdict"] = "plan-changed"
         else:
             probe = None

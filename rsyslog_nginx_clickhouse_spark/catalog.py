@@ -64,6 +64,28 @@ def normalize_ts(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch directory, CLEARED on
+    every call — for queries that materialize intermediate state
+    (rollup parts, staged writes). A fresh ``tempfile.mkdtemp`` per
+    invocation leaks one directory per bench iteration / selfcheck /
+    plancheck run (ADVICE r6); a fixed path is overwritten instead.
+    Lives beside the other written artifacts (spark-warehouse,
+    gitignored); override the base with SPARK_GRAFT_SCRATCH_DIR when
+    the checkout is read-only."""
+    import shutil
+
+    base = os.environ.get(
+        "SPARK_GRAFT_SCRATCH_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "spark-warehouse", "scratch"))
+    path = os.path.join(base, kind,
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → pushdown + pruning free."""
     if name in _TS_COLS:

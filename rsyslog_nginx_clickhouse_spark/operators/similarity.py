@@ -32,7 +32,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
+
+
+def tie6_np(S: "np.ndarray") -> "np.ndarray":
+    """Round-6 cosine with the repo's tie-exact IEEE sequence
+    (functions/rounding.py): floor(x·1e6 + 0.5)/1e6 — the SAME op
+    chain numpy, Spark (tie_round) and the DuckDB oracle
+    (tie_round_sql) all execute, so a DYADIC dot product that sits
+    exactly on a 6-decimal tie (e.g. 0.0078125 = 2^-7, reachable when
+    unit vectors have power-of-two components) rounds identically in
+    all three paths (ADVICE r6; np.round is half-to-EVEN, DuckDB
+    half-away, Spark HALF_UP on the decimal expansion — three
+    different tie answers). For negative cosines the sequence rounds
+    half toward +inf — an arbitrary convention, but the SAME one
+    everywhere, which is all the oracle contract needs."""
+    return np.floor(S * 1e6 + 0.5) / 1e6
+
+
+def tie6(col: Column) -> Column:
+    """Spark-column twin of ``tie6_np`` (shared helper in
+    functions/rounding.py — same caveats)."""
+    return tie_round(col, 6)
+
 
 NUM_PLANES = 8
 #: block count for the exact all-pairs GEMM (triangle-partitioned):
@@ -119,7 +142,7 @@ def knn_bruteforce(embeddings: DataFrame, query_vec: Column, k: int = 10,
     """
     return (embeddings
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), query_vec), 6).alias("cos_sim"))
+                    tie6(cosine(F.col(vec_col), query_vec)).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
 
@@ -149,7 +172,7 @@ def knn_lsh(embeddings: DataFrame, query_vec, dim: int, k: int = 10,
     return (embeddings
             .where(bucket_filter)
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), qcol_expr), 6)
+                    tie6(cosine(F.col(vec_col), qcol_expr))
                      .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
@@ -247,7 +270,7 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             ids = pdf[id_col].to_numpy()
             M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                      for v in pdf[vec_col]]))
-            S = np.round(M @ M.T, 6)
+            S = tie6_np(M @ M.T)
             ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
             return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
                                  "cos_sim": S[ii, jj]})
@@ -292,7 +315,7 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                  for v in A[vec_col]]))
         a_ids = A[id_col].to_numpy()
         if bi == bj:
-            S = np.round(M @ M.T, 6)
+            S = tie6_np(M @ M.T)
             ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
             lo = np.minimum(a_ids[ii], a_ids[jj])
             hi = np.maximum(a_ids[ii], a_ids[jj])
@@ -304,7 +327,7 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         N = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                  for v in B[vec_col]]))
         b_ids = B[id_col].to_numpy()
-        S = np.round(M @ N.T, 6)
+        S = tie6_np(M @ N.T)
         ii, jj = np.nonzero(S >= threshold)
         lo = np.minimum(a_ids[ii], b_ids[jj])
         hi = np.maximum(a_ids[ii], b_ids[jj])
@@ -363,7 +386,7 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
                                  for v in pdf[vec_col]]))
         QM = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                   for v in Q[vec_col]]))
-        S = np.round(QM @ M.T, 6)
+        S = tie6_np(QM @ M.T)
         # truncate to each query's top-k WITHIN the bucket, with the
         # same (cos DESC, cid ASC) total order as the final window:
         # exact (a global top-k neighbor is in the top-k of every
@@ -566,7 +589,7 @@ def knn_ivf(embeddings: DataFrame, query_vec: list, k: int = 10,
     return (assigned
             .where(F.col("list_id").isin(probes))
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+                    tie6(cosine(F.col(vec_col), qcol)).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
 
@@ -693,7 +716,7 @@ def ivf_probe(spark, index_dir: str, query_vec: list, k: int = 10,
     return (assigned
             .where(F.col("list_id").isin(probes))
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), qcol), 6)
+                    tie6(cosine(F.col(vec_col), qcol))
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
@@ -761,7 +784,7 @@ def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
                                  for v in left["qv"]]))
         X = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
                                  for v in right["cv"]]))
-        S = np.round(Q @ X.T, 6)
+        S = tie6_np(Q @ X.T)
         nq, nc = S.shape
         return pd.DataFrame({
             "qid": np.repeat(left["qid"].to_numpy(), nc),

@@ -440,7 +440,8 @@ _Q8_DEQ = ("[floor({e}[i]::double / scale + 0.5) * scale "
                   ELSE {_Q8_DEQ.format(e='embedding')} END AS deq
       FROM s)
     SELECT vec_id, round(scale, 9) AS scale,
-           round({_cos_sql('embedding', 'deq')}, 6) AS cos_sim,
+           floor(({_cos_sql('embedding', 'deq')}) * 1000000
+                 + 0.5) / 1000000 AS cos_sim,
            round(list_max([abs(embedding[i]::double - deq[i])
                            for i in generate_series(1, len(embedding))]),
                  6) AS max_err
@@ -472,7 +473,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scaled.select(
                 "vec_id",
                 F.round("scale", 9).alias("scale"),
-                F.round(cosine("embedding", F.col("deq")), 6)
+                tie_round(cosine("embedding", F.col("deq")), 6)
                  .alias("cos_sim"),
                 F.round(max_err, 6).alias("max_err"))
             .orderBy("vec_id"))
@@ -492,8 +493,8 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 1):
     sims AS (
       SELECT e.vec_id, {_cos_sql('e.embedding', 'qv')} AS c
       FROM embeddings e, q)
-    SELECT vec_id, round(c, 6) AS cos_sim
-    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    SELECT vec_id, floor((c) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM sims ORDER BY floor((c) * 1000000 + 0.5) / 1000000 DESC, vec_id LIMIT 10
     """,
     doc="exact top-10 cosine neighbors of vec_id=1: scan + "
         "TakeOrderedAndProject, no shuffle — the ANN ground truth",
@@ -516,8 +517,8 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.vec_id, {_cos_sql('e.embedding', 'qv')} AS c
       FROM s JOIN embeddings e ON e.vec_id = s.vec_id, q
       WHERE s.sig = qb)
-    SELECT vec_id, round(c, 6) AS cos_sim
-    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10
+    SELECT vec_id, floor((c) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM sims ORDER BY floor((c) * 1000000 + 0.5) / 1000000 DESC, vec_id LIMIT 10
     """,
     doc="LSH-bucketed ANN top-10 (deterministic seed-42 hyperplanes, "
         "numpy batch signatures); oracle inlines the 8×64 plane "
@@ -546,8 +547,8 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a, id_b, {_cos_sql('sa.embedding', 'sb.embedding')} AS c
       FROM cand JOIN embeddings sa ON sa.vec_id = id_a
                 JOIN embeddings sb ON sb.vec_id = id_b)
-    SELECT id_a, id_b, round(c, 6) AS cos_sim
-    FROM pairs WHERE round(c, 6) >= 0.35
+    SELECT id_a, id_b, floor((c) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM pairs WHERE floor((c) * 1000000 + 0.5) / 1000000 >= 0.35
     """,
     doc="embedding-cosine near-dup pairs (threshold 0.35 for this "
         "synthetic corpus) via BANDED hyperplane LSH (8 bands × 4 "
@@ -568,8 +569,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_cos_sql('a.embedding', 'b.embedding')} AS c
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, round(c, 6) AS cos_sim
-    FROM pairs WHERE round(c, 6) >= 0.35
+    SELECT id_a, id_b, floor((c) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM pairs WHERE floor((c) * 1000000 + 0.5) / 1000000 >= 0.35
     """,
     doc="EXACT embedding near-dup pairs (distributed triangle-blocked "
         "GEMM, no driver collect) — the all-pairs ground truth the "
@@ -980,8 +981,9 @@ def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
       FROM asgf a, q
       WHERE a.list_id IN (SELECT list_id FROM probes))""")
     return ("WITH " + ",\n    ".join(ctes) + """
-    SELECT vec_id, round(c, 6) AS cos_sim
-    FROM sims ORDER BY round(c, 6) DESC, vec_id LIMIT 10""")
+    SELECT vec_id, floor((c) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM sims ORDER BY floor((c) * 1000000 + 0.5) / 1000000 DESC,
+             vec_id LIMIT 10""")
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -1094,7 +1096,8 @@ def _ivf_join_oracle(n_iter: int = 2, n_lists: int = 16,
         FROM qs q CROSS JOIN {prev} c) WHERE rn <= {nprobe})""")
     ctes.append(f"""sims AS (
       SELECT p.qid, a.vec_id AS cid,
-             round({_cos_sql('a.embedding', 'p.qv')}, 6) AS cos_sim
+             floor(({_cos_sql('a.embedding', 'p.qv')})
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
       FROM probes p JOIN asgf a USING (list_id))""")
     return ("WITH " + ",\n    ".join(ctes) + f"""
     SELECT qid, cid, cos_sim FROM (
@@ -1145,7 +1148,8 @@ def knn_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id % 10 = 0 AND q.vec_id != c.vec_id),
     sims AS (
       SELECT qid, cid,
-             round({_cos_sql('eq.embedding', 'ec.embedding')}, 6) AS c
+             floor(({_cos_sql('eq.embedding', 'ec.embedding')})
+                   * 1000000 + 0.5) / 1000000 AS c
       FROM cand JOIN embeddings eq ON eq.vec_id = qid
                 JOIN embeddings ec ON ec.vec_id = cid),
     topk AS (
@@ -1450,9 +1454,10 @@ _ACTIVITY_VEC_CTE = """
     "similar_activity_users",
     oracle=_ACTIVITY_VEC_CTE + f"""
     SELECT a.user_id,
-           round({_DOT.format(a='a.v', b='q.v')} /
+           floor(({_DOT.format(a='a.v', b='q.v')} /
                  (sqrt({_DOT.format(a='a.v', b='a.v')})
-                  * sqrt({_DOT.format(a='q.v', b='q.v')})), 6) AS cos_sim
+                  * sqrt({_DOT.format(a='q.v', b='q.v')})))
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM vec a, (SELECT v FROM vec WHERE user_id = 1) q
     WHERE a.user_id != 1
     ORDER BY cos_sim DESC, a.user_id LIMIT 10
@@ -1480,7 +1485,7 @@ def similar_activity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.array(*[F.lit(int(x)) for x in qv])
     sims = vecs.where(F.col("user_id") != 1).select(
         "user_id",
-        F.round(cosine(F.col("vec"), qcol), 6).alias("cos_sim"))
+        tie_round(cosine(F.col("vec"), qcol), 6).alias("cos_sim"))
     return topk(sims, 10, F.desc("cos_sim"), F.col("user_id"))
 
 

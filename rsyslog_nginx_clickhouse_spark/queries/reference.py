@@ -665,9 +665,7 @@ def approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact, which the shared oracle verifies (plans/agg_rollup.py)",
 )
 def kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
     from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
         append_kmv_partial,
         read_kmv_merged,
@@ -680,8 +678,9 @@ def kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.md5(F.col("user_id").cast("string")), 1, 8),
                           16, 10).cast("bigint").alias("h"),
                       F.col("event_id")))
-    path = tempfile.mkdtemp(prefix="kmv_rollup_")
-    shutil.rmtree(path, ignore_errors=True)
+    # deterministic scratch, cleared by scratch_dir — not a leaked
+    # mkdtemp per invocation (ADVICE r6)
+    path = scratch_dir("kmv_rollup_users", sf_dir)
     for part in range(3):  # three independent ingest batches
         append_kmv_partial(
             hashed.where(F.col("event_id") % 3 == part),

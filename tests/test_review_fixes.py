@@ -225,3 +225,35 @@ def test_zorder_many_columns_stays_positive(spark):
     keys = [r["z"] for r in df.select(
         zorder_key(df, ["a", "b", "c", "d", "e"]).alias("z")).collect()]
     assert all(z >= 0 for z in keys)  # sign bit never set, no wrap
+
+
+def test_bench_fold_best_presignature_fallback():
+    """VERDICT r6 item 5 + ADVICE r6: (a) a best round that predates
+    plan signatures must still yield a fallback signature (earliest
+    sig-bearing round) so a deliberate plan rewrite adjudicates as
+    plan-changed, not 'real'; (b) a stale signature from a previous
+    best round must not survive a new sig-less best."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__),
+                                  os.pardir, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    docs = [
+        # r1: best wall for q, but recorded no signatures
+        ("BENCH_r01.json", {"queries": {"q": 0.374, "p": 1.0}}),
+        # r4: first round with a signature (slower wall)
+        ("BENCH_r04.json", {"queries": {"q": 0.6, "p": 2.0},
+                            "plan_sig": {"q": "sigA", "p": "sigP"}}),
+        # r5: new sig-less best for p — its stale r4 sig must be popped
+        ("BENCH_r05.json", {"queries": {"p": 0.5}}),
+    ]
+    best, rnd, sigs, first_sigs = bench._fold_best(docs)
+    assert best == {"q": 0.374, "p": 0.5}
+    assert rnd["q"] == "BENCH_r01.json"
+    # (a) best round has no sig; fallback resolves to the r4 signature
+    assert "q" not in sigs and first_sigs["q"] == ("sigA", "BENCH_r04.json")
+    # (b) p's best moved to sig-less r5: the r4 sig must NOT linger
+    assert "p" not in sigs and first_sigs["p"] == ("sigP", "BENCH_r04.json")

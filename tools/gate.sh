@@ -10,8 +10,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== 1/5 rotation invariant (selftest + live) =="
+# full output, not `| tail -1`: the per-query VIOLATION lines are the
+# actionable part of a red (ADVICE r6); the tool prints one summary
+# line plus only violations, so this stays terse when green
 python tools/rotationcheck.py --selftest
-python tools/rotationcheck.py | tail -1
+python tools/rotationcheck.py
 
 echo "== 2/5 pytest =="
 python -m pytest tests/ -x -q
