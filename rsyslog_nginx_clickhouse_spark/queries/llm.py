@@ -16,6 +16,7 @@ recomputes them.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -902,11 +903,15 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
-                    dim: int = 64) -> tuple[list[str], str]:
+                    dim: int = 64,
+                    src: str = "embeddings") -> tuple[list[str], str]:
     """CTE chain replaying the deterministic Lloyd training
     (operators/similarity.py ivf_centroids_lloyd) in SQL, iteration by
     iteration; returns (ctes, name-of-final-centroid-CTE). Shared by
     the ivf_build and knn_ivf oracles so the replay cannot drift.
+    ``src`` is the training relation — the default trains on the full
+    table; ivf_append_probe trains on the 90% base subset and folds
+    the rest in via append, so its oracle passes a filtered subquery.
 
     Assignment = argmax cosine (row_number ties → lowest list_id,
     matching np.argmax first-max). Centroid update = the INTEGER-EXACT
@@ -926,7 +931,7 @@ def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
       SELECT list_id, cv FROM (
         SELECT embedding::DOUBLE[] AS cv,
                row_number() OVER (ORDER BY vec_id) - 1 AS list_id
-        FROM embeddings ORDER BY vec_id LIMIT {n_lists}))"""]
+        FROM {src} ORDER BY vec_id LIMIT {n_lists}))"""]
     prev = "c0"
     for i in range(1, n_iter + 1):
         ctes.append(f"""asg{i} AS (
@@ -935,7 +940,7 @@ def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_cos_sql('e.embedding', 'c.cv')}
                                         DESC, c.list_id ASC) AS rn
-        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        FROM {src} e CROSS JOIN {prev} c) WHERE rn = 1)""")
         ctes.append(f"""s{i} AS (
       SELECT a.list_id, g.g AS dim,
              sum(CAST(a.embedding[g.g]::DOUBLE * {EMB_SCALE} AS BIGINT))
@@ -959,11 +964,19 @@ def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
 
 
 def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
-                      dim: int = 64) -> str:
+                      dim: int = 64, train_src: str = "embeddings",
+                      q_vec_id: int = 1) -> str:
     """The knn_ivf oracle: full Lloyd training replay
     (_ivf_train_ctes), final assignment, probe selection, and exact
-    cosine re-rank inside the probed lists — entirely in SQL."""
-    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim)
+    cosine re-rank inside the probed lists — entirely in SQL.
+
+    ``train_src``/``q_vec_id`` generalize it for ivf_append_probe:
+    training runs over a SUBSET relation while the final assignment
+    (asgf) always covers ALL of embeddings — exactly what
+    build-on-base + append-the-rest produces, because ivf_append
+    assigns new vectors against the same persisted final centroids
+    the build assigned the base with."""
+    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim, src=train_src)
     ctes.append(f"""asgf AS (
       SELECT vec_id, embedding, list_id FROM (
         SELECT e.vec_id, e.embedding, c.list_id,
@@ -972,7 +985,7 @@ def _ivf_lloyd_oracle(n_iter: int = 2, n_lists: int = 16,
                                         DESC, c.list_id ASC) AS rn
         FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
     ctes.append("q AS (SELECT embedding AS qv FROM embeddings "
-                "WHERE vec_id = 1)")
+                f"WHERE vec_id = {q_vec_id})")
     ctes.append(f"""probes AS (
       SELECT c.list_id FROM {prev} c, q
       ORDER BY {_cos_sql('c.cv', 'qv')} DESC, c.list_id ASC LIMIT 4)""")
@@ -1065,6 +1078,52 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = (load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") == 1).select("embedding").first())
     idx = _ivf_ensure_index(spark, sf_dir)
+    return ivf_probe(spark, idx, [float(x) for x in row[0]], k=10)
+
+
+@query(
+    "ivf_append_probe",
+    # training replay runs on the 90% BASE subset; final assignment
+    # covers ALL vectors — build assigns the base and append assigns
+    # the held-out 10% against the SAME final centroids, so one asgf
+    # over embeddings replays both paths
+    oracle=_ivf_lloyd_oracle(
+        train_src="(SELECT * FROM embeddings WHERE vec_id % 10 != 0)",
+        q_vec_id=10),
+    doc="IVF incremental-append lifecycle under the value oracle "
+        "(VERDICT r6 item 2 — the daily index-maintenance path, where "
+        "a silent assignment bug would corrupt retrieval gradually): "
+        "build the index from vec_id % 10 != 0, ivf_append the "
+        "held-out 10% (no retrain, touched-partition appends only), "
+        "then probe with vec_id 10's embedding — an APPENDED vector, "
+        "which must surface itself (cos 1.0) plus appended/base "
+        "neighbors; oracle replays base-subset training + full "
+        "assignment + probe ranking in SQL",
+)
+def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_index_fresh,
+        ivf_probe,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir) + "_append"
+    emb = load(spark, sf_dir, "embeddings")
+    marker = os.path.join(idx, "appended.json")
+    # idempotent across invocations: meta.json fingerprints the build
+    # (written AFTER the assign write), the marker records that the
+    # append ran (written after it) — a crash between any two steps
+    # leaves the marker absent, and the rebuild's overwrite clears any
+    # partial append, so re-runs never double-append
+    if not (ivf_index_fresh(idx, src) and os.path.exists(marker)):
+        ivf_build(spark, emb.where(F.col("vec_id") % 10 != 0), idx,
+                  embeddings_src=src)
+        ivf_append(spark, emb.where(F.col("vec_id") % 10 == 0), idx)
+        with open(marker, "w") as f:
+            json.dump({"appended": "vec_id % 10 == 0"}, f)
+    row = emb.where(F.col("vec_id") == 10).select("embedding").first()
     return ivf_probe(spark, idx, [float(x) for x in row[0]], k=10)
 
 
