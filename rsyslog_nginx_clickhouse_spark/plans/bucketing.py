@@ -15,21 +15,97 @@ join (SortMergeJoin directly over the scans).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
-                   sort: bool = True) -> None:
+                   sort: bool = True, path: str | None = None) -> None:
     """Persist ``df`` hash-bucketed (and in-bucket sorted) on ``key``.
 
     Sorting within buckets additionally removes the join's Sort nodes
     (SMJ reads both sides pre-sorted) and makes row-group stats
-    selective on the key.
+    selective on the key. With ``path`` the table is EXTERNAL: its
+    files outlive the catalog entry (DROP TABLE won't purge them) —
+    required by ensure_bucketed, whose on-disk fingerprint owns the
+    data lifetime.
     """
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of a warehouse table (managed saveAsTable
+    layout: <warehouse>/<table>)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return os.path.join(wh.removeprefix("file:"), table)
+
+
+def _bucket_meta(src_path: str, key: str, buckets: int) -> dict:
+    meta = {"source": src_path, "key": key, "buckets": buckets}
+    if os.path.exists(src_path):
+        st = os.stat(src_path)
+        meta["source_mtime"] = st.st_mtime
+        meta["source_size"] = st.st_size
+    return meta
+
+
+def bucketed_fresh(spark: SparkSession, table: str, src_path: str,
+                   key: str, buckets: int) -> bool:
+    """True iff ``table``'s on-disk data was bucketed from exactly this
+    source file (path+mtime+size) with these parameters — the same
+    fingerprint discipline as the IVF index (ivf_index_fresh)."""
+    meta_path = os.path.join(_table_location(spark, table),
+                             "_bucketmeta.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            return json.load(f) == _bucket_meta(src_path, key, buckets)
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def ensure_bucketed(spark: SparkSession, df: DataFrame, table: str,
+                    key: str, src_path: str, buckets: int = 32) -> None:
+    """Write-once bucketing (VERDICT r6 item 3, mirroring the
+    ivf_build/knn_ivf separation): the bucketed table is (re)written
+    only when its source fingerprint is stale, so queries pay the
+    one-time bucketing shuffle once per dataset, not once per run —
+    which is the entire point of bucketing at 100 TB.
+
+    Freshness lives on DISK (_bucketmeta.json beside the bucket files
+    — underscore-prefixed, ignored by the parquet reader), because the
+    default in-memory catalog forgets tables between processes: a new
+    session finds fresh files and RE-REGISTERS them as a bucketed
+    table (CREATE TABLE ... CLUSTERED BY ... LOCATION) instead of
+    rewriting — Spark recovers each file's bucket id from the
+    saveAsTable file-naming scheme, and the join still plans with no
+    Exchange (tests/test_bucketing.py covers the re-register path)."""
+    loc = _table_location(spark, table)
+    if bucketed_fresh(spark, table, src_path, key, buckets):
+        if not spark.catalog.tableExists(table):
+            ddl = spark.read.parquet(loc).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{loc}'")
+        return
+    # stale: drop any existing registration and the files, then write
+    # EXTERNAL (path-based) + fingerprint — external everywhere, so
+    # DROP TABLE never purges data the fingerprint still vouches for
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(df, table, key, buckets, path=loc)
+    with open(os.path.join(loc, "_bucketmeta.json"), "w") as f:
+        json.dump(_bucket_meta(src_path, key, buckets), f)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,

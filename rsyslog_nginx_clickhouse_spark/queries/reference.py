@@ -952,6 +952,63 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("__t", 2).alias("total_value")))
 
 
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ensure the two bucketed fact tables exist and are fresh for
+    this sf_dir (fingerprinted write-once — plans/bucketing.
+    ensure_bucketed); returns (orders_table, lineitem_table). Stable
+    per-sf names: the one-time bucketing shuffle is paid when the
+    source changes, not per process or per query run."""
+    from rsyslog_nginx_clickhouse_spark.plans.bucketing import (
+        ensure_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    to, tl = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    orders = (load(spark, sf_dir, "orders")
+              .select(F.col("o_orderkey").alias("orderkey"),
+                      "o_orderpriority"))
+    items = (load(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("orderkey"),
+                     "l_extendedprice", "l_discount"))
+    ensure_bucketed(spark, orders, to, "orderkey",
+                    os.path.join(sf_dir, "orders.parquet"), buckets=16)
+    ensure_bucketed(spark, items, tl, "orderkey",
+                    os.path.join(sf_dir, "lineitem.parquet"), buckets=16)
+    return to, tl
+
+
+@query(
+    "bucketed_build",
+    oracle="""
+    SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_keys
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders' AS tbl, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    ORDER BY tbl
+    """,
+    doc="the bucketed-table BUILD step, separated from the join probe "
+        "(VERDICT r6 item 3, mirroring ivf_build/knn_ivf): hash-bucket "
+        "orders + lineitem into 16 in-bucket-sorted buckets on the "
+        "order key, fingerprinted write-once; returns per-table "
+        "row/key counts READ BACK from the bucketed tables, so the "
+        "write round-trip is under the value gate against the raw "
+        "tables",
+)
+def bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    to, tl = _bucketed_tables(spark, sf_dir)
+    stats = []
+    for tbl, name, key in ((tl, "lineitem", "orderkey"),
+                           (to, "orders", "orderkey")):
+        stats.append(spark.table(tbl).agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys")))
+    return stats[0].unionByName(stats[1]).orderBy("tbl")
+
+
 @query(
     "bucketed_join_revenue",
     # revenue as an exact integer ten-thousandths sum + integer HALF_UP
@@ -966,28 +1023,19 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     doc="fact⋈fact through BUCKETED tables (both sides bucketBy(16) on "
-        "the order key at write, join planned with no Exchange — the "
-        "shuffle that IS the job at 100 TB happens once at write time); "
-        "oracle joins the raw tables, so the bucketed round-trip itself "
-        "is under the value gate",
+        "the order key, join planned with no Exchange — the shuffle "
+        "that IS the job at 100 TB happens once at write time, in "
+        "bucketed_build, and is NOT re-paid here: the fingerprint "
+        "makes the build a no-op when fresh); oracle joins the raw "
+        "tables, so the bucketed round-trip itself is under the value "
+        "gate",
 )
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.plans.bucketing import (
         bucketed_join,
-        write_bucketed,
     )
 
-    # per-process unique table names: bench + selfcheck share the
-    # session catalog's warehouse dir
-    to, tl = f"bj_orders_{os.getpid()}", f"bj_lineitem_{os.getpid()}"
-    orders = (load(spark, sf_dir, "orders")
-              .select(F.col("o_orderkey").alias("orderkey"),
-                      "o_orderpriority"))
-    items = (load(spark, sf_dir, "lineitem")
-             .select(F.col("l_orderkey").alias("orderkey"),
-                     "l_extendedprice", "l_discount"))
-    write_bucketed(orders, to, "orderkey", buckets=16)
-    write_bucketed(items, tl, "orderkey", buckets=16)
+    to, tl = _bucketed_tables(spark, sf_dir)
     j = bucketed_join(spark, to, tl, "orderkey")
     return (j.groupBy("o_orderpriority")
              .agg(int_sum_round(F.sum(rev_units()), 4, 1)
