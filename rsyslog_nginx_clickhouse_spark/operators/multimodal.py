@@ -203,19 +203,26 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon = row
         elif ftype == 2:  # Up — vectorized, no intra-row dependency
             recon = (row + prior) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
-            recon = np.zeros(stride, dtype=np.int32)
+        elif ftype == 1:  # Sub — recon[i] = (row[i] + recon[i-bpp]) & 255
+            # per-bpp-lane cumulative sum mod 256 (VERDICT r6 item 6:
+            # the dependency is only WITHIN a lane, so the whole row is
+            # one numpy cumsum instead of a per-byte Python loop)
+            recon = (np.cumsum(row.reshape(-1, bpp), axis=0,
+                               dtype=np.int64).ravel() & 0xFF) \
+                .astype(np.int32)
+        elif ftype in (3, 4):  # Average/Paeth — sequential in x by spec
+            # (each pixel's predictor reads the RECONSTRUCTED left
+            # neighbor); plain-int list arithmetic — numpy scalar
+            # indexing boxes per element and measured ~3× slower here
+            rl, pl = row.tolist(), prior.tolist()
+            rc = [0] * stride
             for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                b = int(prior[i])
-                c = int(prior[i - bpp]) if i >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    pred = _paeth(a, b, c)
-                recon[i] = (int(row[i]) + pred) & 0xFF
+                a = rc[i - bpp] if i >= bpp else 0
+                b = pl[i]
+                c = pl[i - bpp] if i >= bpp else 0
+                pred = ((a + b) >> 1) if ftype == 3 else _paeth(a, b, c)
+                rc[i] = (rl[i] + pred) & 0xFF
+            recon = np.asarray(rc, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ftype} in row {y}")
         out[y] = recon.astype(np.uint8)
@@ -638,18 +645,30 @@ def render_png_bytes(text: str, width: int = PNG_W, height: int = PNG_H,
     flat = img.reshape(height, stride).astype(np.int32)
     raw = bytearray()
     prior = np.zeros(stride, dtype=np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
     for y in range(height):
         ftype = y % 5
         row = flat[y]
-        filt = np.zeros(stride, dtype=np.int32)
-        for i in range(stride):
-            a = int(row[i - bpp]) if i >= bpp else 0
-            b = int(prior[i])
-            c = int(prior[i - bpp]) if i >= bpp else 0
-            pred = (0 if ftype == 0 else a if ftype == 1 else
-                    b if ftype == 2 else (a + b) >> 1 if ftype == 3 else
-                    _paeth(a, b, c))
-            filt[i] = (int(row[i]) - pred) & 0xFF
+        # ENCODING vectorizes for every filter type — unlike decode,
+        # all predictors read RAW row/prior neighbors, never the
+        # filtered output, so there is no intra-row dependency
+        a = np.concatenate([zeros, row[:-bpp]])     # left
+        b = prior                                    # up
+        c = np.concatenate([zeros, prior[:-bpp]])   # up-left
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth, same tie order as _paeth: a, then b, then c
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, c))
+        filt = (row - pred) & 0xFF
         raw.append(ftype)
         raw.extend(filt.astype(np.uint8).tobytes())
         prior = row

@@ -24,6 +24,52 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def append_quantile_partial(df: DataFrame, path: str, key_cols: list[str],
+                            val_col: str) -> None:
+    """Append one part's quantileState analog: per key, this batch's
+    EXACT (value, count) histogram — one partial-agg shuffle, part
+    size O(keys · distinct values) however large the batch was.
+
+    Exactness is what makes the state value-oracle-able (the
+    quantileState/quantileMerge pattern ClickHouse dashboards run over
+    this very table — reference README.md:32): histogram merge is sum
+    of counts, so the merged state is the exact multiset of all data
+    and any quantile read off it is bit-equal to the direct quantile.
+    Valid while the value domain is bounded (events.value is 2-decimal
+    with a ~50k-value range — the state is bounded regardless of row
+    count); an unbounded-domain deployment would swap in a
+    deterministic-compaction sketch and drop to a rows-only oracle.
+    """
+    (df.groupBy(*key_cols, val_col)
+       .agg(F.count("*").alias("cnt"))
+       .write.mode("append").parquet(path))
+
+
+def read_quantile_merged(spark: SparkSession, path: str,
+                         key_cols: list[str], val_col: str,
+                         quantiles: dict[str, float]) -> DataFrame:
+    """Serving read — the quantileMerge analog: sum the parts'
+    histograms per (key, value), then evaluate each requested discrete
+    quantile on the merged histogram: the smallest value whose
+    cumulative count reaches rank ceil(q·n) (1-based lower discrete
+    quantile — the oracle states the SAME explicit rank formula, so
+    semantics cannot drift between engines). Input is
+    O(parts · keys · values) rows, independent of the raw data the
+    states summarize."""
+    merged = (spark.read.parquet(path)
+              .groupBy(*key_cols, val_col)
+              .agg(F.sum("cnt").alias("cnt")))
+    w_cum = (Window.partitionBy(*key_cols).orderBy(val_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*key_cols)
+    h = (merged.withColumn("cum", F.sum("cnt").over(w_cum))
+               .withColumn("tot", F.sum("cnt").over(w_tot)))
+    aggs = [F.min(F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")),
+                         F.col(val_col))).alias(name)
+            for name, q in quantiles.items()]
+    return h.groupBy(*key_cols).agg(*aggs)
+
+
 def append_kmv_partial(df: DataFrame, path: str, key_cols: list[str],
                        hash_col: str, k: int) -> None:
     """Append one part's partial KMV states: per key, the SORTED

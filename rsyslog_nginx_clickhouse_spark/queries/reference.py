@@ -688,6 +688,56 @@ def kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_kmv_merged(spark, path, ["d"], k).orderBy("d")
 
 
+@query(
+    "quantile_rollup_latency",
+    # the oracle computes the DIRECT quantile from raw events with the
+    # SAME explicit rank rule the merged read uses (smallest value at
+    # 1-based rank >= ceil(q*n)); equality proves histogram-state
+    # merge is exact: quantileState parts + quantileMerge == quantile
+    # over raw data — the AggregatingMergeTree property for the
+    # non-additive, non-sketch state family
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           min(CASE WHEN rn >= ceil(0.5 * n) THEN value END) AS p50,
+           min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="quantileState/quantileMerge analog (VERDICT r6 item 4 — the "
+        "latency-dashboard pattern beside kmv_rollup_users): events "
+        "arrive as three separate ingest batches, each appending only "
+        "its per-event_type EXACT (value, count) histogram state "
+        "(O(keys·values) rows per part, bounded by the 2-decimal "
+        "value domain, history never reprocessed); the serving read "
+        "merges histograms by summing counts and evaluates p50/p99 on "
+        "the merged state — bit-equal to the direct discrete quantile "
+        "because exact-histogram merge is lossless, which the oracle "
+        "verifies (plans/agg_rollup.py)",
+)
+def quantile_rollup_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_quantile_partial,
+        read_quantile_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", "value", "event_id"))
+    path = scratch_dir("quantile_rollup_latency", sf_dir)
+    for part in range(3):  # three independent ingest batches
+        append_quantile_partial(
+            ev.where(F.col("event_id") % 3 == part),
+            path, ["event_type"], "value")
+    return (read_quantile_merged(spark, path, ["event_type"], "value",
+                                 {"p50": 0.5, "p99": 0.99})
+            .orderBy("event_type"))
+
+
 def approx_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale form: HLL++ via approx_count_distinct.
 

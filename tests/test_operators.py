@@ -214,3 +214,44 @@ def test_kmv_rollup_merge_equals_direct_sketch(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in
          reg["approx_daily_users"].spark(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_quantile_rollup_merge_equals_direct(spark, sf_dir, tmp_path):
+    """quantileState/quantileMerge analog: per-part exact histograms
+    merged at read must be BIT-EQUAL to the direct quantile at the
+    same explicit rank rule, regardless of how the data was split into
+    parts; and each part must be histogram-sized (one row per
+    (key, value)), not data-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_quantile_partial,
+        read_quantile_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", "value", "event_id"))
+    path = str(tmp_path / "qroll")
+    # 5 parts here vs the registry's 3: merge-exactness must not
+    # depend on the split
+    for part in range(5):
+        append_quantile_partial(ev.where(F.col("event_id") % 5 == part),
+                                path, ["event_type"], "value")
+    states = spark.read.parquet(path)
+    assert (states.groupBy("event_type", "value").count()
+            .where(F.col("count") > 5).count()) == 0  # <=1 row/part/key/value
+    merged = {tuple(r) for r in read_quantile_merged(
+        spark, path, ["event_type"], "value",
+        {"p50": 0.5, "p99": 0.99}).collect()}
+    w = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type")
+    s = (ev.withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count("*").over(wt)))
+    direct = {tuple(r) for r in s.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(F.lit(0.5) * F.col("n")),
+                     F.col("value"))).alias("p50"),
+        F.min(F.when(F.col("rn") >= F.ceil(F.lit(0.99) * F.col("n")),
+                     F.col("value"))).alias("p99")).collect()}
+    assert merged == direct
