@@ -59,85 +59,84 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 #: The driver's correctness snapshot covers only the FIRST 50 registry
 #: entries per round, so queries lacking a CURRENT green driver row
-#: are front-loaded each round. The rotation policy is now EXECUTABLE
+#: are front-loaded each round. The rotation policy is EXECUTABLE
 #: (tools/rotationcheck.py, run by gate.sh — VERDICT r5 item 8): the
 #: window must contain every never-verified query and every query
 #: whose resolved function-source+oracle differs from the tree its
 #: last green row verified, and the remaining slots fill
-#: oldest-verified-first. Round-6 ordering, computed by that tool:
-#: (0) NEW this round, never driver-verified: ivf_build (the
-#: separated index build), multimodal_decode_png, and the audio/video
-#: twins multimodal_decode_audio / multimodal_decode_video, and the
-#: knn_join_ivf batch-retrieval join and the kmv_rollup_users
-#: uniqState/uniqMerge rollup;
-#: (1) TEXT-CHANGED since their last row: q9_product_profit and
-#: bucketed_join_revenue (both touched by the value-identical
-#: b7402d9 _REV_ROUND1_SQL/_rev_units rename after their r4 rows —
-#: the judge caught q9, rotationcheck caught the second one), knn_ivf
-#: (now probes the persisted index; integer-exact Lloyd means),
-#: nginx_pipeline_rulebase (config dir now env-overridable);
-#: (2) the 14 entries whose last row is r3 — two full rounds old;
-#: (3) 26 r4-row entries, those touched indirectly this round first
-#: (multimodal/streaming/similarity/ingest module changes), then
-#: alphabetical. The 21 r4 entries that do not fit rotate first next
-#: round. All registry entries pass the identical in-repo gate
-#: (tools/selfcheck.py) regardless of order.
-_FRONTLOAD_R6 = [
-    # (0) new this round — never driver-verified (ivf_build before
-    # knn_ivf: the probe query reuses the index the build persists)
-    "ivf_build",
-    "multimodal_decode_png",
-    "multimodal_decode_audio",
-    "multimodal_decode_video",
-    "knn_join_ivf",
-    "kmv_rollup_users",
+#: oldest-verified-first. Round-7 ordering, computed by that tool:
+#: (0) NEW this round: bucketed_build (the fingerprinted bucketed-
+#: table build split out of the join, placed BEFORE the join probe so
+#: the join's driver wall is probe-only), ivf_append_probe (the
+#: append path's first independent oracle — VERDICT r6 item 2), and
+#: quantile_rollup_latency (quantileState/quantileMerge analog);
+#: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
+#: probes the pre-built tables) and the whole cosine-ranking family —
+#: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
+#: embedding_neardup_{exact,pairs}, embedding_quantization,
+#: similar_activity_users — whose rounding moved to the tie-exact
+#: floor sequence on BOTH engines (ADVICE r6), plus kmv_rollup_users
+#: (scratch-dir fix);
+#: (2) the 21 r4-row entries that rotated past round 6 — oldest in
+#: the registry;
+#: (3) 15 r5-row entries, alphabetical. The remaining r5 rows rotate
+#: first next round. All registry entries pass the identical in-repo
+#: gate (tools/selfcheck.py) regardless of order.
+_FRONTLOAD_R7 = [
+    # (0) new this round — never driver-verified
+    "bucketed_build",
+    "ivf_append_probe",
+    "quantile_rollup_latency",
     # (1) text-changed since their last green driver row
-    "q9_product_profit",
     "bucketed_join_revenue",
     "knn_ivf",
-    "nginx_pipeline_rulebase",
-    # (2) last driver row r3 — oldest in the registry
-    "customers_without_orders",
-    "embedding_norms",
-    "embedding_quantization",
-    "orders_moving_avg",
-    "orderstatus_pivot",
-    "purchase_last_view_asof",
-    "q12_priority_shipping",
-    "replacing_upsert_roundtrip",
-    "rollup_customer_balance",
-    "running_customer_spend",
-    "streaming_view_purchase_join",
-    "timeseries_5min_by_type",
-    "top3_parts_per_brand",
-    "user_sessions",
-    # (3) r4 rows — indirectly-touched modules first, then A-Z
-    "multimodal_frames",
-    "streaming_dedup",
-    "streaming_hourly_counts",
-    "streaming_sessions",
-    "streaming_summed_rollup",
-    "streaming_user_counts",
+    "knn_join_ivf",
     "knn_bruteforce",
+    "knn_lsh",
     "knn_label_accuracy",
     "embedding_neardup_exact",
     "embedding_neardup_pairs",
-    "nginx_pipeline",
-    "nginx_dead_letters",
-    "nginx_table_roundtrip",
-    "zorder_pruned_scan",
-    "skew_salted_event_counts",
-    "approx_daily_users",
-    "approx_latency_quantiles",
-    "bot_traffic_share",
-    "corpus_selection",
-    "daily_unique_users",
-    "decontamination",
-    "dedup_components",
-    "dedup_keep_best",
-    "duplicated_ngram_fraction",
-    "error_rate_daily",
-    "event_type_share",
+    "embedding_quantization",
+    "similar_activity_users",
+    "kmv_rollup_users",
+    # (2) r4 rows — rotated past round 6, oldest in the registry
+    "gopher_quality_filter",
+    "grafana_columns_macro",
+    "grafana_conditional_filters",
+    "grafana_per_second_columns_macro",
+    "grafana_per_second_macro",
+    "grafana_rate_columns_macro",
+    "grafana_rate_macro",
+    "mixture_rebalance_plan",
+    "props_json_stats",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "retention_cohort",
+    "status_class_share",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_bigrams",
+    "top_users",
+    "train_test_split",
+    "value_histogram",
+    # (3) r5 rows, alphabetical
+    "big_spender_customers",
+    "collapsing_state_roundtrip",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "domain_mixture",
+    "events_in_sessions_rangejoin",
+    "funnel_view_click_purchase",
+    "grafana_adhoc_filters",
+    "grafana_from_to_macros",
+    "grafana_natural_timeseries",
+    "grafana_timeseries",
 ]
 
 
@@ -155,8 +154,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R6 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R7 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R6}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R7}
     ordered.update(REGISTRY)
     return ordered
