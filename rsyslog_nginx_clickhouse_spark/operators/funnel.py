@@ -111,3 +111,73 @@ def retention(events: DataFrame, conds: list[Column],
         r.append(F.sum(F.col("c1") * F.col(f"c{i}"))
                   .cast("long").alias(f"r{i}"))
     return per_user.agg(*r)
+
+
+def translate_sequence_pattern(pattern: str) -> str:
+    """ClickHouse sequenceMatch pattern → plain regex over the per-event
+    condition-label string: ``(?N)`` → the digit N, ``.*`` kept, ``.``
+    (exactly one event of any kind) kept. Time constraints
+    (``(?t>3600)``) are not supported — raise rather than silently
+    drop a constraint that changes semantics."""
+    import re
+
+    out, pos = [], 0
+    for m in re.finditer(r"\(\?(\d)\)|\.\*|\.", pattern):
+        if m.start() != pos:
+            raise ValueError(f"unsupported sequenceMatch pattern "
+                             f"fragment {pattern[pos:m.start()]!r}")
+        out.append(m.group(1) if m.group(1) else m.group(0))
+        pos = m.end()
+    if pos != len(pattern):
+        raise ValueError(f"unsupported sequenceMatch pattern tail "
+                         f"{pattern[pos:]!r} (time constraints like "
+                         f"(?t>3600) are not implemented)")
+    return "".join(out)
+
+
+def sequence_label(conds: list[Column]) -> Column:
+    """Per-event condition label: '1'..'N' for the FIRST matching
+    condition, '0' for none (matches ``.``/``.*`` only). ClickHouse
+    evaluates conditions independently (one event may satisfy
+    several); this encoding is equivalent when the conditions are
+    mutually exclusive — the event_type-equality conditions every
+    query here uses — and that restriction keeps the whole aggregate
+    a pure-expression string build both engines replay identically."""
+    lab = F.lit("0")
+    for i in range(len(conds), 0, -1):
+        lab = F.when(conds[i - 1], F.lit(str(i))).otherwise(lab)
+    return lab
+
+
+def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
+                   user_col: str = "user_id",
+                   time_col: str = "ts") -> DataFrame:
+    """(user, matched): ClickHouse ``sequenceMatch(pattern)(t, c1..cN)``.
+
+    Spark-first formulation — no UDF, no per-user state machine: each
+    event becomes one label char, the per-user labels concatenate in
+    (ts, label) order into a sequence string (collect_list + array_sort
+    + transform + array_join, all codegen-able expressions; one
+    shuffle on user), and the pattern is a single ``rlike``. The
+    subsequence-exists semantic of ``(?1).*(?2)`` is exactly regex
+    match over that string because every event contributes a char.
+    Equal-timestamp ties order by label (deterministic, and identical
+    to the oracle's ``ORDER BY ts, lab``); per-user state is the
+    bounded label string — at 100 TB the shuffle carries one char per
+    event, nothing quadratic.
+    """
+    regex = translate_sequence_pattern(pattern)
+    lab = sequence_label(conds).alias("lab")
+    ts = F.col(time_col).cast("timestamp")
+    per_user = (events
+                .select(F.col(user_col), ts.alias("__ts"), lab)
+                .groupBy(user_col)
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__ts"), F.col("lab")))),
+                        lambda x: x["lab"]),
+                    "").alias("seq")))
+    return per_user.select(
+        F.col(user_col),
+        F.col("seq").rlike(regex).alias("matched"))

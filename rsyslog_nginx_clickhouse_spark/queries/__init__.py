@@ -69,7 +69,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: table build split out of the join, placed BEFORE the join probe so
 #: the join's driver wall is probe-only), ivf_append_probe (the
 #: append path's first independent oracle — VERDICT r6 item 2), and
-#: quantile_rollup_latency (quantileState/quantileMerge analog);
+#: quantile_rollup_latency (quantileState/quantileMerge analog), and
+#: sequence_match_funnel (ClickHouse sequenceMatch analog — Q7);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -79,7 +80,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (scratch-dir fix);
 #: (2) the 21 r4-row entries that rotated past round 6 — oldest in
 #: the registry;
-#: (3) 15 r5-row entries, alphabetical. The remaining r5 rows rotate
+#: (3) 14 r5-row entries, alphabetical. The remaining r5 rows rotate
 #: first next round. All registry entries pass the identical in-repo
 #: gate (tools/selfcheck.py) regardless of order.
 _FRONTLOAD_R7 = [
@@ -87,6 +88,7 @@ _FRONTLOAD_R7 = [
     "bucketed_build",
     "ivf_append_probe",
     "quantile_rollup_latency",
+    "sequence_match_funnel",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",
@@ -136,7 +138,6 @@ _FRONTLOAD_R7 = [
     "grafana_adhoc_filters",
     "grafana_from_to_macros",
     "grafana_natural_timeseries",
-    "grafana_timeseries",
 ]
 
 

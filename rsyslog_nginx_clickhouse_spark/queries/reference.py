@@ -1174,6 +1174,56 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_match_funnel",
+    # the oracle rebuilds the SAME per-user label sequence (one char
+    # per event, ordered by ts then label) and applies the same regex
+    # — the encoding makes sequenceMatch a plain string match both
+    # engines evaluate identically; matched/users is an exact int
+    # ratio → tie-exact integer HALF_UP (functions/rounding.py)
+    oracle=f"""
+    WITH lab AS (
+      SELECT user_id, ts,
+             CASE event_type WHEN 'view' THEN '1' WHEN 'click' THEN '2'
+                  WHEN 'purchase' THEN '3' ELSE '0' END AS lab
+      FROM events),
+    seq AS (
+      SELECT user_id, string_agg(lab, '' ORDER BY ts, lab) AS s
+      FROM lab GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           cast(sum(CASE WHEN regexp_matches(s, '1.*2.*3')
+                         THEN 1 ELSE 0 END) AS bigint) AS n_matched,
+           {int_ratio_round_sql(
+               "sum(CASE WHEN regexp_matches(s, '1.*2.*3') "
+               "THEN 1 ELSE 0 END)", "count(*)", 6)} AS matched_share
+    FROM seq
+    """,
+    doc="ClickHouse sequenceMatch('(?1).*(?2).*(?3)')(ts, view, click, "
+        "purchase) analog — the unwindowed event-chain twin of "
+        "windowFunnel: each event becomes one condition-label char, "
+        "per-user labels concatenate in (ts, label) order, and the "
+        "chain test is ONE rlike over the sequence string — all "
+        "codegen-able expressions, one shuffle on user, no UDF, no "
+        "O(n^levels) self-join (operators/funnel.sequence_match); "
+        "reports users / matched / share",
+)
+def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t
+             for t in ("view", "click", "purchase")]
+    per_user = sequence_match(ev, conds, "(?1).*(?2).*(?3)")
+    hit = F.when(F.col("matched"), 1).otherwise(0)
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(hit).cast("bigint").alias("n_matched"),
+        int_ratio_round(F.sum(hit).cast("bigint"), F.count("*"), 6)
+        .alias("matched_share"))
+
+
+@query(
     "retention_cohort",
     oracle="""
     WITH per_user AS (

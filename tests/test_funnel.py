@@ -102,3 +102,47 @@ def test_retention_counts(spark):
     got = retention(ev, [d == F.lit("2024-01-02").cast("date"),
                          d == F.lit("2024-01-03").cast("date")]).collect()[0]
     assert (got["r1"], got["r2"]) == (2, 1)
+
+
+def test_sequence_match_basic_chain(spark):
+    """sequenceMatch semantics: subsequence-exists over ts order —
+    interleaved non-matching events never break a chain, order does."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+        translate_sequence_pattern,
+    )
+
+    rows = [
+        # user 1: view .. noise .. click .. purchase  -> matches
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "scroll"),
+        (1, "2024-01-01 10:10:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        # user 2: purchase before view/click          -> no match
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "click"),
+        # user 3: view then click, no purchase        -> no match
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 10:01:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    conds = [F.col("event_type") == t
+             for t in ("view", "click", "purchase")]
+    got = {r["user_id"]: r["matched"] for r in
+           sequence_match(df, conds, "(?1).*(?2).*(?3)").collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # the two-step pattern matches users 1 and 2... user 2 has view
+    # then click after the purchase, so (?1).*(?2) holds there too
+    got2 = {r["user_id"]: r["matched"] for r in
+            sequence_match(df, conds, "(?1).*(?2)").collect()}
+    assert got2 == {1: True, 2: True, 3: True}
+    # adjacency: '.' means EXACTLY one event between
+    assert translate_sequence_pattern("(?1).(?2)") == "1.2"
+    got3 = {r["user_id"]: r["matched"] for r in
+            sequence_match(df, conds, "(?1).(?2)").collect()}
+    # user 1: view,scroll,click -> exactly one event between: True;
+    # user 3: view,click adjacent -> no single event between: False
+    assert got3[1] is True and got3[3] is False
