@@ -108,7 +108,48 @@ def _best_known() -> tuple[dict[str, float], dict[str, str],
     return _fold_best(docs)
 
 
-def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
+#: Durable per-query best wall FOR THE CURRENT PLAN SIGNATURE.
+#: BENCH_r{N}.json round records are the driver's 2000-char compact
+#: tails — per-query plan signatures do NOT survive in them — so the
+#: same-plan baseline the adjudicator needs when the all-time best
+#: round predates signatures (r1-r3) is kept here instead, committed
+#: to git and rolled forward by every bench run: a matching signature
+#: lowers the stored best; a changed signature RESETS the entry (a
+#: new plan starts its own baseline).
+BEST_PATH = os.path.join(REPO, "BENCH_BEST.json")
+
+
+def _load_best_by_sig() -> dict:
+    try:
+        with open(BEST_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _update_best_by_sig(timings: dict, plan_sigs: dict,
+                        adjudications: dict) -> None:
+    best = _load_best_by_sig()
+    for name, t in timings.items():
+        sig = plan_sigs.get(name)
+        if sig is None or t <= 0:
+            continue
+        # an isolated re-probe is a cleaner sample than the in-suite
+        # wall — use the smaller of the two
+        probe = adjudications.get(name, {}).get("probe")
+        wall = min(t, probe) if probe else t
+        cur = best.get(name)
+        if cur and cur.get("sig") == sig:
+            cur["best"] = min(cur["best"], round(wall, 3))
+        else:
+            best[name] = {"sig": sig, "best": round(wall, 3)}
+    with open(BEST_PATH, "w") as f:
+        json.dump(dict(sorted(best.items())), f, indent=1)
+        f.write("\n")
+
+
+def _adjudicate(registry, spark, timings, plan_sigs, gc,
+                best_known=None, best_by_sig=None) -> dict:
     """Pre-adjudicate regressions (VERDICT r5 item 7): any query >=
     ADJ_RATIO× its best recorded round gets (a) a plan-signature
     check — a changed plan is an EXPECTED shift, not steal — then (b)
@@ -118,7 +159,10 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
     bench artifact so no round burns a turn on contention ghosts."""
     import time as _time
 
-    best, rnd, old_sigs, first_sigs = _best_known()
+    # injectable for the synthetic adjudication tests
+    best, rnd, old_sigs, first_sigs = best_known or _best_known()
+    if best_by_sig is None:
+        best_by_sig = _load_best_by_sig()
     out = {}
     for name, t in timings.items():
         b = best.get(name)
@@ -138,7 +182,19 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
         if base_sig is None and name in first_sigs:
             base_sig, sig_round = first_sigs[name]
             entry["sig_baseline"] = sig_round.replace(".json", "")
+        # when even the fallback signature matches (the plan changed
+        # BEFORE signatures existed — r1 best, r3 rewrite, r5 sig),
+        # RE-BASELINE against the durable same-plan best: a wall
+        # consistent with its own plan's baseline is not a regression,
+        # the all-time best simply belongs to a plan that no longer
+        # exists (VERDICT r6 item 5, second remedy)
+        same = best_by_sig.get(name)
+        b_same = (same["best"] if same
+                  and same.get("sig") == plan_sigs.get(name) else None)
         if base_sig is not None and base_sig != plan_sigs.get(name):
+            entry["verdict"] = "plan-changed"
+        elif b_same is not None and t / b_same < ADJ_RATIO:
+            entry["best_same_plan"] = b_same
             entry["verdict"] = "plan-changed"
         else:
             probe = None
@@ -152,7 +208,10 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc) -> dict:
                 gc.collect()
             entry["probe"] = round(probe, 3)
             entry["probe_load"] = round(os.getloadavg()[0], 2)
-            entry["verdict"] = ("steal" if probe / b < ADJ_RATIO
+            ref = b_same if b_same is not None else b
+            if b_same is not None:
+                entry["best_same_plan"] = b_same
+            entry["verdict"] = ("steal" if probe / ref < ADJ_RATIO
                                 else "real")
         out[name] = entry
     return out
@@ -244,6 +303,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     adjudications = _adjudicate(registry, spark, timings, plan_sigs, gc)
+    _update_best_by_sig(timings, plan_sigs, adjudications)
     out = {
         "metric": "query_set_wall_seconds",
         "value": total,

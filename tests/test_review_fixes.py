@@ -257,3 +257,68 @@ def test_bench_fold_best_presignature_fallback():
     assert "q" not in sigs and first_sigs["q"] == ("sigA", "BENCH_r04.json")
     # (b) p's best moved to sig-less r5: the r4 sig must NOT linger
     assert "p" not in sigs and first_sigs["p"] == ("sigP", "BENCH_r04.json")
+
+
+def test_bench_adjudicate_same_plan_rebaseline():
+    """VERDICT r6 item 5, second remedy: when the all-time best round
+    predates signatures AND the earliest recorded signature matches
+    the current plan (the plan changed before signatures existed),
+    the adjudicator re-baselines against the durable same-plan best
+    (BENCH_BEST.json) instead of probing against a wall that belongs
+    to a plan that no longer exists."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(os.path.dirname(__file__),
+                                   os.pardir, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    best_known = (
+        {"q": 0.374},                       # all-time best (r1, sig-less)
+        {"q": "BENCH_r01.json"},
+        {},                                  # best round recorded no sig
+        {"q": ("sigB", "BENCH_r05.json")},   # earliest sig == HEAD sig
+    )
+    by_sig = {"q": {"sig": "sigB", "best": 0.62}}
+    # 0.9s is 2.4x the r1 wall but only 1.45x the same-plan best →
+    # plan-changed (re-baselined), and NO probe runs (registry=None
+    # would throw if the probe branch were taken)
+    out = bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+                            best_known=best_known, best_by_sig=by_sig)
+    assert out["q"]["verdict"] == "plan-changed"
+    assert out["q"]["best_same_plan"] == 0.62
+    # without the same-plan baseline the branch would have probed:
+    # prove the gate is the baseline, not the ratio
+    try:
+        bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+                          best_known=best_known, best_by_sig={})
+        raised = False
+    except (AttributeError, TypeError):  # probe branch hit registry=None
+        raised = True
+    assert raised
+
+
+def test_bench_update_best_by_sig(tmp_path, monkeypatch):
+    """BENCH_BEST.json semantics: same signature rolls the best DOWN
+    (taking the cleaner of in-suite wall and isolated probe); a
+    changed signature RESETS the entry — a new plan starts its own
+    baseline rather than inheriting the old plan's wall."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(os.path.dirname(__file__),
+                                   os.pardir, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "BEST_PATH", str(tmp_path / "best.json"))
+
+    bench._update_best_by_sig({"q": 1.0}, {"q": "sigA"}, {})
+    bench._update_best_by_sig(  # probe cleaner than wall → probe wins
+        {"q": 0.9}, {"q": "sigA"}, {"q": {"probe": 0.7}})
+    got = _json.load(open(bench.BEST_PATH))
+    assert got["q"] == {"sig": "sigA", "best": 0.7}
+    bench._update_best_by_sig({"q": 2.0}, {"q": "sigB"}, {})  # reset
+    got = _json.load(open(bench.BEST_PATH))
+    assert got["q"] == {"sig": "sigB", "best": 2.0}
