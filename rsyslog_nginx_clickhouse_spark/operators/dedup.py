@@ -530,3 +530,64 @@ def split_bucket(id_col: Column | str, buckets: int = 100,
         F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 8),
         16, 10).cast("long")
     return (h % buckets).cast("int")
+
+
+def repeated_span_removal(docs: DataFrame, k: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """C4-style repeated-span removal [Raffel et al. 2020 §2.2 remove
+    any duplicated three-sentence span, kept once]: every k-token span
+    occurring more than once in the corpus is removed from all
+    documents EXCEPT its first occurrence (canonical = lowest
+    (doc_id, start) — deterministic and partition-invariant).
+
+    Spark-first shape, O(tokens) end to end, no UDF:
+    1. per-doc k-shingles with start positions (one `transform` over
+       `sequence` — codegen, no explode yet);
+    2. ONE shuffle on the shingle's md5 (16 bytes/occurrence instead
+       of the k-token string — at 100 TB the shingle text would be
+       the whole corpus ×k re-shuffled) ranks occurrences by
+       (doc_id, start); rank > 1 marks the span duplicated-here;
+    3. duplicated start positions regroup per doc (second shuffle,
+       only ~dup% of occurrences), and a per-token `exists` over that
+       (small) start list decides removal: token at 0-based p is
+       covered by a span starting at s iff p-k+1 <= s <= p;
+    4. the kept tokens rejoin into the cleaned text — all array
+       expressions, per-row.
+
+    Returns (id, clean_text, n_tokens, n_removed). Documents shorter
+    than k tokens pass through untouched.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), " ").alias("toks"))
+    sh = toks.select(
+        id_col,
+        F.expr(f"""CASE WHEN size(toks) >= {k} THEN
+            transform(sequence(0, size(toks) - {k}), i ->
+              struct(i AS start,
+                     md5(array_join(slice(toks, i + 1, {k}), ' ')) AS h))
+            ELSE array() END""").alias("sh"))
+    occ = (sh.select(id_col, F.explode("sh").alias("o"))
+             .select(id_col, F.col("o.start").alias("start"),
+                     F.col("o.h").alias("h")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy(id_col, "start")
+    dups = (occ.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") > 1)
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("start")).alias("ds")))
+    joined = (toks.join(dups, id_col, "left")
+              .withColumn("ds", F.coalesce(
+                  "ds", F.expr("CAST(array() AS array<int>)"))))
+    kept = F.expr(f"""filter(
+        transform(toks, (t, p) ->
+          IF(exists(ds, s -> s BETWEEN p - {k} + 1 AND p), NULL, t)),
+        x -> x IS NOT NULL)""")
+    return (joined
+            .withColumn("kept", kept)
+            .select(F.col(id_col),
+                    F.array_join("kept", " ").alias("clean_text"),
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    (F.size("toks") - F.size("kept")).cast("long")
+                    .alias("n_removed")))

@@ -89,6 +89,7 @@ _FRONTLOAD_R7 = [
     "ivf_append_probe",
     "quantile_rollup_latency",
     "sequence_match_funnel",
+    "span_dedup",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",
@@ -137,7 +138,6 @@ _FRONTLOAD_R7 = [
     "funnel_view_click_purchase",
     "grafana_adhoc_filters",
     "grafana_from_to_macros",
-    "grafana_natural_timeseries",
 ]
 
 

@@ -170,6 +170,58 @@ def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id")
 
 
+@query(
+    "span_dedup",
+    # oracle replays the identical pipeline: md5-keyed occurrence
+    # ranks (canonical = lowest (doc_id, start)), per-doc duplicated
+    # start lists, token kept iff no duplicated span covers it
+    # (0-based span start s covers 1-based token p iff
+    # s BETWEEN p-8 AND p-1)
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    sh AS (
+      SELECT doc_id, g.i AS start,
+             md5(array_to_string(toks[g.i+1:g.i+8], ' ')) AS h
+      FROM t, unnest(generate_series(0, len(toks)-8)) AS g(i)
+      WHERE len(toks) >= 8),
+    rk AS (SELECT doc_id, start,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, start) AS rn
+           FROM sh),
+    dups AS (SELECT doc_id, list(start ORDER BY start) AS ds
+             FROM rk WHERE rn > 1 GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, toks,
+             [toks[p] FOR p IN generate_series(1, len(toks))
+              IF len(list_filter(coalesce(ds, []),
+                                 s -> s BETWEEN p - 8 AND p - 1)) = 0]
+               AS kt
+      FROM t LEFT JOIN dups USING (doc_id))
+    SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS clean_text,
+           len(toks)::BIGINT AS n_tokens,
+           (len(toks) - len(kt))::BIGINT AS n_removed
+    FROM kept ORDER BY doc_id
+    """,
+    doc="C4-style repeated-span removal (Raffel et al. 2020: any "
+        "duplicated multi-sentence span kept once, here k=8 tokens): "
+        "every duplicated 8-token span is cut from all but its first "
+        "(lowest doc_id, start) occurrence and the surviving tokens "
+        "rejoin into clean_text. One md5-keyed occurrence-rank "
+        "shuffle + one per-doc regroup, all array expressions, no "
+        "UDF (operators/dedup.repeated_span_removal); ~9% of span "
+        "occurrences in the corpus are duplicated, so the operator "
+        "provably fires",
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        repeated_span_removal,
+    )
+
+    return repeated_span_removal(
+        load(spark, sf_dir, "documents"), k=8).orderBy("doc_id")
+
+
 def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     n: int = DUP_NGRAM_N) -> DataFrame:

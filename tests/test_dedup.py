@@ -176,3 +176,53 @@ def test_split_bucket_deterministic_and_balanced(spark):
     b2 = df.repartition(3).select("id", split_bucket("id").alias("b"))
     assert ({(r["id"], r["b"]) for r in b.collect()}
             == {(r["id"], r["b"]) for r in b2.collect()})
+
+
+def test_repeated_span_removal_c4_semantics(spark):
+    """Canonical (lowest doc_id, start) occurrence keeps its tokens;
+    every other occurrence of a duplicated k-span is cut; overlaps
+    union; short docs pass through."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        repeated_span_removal,
+    )
+
+    # k=3. Docs 1 and 2 share the span "a b c"; doc 2 also repeats it
+    # internally. Doc 3 is shorter than k. Doc 4 is all-unique.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c q a b c"),
+            (3, "a b"),
+            (4, "p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repeated_span_removal(df, k=3).collect()}
+
+    # doc 1 holds the canonical "a b c" (lowest doc_id, start=0)
+    assert out[1]["clean_text"] == "a b c x y z"
+    assert out[1]["n_removed"] == 0
+    # doc 2: spans at 0 and 4 are later occurrences -> tokens 0-2 and
+    # 4-6 are covered; only "q" (pos 3) survives
+    assert out[2]["clean_text"] == "q"
+    assert out[2]["n_removed"] == 6 and out[2]["n_tokens"] == 7
+    # short doc untouched
+    assert out[3]["clean_text"] == "a b" and out[3]["n_removed"] == 0
+    # unique doc untouched
+    assert out[4]["clean_text"] == "p q r s" and out[4]["n_removed"] == 0
+
+
+def test_repeated_span_removal_partition_invariant(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        repeated_span_removal,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(20)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = {tuple(r) for r in
+          repeated_span_removal(df.repartition(13), k=5).collect()}
+    r2 = {tuple(r) for r in
+          repeated_span_removal(df.coalesce(1), k=5).collect()}
+    assert r1 == r2
