@@ -167,17 +167,53 @@ def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
     event, nothing quadratic.
     """
     regex = translate_sequence_pattern(pattern)
-    lab = sequence_label(conds).alias("lab")
-    ts = F.col(time_col).cast("timestamp")
-    per_user = (events
-                .select(F.col(user_col), ts.alias("__ts"), lab)
-                .groupBy(user_col)
-                .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct(F.col("__ts"), F.col("lab")))),
-                        lambda x: x["lab"]),
-                    "").alias("seq")))
+    per_user = _per_user_label_sequence(events, conds, user_col,
+                                        time_col)
     return per_user.select(
         F.col(user_col),
         F.col("seq").rlike(regex).alias("matched"))
+
+
+def _per_user_label_sequence(events: DataFrame, conds: list[Column],
+                             user_col: str, time_col: str) -> DataFrame:
+    """(user, seq): the per-user condition-label string shared by
+    sequence_match and sequence_count — one shuffle on user, one char
+    per event."""
+    lab = sequence_label(conds).alias("lab")
+    ts = F.col(time_col).cast("timestamp")
+    return (events
+            .select(F.col(user_col), ts.alias("__ts"), lab)
+            .groupBy(user_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__ts"), F.col("lab")))),
+                    lambda x: x["lab"]),
+                "").alias("seq")))
+
+
+def sequence_count(events: DataFrame, conds: list[Column], pattern: str,
+                   user_col: str = "user_id",
+                   time_col: str = "ts") -> DataFrame:
+    """(user, n_chains): ClickHouse ``sequenceCount(pattern)(t, c1..cN)``.
+
+    sequenceCount counts NON-OVERLAPPING chains, resuming the scan at
+    the event after each completed chain. Over the label string that
+    is exactly non-overlapping regex matching with LAZY quantifiers:
+    the minimal match ends at the earliest event completing the chain
+    (ClickHouse's state-machine advance), and findall resumes at
+    match-end (ClickHouse's resume-after-chain). Greedy ``.*`` would
+    swallow later chains — on labels "1212", lazy ``1.*?2`` counts 2
+    chains (== ClickHouse), greedy ``1.*2`` counts 1 — so ``.*``
+    translates to ``.*?`` here and ONLY here; sequence_match keeps the
+    greedy form (existence is quantifier-insensitive). Same single
+    user-shuffle plan as sequence_match; the count is one
+    regexp_extract_all size, no UDF.
+    """
+    regex = translate_sequence_pattern(pattern).replace(".*", ".*?")
+    per_user = _per_user_label_sequence(events, conds, user_col,
+                                        time_col)
+    return per_user.select(
+        F.col(user_col),
+        F.size(F.regexp_extract_all("seq", F.lit(regex), F.lit(0)))
+         .cast("long").alias("n_chains"))

@@ -348,6 +348,36 @@ def resize_stub(features: "np.ndarray", out_dim: int = 4,
     return f.reshape(out_dim, -1).mean(axis=1).astype(np.float32)
 
 
+def resize_images(multimodal: DataFrame, out_h: int = 4, out_w: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Decode image payloads (real BMP decoder) and nearest-neighbor
+    resize each to (out_h, out_w); one row per output pixel
+    (id, px_idx row-major, gray = R channel — the renderers emit
+    r=g=b). The thumbnail step of an image curation pipeline:
+    mapInPandas streams Arrow batches, each task decodes and resizes
+    its own slice of payloads, output is out_h·out_w rows per image
+    regardless of source resolution — the shuffle-free shape a 100 TB
+    image sweep needs. Id column name/type follow the input schema
+    like extract_features."""
+    id_type = multimodal.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, gray = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                small = resize_image(decode_bmp(bytes(payload)),
+                                     out_h, out_w)
+                flat = small[:, :, 0].reshape(-1)
+                ids.extend([rid] * flat.size)
+                idxs.extend(range(flat.size))
+                gray.extend(int(v) for v in flat)
+            yield pd.DataFrame({id_col: ids, "px_idx": idxs,
+                                "gray": gray})
+
+    return multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, px_idx int, gray int")
+
+
 def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
     """Real dependency-free image resize: nearest-neighbor sampling
     (the standard pixel-center mapping), any (H, W, C) uint8 array."""

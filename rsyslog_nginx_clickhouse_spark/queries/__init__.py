@@ -69,8 +69,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: table build split out of the join, placed BEFORE the join probe so
 #: the join's driver wall is probe-only), ivf_append_probe (the
 #: append path's first independent oracle — VERDICT r6 item 2), and
-#: quantile_rollup_latency (quantileState/quantileMerge analog), and
-#: sequence_match_funnel (ClickHouse sequenceMatch analog — Q7);
+#: quantile_rollup_latency (quantileState/quantileMerge analog),
+#: sequence_match_funnel + sequence_count_chains (ClickHouse
+#: sequenceMatch/sequenceCount analogs — Q7), span_dedup (C4-style
+#: repeated-span removal), and multimodal_resize (decode + nearest-
+#: neighbor thumbnail path);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -80,8 +83,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (scratch-dir fix);
 #: (2) the 21 r4-row entries that rotated past round 6 — oldest in
 #: the registry;
-#: (3) 14 r5-row entries, alphabetical. The remaining r5 rows rotate
-#: first next round. All registry entries pass the identical in-repo
+#: (3) r5-row entries, alphabetical, filling the remaining slots. The
+#: remaining r5 rows rotate first next round. All registry entries pass the identical in-repo
 #: gate (tools/selfcheck.py) regardless of order.
 _FRONTLOAD_R7 = [
     # (0) new this round — never driver-verified
@@ -90,6 +93,8 @@ _FRONTLOAD_R7 = [
     "quantile_rollup_latency",
     "sequence_match_funnel",
     "span_dedup",
+    "sequence_count_chains",
+    "multimodal_resize",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",
@@ -136,8 +141,6 @@ _FRONTLOAD_R7 = [
     "domain_mixture",
     "events_in_sessions_rangejoin",
     "funnel_view_click_purchase",
-    "grafana_adhoc_filters",
-    "grafana_from_to_macros",
 ]
 
 

@@ -789,6 +789,43 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    # the 8x8 render has pixel (y,x) = ord(text[(8y+x) % len]);
+    # nearest-neighbor 8->4 samples the pixel CENTER: source index
+    # min(int((i+0.5)*8/4), 7) = 2i+1, so resized (i,j) = source
+    # (2i+1, 2j+1) — all-integer output, no rounding involved
+    oracle="""
+    SELECT doc_id, (y.y * 4 + x.x)::int AS px_idx,
+           ascii(substr(text,
+                 (((2*y.y + 1) * 8 + (2*x.x + 1)) % length(text)) + 1,
+                 1))::int AS gray
+    FROM documents,
+         unnest(generate_series(0, 3)) AS y(y),
+         unnest(generate_series(0, 3)) AS x(x)
+    ORDER BY doc_id, px_idx
+    """,
+    doc="image thumbnail path: render each doc as a real 24-bit BMP, "
+        "decode it back (dependency-free parser), nearest-neighbor "
+        "resize 8x8 -> 4x4, emit the 16 output pixels. The oracle "
+        "derives every resized pixel from the text alone through the "
+        "pixel-center sampling formula — proving decode AND the "
+        "resize geometry end-to-end "
+        "(operators/multimodal.resize_images, mapInPandas; output "
+        "rows are fixed out_h*out_w per image regardless of source "
+        "resolution, so the sweep never shuffles pixels)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_bmp,
+        resize_images,
+    )
+
+    mm = attach_bmp(_docs(spark, sf_dir))
+    return (resize_images(mm, out_h=4, out_w=4)
+            .orderBy("doc_id", "px_idx"))
+
+
+@query(
     "multimodal_decode_audio",
     # sample p of the rendered WAV is (ord(text[p % len]) - 128)·256;
     # features are 8-sample chunk means / 32768 — ALL-DYADIC

@@ -1224,6 +1224,48 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_count_chains",
+    # the oracle rebuilds the identical label string, then counts
+    # non-overlapping LAZY matches — both engines resume at match-end
+    # and take the minimal chain, exactly ClickHouse's
+    # resume-after-chain state machine (operators/funnel.py docstring:
+    # "1212" counts 2 lazily == CH, 1 greedily); all-integer output,
+    # no rounding needed
+    oracle="""
+    WITH lab AS (
+      SELECT user_id, ts,
+             CASE event_type WHEN 'view' THEN '1'
+                  WHEN 'purchase' THEN '2' ELSE '0' END AS lab
+      FROM events),
+    seq AS (
+      SELECT user_id, string_agg(lab, '' ORDER BY ts, lab) AS s
+      FROM lab GROUP BY user_id)
+    SELECT len(regexp_extract_all(s, '1.*?2'))::BIGINT AS n_chains,
+           count(*)::BIGINT AS n_users
+    FROM seq GROUP BY n_chains ORDER BY n_chains
+    """,
+    doc="ClickHouse sequenceCount('(?1).*(?2)')(ts, view, purchase) "
+        "analog — counts NON-OVERLAPPING view→purchase chains per "
+        "user (scan resumes after each completed chain) and reports "
+        "the user distribution per chain count. Same one-shuffle "
+        "label-string build as sequence_match_funnel; the count is "
+        "one lazy-quantifier regexp_extract_all, no UDF, no state "
+        "machine (operators/funnel.sequence_count)",
+)
+def sequence_count_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_count,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t for t in ("view", "purchase")]
+    per_user = sequence_count(ev, conds, "(?1).*(?2)")
+    return (per_user.groupBy("n_chains")
+                    .agg(F.count("*").cast("long").alias("n_users"))
+                    .orderBy("n_chains"))
+
+
+@query(
     "retention_cohort",
     oracle="""
     WITH per_user AS (

@@ -146,3 +146,34 @@ def test_sequence_match_basic_chain(spark):
     # user 1: view,scroll,click -> exactly one event between: True;
     # user 3: view,click adjacent -> no single event between: False
     assert got3[1] is True and got3[3] is False
+
+
+def test_sequence_count_non_overlapping_lazy(spark):
+    """sequenceCount resumes after each completed chain: labels 1212
+    count 2 chains, 1122 counts 1 — the lazy-quantifier translation;
+    a greedy regex would return 1 for both."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_count,
+    )
+
+    rows = []
+    # user 1: view purchase view purchase -> 2 chains
+    for i, t in enumerate(["view", "purchase", "view", "purchase"]):
+        rows.append((1, f"2024-01-01 10:0{i}:00", t))
+    # user 2: view view purchase purchase -> 1 chain (first view
+    # pairs with first purchase; remaining "purchase" alone)
+    for i, t in enumerate(["view", "view", "purchase", "purchase"]):
+        rows.append((2, f"2024-01-01 10:0{i}:00", t))
+    # user 3: purchase view purchase -> 1 chain (scan skips the
+    # leading purchase)
+    for i, t in enumerate(["purchase", "view", "purchase"]):
+        rows.append((3, f"2024-01-01 10:0{i}:00", t))
+    # user 4: no purchase -> 0 chains
+    rows.append((4, "2024-01-01 10:00:00", "view"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    conds = [F.col("event_type") == t for t in ("view", "purchase")]
+    got = {r["user_id"]: r["n_chains"] for r in
+           sequence_count(df, conds, "(?1).*(?2)").collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 4: 0}

@@ -195,6 +195,28 @@ def test_resize_image_nearest_neighbor():
     assert (down == img).all()
 
 
+def test_resize_images_dataframe_golden(spark):
+    """resize_images emits out_h*out_w rows per image; 8x8 render
+    downsampled to 4x4 samples source pixel (2i+1, 2j+1), whose gray
+    is ord(text[(8*(2i+1) + (2j+1)) % len]) — derivable from the text
+    with no decode."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_bmp,
+        resize_images,
+    )
+
+    text = "abcdefghij"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = resize_images(attach_bmp(docs), out_h=4, out_w=4).collect()
+    assert len(rows) == 16
+    got = {r["px_idx"]: r["gray"] for r in rows}
+    tb = text.encode()
+    for i in range(4):
+        for j in range(4):
+            src = (2 * i + 1) * 8 + (2 * j + 1)
+            assert got[i * 4 + j] == tb[src % len(tb)]
+
+
 def test_frame_sample_golden(spark):
     text = "x" * 40  # 3 frames of 16 bytes (last partial), stride 2 → idx 0, 2
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
