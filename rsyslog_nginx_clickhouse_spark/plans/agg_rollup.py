@@ -70,6 +70,50 @@ def read_quantile_merged(spark: SparkSession, path: str,
     return h.groupBy(*key_cols).agg(*aggs)
 
 
+def append_topk_partial(df: DataFrame, path: str, key_cols: list[str],
+                        item_col: str, capacity: int) -> None:
+    """Append one part's topKState analog: per key, this batch's EXACT
+    (item, count) pairs truncated to the top-``capacity`` by
+    (count DESC, item ASC) — the deterministic cousin of ClickHouse's
+    Filtered Space-Saving ``topK`` state (``topKState``, default
+    load_factor 3: capacity = 3·k counters per state). One partial-agg
+    shuffle per batch; the written part is O(keys · capacity) rows
+    however large the batch was.
+
+    Determinism is the design choice: Space-Saving's counter evictions
+    depend on arrival order (not reproducible across partitionings),
+    while batch-exact-counts-then-truncate depends only on the data —
+    so the whole pipeline is value-oracle-able in SQL. The standard
+    Space-Saving guarantee carries over: an item can only miss the
+    merged top-k if, in every part, it fell below that part's
+    capacity-th count — overprovisioning capacity >> k makes that the
+    heavy-hitter tail (tests bound it; with capacity >= distinct items
+    per part, truncation never fires and merged == exact top-k).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("cnt"), item_col)
+    (df.groupBy(*key_cols, item_col)
+       .agg(F.count("*").alias("cnt"))
+       .withColumn("__rn", F.row_number().over(w))
+       .where(F.col("__rn") <= capacity)
+       .drop("__rn")
+       .write.mode("append").parquet(path))
+
+
+def read_topk_merged(spark: SparkSession, path: str, key_cols: list[str],
+                     item_col: str, k: int) -> DataFrame:
+    """Serving read — the topKMerge analog: sum the parts' surviving
+    (item, count) pairs per (key, item), rank by (count DESC, item
+    ASC), keep the top k with their merged counts and rank. Input is
+    O(parts · keys · capacity) rows, independent of the raw data the
+    states summarize."""
+    merged = (spark.read.parquet(path)
+              .groupBy(*key_cols, item_col)
+              .agg(F.sum("cnt").alias("cnt")))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("cnt"), item_col)
+    return (merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def append_kmv_partial(df: DataFrame, path: str, key_cols: list[str],
                        hash_col: str, k: int) -> None:
     """Append one part's partial KMV states: per key, the SORTED

@@ -95,6 +95,7 @@ _FRONTLOAD_R7 = [
     "span_dedup",
     "sequence_count_chains",
     "multimodal_resize",
+    "topk_rollup_users",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

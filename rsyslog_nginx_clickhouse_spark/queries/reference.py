@@ -738,6 +738,67 @@ def quantile_rollup_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@query(
+    "topk_rollup_users",
+    # the oracle replays the identical deterministic algorithm: per
+    # (part, day) exact counts truncated to the top-`capacity` by
+    # (count DESC, user ASC), then counts summed across parts and
+    # re-ranked to top-k — proving the state/merge path end-to-end.
+    # All-integer output, no rounding involved; tie-break on the
+    # bigint user_id is identical in both engines
+    oracle="""
+    WITH pc AS (
+      SELECT event_id % 3 AS p, cast(ts AS date) AS d, user_id,
+             count(*) AS cnt
+      FROM events GROUP BY p, d, user_id),
+    st AS (
+      SELECT p, d, user_id, cnt,
+             row_number() OVER (PARTITION BY p, d
+                                ORDER BY cnt DESC, user_id) AS rn
+      FROM pc),
+    merged AS (
+      SELECT d, user_id, sum(cnt)::BIGINT AS cnt
+      FROM st WHERE rn <= 24 GROUP BY d, user_id),
+    ranked AS (
+      SELECT d, user_id, cnt,
+             row_number() OVER (PARTITION BY d
+                                ORDER BY cnt DESC, user_id) AS rank
+      FROM merged)
+    SELECT d, user_id, cnt, rank::int AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY d, rank
+    """,
+    doc="topKState/topKMerge analog — completes the "
+        "AggregatingMergeTree state family (uniq=kmv_rollup_users, "
+        "quantile=quantile_rollup_latency, sum=plans/summing.py): "
+        "events arrive as three separate ingest batches, each "
+        "appending only its per-day top-`capacity` (user, count) "
+        "state (deterministic truncated exact counts — the "
+        "reproducible cousin of ClickHouse's Filtered Space-Saving, "
+        "capacity ~ load_factor*k; O(days*capacity) rows per part, "
+        "history never reprocessed); the serving read sums the "
+        "surviving counts and re-ranks to the top 5 users per day "
+        "(plans/agg_rollup.append_topk_partial/read_topk_merged)",
+)
+def topk_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_topk_partial,
+        read_topk_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select(F.to_date("ts").alias("d"), "user_id", "event_id"))
+    path = scratch_dir("topk_rollup_users", sf_dir)
+    for part in range(3):  # three independent ingest batches
+        append_topk_partial(
+            ev.where(F.col("event_id") % 3 == part),
+            path, ["d"], "user_id", capacity=24)
+    return (read_topk_merged(spark, path, ["d"], "user_id", k=5)
+            .select("d", "user_id", "cnt",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("d", "rank"))
+
+
 def approx_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale form: HLL++ via approx_count_distinct.
 

@@ -216,6 +216,73 @@ def test_kmv_rollup_merge_equals_direct_sketch(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_topk_rollup_exact_when_capacity_covers(spark, sf_dir, tmp_path):
+    """topKState/topKMerge analog: with capacity >= distinct items per
+    (part, key), truncation never fires, so the merged top-k must be
+    BIT-EQUAL to the exact top-k over raw data regardless of the part
+    split; and each persisted part must be state-sized (<= capacity
+    rows per key), not data-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_topk_partial,
+        read_topk_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select(F.to_date("ts").alias("d"), "user_id", "event_id"))
+    cap = ev.select("user_id").distinct().count()  # covers every part
+    path = str(tmp_path / "topk")
+    # 5 parts vs the registry's 3: exactness must not depend on split
+    for part in range(5):
+        append_topk_partial(ev.where(F.col("event_id") % 5 == part),
+                            path, ["d"], "user_id", cap)
+    states = spark.read.parquet(path)
+    assert (states.groupBy("d").count()
+            .where(F.col("count") > 5 * cap).count()) == 0
+    merged = {tuple(r) for r in
+              read_topk_merged(spark, path, ["d"], "user_id", 5).collect()}
+    w = Window.partitionBy("d").orderBy(F.desc("cnt"), "user_id")
+    direct = {tuple(r) for r in
+              (ev.groupBy("d", "user_id").agg(F.count("*").alias("cnt"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= 5)).collect()}
+    assert merged == direct
+
+
+def test_topk_rollup_truncation_semantics(spark, tmp_path):
+    """The documented Space-Saving-style miss: an item below every
+    part's capacity cut is absent from the merge even if its GLOBAL
+    count would rank — deterministic, and exactly what the registry
+    oracle replays. Item 'c' has global count 4 (> any other) but is
+    rank 3 in both parts at capacity 2, so the merged top-1 is 'a'."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_topk_partial,
+        read_topk_merged,
+    )
+
+    rows = []
+    # part 0: a=3, b=3, c=2 ; part 1: a=3, b=3, c=2  (ties break
+    # alphabetically, so capacity 2 keeps a,b in both parts)
+    for part in (0, 1):
+        rows += [(part, "a")] * 3 + [(part, "b")] * 3 + [(part, "c")] * 2
+    df = spark.createDataFrame(rows, "part int, item string")
+    path = str(tmp_path / "topk")
+    for part in (0, 1):
+        append_topk_partial(
+            df.where(F.col("part") == part).select(
+                F.lit(1).alias("g"), "item"),
+            path, ["g"], "item", capacity=2)
+    got = [(r["item"], r["cnt"], r["rank"]) for r in
+           read_topk_merged(spark, path, ["g"], "item", 3)
+           .orderBy("rank").collect()]
+    assert got == [("a", 6, 1), ("b", 6, 2)]  # c truncated in every part
+
+
 def test_quantile_rollup_merge_equals_direct(spark, sf_dir, tmp_path):
     """quantileState/quantileMerge analog: per-part exact histograms
     merged at read must be BIT-EQUAL to the direct quantile at the
