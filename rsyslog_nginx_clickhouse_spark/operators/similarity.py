@@ -804,6 +804,72 @@ def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
                 .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def semantic_dedup(spark, index_dir: str, threshold: float = 0.35,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication over the persisted IVF
+    index (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster first so the
+    quadratic pairwise work is bounded PER LIST, then drop any vector
+    whose rounded cosine to a LOWER-ID vector in the same list is
+    >= ``threshold`` (the paper keeps one representative per ε-ball;
+    lowest-id is the deterministic, oracle-replicable choice).
+
+    Returns the DROPPED vectors: (vec_id, list_id, kept_id, cos_sim)
+    where kept_id is the max-similarity lower-id witness (ties →
+    lowest id). Guarantee: the surviving set contains no within-list
+    pair at rounded cosine >= threshold (if both survived, the
+    higher id would have been dropped by the other).
+
+    Scale shape: one partition-pruned scan of the list_id-partitioned
+    assignments, one groupBy(list_id) shuffle, then an independent
+    per-list GEMM — total work O(sum list_size^2) = O(n^2 / n_lists)
+    for balanced lists. That n_lists divisor is the whole point of
+    clustering before deduping: n_lists grows with the corpus (the
+    SemDeDup paper runs k=50 000 on LAION), keeping each list's
+    pairwise block constant-sized, so no stage is ever all-pairs
+    across the corpus. Comparisons happen on the tie6-ROUNDED cosine
+    so the threshold cut and witness ranking are decided on the same
+    value in numpy, Spark, and the SQL oracle.
+    """
+    assigned = (spark.read.parquet(os.path.join(index_dir, "assign"))
+                .select(F.col(id_col), F.col(vec_col), "list_id"))
+    out_schema = ("vec_id long, list_id int, kept_id long, "
+                  "cos_sim double")
+
+    def list_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "list_id": pd.Series([], dtype="int32"),
+            "kept_id": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        })
+        if n < 2:
+            return empty
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in pdf[vec_col]]))
+        S = tie6_np(M @ M.T)
+        ids = pdf[id_col].to_numpy()
+        # strictly-lower-id comparisons only: mask the diagonal and
+        # upper triangle (ids are sorted, so column j < row i ⇔ lower id)
+        S[np.triu_indices(n)] = -np.inf
+        best = S.argmax(axis=1)  # first max ⇒ lowest witness id on ties
+        hit = S[np.arange(n), best] >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({
+            "vec_id": ids[hit],
+            "list_id": pdf["list_id"].to_numpy(dtype="int32")[hit],
+            "kept_id": ids[best[hit]],
+            "cos_sim": S[np.arange(n), best][hit],
+        })
+
+    return (assigned.groupBy("list_id")
+            .applyInPandas(list_drops, schema=out_schema))
+
+
 def ivf_centroids_kmeans(embeddings: DataFrame, n_lists: int = N_LISTS,
                          vec_col: str = "embedding",
                          seed: int = 42) -> "np.ndarray":

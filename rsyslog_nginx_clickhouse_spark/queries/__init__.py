@@ -96,6 +96,7 @@ _FRONTLOAD_R7 = [
     "sequence_count_chains",
     "multimodal_resize",
     "topk_rollup_users",
+    "semantic_dedup",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

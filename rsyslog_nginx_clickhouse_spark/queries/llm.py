@@ -1225,6 +1225,61 @@ def knn_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ivf(spark, qs, idx)
 
 
+def _semdedup_oracle(n_iter: int = 2, n_lists: int = 16,
+                     dim: int = 64, threshold: float = 0.35) -> str:
+    """semantic_dedup oracle: shared training replay (_ivf_train_ctes),
+    final assignment, then a within-list self-join restricted to
+    strictly-lower-id partners; a vector is dropped iff its best
+    (rounded cos DESC, id ASC) lower-id witness clears the threshold —
+    the threshold cut and witness ranking both decided on the
+    tie6-rounded cosine, exactly as the numpy side does."""
+    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim)
+    ctes.append(f"""asgf AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append(f"""pairs AS (
+      SELECT a.vec_id AS vid, a.list_id, b.vec_id AS kid,
+             floor(({_cos_sql('a.embedding', 'b.embedding')})
+                   * 1000000 + 0.5) / 1000000 AS c
+      FROM asgf a JOIN asgf b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT vid AS vec_id, list_id::INT AS list_id, kid AS kept_id,
+           c AS cos_sim
+    FROM (
+      SELECT vid, list_id, kid, c,
+             row_number() OVER (PARTITION BY vid
+                                ORDER BY c DESC, kid ASC) AS rn
+      FROM pairs) WHERE rn = 1 AND c >= {threshold}
+    ORDER BY vec_id""")
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic dedup over the persisted IVF index "
+        "(cluster first so pairwise work is bounded per list — "
+        "O(n²/n_lists), n_lists grows with the corpus, never "
+        "all-pairs): drops every vector with a lower-id same-list "
+        "neighbor at rounded cosine >= 0.35, reporting the "
+        "max-similarity witness; surviving set provably holds no "
+        "within-list pair over the threshold; oracle replays "
+        "training, assignment, and the within-list witness ranking "
+        "entirely in SQL (operators/similarity.semantic_dedup)",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    idx = _ivf_ensure_index(spark, sf_dir)
+    return semantic_dedup(spark, idx, threshold=0.35).orderBy("vec_id")
+
+
 @query(
     "knn_label_accuracy",
     # queries = every 10th vector; candidates via the SAME banded LSH

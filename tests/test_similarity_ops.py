@@ -640,3 +640,56 @@ def test_ivf_append_folds_new_vectors_without_retraining(spark, sf_dir,
     ids = [r["vec_id"] for r in top]
     # the appended exact duplicate and the original both score cos 1.0
     assert set(ids) == {1, new_id}
+
+
+def test_semantic_dedup_survivors_independent_and_witness_correct(
+        spark, sf_dir, tmp_path):
+    """SemDeDup over a fresh index: (a) the surviving set holds NO
+    within-list pair at rounded cosine >= threshold (the operator's
+    stated guarantee), (b) each dropped row's witness is the
+    max-rounded-cosine lower-id vector in its list (ties -> lowest
+    id), verified against a numpy brute-force replay."""
+    import os
+
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        _unit_rows,
+        ivf_build,
+        semantic_dedup,
+        tie6_np,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(spark, emb, idx,
+              embeddings_src=os.path.join(sf_dir, "embeddings.parquet"))
+    tau = 0.35
+    got = {r["vec_id"]: (r["list_id"], r["kept_id"], r["cos_sim"])
+           for r in semantic_dedup(spark, idx, threshold=tau).collect()}
+    assert got, "threshold chosen to produce drops on the testdata"
+
+    rows = (spark.read.parquet(os.path.join(idx, "assign"))
+            .select("vec_id", "list_id", "embedding").collect())
+    by_list: dict[int, list] = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64)))
+    expect = {}
+    for li, vs in by_list.items():
+        vs.sort(key=lambda t: t[0])
+        ids = [v[0] for v in vs]
+        S = tie6_np(_unit_rows(np.stack([v[1] for v in vs]))
+                    @ _unit_rows(np.stack([v[1] for v in vs])).T)
+        for i in range(1, len(ids)):
+            sims = S[i, :i]
+            j = int(sims.argmax())  # first max -> lowest witness id
+            if sims[j] >= tau:
+                expect[ids[i]] = (li, ids[j], sims[j])
+            # (a) survivors: no lower-id survivor may clear tau
+            if ids[i] not in expect or sims[j] < tau:
+                kept_lower = [jj for jj in range(i)
+                              if ids[jj] not in expect]
+                assert all(S[i, jj] < tau for jj in kept_lower) \
+                    or ids[i] in expect
+    assert got == expect
