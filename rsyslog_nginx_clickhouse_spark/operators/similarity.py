@@ -662,6 +662,20 @@ def ivf_build(spark, embeddings: DataFrame, index_dir: str,
             .select("list_id", "dim", "cm"))
 
 
+def load_centroid_matrix(spark, index_dir: str) -> "np.ndarray":
+    """Driver-side (n_lists × dim) centroid matrix from the persisted
+    index — a parameter-sized collect (n_lists·dim rows), the same
+    boundary every probe/append/join path crosses."""
+    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .orderBy("list_id", "dim").collect())
+    n_lists = max(r["list_id"] for r in rows) + 1
+    dim = max(r["dim"] for r in rows)
+    C_raw = np.zeros((n_lists, dim))
+    for r in rows:
+        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
+    return C_raw
+
+
 def ivf_append(spark, new_vectors: DataFrame, index_dir: str,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> None:
@@ -677,13 +691,8 @@ def ivf_append(spark, new_vectors: DataFrame, index_dir: str,
     The meta fingerprint is NOT updated — it tracks the TRAINING
     source, and append deliberately leaves training untouched.
     """
-    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
-            .orderBy("list_id", "dim").collect())
-    n_lists = max(r["list_id"] for r in rows) + 1
-    dim = max(r["dim"] for r in rows)
-    C_raw = np.zeros((n_lists, dim))
-    for r in rows:
-        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
+    C_raw = load_centroid_matrix(spark, index_dir)
+    n_lists = C_raw.shape[0]
     asg = ivf_assign(new_vectors, _unit_rows(C_raw), id_col, vec_col)
     (asg.repartition(n_lists, "list_id")
         .write.mode("append").partitionBy("list_id")
@@ -697,14 +706,7 @@ def ivf_probe(spark, index_dir: str, query_vec: list, k: int = 10,
     fetch picks the ``nprobe`` nearest lists, then a partition-pruned
     scan of only those lists' files with exact cosine re-rank — no
     training jobs on the query path."""
-    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
-            .orderBy("list_id", "dim").collect())
-    n_lists = max(r["list_id"] for r in rows) + 1
-    dim = max(r["dim"] for r in rows)
-    C_raw = np.zeros((n_lists, dim))
-    for r in rows:
-        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
-    C = _unit_rows(C_raw)
+    C = _unit_rows(load_centroid_matrix(spark, index_dir))
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / (qn if qn else 1.0)
@@ -738,14 +740,7 @@ def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
     all-pairs. Final top-k per query ranks the ROUNDED cosine (ties →
     lowest candidate id) so the SQL oracle orders identically.
     """
-    rows = (spark.read.parquet(os.path.join(index_dir, "centroids"))
-            .orderBy("list_id", "dim").collect())
-    n_lists = max(r["list_id"] for r in rows) + 1
-    dim = max(r["dim"] for r in rows)
-    C_raw = np.zeros((n_lists, dim))
-    for r in rows:
-        C_raw[r["list_id"], r["dim"] - 1] = r["cm"]
-    C = _unit_rows(C_raw)
+    C = _unit_rows(load_centroid_matrix(spark, index_dir))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(vecs: pd.Series) -> pd.Series:

@@ -97,6 +97,7 @@ _FRONTLOAD_R7 = [
     "multimodal_resize",
     "topk_rollup_users",
     "semantic_dedup",
+    "streaming_semantic_dedup",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -358,3 +360,130 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type", "h"])
     out = dedup.select("user_id", "event_type", "h")
     return _run_to_memory_table(spark, out, "append")
+
+
+def _stream_semdedup_oracle(n_iter: int = 2, n_lists: int = 16,
+                            dim: int = 64, nprobe: int = 4,
+                            threshold: float = 0.35) -> str:
+    """streaming_semantic_dedup oracle: replay the BASE-subset Lloyd
+    training (llm._ivf_train_ctes), base-only final assignment, each
+    held-out arrival's nprobe probe lists, the within-probed-lists
+    witness ranking at rounded cos >= threshold, and the final left
+    join that keeps unique arrivals with NULL witness — the identical
+    decision the stream-static join makes per micro-batch."""
+    from rsyslog_nginx_clickhouse_spark.queries.llm import (
+        _cos_sql,
+        _ivf_train_ctes,
+    )
+
+    base_src = "(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"
+    ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim, src=base_src)
+    ctes.append(f"""basef AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM {base_src} e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    ctes.append("qs AS (SELECT vec_id AS qid, embedding AS qv "
+                "FROM embeddings WHERE vec_id % 10 = 0)")
+    ctes.append(f"""probes AS (
+      SELECT qid, qv, list_id FROM (
+        SELECT q.qid, q.qv, c.list_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {_cos_sql('c.cv', 'q.qv')}
+                                        DESC, c.list_id ASC) AS rn
+        FROM qs q CROSS JOIN {prev} c) WHERE rn <= {nprobe})""")
+    ctes.append(f"""pairs AS (
+      SELECT p.qid, b.vec_id AS cid,
+             floor(({_cos_sql('b.embedding', 'p.qv')})
+                   * 1000000 + 0.5) / 1000000 AS c
+      FROM probes p JOIN basef b USING (list_id))""")
+    ctes.append(f"""best AS (
+      SELECT qid, cid, c FROM (
+        SELECT qid, cid, c,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM pairs WHERE c >= {threshold}) WHERE rn = 1)""")
+    return ("WITH " + ",\n    ".join(ctes) + """
+    SELECT q.qid AS vec_id, b.qid IS NOT NULL AS is_dup,
+           b.cid AS kept_id, b.c AS cos_sim
+    FROM qs q LEFT JOIN best b USING (qid) ORDER BY vec_id""")
+
+
+@query(
+    "streaming_semantic_dedup",
+    oracle=_stream_semdedup_oracle(),
+    doc="in-flight SEMANTIC dedup — the streaming half of "
+        "semantic_dedup, and the shape a 100 TB ingest pipeline "
+        "actually runs: arriving vectors (the held-out 10%) are "
+        "probe-assigned to their nprobe=4 nearest IVF lists with one "
+        "Arrow matmul against the parameter-sized centroid table, "
+        "then STREAM-STATIC joined (stateless — no watermark state) "
+        "against the persisted base index restricted to those lists; "
+        "an arrival is flagged duplicate iff some base vector in its "
+        "probed lists clears rounded cos >= 0.35, with the best "
+        "witness reported and unique arrivals kept with NULL witness; "
+        "oracle replays base training, probe selection, and witness "
+        "ranking entirely in SQL",
+)
+def streaming_semantic_dedup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        _unit_rows,
+        ivf_build,
+        ivf_index_fresh,
+        load_centroid_matrix,
+        tie6,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.llm import _ivf_index_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx = _ivf_index_dir(sf_dir) + "_base"
+    emb = load(spark, sf_dir, "embeddings")
+    if not ivf_index_fresh(idx, src):
+        ivf_build(spark, emb.where(F.col("vec_id") % 10 != 0), idx,
+                  embeddings_src=src)
+    C = _unit_rows(load_centroid_matrix(spark, idx))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = _unit_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in vecs]))
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")
+        return pd.Series([row[:4].astype("int32").tolist()
+                          for row in order])
+
+    raw_schema = spark.read.parquet(src).schema
+    arrivals = (spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "embeddings.parquet")
+                .parquet(sf_dir)
+                .where(F.col("vec_id") % 10 == 0)
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("embedding").alias("qv"),
+                        F.explode(probe_lists(F.col("embedding")))
+                        .alias("list_id")))
+    base = (spark.read.parquet(os.path.join(idx, "assign"))
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv"), "list_id"))
+    joined = (arrivals.join(base, "list_id")
+              .withColumn("c", tie6(cosine(F.col("qv"), F.col("cv"))))
+              .where(F.col("c") >= 0.35)
+              .select("qid", "cid", "c"))
+    pairs = _run_to_memory_table(spark, joined, "append")
+    best = (pairs.groupBy("qid")
+            .agg(F.expr("max_by(cid, named_struct('c', c, 'd', -cid))")
+                 .alias("kept_id"),
+                 F.max("c").alias("cos_sim")))
+    held_out = emb.where(F.col("vec_id") % 10 == 0).select("vec_id")
+    return (held_out
+            .join(best, held_out["vec_id"] == best["qid"], "left")
+            .select("vec_id", F.col("qid").isNotNull().alias("is_dup"),
+                    "kept_id", "cos_sim")
+            .orderBy("vec_id"))

@@ -693,3 +693,58 @@ def test_semantic_dedup_survivors_independent_and_witness_correct(
                 assert all(S[i, jj] < tau for jj in kept_lower) \
                     or ids[i] in expect
     assert got == expect
+
+
+def test_streaming_semantic_dedup_decisions_match_batch(spark, sf_dir):
+    """In-flight semantic dedup: every held-out arrival appears exactly
+    once; flagged arrivals carry a BASE witness at rounded cos >= tau
+    and the decision set equals the batch replay (probe-assign each
+    arrival, scan its nprobe base lists, threshold the rounded
+    cosine); unique arrivals carry NULL witness."""
+    import os
+
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        _unit_rows,
+        load_centroid_matrix,
+        tie6_np,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.llm import _ivf_index_dir
+    from rsyslog_nginx_clickhouse_spark.queries.stream_q import (
+        streaming_semantic_dedup,
+    )
+
+    out = {r["vec_id"]: r
+           for r in streaming_semantic_dedup(spark, sf_dir).collect()}
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in load(spark, sf_dir, "embeddings").collect()}
+    held = sorted(v for v in emb if v % 10 == 0)
+    assert sorted(out) == held
+    assert any(r["is_dup"] for r in out.values())
+
+    idx = _ivf_index_dir(sf_dir) + "_base"
+    C = _unit_rows(load_centroid_matrix(spark, idx))
+    base = (spark.read.parquet(os.path.join(idx, "assign"))
+            .select("vec_id", "list_id").collect())
+    by_list: dict[int, list[int]] = {}
+    for r in base:
+        by_list.setdefault(r["list_id"], []).append(r["vec_id"])
+    tau = 0.35
+    for qid in held:
+        q = emb[qid] / (np.linalg.norm(emb[qid]) or 1.0)
+        probes = np.argsort(-(C @ q), kind="stable")[:4]
+        cands = [c for li in probes for c in by_list.get(int(li), [])]
+        sims = {c: float(tie6_np(np.array(
+            (emb[c] / (np.linalg.norm(emb[c]) or 1.0)) @ q)))
+            for c in cands}
+        hits = {c: s for c, s in sims.items() if s >= tau}
+        r = out[qid]
+        if hits:
+            bs = max(hits.values())
+            want_kept = min(c for c, s in hits.items() if s == bs)
+            assert r["is_dup"] and r["kept_id"] == want_kept \
+                and r["cos_sim"] == bs
+        else:
+            assert not r["is_dup"] and r["kept_id"] is None \
+                and r["cos_sim"] is None
