@@ -98,6 +98,7 @@ _FRONTLOAD_R7 = [
     "topk_rollup_users",
     "semantic_dedup",
     "streaming_semantic_dedup",
+    "streaming_kmv_rollup",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -487,3 +487,70 @@ def streaming_semantic_dedup(spark: SparkSession,
             .select("vec_id", F.col("qid").isNotNull().alias("is_dup"),
                     "kept_id", "cos_sim")
             .orderBy("vec_id"))
+
+
+@query(
+    "streaming_kmv_rollup",
+    # same oracle as kmv_rollup_users: bottom-k merge is exact for ANY
+    # part split, so per-EPOCH states must merge to the identical
+    # direct sketch — the materialized-view + AggregatingMergeTree
+    # equivalence, now for the streaming writer
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT cast(ts AS date) AS d,
+               ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint AS h
+        FROM events
+    ), bottomk AS (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM hashed
+    )
+    SELECT d,
+           cast(CASE WHEN count(*) < 1024 THEN count(*)
+                     ELSE floor(1023 * 4294967296.0 / max(h))
+                END AS bigint) AS approx_users
+    FROM bottomk WHERE rn <= 1024
+    GROUP BY d ORDER BY d
+    """,
+    doc="streaming uniqState maintenance — the ClickHouse "
+        "materialized-view + AggregatingMergeTree pattern (the "
+        "reference's own dashboard idiom) as a streaming writer: each "
+        "micro-batch appends only its per-day KMV bottom-k PARTIAL "
+        "state (O(days·k) rows per epoch, marker-gated against epoch "
+        "replay via idempotent_epoch_writer); the serving read merges "
+        "the epoch states and evaluates the estimator — bit-equal to "
+        "the direct single-pass sketch because bottom-k merge is "
+        "exact for any epoch split, which the shared oracle verifies",
+)
+def streaming_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_kmv_partial,
+        read_kmv_merged,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.reference import _KMV_K
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        idempotent_epoch_writer,
+    )
+
+    path = scratch_dir("streaming_kmv_rollup", sf_dir)
+    ckpt = scratch_dir("streaming_kmv_rollup_ckpt", sf_dir)
+
+    def hashed(bdf: DataFrame) -> DataFrame:
+        return bdf.select(
+            F.to_date("ts").alias("d"),
+            F.conv(F.substring(
+                F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10).cast("bigint").alias("h"))
+
+    sink = idempotent_epoch_writer(
+        path,
+        write_fn=lambda bdf, staging: append_kmv_partial(
+            hashed(bdf), staging, ["d"], "h", _KMV_K))
+
+    with _stream_state_partitions(spark):
+        q = (_events_stream(spark, sf_dir)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _run_to_completion(q)
+    return read_kmv_merged(spark, path, ["d"], _KMV_K).orderBy("d")

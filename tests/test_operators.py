@@ -322,3 +322,25 @@ def test_quantile_rollup_merge_equals_direct(spark, sf_dir, tmp_path):
         F.min(F.when(F.col("rn") >= F.ceil(F.lit(0.99) * F.col("n")),
                      F.col("value"))).alias("p99")).collect()}
     assert merged == direct
+
+
+def test_streaming_kmv_rollup_equals_direct_sketch(spark, sf_dir):
+    """The streaming uniqState writer (per-EPOCH KMV partials via the
+    idempotent epoch writer) must merge to the bit-identical direct
+    single-pass sketch — the materialized-view equivalence; and a
+    SECOND invocation (fresh scratch + fresh checkpoint) must
+    reproduce it, guarding the cleared-path-but-stale-checkpoint
+    failure mode that would silently return an empty rollup."""
+    from rsyslog_nginx_clickhouse_spark.queries.reference import (
+        approx_daily_users,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.stream_q import (
+        streaming_kmv_rollup,
+    )
+
+    direct = [tuple(r) for r in approx_daily_users(spark, sf_dir).collect()]
+    assert direct
+    once = [tuple(r) for r in streaming_kmv_rollup(spark, sf_dir).collect()]
+    again = [tuple(r) for r in streaming_kmv_rollup(spark, sf_dir).collect()]
+    assert once == direct
+    assert again == direct
