@@ -72,8 +72,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: quantile_rollup_latency (quantileState/quantileMerge analog),
 #: sequence_match_funnel + sequence_count_chains (ClickHouse
 #: sequenceMatch/sequenceCount analogs — Q7), span_dedup (C4-style
-#: repeated-span removal), and multimodal_resize (decode + nearest-
-#: neighbor thumbnail path);
+#: repeated-span removal), multimodal_resize (decode + nearest-
+#: neighbor thumbnail path), topk_rollup_users (topKState/topKMerge
+#: analog), semantic_dedup + streaming_semantic_dedup (SemDeDup over
+#: the persisted IVF index, batch and in-flight), and
+#: streaming_kmv_rollup (streaming uniqState maintenance);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
