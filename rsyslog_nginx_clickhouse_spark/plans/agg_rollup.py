@@ -150,3 +150,49 @@ def read_kmv_merged(spark: SparkSession, path: str, key_cols: list[str],
                               / F.max("h"))))
     return (merged.groupBy(*key_cols)
             .agg(est.cast("bigint").alias(out_col)))
+
+
+def _ord_struct(ord_cols: list[str], payload_cols: list[str]):
+    """Struct whose lexicographic max IS the deterministic argmax:
+    ordering columns first, then the payload they select. Including
+    the payload in the comparison makes ties total (two rows equal on
+    every ordering column still compare deterministically), so the
+    state is independent of partitioning and arrival order."""
+    return F.struct(*[F.col(c) for c in ord_cols],
+                    *[F.col(c) for c in payload_cols])
+
+
+def append_argmax_partial(df: DataFrame, path: str, key_cols: list[str],
+                          ord_cols: list[str],
+                          payload_cols: list[str]) -> None:
+    """Append one part's argMaxState analog: per key, the single row
+    maximal under (ord_cols, payload_cols) lexicographic order — the
+    ClickHouse ``argMaxState(payload, ord)`` pattern that backs
+    latest-value-per-key AggregatingMergeTree tables.
+
+    One max-of-struct partial aggregate per batch (map-side combine:
+    each task keeps one struct per key before the shuffle), and the
+    written part is O(keys) rows however large the batch was.
+    """
+    flat = [F.col(f"__s.{c}").alias(c) for c in ord_cols + payload_cols]
+    (df.groupBy(*key_cols)
+       .agg(F.max(_ord_struct(ord_cols, payload_cols)).alias("__s"))
+       .select(*key_cols, *flat)
+       .write.mode("append").parquet(path))
+
+
+def read_argmax_merged(spark: SparkSession, path: str, key_cols: list[str],
+                       ord_cols: list[str],
+                       payload_cols: list[str]) -> DataFrame:
+    """Serving read — the argMaxMerge analog: the same max-of-struct
+    over the parts' states. Merge is EXACT because max is associative:
+    the global argmax row is the argmax of the parts' argmax rows, so
+    the merged answer is bit-identical to a direct single-pass argMax
+    over raw data (what the registry oracle checks). Input is
+    O(parts · keys) rows, independent of the raw data the states
+    summarize."""
+    flat = [F.col(f"__s.{c}").alias(c) for c in ord_cols + payload_cols]
+    return (spark.read.parquet(path)
+            .groupBy(*key_cols)
+            .agg(F.max(_ord_struct(ord_cols, payload_cols)).alias("__s"))
+            .select(*key_cols, *flat))

@@ -76,7 +76,13 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: neighbor thumbnail path), topk_rollup_users (topKState/topKMerge
 #: analog), semantic_dedup + streaming_semantic_dedup (SemDeDup over
 #: the persisted IVF index, batch and in-flight), and
-#: streaming_kmv_rollup (streaming uniqState maintenance);
+#: streaming_kmv_rollup (streaming uniqState maintenance),
+#: argmax_rollup_latest (argMaxState/argMaxMerge analog),
+#: doc_chunk_windows (context-window chunking), and
+#: bloom_pruned_scan (bloom_filter skip-index analog), and
+#: sequence_packing_plan (next-fit example packing, recursive-CTE
+#: oracle) with packed_sequences (the gather join materializing the
+#: packed examples, every byte under the value gate via md5);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -102,6 +108,11 @@ _FRONTLOAD_R7 = [
     "semantic_dedup",
     "streaming_semantic_dedup",
     "streaming_kmv_rollup",
+    "argmax_rollup_latest",
+    "doc_chunk_windows",
+    "bloom_pruned_scan",
+    "sequence_packing_plan",
+    "packed_sequences",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -204,6 +204,71 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fingerprint("text").alias("fingerprint"))
 
 
+#: context-window chunking: window of 240 chars, stride 200 (40-char
+#: overlap so no span is split across a boundary without also
+#: appearing whole in a neighbor — the standard RAG/pretraining
+#: chunking contract)
+_CHUNK_W = 240
+_CHUNK_S = 200
+
+
+@query(
+    "doc_chunk_windows",
+    # chunk count is pure integer arithmetic (1 + ceil(max(L-W,0)/S),
+    # written as the same int ops in both engines), starts are i*S,
+    # chunks are character substrings — no floats anywhere, so the
+    # value gate covers every chunk byte via its md5
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE length(text) > 0),
+    n AS (
+      SELECT doc_id, text,
+             1 + (greatest(L - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                 // {_CHUNK_S} AS n_chunks
+      FROM d),
+    series AS (  -- lateral generate_series on a column is not
+                 -- supported by this DuckDB; join a 0..max series
+      SELECT unnest(range(0, (SELECT max(n_chunks) FROM n))) AS i),
+    c AS (
+      SELECT doc_id, text, i AS chunk_idx
+      FROM n JOIN series ON i < n_chunks)
+    SELECT doc_id, chunk_idx::int AS chunk_idx,
+           (chunk_idx * {_CHUNK_S})::int AS start,
+           length(substr(text, chunk_idx * {_CHUNK_S} + 1,
+                         {_CHUNK_W}))::int AS chunk_len,
+           md5(substr(text, chunk_idx * {_CHUNK_S} + 1,
+                      {_CHUNK_W})) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc="context-window chunking — the explode step every pretraining "
+        "/ RAG pipeline runs before tokenization: each document becomes "
+        "overlapping 240-char windows at stride 200 (sequence + "
+        "explode + substr, a NARROW per-row transformation: no "
+        "shuffle, output partitioning inherits the scan, so it "
+        "pipelines ahead of tokenize/embed at any scale; chars stand "
+        "in for tokens — a token-boundary variant swaps the substr "
+        "for a tokenizer Pandas UDF, same plan shape)",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", "text", F.length("text").alias("L"))
+         .where(F.col("L") > 0))
+    n_chunks = (F.lit(1)
+                + F.floor((F.greatest(F.col("L") - W, F.lit(0))
+                           + F.lit(S - 1)) / S).cast("int"))
+    chunk = F.col("text").substr(F.col("chunk_idx") * S + 1, F.lit(W))
+    return (d.withColumn("chunk_idx",
+                         F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+             .select("doc_id",
+                     F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                     (F.col("chunk_idx") * S).cast("int").alias("start"),
+                     F.length(chunk).cast("int").alias("chunk_len"),
+                     F.md5(chunk).alias("chunk_hash"))
+             .orderBy("doc_id", "chunk_idx"))
+
+
 # --------------------------------------------------------------- dedup --
 
 

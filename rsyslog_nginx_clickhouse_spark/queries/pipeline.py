@@ -710,3 +710,125 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / F.col("n_tok"), 6)
                           .alias("top_share"))
                   .orderBy("doc_id"))
+
+
+#: sequence packing: 8 independent shards, 800-char bins (~2-3 docs
+#: per bin at the corpus's 298-char mean — real multi-doc packing
+#: with real overflow churn at every SF)
+_PACK_SHARDS = 8
+_PACK_CAPACITY = 800
+
+
+@query(
+    "sequence_packing_plan",
+    # the oracle replays the IDENTICAL next-fit recurrence as a
+    # recursive CTE over each shard's id-ordered doc sequence (the
+    # dedup_components precedent for iterative operators): state =
+    # (bin_id, fill), transition = overflow check — all integers, so
+    # the value gate covers every assignment exactly
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT (doc_id % {_PACK_SHARDS})::int AS shard, doc_id,
+             n_chars::bigint AS size,
+             row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT shard, rn, doc_id, size,
+             0::bigint AS bin_id, 0::bigint AS bin_offset, size AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.size,
+             CASE WHEN r.fill + s.size > {_PACK_CAPACITY}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.fill + s.size > {_PACK_CAPACITY}
+                  THEN 0 ELSE r.fill END,
+             CASE WHEN r.fill + s.size > {_PACK_CAPACITY}
+                  THEN s.size ELSE r.fill + s.size END
+      FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+    SELECT shard, doc_id, size, bin_id, bin_offset
+    FROM r ORDER BY shard, doc_id
+    """,
+    doc="greedy sequence packing (operators/packing.py) — the "
+        "example-packing step between chunking and tokenization: "
+        "docs pack into 800-char bins, next-fit in doc_id order "
+        "within 8 independent shards (one shuffle on the shard key, "
+        "then a linear O(1)-state pandas pass per shard; shards ~= "
+        "cores at 100 TB and the pass carries only (id, size), never "
+        "text). Next-fit over first-fit-decreasing is the determinism "
+        "trade: assignment depends only on the data, so the oracle "
+        "replays it exactly as a recursive CTE",
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.packing import greedy_pack
+
+    d = (load(spark, sf_dir, "documents")
+         .select((F.col("doc_id") % _PACK_SHARDS).cast("int")
+                 .alias("shard"),
+                 "doc_id", F.col("n_chars").alias("size")))
+    return (greedy_pack(d, _PACK_CAPACITY)
+            .orderBy("shard", "doc_id"))
+
+
+@query(
+    "packed_sequences",
+    # same recursive-CTE replay as sequence_packing_plan, then the
+    # gather: per (shard, bin) concatenate texts in doc order with a
+    # '\x1e' record separator (the packing contract: bin payload =
+    # sum of sizes + separators). The md5 of the assembled sequence
+    # puts every byte of every member, in order, under the value gate
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT (doc_id % {_PACK_SHARDS})::int AS shard, doc_id,
+             n_chars::bigint AS size,
+             row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT shard, rn, doc_id, size,
+             0::bigint AS bin_id, size AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.size,
+             CASE WHEN r.fill + s.size > {_PACK_CAPACITY}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.fill + s.size > {_PACK_CAPACITY}
+                  THEN s.size ELSE r.fill + s.size END
+      FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+    SELECT r.shard, r.bin_id,
+           count(*)::int AS n_docs,
+           sum(r.size)::bigint AS payload,
+           md5(string_agg(d.text, chr(30) ORDER BY r.doc_id))
+             AS seq_hash
+    FROM r JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY r.shard, r.bin_id
+    ORDER BY r.shard, r.bin_id
+    """,
+    doc="materialized packed training sequences — the gather that "
+        "turns the packing plan into physical examples: the plan "
+        "(shard, doc -> bin, offset) joins back to the text and each "
+        "bin concatenates its members in doc order (array_sort over "
+        "(doc_id, text) structs -> array_join: one shuffle on "
+        "(shard, bin), deterministic within-bin order, no window). "
+        "At 100 TB this is the only stage that moves text — once, "
+        "co-partitioned by the bin key; payload stays <= capacity per "
+        "row by the packer's invariant",
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.packing import greedy_pack
+
+    docs = load(spark, sf_dir, "documents")
+    plan = greedy_pack(
+        docs.select((F.col("doc_id") % _PACK_SHARDS).cast("int")
+                    .alias("shard"),
+                    "doc_id", F.col("n_chars").alias("size")),
+        _PACK_CAPACITY)
+    joined = plan.join(docs.select("doc_id", "text"), "doc_id")
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return (joined.groupBy("shard", "bin_id")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.sum("size").alias("payload"),
+                 F.md5(F.array_join(
+                     F.transform(members, lambda m: m["text"]),
+                     "\x1e")).alias("seq_hash"))
+            .orderBy("shard", "bin_id"))

@@ -799,6 +799,65 @@ def topk_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("d", "rank"))
 
 
+@query(
+    "argmax_rollup_latest",
+    # the oracle computes the DIRECT argmax from raw events with the
+    # same total order (ts DESC, event_id DESC — event_id is unique,
+    # so the order is total and rn=1 is deterministic); equality
+    # proves max-of-struct state merge is exact: argMaxState parts +
+    # argMaxMerge == argMax over raw data. Timestamps cross the
+    # engine boundary as epoch microseconds (bigint — no tz/NTZ
+    # representation hazard); value/user_id are raw unaggregated
+    # columns, so no rounding tier applies
+    oracle="""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS last_ts_us,
+             event_id AS last_event_id, user_id AS last_user_id,
+             value AS last_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events)
+    SELECT event_type, last_ts_us, last_event_id, last_user_id,
+           last_value
+    FROM s WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="argMaxState/argMaxMerge analog — the latest-value-per-key "
+        "AggregatingMergeTree pattern (current-state tables fed by an "
+        "append-only stream), completing the state family beside "
+        "uniq/quantile/topK/sum: events arrive as three separate "
+        "ingest batches, each appending only its per-event_type "
+        "argmax row under (ts, event_id) order (O(keys) rows per "
+        "part via one max-of-struct partial agg, history never "
+        "reprocessed); the serving read takes the same max-of-struct "
+        "over the parts' states — bit-equal to the direct argMax "
+        "because max is associative (plans/agg_rollup.py)",
+)
+def argmax_rollup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_argmax_partial,
+        read_argmax_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_micros("ts").alias("last_ts_us"),
+                  F.col("event_id").alias("last_event_id"),
+                  F.col("user_id").alias("last_user_id"),
+                  F.col("value").alias("last_value")))
+    path = scratch_dir("argmax_rollup_latest", sf_dir)
+    for part in range(3):  # three independent ingest batches
+        append_argmax_partial(
+            ev.where(F.col("last_event_id") % 3 == part),
+            path, ["event_type"], ["last_ts_us", "last_event_id"],
+            ["last_user_id", "last_value"])
+    return (read_argmax_merged(spark, path, ["event_type"],
+                               ["last_ts_us", "last_event_id"],
+                               ["last_user_id", "last_value"])
+            .orderBy("event_type"))
+
+
 def approx_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale form: HLL++ via approx_count_distinct.
 
@@ -1183,6 +1242,49 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & F.col("value").between(20, 80))
                 .agg(F.count("*").alias("cnt"),
                      F.round(F.sum("value"), 2).alias("total_value")))
+
+
+#: bloom_pruned_scan probe keys — chosen < 1000 so they exist at every
+#: scale factor (event_id is 0..N-1; TESTDATA.md)
+_BLOOM_PROBE_IDS = [11, 197, 983]
+
+
+@query(
+    "bloom_pruned_scan",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN ({", ".join(map(str, _BLOOM_PROBE_IDS))})
+    ORDER BY event_id
+    """,
+    doc="bloom_filter skip-index analog (ClickHouse `INDEX ... TYPE "
+        "bloom_filter` on a NON-key column): events are written "
+        "clustered by user_id — so every file's event_id min/max "
+        "spans the whole domain and stats-based skipping is useless — "
+        "plus a per-file bloom side index over event_id; the point "
+        "lookup reads the O(files) index, keeps only files whose "
+        "bloom could contain a probe key (no false negatives — "
+        "pruning proved in test_bloomindex.py), scans just those and "
+        "re-applies the exact predicate so false positives are "
+        "harmless. Oracle computes from the raw table: the whole "
+        "write+index+prune path is under the value gate "
+        "(plans/bloomindex.py)",
+)
+def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.bloomindex import (
+        read_bloom_pruned,
+        write_bloom_indexed,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value"))
+    path = scratch_dir("bloom_pruned_scan", sf_dir)
+    write_bloom_indexed(ev, path, index_col="event_id",
+                        cluster_col="user_id")
+    return (read_bloom_pruned(spark, path, "event_id", _BLOOM_PROBE_IDS)
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id"))
 
 
 #: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events

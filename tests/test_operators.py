@@ -344,3 +344,45 @@ def test_streaming_kmv_rollup_equals_direct_sketch(spark, sf_dir):
     again = [tuple(r) for r in streaming_kmv_rollup(spark, sf_dir).collect()]
     assert once == direct
     assert again == direct
+
+
+def test_argmax_rollup_merge_equals_direct(spark, sf_dir, tmp_path):
+    """argMaxState/argMaxMerge analog: the merged latest-row-per-key
+    must be BIT-EQUAL to the direct single-pass argmax regardless of
+    how the data was split into parts (max is associative), and each
+    persisted part must be state-sized (exactly one row per key per
+    part), not data-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_argmax_partial,
+        read_argmax_merged,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_micros("ts").alias("last_ts_us"),
+                  F.col("event_id").alias("last_event_id"),
+                  F.col("user_id").alias("last_user_id"),
+                  F.col("value").alias("last_value")))
+    path = str(tmp_path / "argmax")
+    # 5 parts vs the registry's 3: exactness must not depend on split
+    for part in range(5):
+        append_argmax_partial(
+            ev.where(F.col("last_event_id") % 5 == part),
+            path, ["event_type"], ["last_ts_us", "last_event_id"],
+            ["last_user_id", "last_value"])
+    states = spark.read.parquet(path)
+    n_keys = ev.select("event_type").distinct().count()
+    assert states.count() == 5 * n_keys  # one row per key per part
+    merged = {tuple(r) for r in read_argmax_merged(
+        spark, path, ["event_type"], ["last_ts_us", "last_event_id"],
+        ["last_user_id", "last_value"]).collect()}
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.desc("last_ts_us"), F.desc("last_event_id")))
+    direct = {tuple(r) for r in
+              (ev.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1).drop("rn")).collect()}
+    assert merged == direct
