@@ -552,6 +552,44 @@ def _rewrite_if_combinators(out: str) -> str:
     return out
 
 
+#: ClickHouse ``LIMIT n BY cols`` — supported shape only: a top-level
+#: ORDER BY must precede it (it defines WHICH n rows per group
+#: survive; without one ClickHouse keeps an arbitrary subset, which
+#: this engine refuses rather than silently de-determinizes), and the
+#: order keys must appear in the select list (they rank inside the
+#: rewritten window). An optional trailing ``LIMIT m`` is the normal
+#: global limit, applied after the per-group cut as in ClickHouse.
+_LIMIT_BY_RE = re.compile(
+    r"(?is)^(?P<body>.*)\s+ORDER\s+BY\s+(?P<order>[^()]+?)\s+"
+    r"LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<cols>[\w.`]+(?:\s*,\s*[\w.`]+)*)"
+    r"(?:\s+LIMIT\s+(?P<m>\d+))?\s*;?\s*$")
+
+
+def rewrite_limit_by(query: str) -> str:
+    """ClickHouse ``LIMIT n BY a, b`` → a ranked-window subquery:
+    first n rows of each (a, b) group in the query's ORDER BY order,
+    then the global order (and optional global LIMIT) re-applied.
+    Spark has no native LIMIT BY; row_number over the same keys is
+    the standard relational form and shuffles once on the BY cols."""
+    m = _LIMIT_BY_RE.match(query.strip())
+    if not m:
+        if re.search(r"(?i)\bLIMIT\s+\d+\s+BY\b", query):
+            raise ValueError(
+                "LIMIT BY needs the form "
+                "'... ORDER BY <keys> LIMIT n BY <cols> [LIMIT m]' "
+                "(the ORDER BY defines which n rows per group survive)")
+        return query
+    body, order = m.group("body"), m.group("order").strip()
+    out = (f"SELECT * EXCEPT (__rn) FROM ("
+           f"SELECT __lb.*, row_number() OVER ("
+           f"PARTITION BY {m.group('cols')} ORDER BY {order}) AS __rn "
+           f"FROM ({body}) AS __lb) WHERE __rn <= {m.group('n')} "
+           f"ORDER BY {order}")
+    if m.group("m"):
+        out += f" LIMIT {m.group('m')}"
+    return out
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -559,4 +597,4 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         query = expand_macros(query, **macro_kwargs)
     else:
         query = rewrite_aggregates(query)
-    return spark.sql(query)
+    return spark.sql(rewrite_limit_by(query))

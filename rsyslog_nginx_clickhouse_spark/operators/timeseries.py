@@ -54,6 +54,32 @@ def timeseries_count(df: DataFrame, time_col: str, interval_s: int = 3600,
     return out
 
 
+def fill_time_gaps(df: DataFrame, time_col: str = "t",
+                   interval_s: int = 3600,
+                   zero_cols: tuple[str, ...] = ("cnt",)) -> DataFrame:
+    """ClickHouse ``ORDER BY t WITH FILL STEP s`` analog: densify a
+    bucketed series so empty buckets appear as explicit zero rows —
+    what every dashboard needs before drawing a line (a missing bucket
+    otherwise renders as interpolation, hiding the outage).
+
+    Spine construction is collect-free: the min/max bounds are a 1-ROW
+    DataFrame, sequence+explode expands it to one row per bucket, and
+    the left join back is bucket-count sized on BOTH sides (the input
+    is already aggregated) — at 100 TB this whole operator runs on
+    O(buckets) rows regardless of raw data size, after the groupBy
+    that produced ``df`` did the heavy lifting map-side.
+    """
+    bounds = df.agg(F.unix_timestamp(F.min(time_col)).alias("__lo"),
+                    F.unix_timestamp(F.max(time_col)).alias("__hi"))
+    spine = (bounds.select(F.explode(F.sequence(
+                "__lo", "__hi", F.lit(interval_s))).alias("__e"))
+             .select(F.timestamp_seconds("__e").alias(time_col)))
+    out = spine.join(df, time_col, "left")
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
 def activity_vectors(df: DataFrame, key: str, time_col: str,
                      origin: str, n_buckets: int,
                      bucket_s: int = 86400) -> DataFrame:

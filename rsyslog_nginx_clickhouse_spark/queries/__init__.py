@@ -82,7 +82,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: bloom_pruned_scan (bloom_filter skip-index analog), and
 #: sequence_packing_plan (next-fit example packing, recursive-CTE
 #: oracle) with packed_sequences (the gather join materializing the
-#: packed examples, every byte under the value gate via md5);
+#: packed examples, every byte under the value gate via md5),
+#: timeseries_gap_fill (WITH FILL STEP analog, collect-free dense
+#: spine), and limit_by_recent_events (ClickHouse LIMIT n BY through
+#: the SQL entry's ranked-window rewrite);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -113,6 +116,8 @@ _FRONTLOAD_R7 = [
     "bloom_pruned_scan",
     "sequence_packing_plan",
     "packed_sequences",
+    "timeseries_gap_fill",
+    "limit_by_recent_events",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -1287,6 +1287,78 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@query(
+    "timeseries_gap_fill",
+    # the oracle builds the identical dense spine with generate_series
+    # over the same [min, max] bucket bounds; make_timestamp keeps the
+    # bucket NTZ so both engines compare the same wall-clock instants
+    # (the grafana rows' proven timestamp contract)
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp((((epoch_us(ts) // 1000000) // 900) * 900)
+                            * 1000000) AS t,
+             count(*) AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY t),
+    bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS t
+      FROM bounds)
+    SELECT spine.t, coalesce(b.cnt, 0)::bigint AS cnt
+    FROM spine LEFT JOIN b USING (t) ORDER BY t
+    """,
+    doc="ClickHouse `ORDER BY t WITH FILL STEP 900` analog "
+        "(operators/timeseries.fill_time_gaps): the error-rate series "
+        "bucketed at 15 min is ~93% empty buckets — exactly the "
+        "dashboard case where missing rows render as interpolation "
+        "and hide the outage; the spine is built collect-free from a "
+        "1-row bounds aggregate + sequence/explode, and every side of "
+        "the fill join is O(buckets), independent of raw data size",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
+        fill_time_gaps,
+    )
+
+    b = (load(spark, sf_dir, "events")
+         .where(F.col("event_type") == "error")
+         .groupBy(F.timestamp_seconds(
+             (F.unix_timestamp("ts") / 900).cast("bigint") * 900)
+             .alias("t"))
+         .agg(F.count("*").alias("cnt")))
+    return fill_time_gaps(b, "t", 900).orderBy("t")
+
+
+@query(
+    "limit_by_recent_events",
+    # the relational form LIMIT BY rewrites to — the oracle states it
+    # directly: first-2-per-user under the query's ORDER BY
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id < 20)
+    WHERE rn <= 2 ORDER BY event_id DESC
+    """,
+    doc="ClickHouse `LIMIT n BY col` surface (README.md:7 — regular "
+        "SQL is the product's stated query interface): the verbatim "
+        "CH text `... ORDER BY event_id DESC LIMIT 2 BY user_id` runs "
+        "through the engine's SQL entry, which rewrites it to a "
+        "ranked window partitioned on the BY cols (one shuffle; the "
+        "ORDER BY defines which n rows per group survive — a "
+        "LIMIT BY without ORDER BY is refused rather than silently "
+        "non-deterministic, functions/macros.rewrite_limit_by)",
+)
+def limit_by_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "limit_by_events")
+    return engine_sql(spark, """
+        SELECT user_id, event_id, event_type, value
+        FROM limit_by_events WHERE user_id < 20
+        ORDER BY event_id DESC LIMIT 2 BY user_id
+    """)
+
+
 #: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events
 #: table carries nanos and ns-vs-µs boundary comparison would diverge)
 _FUNNEL_W_US = 6 * 3600 * 1_000_000

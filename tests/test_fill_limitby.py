@@ -1,0 +1,68 @@
+"""WITH FILL gap densification + the LIMIT BY rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.functions.macros import rewrite_limit_by
+from rsyslog_nginx_clickhouse_spark.operators.timeseries import (
+    fill_time_gaps,
+)
+
+
+def test_fill_time_gaps_densifies(spark):
+    rows = [("2024-01-01 00:00:00", 3), ("2024-01-01 03:00:00", 5)]
+    df = spark.createDataFrame(rows, "t string, cnt long") \
+              .select(F.col("t").cast("timestamp").alias("t"), "cnt")
+    got = {(str(r.t), r.cnt) for r in
+           fill_time_gaps(df, "t", 3600).collect()}
+    assert got == {("2024-01-01 00:00:00", 3),
+                   ("2024-01-01 01:00:00", 0),
+                   ("2024-01-01 02:00:00", 0),
+                   ("2024-01-01 03:00:00", 5)}
+
+
+def test_fill_time_gaps_no_gaps_is_identity(spark):
+    rows = [("2024-01-01 00:00:00", 1), ("2024-01-01 00:15:00", 2)]
+    df = spark.createDataFrame(rows, "t string, cnt long") \
+              .select(F.col("t").cast("timestamp").alias("t"), "cnt")
+    assert fill_time_gaps(df, "t", 900).count() == 2
+
+
+def test_limit_by_rewrite_shape():
+    q = ("SELECT user_id, event_id FROM events WHERE user_id < 20 "
+         "ORDER BY event_id DESC LIMIT 2 BY user_id")
+    out = rewrite_limit_by(q)
+    assert "row_number() OVER (PARTITION BY user_id" in out
+    assert "ORDER BY event_id DESC" in out
+    assert "__rn <= 2" in out
+    assert out.rstrip().endswith("ORDER BY event_id DESC")
+    # trailing global LIMIT is applied after the per-group cut
+    out2 = rewrite_limit_by(q + " LIMIT 5")
+    assert out2.rstrip().endswith("LIMIT 5")
+    # multi-column BY
+    out3 = rewrite_limit_by(
+        "SELECT a, b, c FROM t ORDER BY c LIMIT 1 BY a, b")
+    assert "PARTITION BY a, b" in out3
+
+
+def test_limit_by_without_order_by_is_refused():
+    with pytest.raises(ValueError, match="ORDER BY"):
+        rewrite_limit_by("SELECT a FROM t LIMIT 2 BY a")
+
+
+def test_limit_by_passthrough_on_plain_sql():
+    q = "SELECT a FROM t ORDER BY a LIMIT 5"
+    assert rewrite_limit_by(q) == q
+
+
+def test_limit_by_executes(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)], "u int, e int")
+    df.createOrReplaceTempView("lb_t")
+    got = spark.sql(rewrite_limit_by(
+        "SELECT u, e FROM lb_t ORDER BY e DESC LIMIT 2 BY u")).collect()
+    assert [(r.u, r.e) for r in got] == [(2, 21), (2, 20), (1, 12),
+                                         (1, 11)]
+    assert [c for c in got[0].asDict()] == ["u", "e"]  # __rn dropped
