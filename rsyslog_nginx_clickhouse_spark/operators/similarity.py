@@ -522,6 +522,49 @@ def _lloyd_update_exact(asg: DataFrame, C_raw: "np.ndarray",
     return C_next
 
 
+def label_centroids_exact(embeddings: DataFrame, label_col: str = "label",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-label element-wise mean of embedding vectors — the mean
+    pooling / class-centroid aggregate (avgArray analog), computed
+    with the SAME integer-exact tie-rounded mean as the Lloyd update
+    above: components scaled 2^50 to exact integers, summed
+    decimal(38,0) (order-independent), mean tie-rounded to 6 decimals
+    in pure integer arithmetic — so the result is bit-identical on
+    any partitioning and the DuckDB oracle replays it exactly.
+
+    Scale shape: one posexplode + partial-agg shuffle of
+    |labels|·dim groups; the driver materialization is
+    |labels|·dim values — parameter-sized (classes are bounded),
+    never data-sized. Returns (label, pos, n_vecs, c) long-format
+    rows, pivot to arrays downstream if needed.
+    """
+    spark = embeddings.sparkSession
+    sc = F.col("col").cast("double") * F.lit(float(EMB_SCALE))
+    stats = (embeddings.select(label_col, F.posexplode(F.col(vec_col)))
+             .groupBy(label_col, "pos")
+             .agg(F.sum(sc.cast("decimal(38,0)")).alias("s"),
+                  F.count("*").alias("n"),
+                  F.max(F.abs(sc - F.round(sc, 0))).alias("offint"),
+                  F.max(F.abs(F.col("col"))).alias("mx"))
+             .collect())
+    out = []
+    for r in stats:
+        if r["offint"] != 0.0:
+            raise ValueError(
+                f"embedding component · 2^{EMB_SCALE_BITS} is not an "
+                "exact integer: raise EMB_SCALE_BITS for this data")
+        if r["mx"] >= 2.0:
+            raise ValueError(
+                "embedding component |v| >= 2: the +4 positivity "
+                "offset in the exact mean no longer covers the range")
+        S, n = int(r["s"]), int(r["n"])
+        d = n * EMB_SCALE
+        mi = (2 * 1_000_000 * (S + 4 * d) + d) // (2 * d) - 4_000_000
+        out.append((r[label_col], r["pos"], n, mi / 1e6))
+    return spark.createDataFrame(
+        out, f"{label_col} int, pos int, n_vecs bigint, c double")
+
+
 def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,
                         n_iter: int = LLOYD_ITER,
                         id_col: str = "vec_id",

@@ -84,8 +84,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oracle) with packed_sequences (the gather join materializing the
 #: packed examples, every byte under the value gate via md5),
 #: timeseries_gap_fill (WITH FILL STEP analog, collect-free dense
-#: spine), and limit_by_recent_events (ClickHouse LIMIT n BY through
-#: the SQL entry's ranked-window rewrite);
+#: spine), limit_by_recent_events (ClickHouse LIMIT n BY through
+#: the SQL entry's ranked-window rewrite), label_centroids
+#: (integer-exact mean pooling per label), and dsir_importance
+#: (DSIR log-likelihood-ratio curation scores);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -118,6 +120,8 @@ _FRONTLOAD_R7 = [
     "packed_sequences",
     "timeseries_gap_fill",
     "limit_by_recent_events",
+    "label_centroids",
+    "dsir_importance",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -1729,3 +1729,50 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_docs"),
                      F.sum(F.length("text")).cast("long").alias("n_chars"))
                 .orderBy("split"))
+
+
+def _label_centroids_oracle() -> str:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        EMB_SCALE,
+    )
+
+    # the identical integer-exact tie-rounded mean the Spark side
+    # computes (operators/similarity.label_centroids_exact — the
+    # _lloyd_update_exact formula): BIGINT-exact scaled components,
+    # HUGEINT order-independent sums, truncating integer division
+    return f"""
+    WITH s AS (
+      SELECT label::int AS label, (g.g - 1)::int AS pos,
+             sum(CAST(embedding[g.g]::DOUBLE * {EMB_SCALE} AS BIGINT))
+               AS sm,
+             count(*)::HUGEINT * {EMB_SCALE} AS den,
+             count(*)::bigint AS n_vecs
+      FROM embeddings, unnest(generate_series(1, 64)) AS g(g)
+      GROUP BY label, pos)
+    SELECT label, pos, n_vecs,
+           ((2000000 * (sm + 4 * den) + den) // (2 * den)
+            - 4000000) / 1000000.0 AS c
+    FROM s ORDER BY label, pos
+    """
+
+
+@query(
+    "label_centroids",
+    oracle=_label_centroids_oracle(),
+    doc="per-label embedding centroids (mean pooling / avgArray "
+        "analog — the class-prototype aggregate retrieval and "
+        "few-shot pipelines precompute): element-wise mean per label "
+        "via the SAME integer-exact tie-rounded arithmetic as the "
+        "Lloyd update (components scaled 2^50 to exact ints, "
+        "decimal(38,0) sums — order-independent, so bit-identical on "
+        "any partitioning), one posexplode + partial-agg shuffle of "
+        "|labels|*dim groups, driver materialization parameter-sized "
+        "(operators/similarity.label_centroids_exact)",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        label_centroids_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    return label_centroids_exact(emb).orderBy("label", "pos")

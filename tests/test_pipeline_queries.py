@@ -262,3 +262,30 @@ def test_distributed_cumsum_matches_global_window(spark):
     for s in sids[:-1]:
         tot = sum(r["v"] for r in by_shard[s])
         assert tot >= 5000 - 100  # filled to target (minus last-row spill)
+
+
+def test_dsir_importance_orders_target_like_docs_first(spark, tmp_path):
+    """On a corpus where target (en) and non-target docs use disjoint
+    vocabularies, every target-vocab doc must outscore every
+    non-target-vocab doc — the separation DSIR resampling relies on.
+    A mixed doc lands strictly between."""
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    rows = [
+        (0, "alpha beta gamma alpha", "en", "s0", 22),
+        (1, "alpha gamma beta beta", "en", "s0", 21),
+        (2, "delta epsilon zeta", "fr", "s1", 18),
+        (3, "epsilon zeta delta delta", "fr", "s1", 24),
+        (4, "alpha delta", "de", "s2", 11),  # mixed, labeled non-en
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.logratio for r in
+           load_all()["dsir_importance"].spark(spark, sf).collect()}
+    per_tok = {d: got[d] / n for d, n in
+               ((0, 4), (1, 4), (2, 3), (3, 4), (4, 2))}
+    assert min(per_tok[0], per_tok[1]) > per_tok[4]
+    assert per_tok[4] > max(per_tok[2], per_tok[3])

@@ -748,3 +748,35 @@ def test_streaming_semantic_dedup_decisions_match_batch(spark, sf_dir):
         else:
             assert not r["is_dup"] and r["kept_id"] is None \
                 and r["cos_sim"] is None
+
+
+def test_label_centroids_match_numpy_and_partitioning(spark, sf_dir):
+    """The integer-exact per-label mean must agree with numpy's float
+    mean to the 6-decimal rounding it applies, and be bit-identical
+    across input partitionings (the property float sums lack)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        label_centroids_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    got = {(r.label, r.pos): (r.n_vecs, r.c)
+           for r in label_centroids_exact(emb).collect()}
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.asarray(r.embedding, dtype=np.float64))
+    for label, vecs in by_label.items():
+        mean = np.stack(vecs).mean(axis=0)
+        for pos, m in enumerate(mean):
+            n, c = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(c - m) <= 5e-7 + 1e-9  # 6-decimal rounding
+    again = {(r.label, r.pos): (r.n_vecs, r.c)
+             for r in label_centroids_exact(
+                 emb.repartition(13)).collect()}
+    assert again == got
