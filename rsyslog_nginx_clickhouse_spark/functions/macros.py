@@ -590,6 +590,27 @@ def rewrite_limit_by(query: str) -> str:
     return out
 
 
+#: ClickHouse ``GROUP BY cols WITH TOTALS`` → the SQL-standard
+#: super-aggregate: GROUPING SETS ((cols), ()). The totals row
+#: carries NULL group keys (ClickHouse emits type-default keys in
+#: some output formats; NULL is the relational spelling of the same
+#: row). Key list is restricted to plain columns — WITH TOTALS over
+#: computed keys should name them via aliases first.
+_WITH_TOTALS_RE = re.compile(
+    r"(?is)\bGROUP\s+BY\s+(?P<cols>[\w.`]+(?:\s*,\s*[\w.`]+)*)\s+"
+    r"WITH\s+TOTALS\b")
+
+
+def rewrite_with_totals(query: str) -> str:
+    """``GROUP BY a, b WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((a, b), ())`` — one pass, same shuffle: Spark plans grouping
+    sets as a single partial-agg expand, so the totals row costs one
+    extra aggregation lane, not a second scan."""
+    return _WITH_TOTALS_RE.sub(
+        lambda m: f"GROUP BY GROUPING SETS (({m.group('cols')}), ())",
+        query)
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -597,4 +618,4 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         query = expand_macros(query, **macro_kwargs)
     else:
         query = rewrite_aggregates(query)
-    return spark.sql(rewrite_limit_by(query))
+    return spark.sql(rewrite_with_totals(rewrite_limit_by(query)))

@@ -86,8 +86,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: timeseries_gap_fill (WITH FILL STEP analog, collect-free dense
 #: spine), limit_by_recent_events (ClickHouse LIMIT n BY through
 #: the SQL entry's ranked-window rewrite), label_centroids
-#: (integer-exact mean pooling per label), and dsir_importance
-#: (DSIR log-likelihood-ratio curation scores);
+#: (integer-exact mean pooling per label), dsir_importance
+#: (DSIR log-likelihood-ratio curation scores),
+#: streaming_quantile_rollup (streaming quantileState via the epoch
+#: writer, pairing streaming_kmv_rollup), and
+#: with_totals_event_counts (CH WITH TOTALS -> GROUPING SETS);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -122,6 +125,8 @@ _FRONTLOAD_R7 = [
     "limit_by_recent_events",
     "label_centroids",
     "dsir_importance",
+    "streaming_quantile_rollup",
+    "with_totals_event_counts",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

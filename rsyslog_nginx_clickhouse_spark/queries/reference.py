@@ -1359,6 +1359,38 @@ def limit_by_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "with_totals_event_counts",
+    # GROUPING SETS is the relational spelling of WITH TOTALS; the
+    # totals row carries NULL keys in both engines. round(sum, 2) of
+    # 2-decimal money-like values sits ON the grid, never on a tie
+    # (rounding at >= the data's decimal precision is exact)
+    oracle="""
+    SELECT event_type, count(*)::bigint AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE user_id < 50
+    GROUP BY GROUPING SETS ((event_type), ())
+    ORDER BY event_type
+    """,
+    doc="ClickHouse `GROUP BY ... WITH TOTALS` surface: the verbatim "
+        "CH text runs through the engine's SQL entry, which rewrites "
+        "it to GROUPING SETS ((keys), ()) — Spark plans that as ONE "
+        "expand + partial agg, so the dashboard's totals row costs "
+        "an extra aggregation lane, not a second scan "
+        "(functions/macros.rewrite_with_totals)",
+)
+def with_totals_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "totals_events")
+    return engine_sql(spark, """
+        SELECT event_type, count(*) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM totals_events WHERE user_id < 50
+        GROUP BY event_type WITH TOTALS
+        ORDER BY event_type
+    """)
+
+
 #: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events
 #: table carries nanos and ns-vs-µs boundary comparison would diverge)
 _FUNNEL_W_US = 6 * 3600 * 1_000_000

@@ -554,3 +554,63 @@ def streaming_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         _run_to_completion(q)
     return read_kmv_merged(spark, path, ["d"], _KMV_K).orderBy("d")
+
+
+@query(
+    "streaming_quantile_rollup",
+    # shared semantics with quantile_rollup_latency: the oracle is the
+    # DIRECT discrete quantile at the same explicit rank rule —
+    # equality proves the STREAMING epoch split merges exactly too
+    # (histogram merge is lossless for any split)
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           min(CASE WHEN rn >= ceil(0.5 * n) THEN value END) AS p50,
+           min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="streaming quantileState maintenance — completes the "
+        "streaming state-rollup pair beside streaming_kmv_rollup "
+        "(uniq): each micro-batch appends only its per-event_type "
+        "EXACT (value, count) histogram state (O(keys·values) rows "
+        "per epoch, bounded by the 2-decimal value domain; "
+        "marker-gated against epoch replay via "
+        "idempotent_epoch_writer); the serving read merges epoch "
+        "histograms by summing counts and evaluates p50/p99 — "
+        "bit-equal to the direct discrete quantile because "
+        "exact-histogram merge is lossless for ANY epoch split, "
+        "which the shared oracle verifies (plans/agg_rollup.py)",
+)
+def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.agg_rollup import (
+        append_quantile_partial,
+        read_quantile_merged,
+    )
+    from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+        idempotent_epoch_writer,
+    )
+
+    path = scratch_dir("streaming_quantile_rollup", sf_dir)
+    ckpt = scratch_dir("streaming_quantile_rollup_ckpt", sf_dir)
+
+    sink = idempotent_epoch_writer(
+        path,
+        write_fn=lambda bdf, staging: append_quantile_partial(
+            bdf.select("event_type", "value"), staging,
+            ["event_type"], "value"))
+
+    with _stream_state_partitions(spark):
+        q = (_events_stream(spark, sf_dir)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _run_to_completion(q)
+    return (read_quantile_merged(spark, path, ["event_type"], "value",
+                                 {"p50": 0.5, "p99": 0.99})
+            .orderBy("event_type"))

@@ -66,3 +66,27 @@ def test_limit_by_executes(spark):
     assert [(r.u, r.e) for r in got] == [(2, 21), (2, 20), (1, 12),
                                          (1, 11)]
     assert [c for c in got[0].asDict()] == ["u", "e"]  # __rn dropped
+
+
+def test_with_totals_rewrite_and_execution(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_with_totals,
+    )
+
+    q = "SELECT a, count(*) c FROM t GROUP BY a WITH TOTALS ORDER BY a"
+    out = rewrite_with_totals(q)
+    assert "GROUPING SETS ((a), ())" in out and "TOTALS" not in out
+    # multi-key
+    out2 = rewrite_with_totals("SELECT a,b,sum(x) s FROM t "
+                               "GROUP BY a, b WITH TOTALS")
+    assert "GROUPING SETS ((a, b), ())" in out2
+    # passthrough
+    q3 = "SELECT a, count(*) c FROM t GROUP BY a"
+    assert rewrite_with_totals(q3) == q3
+    df = spark.createDataFrame([("x", 1), ("x", 2), ("y", 3)],
+                               "a string, v int")
+    df.createOrReplaceTempView("wt_t")
+    got = {(r.a, r.s) for r in spark.sql(rewrite_with_totals(
+        "SELECT a, sum(v) AS s FROM wt_t GROUP BY a WITH TOTALS"))
+        .collect()}
+    assert got == {("x", 3), ("y", 3), (None, 6)}

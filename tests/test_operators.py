@@ -386,3 +386,27 @@ def test_argmax_rollup_merge_equals_direct(spark, sf_dir, tmp_path):
               (ev.withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") == 1).drop("rn")).collect()}
     assert merged == direct
+
+
+def test_streaming_quantile_rollup_equals_batch(spark, sf_dir):
+    """The streaming quantileState writer must merge to the identical
+    answer as the batch 3-part rollup AND the direct quantile (all
+    three share the explicit rank rule); re-invocation (fresh scratch
+    + checkpoint) must reproduce it — the stale-checkpoint guard the
+    kmv twin also carries."""
+    from rsyslog_nginx_clickhouse_spark.queries.reference import (
+        quantile_rollup_latency,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.stream_q import (
+        streaming_quantile_rollup,
+    )
+
+    direct = [tuple(r) for r in
+              quantile_rollup_latency(spark, sf_dir).collect()]
+    assert direct
+    once = [tuple(r) for r in
+            streaming_quantile_rollup(spark, sf_dir).collect()]
+    again = [tuple(r) for r in
+             streaming_quantile_rollup(spark, sf_dir).collect()]
+    assert once == direct
+    assert again == direct
