@@ -197,6 +197,16 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             entry["best_same_plan"] = b_same
             entry["verdict"] = "plan-changed"
         else:
+            # the probe's whole point is a contention-free sample, but
+            # straight after the suite the 1-min load is still 10+ and
+            # the probe itself reads 2x its settled wall (observed:
+            # embedding_neardup_exact probe 1.76 s at load 12.8 vs
+            # 1.04 s settled — a 'real' verdict on a ghost). Wait,
+            # bounded, for the box to drain before sampling.
+            for _ in range(18):
+                if os.getloadavg()[0] < 6.0:
+                    break
+                _time.sleep(5)
             probe = None
             for _ in range(2):
                 t0 = _time.time()
