@@ -12,6 +12,7 @@ import sys
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,6 +37,14 @@ EDGE_DOCS = [
      "en", "src1"),
     (12, "ip 192.168.001.255 vs version 1.2.3.4000 and 1.2.3.4", "en",
      "src2"),
+    # non-ASCII: character-indexed substr + md5-over-UTF-8 parity for
+    # the chunking/packing/gather tier (chars != bytes here)
+    (13, "caf\u00e9 na\u00efve \u00fcber \u4e2d\u6587\u6587"
+         "\u672c \U0001f600 emoji mix " * 12, "fr", "src0"),
+    # long ASCII doc: multiple overlapping chunk windows + a
+    # multi-doc packing bin alongside the tiny docs
+    (14, ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+          * 12).strip(), "en", "src1"),
 ]
 
 TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
@@ -43,14 +52,21 @@ TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 "dedup_ngram_jaccard", "top_bigrams",
                 "pii_redaction", "repetition_stats", "token_shard_plan",
                 "duplicated_ngram_fraction", "gopher_quality_filter",
-                "source_overlap", "domain_mixture", "stratified_sample"]
+                "source_overlap", "domain_mixture", "stratified_sample",
+                # round-7 text tier: chunk/pack/gather slice and hash
+                # the raw text (char-indexed substr over non-ASCII),
+                # DSIR builds unigram models over it
+                "doc_chunk_windows", "sequence_packing_plan",
+                "packed_sequences", "dsir_importance", "span_dedup",
+                "dedup_keep_best"]
 
 
 @pytest.fixture(scope="module")
 def edge_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("edge"))
     df = spark.createDataFrame(
-        EDGE_DOCS, "doc_id long, text string, lang string, source string")
+        EDGE_DOCS, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     return d
 

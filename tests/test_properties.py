@@ -221,3 +221,34 @@ def test_adhoc_value_roundtrip_through_parser(spark, val):
     p = adhoc_predicate([("c", "=", val)])
     got = [r["c"] for r in df.where(F.expr(p)).collect()]
     assert got == [val]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sizes=st.lists(st.integers(min_value=1, max_value=50),
+                      min_size=1, max_size=60),
+       cap=st.integers(min_value=10, max_value=80))
+def test_greedy_pack_matches_reference_recurrence(spark, sizes, cap):
+    """Next-fit packing == an independent pure-Python replay of the
+    recurrence for ANY size sequence and capacity (incl. oversize
+    docs) — the distributed applyInPandas path may not diverge from
+    the spec the recursive-CTE oracle encodes."""
+    from rsyslog_nginx_clickhouse_spark.operators.packing import (
+        greedy_pack,
+    )
+
+    rows = [(i % 2, i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "shard int, doc_id long, size long")
+    got = sorted((r.shard, r.doc_id, r.size, r.bin_id, r.bin_offset)
+                 for r in greedy_pack(df, cap).collect())
+    want = []
+    for shard in (0, 1):
+        fill, b = 0, -1
+        for i, s in [(i, s) for i, s in enumerate(sizes)
+                     if i % 2 == shard]:
+            if b < 0 or fill + s > cap:
+                b += 1
+                fill = 0
+            want.append((shard, i, s, b, fill))
+            fill += s
+    assert got == sorted(want)
