@@ -90,7 +90,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: (DSIR log-likelihood-ratio curation scores),
 #: streaming_quantile_rollup (streaming quantileState via the epoch
 #: writer, pairing streaming_kmv_rollup), and
-#: with_totals_event_counts (CH WITH TOTALS -> GROUPING SETS);
+#: with_totals_event_counts (CH WITH TOTALS -> GROUPING SETS), and
+#: bpe_train_merges + bpe_tokenize_docs (distributed BPE tokenizer
+#: training with the full training replayed in the oracle, plus the
+#: vocab-lookup apply side);
 #: (1) TEXT-CHANGED since their last row: bucketed_join_revenue (now
 #: probes the pre-built tables) and the whole cosine-ranking family —
 #: knn_{ivf,join_ivf,bruteforce,lsh,label_accuracy},
@@ -137,6 +140,8 @@ _FRONTLOAD_R7 = [
     "dsir_importance",
     "streaming_quantile_rollup",
     "with_totals_event_counts",
+    "bpe_train_merges",
+    "bpe_tokenize_docs",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -1776,3 +1776,61 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
     return label_centroids_exact(emb).orderBy("label", "pos")
+
+
+def _bpe_oracle() -> str:
+    from rsyslog_nginx_clickhouse_spark.operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=8)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="distributed BPE tokenizer training (Sennrich et al. 2016) — "
+        "the train-the-tokenizer step of a pretraining pipeline: the "
+        "corpus collapses to a word-frequency table in ONE "
+        "data-sized aggregate, then 8 merge iterations run on that "
+        "vocab-sized table (pair counts = one partial-agg shuffle "
+        "per merge; argmax pair = a 1-row driver fetch, the Lloyd "
+        "precedent; the merge itself is a single replace over a "
+        "two-space-delimited symbol encoding that is EXACTLY the "
+        "canonical greedy BPE merge). The oracle replays the entire "
+        "training — every pair count, tie-broken argmax, and merge — "
+        "from the raw corpus in a CTE chain, deriving the same 8 "
+        "merges (operators/bpe.py)",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _bpe_tokenize_oracle() -> str:
+    from rsyslog_nginx_clickhouse_spark.operators.bpe import (
+        bpe_tokenize_oracle_sql,
+    )
+
+    return bpe_tokenize_oracle_sql(n_merges=8)
+
+
+@query(
+    "bpe_tokenize_docs",
+    oracle=_bpe_tokenize_oracle(),
+    doc="apply the trained BPE tokenizer: per-document word / char / "
+        "subword counts after the 8 trained merges. The final "
+        "training state already IS every vocab word's tokenization, "
+        "so apply = one join of the exploded corpus against the "
+        "vocab-sized state — the production shape (tokenize by vocab "
+        "lookup, never re-running merges per document). The oracle "
+        "extends the same replayed training chain with the identical "
+        "join — all-integer output, no rounding tier involved "
+        "(operators/bpe.py)",
+)
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.bpe import (
+        bpe_tokenize_counts,
+    )
+
+    return bpe_tokenize_counts(load(spark, sf_dir, "documents"),
+                               n_merges=8)
