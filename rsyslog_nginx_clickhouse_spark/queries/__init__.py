@@ -105,17 +105,17 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the registry;
 #: (3) r5-row entries, alphabetical, filling the remaining slots.
 #:
-#: WINDOW BUDGET, stated for the record: the 22 never-verified + 11
-#: text-changed entries are mandatory, leaving 17 of the driver's 50
-#: slots for the 21 r4 rows — so FOUR r4 rows (top_bigrams,
-#: top_users, train_test_split, value_histogram) plus the 11 r5
-#: fillers sit beyond the window this round: the deliberate price of
-#: 22 new operators, not an oversight. They are the FIRST rotation
-#: cohort for _FRONTLOAD_R8 (r4 rows before r5 rows), and every one
-#: of them passes the identical in-repo gate (tools/selfcheck.py,
-#: same oracle compare as the driver) at HEAD regardless of window
-#: position; rotationcheck enforces that nothing mandatory was
-#: displaced.
+#: WINDOW BUDGET, stated for the record: the 24 never-verified + 11
+#: text-changed entries are mandatory, leaving 15 of the driver's 50
+#: slots for the 21 r4 rows — so SIX r4 rows (tfidf_top_terms,
+#: token_counts, top_bigrams, top_users, train_test_split,
+#: value_histogram) plus the 11 r5 fillers sit beyond the window
+#: this round: the deliberate price of 24 new operators, not an
+#: oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
+#: (r4 rows before r5 rows), and every one of them passes the
+#: identical in-repo gate (tools/selfcheck.py, same oracle compare
+#: as the driver) at HEAD regardless of window position;
+#: rotationcheck enforces that nothing mandatory was displaced.
 _FRONTLOAD_R7 = [
     # (0) new this round — never driver-verified
     "bucketed_build",
