@@ -611,6 +611,80 @@ def rewrite_with_totals(query: str) -> str:
         query)
 
 
+#: ClickHouse ``SAMPLE f [OFFSET o]`` — deterministic sampling-key
+#: subrange, the MergeTree ``SAMPLE BY`` contract: the table declares
+#: a sampling key (DDL-time in ClickHouse; ``declare_sample_by`` here),
+#: rows are kept when the key's uniform 32-bit hash falls in
+#: [o·2³², (o+f)·2³²), and the virtual column ``_sample_factor`` = 1/f
+#: is exposed for extrapolation (``count() * any(_sample_factor)``).
+#: Hash-range (not Bernoulli) sampling makes the sample (a) identical
+#: on every node/partitioning, (b) CONSISTENT across tables sharing a
+#: key — SAMPLE 0.1 of two tables joined on user_id keeps the SAME
+#: users on both sides, and (c) composable: disjoint OFFSET slices
+#: partition the table exactly. The row-count form ``SAMPLE n`` (n>1)
+#: is refused loudly — it needs table statistics to invert into a
+#: fraction, which this engine doesn't keep.
+_SAMPLE_RE = re.compile(
+    r"(?is)\bFROM\s+(?P<table>[\w.`]+)\s+"
+    r"SAMPLE\s+(?P<frac>\d+(?:\.\d+)?)"
+    r"(?:\s+OFFSET\s+(?P<off>\d*\.\d+))?")
+
+#: table/view name → sampling-key SQL expression (the SAMPLE BY
+#: declaration). The hash applied on top is the engine's standard
+#: uniform 32-bit hash (md5 hex prefix — same family the KMV/uniq
+#: sketches use), so oracles replay it exactly.
+_SAMPLE_KEYS: dict[str, str] = {}
+
+
+def declare_sample_by(table: str, key_expr: str) -> None:
+    """Register ``SAMPLE BY key_expr`` for a table/view (CH DDL analog)."""
+    _SAMPLE_KEYS[table] = key_expr
+
+
+def sample_hash_sql(key_expr: str) -> str:
+    """Uniform hash of the sampling key into [0, 2^32) — Spark SQL."""
+    return (f"CAST(conv(substr(md5(CAST(({key_expr}) AS STRING)), "
+            f"1, 8), 16, 10) AS BIGINT)")
+
+
+def rewrite_sample(query: str) -> str:
+    """``FROM t SAMPLE f [OFFSET o]`` → a filtered subquery aliased back
+    to ``t``: WHERE hash(key) in the [o, o+f) slice of [0, 2^32), with
+    ``_sample_factor`` = 1/f projected alongside the table's columns.
+    The filter is a plain deterministic expression on the key column,
+    so it evaluates during the scan (no shuffle, no rand()) and prunes
+    the SAME rows at any cluster size."""
+
+    def _sub(m: re.Match) -> str:
+        table = m.group("table")
+        frac = float(m.group("frac"))
+        if not 0 < frac < 1:
+            raise ValueError(
+                f"SAMPLE {m.group('frac')}: only the fractional form "
+                f"SAMPLE f with 0 < f < 1 is supported (the row-count "
+                f"form needs table statistics to invert; pre-compute "
+                f"the fraction instead)")
+        off = float(m.group("off") or 0.0)
+        if off + frac > 1.0 + 1e-12:
+            raise ValueError(
+                f"SAMPLE {frac} OFFSET {off}: slice exceeds [0, 1)")
+        key = _SAMPLE_KEYS.get(table)
+        if key is None:
+            raise ValueError(
+                f"table {table!r} has no declared sampling key — call "
+                f"declare_sample_by({table!r}, <key expr>) first (the "
+                f"SAMPLE BY clause of the ClickHouse DDL)")
+        h = sample_hash_sql(key)
+        lo = int(off * 4294967296)
+        hi = int((off + frac) * 4294967296)
+        factor = 1.0 / frac
+        return (f"FROM (SELECT *, CAST({factor!r} AS DOUBLE) AS "
+                f"_sample_factor FROM {table} "
+                f"WHERE {h} >= {lo} AND {h} < {hi}) AS {table}")
+
+    return _SAMPLE_RE.sub(_sub, query)
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -618,4 +692,5 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         query = expand_macros(query, **macro_kwargs)
     else:
         query = rewrite_aggregates(query)
-    return spark.sql(rewrite_with_totals(rewrite_limit_by(query)))
+    return spark.sql(
+        rewrite_with_totals(rewrite_limit_by(rewrite_sample(query))))

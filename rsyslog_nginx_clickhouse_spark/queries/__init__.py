@@ -105,12 +105,13 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the registry;
 #: (3) r5-row entries, alphabetical, filling the remaining slots.
 #:
-#: WINDOW BUDGET, stated for the record: the 24 never-verified + 11
-#: text-changed entries are mandatory, leaving 15 of the driver's 50
-#: slots for the 21 r4 rows — so SIX r4 rows (tfidf_top_terms,
+#: WINDOW BUDGET, stated for the record: the 27 never-verified + 11
+#: text-changed entries are mandatory, leaving 12 of the driver's 50
+#: slots for the 21 r4 rows — so NINE r4 rows (retention_cohort,
+#: status_class_share, stratified_sample, tfidf_top_terms,
 #: token_counts, top_bigrams, top_users, train_test_split,
 #: value_histogram) plus the 11 r5 fillers sit beyond the window
-#: this round: the deliberate price of 24 new operators, not an
+#: this round: the deliberate price of 27 new operators, not an
 #: oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
 #: (r4 rows before r5 rows), and every one of them passes the
 #: identical in-repo gate (tools/selfcheck.py, same oracle compare
@@ -142,6 +143,9 @@ _FRONTLOAD_R7 = [
     "with_totals_event_counts",
     "bpe_train_merges",
     "bpe_tokenize_docs",
+    "ngram_lm_perplexity",
+    "sample_clause_scan",
+    "ttl_rollup_compaction",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

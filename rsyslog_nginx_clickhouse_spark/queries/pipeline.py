@@ -901,3 +901,79 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_toks"),
                   F.round(F.sum("w"), 6).alias("logratio"))
              .orderBy("doc_id"))
+
+
+@query(
+    "ngram_lm_perplexity",
+    # the oracle replays the identical estimator: add-1-smoothed
+    # bigram LM trained on the corpus itself over the SAME normalized
+    # tokenization; per-doc mean negative log-likelihood over bigram
+    # OCCURRENCES. ln/sums are irrational-valued, so plain round(6)
+    # is tie-safe (functions/rounding.py discipline — same class as
+    # dsir_importance/tfidf). Vocabulary counts DISTINCT tokens over
+    # ALL docs (including single-token docs that produce no bigrams).
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM normed)),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM normed, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    w AS (
+      SELECT c2.w1, c2.w2,
+             -ln((c2.c2 + 1)::double / (c1.c1 + v.v)) AS nll
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT b.doc_id, count(*)::bigint AS n_bigrams,
+           round(sum(w.nll) / count(*), 6) AS cross_entropy
+    FROM bg b JOIN w USING (w1, w2)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    doc="CCNet-style LM quality scoring (Wenzek et al. 2020, §4.3 — "
+        "perplexity filtering, the classic curation gate between "
+        "dedup and training): per-document cross-entropy under an "
+        "add-1-smoothed bigram LM trained distributively on the "
+        "corpus itself (in production: on the curated seed corpus — "
+        "swap the count source, same plan). Plan: the bigram explode "
+        "(O(tokens), same order as tokenization) is re-derived per "
+        "consumer — three pruned text-column scans feeding two "
+        "vocab-bounded partial aggs and the probe side (cheaper than "
+        "shuffling O(tokens) state; at 100 TB checkpoint the exploded "
+        "stream once instead); weights are pre-joined vocab-side so "
+        "the O(tokens) side joins ONCE against the per-distinct-"
+        "bigram weight table, then one per-doc agg; the vocabulary "
+        "size is a 1-value parameter fetch inlined as a literal (the "
+        "zorder-bounds pattern)",
+)
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    # vocabulary over ALL token occurrences (docs below 2 tokens
+    # contribute vocab but score no bigrams)
+    v = int(t.select(F.explode("toks").alias("tok"))
+             .agg(F.count_distinct("tok")).collect()[0][0])
+    bg = (t.where(F.size("toks") >= 2)
+           .select("doc_id",
+                   F.explode(F.expr(
+                       "transform(sequence(0, size(toks) - 2), "
+                       "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                   )).alias("b"))
+           .select("doc_id", "b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    w = (c2.join(c1, "w1")
+           .select("w1", "w2",
+                   (-F.log((F.col("c2") + 1).cast("double")
+                           / (F.col("c1") + F.lit(v)))).alias("nll")))
+    return (bg.join(w, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.round(F.sum("nll") / F.count("*"), 6)
+                    .alias("cross_entropy"))
+              .orderBy("doc_id"))

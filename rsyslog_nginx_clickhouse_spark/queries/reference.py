@@ -1391,6 +1391,123 @@ def with_totals_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "sample_clause_scan",
+    # the oracle replays the identical hash-range predicate (the same
+    # md5-prefix uniform hash the KMV sketches use, proven equal
+    # cross-engine there) and the exact extrapolation arithmetic:
+    # 1/0.25 = 4.0 is a dyadic double, count·4.0 is integer-exact, and
+    # the BIGINT cast of an exact integer double is exact
+    oracle="""
+    WITH s AS (
+      SELECT * FROM events
+      WHERE ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+            >= 0
+        AND ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+            < 1073741824)
+    SELECT event_type, count(*)::bigint AS sampled_cnt,
+           CAST(count(*) * 4.0 AS BIGINT) AS est_cnt
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse `SAMPLE f` clause (the MergeTree SAMPLE BY "
+        "contract): the verbatim CH text `FROM events SAMPLE 0.25` "
+        "runs through the engine's SQL entry, which rewrites it to a "
+        "deterministic hash-range predicate on the DECLARED sampling "
+        "key (user_id here) plus the `_sample_factor` virtual column "
+        "for extrapolation (functions/macros.rewrite_sample). "
+        "Hash-range — not Bernoulli rand() — sampling is what makes "
+        "the clause usable at 100 TB: the kept set is identical at "
+        "any cluster size, CONSISTENT across tables sharing the key "
+        "(sampled joins keep the same users on both sides), and "
+        "disjoint OFFSET slices partition the table exactly; the "
+        "predicate is a scan-time expression, no shuffle",
+)
+def sample_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "sample_events")
+    declare_sample_by("sample_events", "user_id")
+    return engine_sql(spark, """
+        SELECT event_type, count(*) AS sampled_cnt,
+               CAST(count(*) * any_value(_sample_factor) AS BIGINT)
+                 AS est_cnt
+        FROM sample_events SAMPLE 0.25
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+#: TTL cutoff: rows in day-partitions BEFORE this date are rolled up
+#: to per-(day, event_type) aggregate rows; the last week stays raw.
+#: (events span 2024-01-01..2024-01-30 at every sf — TESTDATA.md)
+_TTL_CUTOFF = "2024-01-24"
+
+
+@query(
+    "ttl_rollup_compaction",
+    # the oracle states the post-TTL storage contract directly:
+    # expired days store exactly ONE row per (day, event_type) with
+    # lossless additive state (n_rows_stored = 1 proves the collapse
+    # HAPPENED; n_events/sum_value prove it was lossless), fresh days
+    # store every raw row. value sums are exact integer cent units;
+    # the final /100 of the same int64 is the same IEEE divide in
+    # both engines (functions/rounding.py)
+    oracle=f"""
+    WITH base AS (
+      SELECT cast(ts AS date) AS d, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+      FROM events)
+    SELECT d, event_type,
+           CASE WHEN d < DATE '{_TTL_CUTOFF}' THEN 1
+                ELSE count(*) END::bigint AS n_rows_stored,
+           count(*)::bigint AS n_events,
+           CAST(sum(u) AS DOUBLE) / 100 AS sum_value
+    FROM base GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="ClickHouse `TTL ts + INTERVAL ... GROUP BY` analog "
+        "(plans/ttl.py — the retention companion of the MergeTree "
+        "storage family: Summing/Aggregating/Collapsing/Replacing + "
+        "TTL): events ingest day-partitioned with additive state "
+        "columns (n=1, cent units); TTL application prunes to the 23 "
+        "expired partitions, collapses each to one row per (day, "
+        "event_type) via a partial-agg shuffle over EXPIRED ROWS "
+        "ONLY, and publishes via dynamic partition overwrite — fresh "
+        "partitions are never read or moved, so the cost is "
+        "O(expired rows) at any table size. The serving read "
+        "aggregates raw + rolled rows through one schema "
+        "(merge-on-read = SUM of states); the oracle proves the "
+        "collapse happened (1 stored row per expired group) AND was "
+        "lossless (counts and cent-exact sums match raw events)",
+)
+def ttl_rollup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.ttl import (
+        apply_ttl_rollup,
+        read_ttl_table,
+        write_ttl_table,
+    )
+
+    rows = (load(spark, sf_dir, "events")
+            .select(F.to_date("ts").alias("d"), "event_type",
+                    F.lit(1).cast("long").alias("n"),
+                    exact_units(F.col("value"), 2).alias("u")))
+    path = scratch_dir("ttl_rollup", sf_dir)
+    write_ttl_table(rows, path, "d")
+    apply_ttl_rollup(spark, path, "d",
+                     datetime.date.fromisoformat(_TTL_CUTOFF),
+                     ["event_type"], ["n", "u"])
+    return (read_ttl_table(spark, path)
+            .groupBy("d", "event_type")
+            .agg(F.count("*").alias("n_rows_stored"),
+                 F.sum("n").alias("n_events"),
+                 (F.sum("u").cast("double") / 100).alias("sum_value"))
+            .orderBy("d", "event_type"))
+
+
 #: windowFunnel window: 6 hours in µs (µs on BOTH engines — the events
 #: table carries nanos and ns-vs-µs boundary comparison would diverge)
 _FUNNEL_W_US = 6 * 3600 * 1_000_000

@@ -90,3 +90,80 @@ def test_with_totals_rewrite_and_execution(spark):
         "SELECT a, sum(v) AS s FROM wt_t GROUP BY a WITH TOTALS"))
         .collect()}
     assert got == {("x", 3), ("y", 3), (None, 6)}
+
+
+# ------------------------------------------------------------- SAMPLE --
+
+
+def test_sample_rewrite_shape():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        rewrite_sample,
+    )
+
+    declare_sample_by("st", "user_id")
+    out = rewrite_sample("SELECT count(*) FROM st SAMPLE 0.25")
+    assert "_sample_factor" in out and "AS st" in out
+    assert ">= 0" in out and "< 1073741824" in out  # 0.25 * 2^32
+    out = rewrite_sample("SELECT 1 FROM st SAMPLE 0.25 OFFSET 0.5")
+    assert ">= 2147483648" in out and "< 3221225472" in out
+
+
+def test_sample_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        rewrite_sample,
+    )
+
+    declare_sample_by("st", "user_id")
+    with pytest.raises(ValueError, match="row-count form"):
+        rewrite_sample("SELECT 1 FROM st SAMPLE 1000")
+    with pytest.raises(ValueError, match="exceeds"):
+        rewrite_sample("SELECT 1 FROM st SAMPLE 0.5 OFFSET 0.75")
+    with pytest.raises(ValueError, match="no declared sampling key"):
+        rewrite_sample("SELECT 1 FROM undeclared_t SAMPLE 0.1")
+
+
+def test_sample_slices_partition_exactly(spark):
+    """Disjoint OFFSET slices must cover every row exactly once, and
+    the same slice must select the SAME rows regardless of
+    partitioning — the reproducibility contract rand() sampling
+    breaks."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        sql as engine_sql,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").alias("user_id"))
+    declare_sample_by("sample_t", "user_id")
+
+    def ids(npart, frac, off):
+        df.repartition(npart).createOrReplaceTempView("sample_t")
+        q = f"SELECT user_id FROM sample_t SAMPLE {frac} OFFSET {off}"
+        return {r.user_id for r in engine_sql(spark, q).collect()}
+
+    quarters = [ids(4, 0.25, o) for o in (0.0, 0.25, 0.5, 0.75)]
+    assert sum(len(q) for q in quarters) == 1000
+    assert set().union(*quarters) == set(range(1000))
+    # partitioning-independent
+    assert ids(1, 0.25, 0.0) == quarters[0]
+    assert ids(17, 0.25, 0.5) == quarters[2]
+
+
+def test_sample_factor_extrapolates(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        sql as engine_sql,
+    )
+
+    spark.range(0, 4000).select(F.col("id").alias("user_id")) \
+         .createOrReplaceTempView("sample_f")
+    declare_sample_by("sample_f", "user_id")
+    row = engine_sql(spark, """
+        SELECT count(*) AS n,
+               count(*) * any_value(_sample_factor) AS est
+        FROM sample_f SAMPLE 0.5
+    """).collect()[0]
+    assert row.est == row.n * 2.0
+    # a uniform hash keeps the slice near its nominal share
+    assert abs(row.n - 2000) < 200

@@ -58,7 +58,7 @@ TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 # DSIR builds unigram models over it
                 "doc_chunk_windows", "sequence_packing_plan",
                 "packed_sequences", "dsir_importance", "span_dedup",
-                "dedup_keep_best"]
+                "dedup_keep_best", "ngram_lm_perplexity"]
 
 
 @pytest.fixture(scope="module")

@@ -289,3 +289,29 @@ def test_dsir_importance_orders_target_like_docs_first(spark, tmp_path):
                ((0, 4), (1, 4), (2, 3), (3, 4), (4, 2))}
     assert min(per_tok[0], per_tok[1]) > per_tok[4]
     assert per_tok[4] > max(per_tok[2], per_tok[3])
+
+
+def test_ngram_lm_perplexity_flags_unpredictable_docs(spark, tmp_path):
+    """The CCNet separation property: a document whose bigrams repeat
+    the corpus's dominant pattern scores LOWER cross-entropy than a
+    document of corpus-unique bigrams — the signal perplexity
+    filtering thresholds on. Also: every score is positive (add-1
+    smoothing keeps p < 1) and single-token docs emit no row."""
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    rows = [
+        (0, "spam ham spam ham spam ham spam ham", "en", "s0", 35),
+        (1, "spam ham spam ham spam ham", "en", "s0", 26),
+        (2, "quark boson lepton meson hadron", "en", "s1", 31),
+        (3, "solo", "en", "s2", 4),  # one token: no bigrams, no row
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.cross_entropy for r in
+           load_all()["ngram_lm_perplexity"].spark(spark, sf).collect()}
+    assert set(got) == {0, 1, 2}
+    assert all(v > 0 for v in got.values())
+    assert max(got[0], got[1]) < got[2]
