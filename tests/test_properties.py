@@ -252,3 +252,39 @@ def test_greedy_pack_matches_reference_recurrence(spark, sizes, cap):
             want.append((shard, i, s, b, fill))
             fill += s
     assert got == sorted(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(frac=st.integers(1, 9999), off_num=st.integers(0, 9999))
+def test_sample_slice_bounds_partition_the_hash_space(frac, off_num):
+    """For ANY fraction and offset grid point with off+frac <= 1, the
+    rewritten hash-range bounds must tile [0, 2^32) without gaps or
+    overlaps when slices are laid end to end: the bound arithmetic is
+    floor-monotone, so slice k's hi == slice k+1's lo whenever offsets
+    chain. Guards the int() truncation in rewrite_sample against
+    off-by-one drift at awkward fractions."""
+    import re as _re
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        rewrite_sample,
+    )
+
+    f = frac / 10000.0
+    o = off_num / 10000.0
+    if o + f > 1.0:
+        return
+    declare_sample_by("pt", "k")
+
+    def bounds(fr, of):
+        out = rewrite_sample(f"SELECT 1 FROM pt SAMPLE {fr!r} OFFSET {of!r}")
+        m = _re.search(r">= (\d+) AND .* < (\d+)", out)
+        return int(m.group(1)), int(m.group(2))
+
+    lo, hi = bounds(f, o)
+    assert 0 <= lo <= hi <= 2**32
+    # chained slice: [o, o+f) then [o+f, ...) share the boundary
+    # point computed the same way, so no row is lost or doubled
+    if o + 2 * f <= 1.0:
+        lo2, hi2 = bounds(f, o + f)
+        assert lo2 == hi
