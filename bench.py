@@ -204,7 +204,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             # 1.04 s settled — a 'real' verdict on a ghost). Wait,
             # bounded, for the box to drain before sampling.
             for _ in range(18):
-                if os.getloadavg()[0] < 6.0:
+                if os.getloadavg()[0] < 3.0:
                     break
                 _time.sleep(5)
             probe = None
@@ -221,8 +221,16 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             ref = b_same if b_same is not None else b
             if b_same is not None:
                 entry["best_same_plan"] = b_same
-            entry["verdict"] = ("steal" if probe / ref < ADJ_RATIO
-                                else "real")
+            if probe > t:
+                # an ISOLATED run cannot be slower than the same query
+                # inside a busy suite — a probe above the in-suite wall
+                # means the box never drained (observed: source_overlap
+                # probe 5.88 s vs in-suite 2.93 s at load 4.9, shipped
+                # as 'real' on a ghost). Say so instead of convicting.
+                entry["verdict"] = "probe-invalid"
+            else:
+                entry["verdict"] = ("steal" if probe / ref < ADJ_RATIO
+                                    else "real")
         out[name] = entry
     return out
 

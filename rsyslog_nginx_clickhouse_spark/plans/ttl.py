@@ -77,6 +77,8 @@ def apply_ttl_rollup(spark: SparkSession, path: str, part_col: str,
     rolled = (expired.groupBy(part_col, *group_cols)
               .agg(*[F.sum(c).alias(c) for c in sum_cols])
               .select(*t.columns))  # keep the table's column order
+    if rolled.isEmpty():  # young table: the nightly pass is a no-op
+        return 0
     stage = path + ".ttl-stage"
     shutil.rmtree(stage, ignore_errors=True)
     rolled.write.mode("overwrite").partitionBy(part_col).parquet(stage)

@@ -322,3 +322,64 @@ def test_bench_update_best_by_sig(tmp_path, monkeypatch):
     bench._update_best_by_sig({"q": 2.0}, {"q": "sigB"}, {})  # reset
     got = _json.load(open(bench.BEST_PATH))
     assert got["q"] == {"sig": "sigB", "best": 2.0}
+
+
+def test_bench_adjudicate_probe_invalid_when_slower_than_suite():
+    """A probe SLOWER than the in-suite wall cannot be a clean sample
+    (isolated-idle is a lower bound): the verdict must be
+    'probe-invalid', never 'real' — observed live: source_overlap
+    probed 5.88 s vs an in-suite 2.93 s at load 4.9 and shipped a
+    'real' conviction on a ghost."""
+    import importlib.util
+    import time as _t
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(os.path.dirname(__file__),
+                                   os.pardir, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class _Sink:
+        def __init__(self, secs):
+            self.secs = secs
+
+        def mode(self, m):
+            return self
+
+        def format(self, f):
+            return self
+
+        def save(self):
+            _t.sleep(self.secs)
+
+    class _Q:
+        def __init__(self, secs):
+            self._sink = _Sink(secs)
+
+        def spark(self, spark, sf):
+            class _DF:
+                write = self._sink
+            return _DF()
+
+    class _Catalog:
+        def clearCache(self):
+            pass
+
+    class _Spark:
+        catalog = _Catalog()
+
+    import gc as _gc
+
+    best_known = ({"q": 0.4}, {"q": "BENCH_r04.json"},
+                  {"q": "sigA"}, {"q": ("sigA", "BENCH_r04.json")})
+    # in-suite wall 0.8 s (2x best, same sig, no same-plan baseline);
+    # the fake query takes ~1.2 s isolated → probe > wall → invalid
+    out = bench._adjudicate({"q": _Q(1.2)}, _Spark(), {"q": 0.8},
+                            {"q": "sigA"}, _gc,
+                            best_known=best_known, best_by_sig={})
+    assert out["q"]["verdict"] == "probe-invalid"
+    # and a FAST clean probe still adjudicates steal as before
+    out = bench._adjudicate({"q": _Q(0.05)}, _Spark(), {"q": 0.8},
+                            {"q": "sigA"}, _gc,
+                            best_known=best_known, best_by_sig={})
+    assert out["q"]["verdict"] == "steal"

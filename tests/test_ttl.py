@@ -89,3 +89,29 @@ def test_ttl_expired_scan_is_partition_pruned(spark, tmp_path):
     assert read_files  # the expired scan does read something
     assert all("d=2024-01-01" in f or "d=2024-01-02" in f
                for f in read_files)  # and never a fresh partition
+
+
+def test_ttl_noop_when_nothing_expired(spark, tmp_path):
+    """Cutoff before every partition: zero partitions rewritten, table
+    bit-identical (the nightly pass on a young table must be free)."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    before = sorted(tuple(r) for r in read_ttl_table(spark, path).collect())
+    n = apply_ttl_rollup(spark, path, "d", datetime.date(2023, 12, 1),
+                         ["event_type"], ["n", "u"])
+    assert n == 0
+    after = sorted(tuple(r) for r in read_ttl_table(spark, path).collect())
+    assert after == before
+
+
+def test_ttl_all_partitions_expired(spark, tmp_path):
+    """Cutoff after every partition: the whole table collapses to one
+    row per (day, group) and stays lossless."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    apply_ttl_rollup(spark, path, "d", datetime.date(2024, 2, 1),
+                     ["event_type"], ["n", "u"])
+    t = read_ttl_table(spark, path)
+    assert t.count() == t.select("d", "event_type").distinct().count()
+    tot = t.agg(F.sum("n").alias("n"), F.sum("u").alias("u")).collect()[0]
+    assert (tot.n, tot.u) == (8, 560)
