@@ -1410,7 +1410,9 @@ def with_totals_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY event_type ORDER BY event_type
     """,
     doc="ClickHouse `SAMPLE f` clause (the MergeTree SAMPLE BY "
-        "contract): the verbatim CH text `FROM events SAMPLE 0.25` "
+        "contract; /root/reference README.md:7 — regular SQL against "
+        "the MergeTree table is the product's stated query surface): "
+        "the verbatim CH text `FROM events SAMPLE 0.25` "
         "runs through the engine's SQL entry, which rewrites it to a "
         "deterministic hash-range predicate on the DECLARED sampling "
         "key (user_id here) plus the `_sample_factor` virtual column "
