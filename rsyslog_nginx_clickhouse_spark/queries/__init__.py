@@ -105,14 +105,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the registry;
 #: (3) r5-row entries, alphabetical, filling the remaining slots.
 #:
-#: WINDOW BUDGET, stated for the record: the 27 never-verified + 11
-#: text-changed entries are mandatory, leaving 12 of the driver's 50
-#: slots for the 21 r4 rows — so NINE r4 rows (retention_cohort,
-#: status_class_share, stratified_sample, tfidf_top_terms,
-#: token_counts, top_bigrams, top_users, train_test_split,
-#: value_histogram) plus the 11 r5 fillers sit beyond the window
-#: this round: the deliberate price of 27 new operators, not an
-#: oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
+#: WINDOW BUDGET, stated for the record: the 29 never-verified + 11
+#: text-changed entries are mandatory, leaving 10 of the driver's 50
+#: slots for the 21 r4 rows — so ELEVEN r4 rows (q21_waiting_suppliers,
+#: q2_min_cost_supplier, retention_cohort, status_class_share,
+#: stratified_sample, tfidf_top_terms, token_counts, top_bigrams,
+#: top_users, train_test_split, value_histogram) plus the 11 r5
+#: fillers sit beyond the window this round: the deliberate price of
+#: 29 new operators, not an oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
 #: (r4 rows before r5 rows), and every one of them passes the
 #: identical in-repo gate (tools/selfcheck.py, same oracle compare
 #: as the driver) at HEAD regardless of window position;
@@ -146,6 +146,8 @@ _FRONTLOAD_R7 = [
     "ngram_lm_perplexity",
     "sample_clause_scan",
     "ttl_rollup_compaction",
+    "pq_encode",
+    "knn_pq_adc",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

@@ -1229,6 +1229,215 @@ def ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, idx, [float(x) for x in row[0]], k=10)
 
 
+def _pq_l2key_sql(vec_slice: str, cv: str, d_sub: int) -> str:
+    """Rank-equivalent L2 key −2·x·c + c·c (the ADC/assignment order;
+    ||x||² is rank-constant and dropped on BOTH sides — matches
+    operators/pq._assign_l2_udf's numpy formula)."""
+    dot_xc = (f"list_sum([{vec_slice}[i] * {cv}[i] "
+              f"for i in generate_series(1, {d_sub})])")
+    dot_cc = (f"list_sum([{cv}[i] * {cv}[i] "
+              f"for i in generate_series(1, {d_sub})])")
+    return f"(-2 * {dot_xc} + {dot_cc})"
+
+
+def _pq_train_ctes(m: int = 4, k: int = 16, n_iter: int = 2,
+                   dim: int = 64) -> tuple[list[str], list[str], list[str]]:
+    """CTE chain replaying the deterministic per-subspace PQ codebook
+    training (operators/pq.pq_train) in SQL — the SAME id-seeded
+    Lloyd recipe as _ivf_train_ctes (integer-exact 2^50-scaled means,
+    HUGEINT sums, integer HALF_UP to 6 decimals) but with argmin-L2
+    assignment over d/m-dim subvector slices, independently per
+    subspace. Returns (ctes, final-codebook CTE names per subspace,
+    final-assignment CTE names per subspace — ``p{s}enc`` holding
+    (vec_id, code) for every vector)."""
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        EMB_SCALE,
+    )
+
+    d_sub = dim // m
+    ctes: list[str] = []
+    finals: list[str] = []
+    encs: list[str] = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        sl = f"((e.embedding[{lo}:{hi}])::DOUBLE[])"
+        ctes.append(f"""p{s}c0 AS (
+      SELECT code, cv FROM (
+        SELECT (e.embedding[{lo}:{hi}])::DOUBLE[] AS cv,
+               row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings e ORDER BY vec_id LIMIT {k}))""")
+        prev = f"p{s}c0"
+        for i in range(1, n_iter + 1):
+            ctes.append(f"""p{s}a{i} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, {sl} AS sub, c.code,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_pq_l2key_sql(sl, 'c.cv', d_sub)}
+                                        ASC, c.code ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+            ctes.append(f"""p{s}s{i} AS (
+      SELECT a.code, g.g AS dim,
+             sum(CAST(a.sub[g.g] * {EMB_SCALE} AS BIGINT)) AS sm,
+             count(*)::HUGEINT * {EMB_SCALE} AS den
+      FROM p{s}a{i} a, unnest(generate_series(1, {d_sub})) AS g(g)
+      GROUP BY a.code, g.g)""")
+            ctes.append(f"""p{s}m{i} AS (
+      SELECT code, dim,
+             ((2000000 * (sm + 4 * den) + den) // (2 * den)
+              - 4000000) / 1000000.0 AS cm
+      FROM p{s}s{i})""")
+            ctes.append(f"""p{s}c{i} AS (
+      SELECT p.code,
+             CASE WHEN count(m.cm) = 0 THEN p.cv
+                  ELSE list(m.cm ORDER BY m.dim) END AS cv
+      FROM {prev} p LEFT JOIN p{s}m{i} m USING (code)
+      GROUP BY p.code, p.cv)""")
+            prev = f"p{s}c{i}"
+        finals.append(prev)
+        ctes.append(f"""p{s}enc AS (
+      SELECT vec_id, code FROM (
+        SELECT e.vec_id, c.code,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_pq_l2key_sql(sl, 'c.cv', d_sub)}
+                                        ASC, c.code ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        encs.append(f"p{s}enc")
+    return ctes, finals, encs
+
+
+def _pq_encode_oracle(m: int = 4, k: int = 16, n_iter: int = 2,
+                      dim: int = 64) -> str:
+    ctes, _, encs = _pq_train_ctes(m, k, n_iter, dim)
+    union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s}::int AS subspace, code::int AS code "
+        f"FROM {encs[s]}" for s in range(m))
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT vec_id, subspace, code FROM (
+      {union})
+    ORDER BY vec_id, subspace""")
+
+
+def _pq_adc_oracle(m: int = 4, k: int = 16, n_iter: int = 2,
+                   dim: int = 64, q_vec_id: int = 1,
+                   k_out: int = 10) -> str:
+    """knn_pq_adc oracle: training replay + per-subspace LUT
+    (||q_s − c||², an in-index-order list_sum fold — the identical op
+    sequence as operators/pq.adc_lut's Python loop) + the
+    FIXED-left-associated m-term distance + tie6 ranking."""
+    d_sub = dim // m
+    ctes, finals, encs = _pq_train_ctes(m, k, n_iter, dim)
+    ctes.append("q AS (SELECT embedding AS qv FROM embeddings "
+                f"WHERE vec_id = {q_vec_id})")
+    for s in range(m):
+        lo = s * d_sub + 1
+        diff = f"(q.qv[{lo} + i - 1]::DOUBLE - c.cv[i])"
+        ctes.append(f"""lut{s} AS (
+      SELECT c.code,
+             list_sum([{diff} * {diff}
+                       for i in generate_series(1, {d_sub})]) AS d2
+      FROM {finals[s]} c, q)""")
+    dist = "l0.d2"
+    for s in range(1, m):
+        dist = f"({dist} + l{s}.d2)"
+    joins = " ".join(
+        f"JOIN {encs[s]} e{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.code = e{s}.code" for s in range(m))
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT e0.vec_id,
+           floor(({dist}) * 1000000 + 0.5) / 1000000 AS adc_dist
+    FROM {encs[0]} e0 {joins} {lut_joins}
+    ORDER BY adc_dist ASC, e0.vec_id ASC LIMIT {k_out}""")
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    """Per-sf_dir home for the persisted PQ index (codebooks + code
+    table), beside the IVF index; overridable for read-only checkouts.
+    """
+    base = os.environ.get(
+        "SPARK_GRAFT_PQ_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "spark-warehouse", "pq"))
+    return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _pq_ensure(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted PQ index iff absent/stale (build-once/
+    scan-many, the ivf_build amortization); returns the index dir."""
+    from rsyslog_nginx_clickhouse_spark.operators.pq import (
+        pq_build,
+        pq_index_fresh,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    idx = _pq_index_dir(sf_dir)
+    if not pq_index_fresh(idx, src):
+        pq_build(spark, load(spark, sf_dir, "embeddings"), idx,
+                 embeddings_src=src)
+    return idx
+
+
+@query(
+    "pq_encode",
+    # codebooks are DERIVED FROM THE DATA by m independent id-seeded
+    # Lloyd trainings (integer-exact means), so the oracle replays all
+    # of them in SQL and re-derives every vector's argmin-L2 code
+    oracle=_pq_encode_oracle(),
+    doc="product quantization build (Jégou et al. 2011 — the "
+        "compression half of IVF-PQ, what FAISS runs at 100 TB): "
+        "4 subspaces × 16 dims, 16-entry codebook each, trained with "
+        "the SAME deterministic integer-exact Lloyd recipe as "
+        "ivf_build but argmin-L2 per subvector slice; vectors encode "
+        "to 4 codes (~64× compression) persisted beside the "
+        "codebooks (fingerprinted, build-once like the IVF index); "
+        "returns the code table read back from disk — oracle replays "
+        "all 4 trainings + assignments (operators/pq.py)",
+)
+def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.pq import (
+        read_codes_wide,
+    )
+
+    idx = _pq_ensure(spark, sf_dir)
+    return (read_codes_wide(spark, idx)
+            .select("vec_id",
+                    F.posexplode("codes").alias("subspace", "code"))
+            .orderBy("vec_id", "subspace"))
+
+
+@query(
+    "knn_pq_adc",
+    oracle=_pq_adc_oracle(),
+    doc="asymmetric-distance (ADC) top-10 over the persisted PQ code "
+        "table: the query's 4×16 lookup table of "
+        "||q_s − centroid||² distances is computed once "
+        "(parameter-sized) and inlined as literal arrays; each "
+        "database vector's approximate distance is 4 lookups + 3 "
+        "additions over its CODES — the scan never touches raw "
+        "floats, which is the whole point at 100 TB (compressed-"
+        "domain search; compose with the IVF index's partition "
+        "pruning for textbook IVF-PQ). Ranking key is the tie6-"
+        "rounded distance + id; the m-term sum is a FIXED "
+        "left-associated expression in both engines, and the oracle "
+        "re-derives codebooks, codes, and LUT from scratch in SQL",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.pq import (
+        adc_topk,
+        load_codebooks,
+        read_codes_wide,
+    )
+
+    idx = _pq_ensure(spark, sf_dir)
+    row = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 1).select("embedding").first())
+    qv = np.asarray(row[0], dtype=np.float64)
+    return adc_topk(read_codes_wide(spark, idx),
+                    load_codebooks(spark, idx), qv, k_out=10)
+
+
 def _ivf_join_oracle(n_iter: int = 2, n_lists: int = 16,
                      dim: int = 64, every: int = 50, nprobe: int = 4,
                      k: int = 10) -> str:

@@ -1,0 +1,102 @@
+"""Product quantization (operators/pq.py): training determinism,
+encode-vs-numpy parity, the ADC identity, and the persisted index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_nginx_clickhouse_spark.operators.pq import (
+    adc_lut,
+    adc_topk,
+    load_codebooks,
+    pq_build,
+    pq_encode,
+    pq_encode_wide,
+    pq_index_fresh,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _np_vectors(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    return ids, X
+
+
+def test_pq_train_is_partition_invariant(spark, emb):
+    b1 = pq_train(emb)
+    b2 = pq_train(emb.repartition(13))
+    assert np.array_equal(b1, b2)  # bit-identical, not approximately
+
+
+def test_pq_codes_match_numpy_argmin(spark, emb):
+    books = pq_train(emb)
+    m, k, d_sub = books.shape
+    got = {(r["vec_id"], r["subspace"]): r["code"]
+           for r in pq_encode(emb, books).collect()}
+    ids, X = _np_vectors(emb)
+    for s in range(m):
+        Xs = X[:, s * d_sub:(s + 1) * d_sub]
+        D = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+        want = np.argmin(D, axis=1)
+        for i, vid in enumerate(ids):
+            assert got[(vid, s)] == want[i]
+
+
+def test_adc_equals_exact_distance_to_reconstruction(spark, emb):
+    """The ADC identity that makes compressed-domain search sound:
+    ADC(q, x) = Σ_s ||q_s − C[s][code_s(x)]||² = ||q − recon(x)||²
+    exactly (up to float assoc — checked at 1e-9)."""
+    books = pq_train(emb)
+    m, k, d_sub = books.shape
+    ids, X = _np_vectors(emb)
+    qv = X[1]
+    lut = adc_lut(books, qv)
+    wide = {r["vec_id"]: r["codes"]
+            for r in pq_encode_wide(emb, books).collect()}
+    for vid in ids[:50]:
+        codes = wide[vid]
+        adc = sum(lut[s][codes[s]] for s in range(m))
+        recon = np.concatenate([books[s][codes[s]] for s in range(m)])
+        assert abs(adc - ((qv - recon) ** 2).sum()) < 1e-9
+
+
+def test_adc_topk_recall_vs_exact(spark, emb):
+    """ADC top-10 recall vs exact L2, mean of 3 queries. The testdata
+    embeddings are near-uniform random — the hardest case for PQ
+    (quantization error ~ the distance spread; real clustered data
+    does far better) — so the floor is a sanity bound, not a quality
+    bar: observed ≈ 0.3–0.4 here vs 0.02 for random guessing (10/500);
+    the floor 0.2 is 10× above random."""
+    books = pq_train(emb)
+    ids, X = _np_vectors(emb)
+    codes = pq_encode_wide(emb, books)
+    recalls = []
+    for qid in (1, 7, 23):
+        qv = X[ids.index(qid)]
+        truth = {ids[j] for j in
+                 np.argsort(((X - qv) ** 2).sum(axis=1))[:10]}
+        got = {r["vec_id"] for r in
+               adc_topk(codes, books, qv, 10).collect()}
+        recalls.append(len(truth & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_pq_index_roundtrip_and_fingerprint(spark, emb, sf_dir, tmp_path):
+    idx = str(tmp_path / "pq")
+    src = f"{sf_dir}/embeddings.parquet"
+    assert not pq_index_fresh(idx, src)
+    pq_build(spark, emb, idx, embeddings_src=src)
+    assert pq_index_fresh(idx, src)
+    assert not pq_index_fresh(idx, src, m=2)  # param change → stale
+    books = pq_train(emb)
+    assert np.array_equal(load_codebooks(spark, idx), books)
