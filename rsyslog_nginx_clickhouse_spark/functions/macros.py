@@ -685,6 +685,41 @@ def rewrite_sample(query: str) -> str:
     return _SAMPLE_RE.sub(_sub, query)
 
 
+#: ClickHouse ``[LEFT] ARRAY JOIN <expr> AS <alias>`` — the row
+#: expansion clause (one output row per array element; LEFT keeps
+#: rows whose array is empty). Supported shape: a single expression
+#: with a mandatory alias, directly after the FROM table — the form
+#: every dashboard query uses. Spark's relational spelling is
+#: LATERAL VIEW explode (OUTER for LEFT). DOCUMENTED deviation: for
+#: an empty array, LEFT ARRAY JOIN emits the element type's DEFAULT
+#: value in ClickHouse ('' / 0); the rewrite emits NULL — the
+#: relational spelling of the same row (same policy as WITH TOTALS
+#: keys).
+_ARRAY_JOIN_RE = re.compile(
+    r"(?is)\bFROM\s+(?P<table>[\w.`]+)\s+(?P<left>LEFT\s+)?"
+    r"ARRAY\s+JOIN\s+(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING)\b|\s*$)")
+
+
+def rewrite_array_join(query: str) -> str:
+    """``FROM t [LEFT] ARRAY JOIN expr AS x`` → ``FROM t LATERAL VIEW
+    [OUTER] explode(expr) __aj AS x``. The explode is a narrow
+    generator inside the same stage as the scan — no shuffle; Catalyst
+    prunes the source columns through it."""
+
+    def _sub(m: re.Match) -> str:
+        outer = "OUTER " if m.group("left") else ""
+        return (f"FROM {m.group('table')} LATERAL VIEW {outer}"
+                f"explode({m.group('expr')}) __aj AS {m.group('alias')}")
+
+    out = _ARRAY_JOIN_RE.sub(_sub, query)
+    if re.search(r"(?i)\bARRAY\s+JOIN\b", out):
+        raise ValueError(
+            "ARRAY JOIN needs the form 'FROM <table> [LEFT] ARRAY JOIN "
+            "<expr> AS <alias>' (single expression, mandatory alias)")
+    return out
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -693,4 +728,5 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     else:
         query = rewrite_aggregates(query)
     return spark.sql(
-        rewrite_with_totals(rewrite_limit_by(rewrite_sample(query))))
+        rewrite_with_totals(rewrite_limit_by(rewrite_sample(
+            rewrite_array_join(query)))))

@@ -105,14 +105,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the registry;
 #: (3) r5-row entries, alphabetical, filling the remaining slots.
 #:
-#: WINDOW BUDGET, stated for the record: the 29 never-verified + 11
-#: text-changed entries are mandatory, leaving 10 of the driver's 50
-#: slots for the 21 r4 rows — so ELEVEN r4 rows (q21_waiting_suppliers,
+#: WINDOW BUDGET, stated for the record: the 30 never-verified + 11
+#: text-changed entries are mandatory, leaving 9 of the driver's 50
+#: slots for the 21 r4 rows — so TWELVE r4 rows
+#: (q18_large_volume_customers, q21_waiting_suppliers,
 #: q2_min_cost_supplier, retention_cohort, status_class_share,
 #: stratified_sample, tfidf_top_terms, token_counts, top_bigrams,
 #: top_users, train_test_split, value_histogram) plus the 11 r5
 #: fillers sit beyond the window this round: the deliberate price of
-#: 29 new operators, not an oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
+#: 30 new operators, not an oversight. They are the FIRST rotation cohort for _FRONTLOAD_R8
 #: (r4 rows before r5 rows), and every one of them passes the
 #: identical in-repo gate (tools/selfcheck.py, same oracle compare
 #: as the driver) at HEAD regardless of window position;
@@ -148,6 +149,7 @@ _FRONTLOAD_R7 = [
     "ttl_rollup_compaction",
     "pq_encode",
     "knn_pq_adc",
+    "array_join_token_counts",
     # (1) text-changed since their last green driver row
     "bucketed_join_revenue",
     "knn_ivf",

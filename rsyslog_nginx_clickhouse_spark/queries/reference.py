@@ -1441,6 +1441,40 @@ def sample_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "array_join_token_counts",
+    # unnest over the identical normalization is the relational form
+    # ARRAY JOIN rewrites to; counts are exact integers
+    oracle="""
+    SELECT tok, count(*)::bigint AS occurrences
+    FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'),
+                        ' ')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 15
+    """,
+    doc="ClickHouse `ARRAY JOIN` clause (the row-expansion idiom every "
+        "CH array query uses; /root/reference README.md:7 — regular "
+        "SQL is the stated query surface): the verbatim CH text "
+        "`FROM t ARRAY JOIN split(...) AS tok` runs through the "
+        "engine's SQL entry, which rewrites it to LATERAL VIEW "
+        "explode — a narrow generator in the SAME stage as the scan, "
+        "no shuffle until the aggregate; LEFT ARRAY JOIN maps to "
+        "OUTER explode (empty arrays keep their row, NULL element — "
+        "the relational spelling of CH's type-default, "
+        "functions/macros.rewrite_array_join)",
+)
+def array_join_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("aj_docs")
+    return engine_sql(spark, r"""
+        SELECT tok, count(*) AS occurrences
+        FROM aj_docs ARRAY JOIN
+             split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')
+             AS tok
+        GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 15
+    """)
+
+
 #: TTL cutoff: rows in day-partitions BEFORE this date are rolled up
 #: to per-(day, event_type) aggregate rows; the last week stays raw.
 #: (events span 2024-01-01..2024-01-30 at every sf — TESTDATA.md)

@@ -167,3 +167,44 @@ def test_sample_factor_extrapolates(spark):
     assert row.est == row.n * 2.0
     # a uniform hash keeps the slice near its nominal share
     assert abs(row.n - 2000) < 200
+
+
+# --------------------------------------------------------- ARRAY JOIN --
+
+
+def test_array_join_rewrite_shape():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_array_join,
+    )
+
+    out = rewrite_array_join(
+        "SELECT x FROM t ARRAY JOIN split(s, ',') AS x GROUP BY x")
+    assert "LATERAL VIEW explode(split(s, ',')) __aj AS x" in out
+    out = rewrite_array_join(
+        "SELECT id, x FROM t LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER explode(arr) __aj AS x" in out
+    # untouched passthrough
+    q = "SELECT 1 FROM t WHERE a = 2"
+    assert rewrite_array_join(q) == q
+    with pytest.raises(ValueError, match="ARRAY JOIN needs"):
+        rewrite_array_join("SELECT 1 FROM t ARRAY JOIN a, b")  # no alias
+
+
+def test_array_join_executes_and_left_keeps_empty(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])],
+        "id long, arr array<string>").createOrReplaceTempView("aj_t")
+    inner = engine_sql(spark, """
+        SELECT id, x FROM aj_t ARRAY JOIN arr AS x ORDER BY id, x
+    """).collect()
+    assert [(r.id, r.x) for r in inner] == [(1, "a"), (1, "b")]
+    left = engine_sql(spark, """
+        SELECT id, x FROM aj_t LEFT ARRAY JOIN arr AS x ORDER BY id, x
+    """).collect()
+    # LEFT keeps id=2 with a NULL element (CH emits the type default;
+    # NULL is the documented relational spelling)
+    assert [(r.id, r.x) for r in left] == [(1, "a"), (1, "b"), (2, None)]
