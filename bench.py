@@ -35,6 +35,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 #: adjudication thresholds — match tools/benchdiff.py
 ADJ_RATIO = 1.5
 ADJ_FLOOR_S = 0.3
+#: absolute slack: run-to-run variance at sf0.1 is ADDITIVE fixed
+#: overhead (JVM/codegen/scheduler, ~0.2-0.4 s), not multiplicative —
+#: and BENCH_BEST ratchets to the MINIMUM across every recorded run,
+#: so a sub-second query sits 1.5x above its luckiest-ever sample on a
+#: perfectly healthy run (observed: 6 ghost 'real' verdicts on 0.4-0.9s
+#: queries in one back-to-back run). A regression must clear BOTH the
+#: ratio and this absolute margin to be worth a probe.
+ADJ_ABS_SLACK_S = 0.6
 
 
 def _plan_sig(df) -> str:
@@ -167,6 +175,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
     for name, t in timings.items():
         b = best.get(name)
         if b is None or t <= 0 or t / b < ADJ_RATIO \
+                or (t - b) < ADJ_ABS_SLACK_S \
                 or max(t, b) < ADJ_FLOOR_S:
             continue
         entry = {"bench": t, "best": round(b, 3),
@@ -193,7 +202,8 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
                   and same.get("sig") == plan_sigs.get(name) else None)
         if base_sig is not None and base_sig != plan_sigs.get(name):
             entry["verdict"] = "plan-changed"
-        elif b_same is not None and t / b_same < ADJ_RATIO:
+        elif b_same is not None and (t / b_same < ADJ_RATIO
+                                     or t - b_same < ADJ_ABS_SLACK_S):
             entry["best_same_plan"] = b_same
             entry["verdict"] = "plan-changed"
         else:
@@ -229,8 +239,9 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
                 # as 'real' on a ghost). Say so instead of convicting.
                 entry["verdict"] = "probe-invalid"
             else:
-                entry["verdict"] = ("steal" if probe / ref < ADJ_RATIO
-                                    else "real")
+                entry["verdict"] = (
+                    "steal" if probe / ref < ADJ_RATIO
+                    or probe - ref < ADJ_ABS_SLACK_S else "real")
         out[name] = entry
     return out
 

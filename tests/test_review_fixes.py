@@ -280,23 +280,29 @@ def test_bench_adjudicate_same_plan_rebaseline():
         {},                                  # best round recorded no sig
         {"q": ("sigB", "BENCH_r05.json")},   # earliest sig == HEAD sig
     )
-    by_sig = {"q": {"sig": "sigB", "best": 0.62}}
-    # 0.9s is 2.4x the r1 wall but only 1.45x the same-plan best →
-    # plan-changed (re-baselined), and NO probe runs (registry=None
-    # would throw if the probe branch were taken)
-    out = bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+    by_sig = {"q": {"sig": "sigB", "best": 1.0}}
+    # 1.4s is 3.7x (and +1.0s) past the r1 wall but only 1.4x the
+    # same-plan best → plan-changed (re-baselined), and NO probe runs
+    # (registry=None would throw if the probe branch were taken)
+    out = bench._adjudicate(None, None, {"q": 1.4}, {"q": "sigB"}, None,
                             best_known=best_known, best_by_sig=by_sig)
     assert out["q"]["verdict"] == "plan-changed"
-    assert out["q"]["best_same_plan"] == 0.62
+    assert out["q"]["best_same_plan"] == 1.0
     # without the same-plan baseline the branch would have probed:
     # prove the gate is the baseline, not the ratio
     try:
-        bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+        bench._adjudicate(None, None, {"q": 1.4}, {"q": "sigB"}, None,
                           best_known=best_known, best_by_sig={})
         raised = False
     except (AttributeError, TypeError):  # probe branch hit registry=None
         raised = True
     assert raised
+    # ABS slack: 1.5x the best but within the additive-variance margin
+    # (0.5s over) → not adjudicated at all (BENCH_BEST ratchets to the
+    # luckiest sample; sub-second deltas are fixed-overhead noise)
+    out = bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+                            best_known=best_known, best_by_sig={})
+    assert out == {}
 
 
 def test_bench_update_best_by_sig(tmp_path, monkeypatch):
@@ -372,14 +378,15 @@ def test_bench_adjudicate_probe_invalid_when_slower_than_suite():
 
     best_known = ({"q": 0.4}, {"q": "BENCH_r04.json"},
                   {"q": "sigA"}, {"q": ("sigA", "BENCH_r04.json")})
-    # in-suite wall 0.8 s (2x best, same sig, no same-plan baseline);
-    # the fake query takes ~1.2 s isolated → probe > wall → invalid
-    out = bench._adjudicate({"q": _Q(1.2)}, _Spark(), {"q": 0.8},
+    # in-suite wall 1.2 s (3x and +0.8s past best, same sig, no
+    # same-plan baseline); the fake query takes ~1.6 s isolated →
+    # probe > wall → invalid
+    out = bench._adjudicate({"q": _Q(1.6)}, _Spark(), {"q": 1.2},
                             {"q": "sigA"}, _gc,
                             best_known=best_known, best_by_sig={})
     assert out["q"]["verdict"] == "probe-invalid"
     # and a FAST clean probe still adjudicates steal as before
-    out = bench._adjudicate({"q": _Q(0.05)}, _Spark(), {"q": 0.8},
+    out = bench._adjudicate({"q": _Q(0.05)}, _Spark(), {"q": 1.2},
                             {"q": "sigA"}, _gc,
                             best_known=best_known, best_by_sig={})
     assert out["q"]["verdict"] == "steal"
