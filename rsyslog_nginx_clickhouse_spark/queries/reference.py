@@ -423,12 +423,19 @@ def error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "props_json_stats",
+    # json_valid guard: DuckDB's json_extract_string ERRORS on
+    # malformed/empty props where Spark's get_json_object returns
+    # NULL (found by tests/test_event_edges.py) — gate the parse so
+    # both engines treat unparseable props as NULL
     oracle="""
-    SELECT (json_extract_string(props, '$.k')::int) % 10 AS k_bucket,
+    SELECT (json_extract_string(CASE WHEN json_valid(props) THEN props
+                                END, '$.k')::int) % 10 AS k_bucket,
            count(*) AS cnt, round(sum(value), 4) AS sum_value
     FROM events GROUP BY k_bucket ORDER BY k_bucket
     """,
-    doc="semi-structured props (the reference's blob column, queryable)",
+    doc="semi-structured props (the reference's blob column, "
+        "queryable); unparseable/NULL props land in the NULL bucket "
+        "in BOTH engines",
 )
 def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
