@@ -624,10 +624,24 @@ def rewrite_with_totals(query: str) -> str:
 #: partition the table exactly. The row-count form ``SAMPLE n`` (n>1)
 #: is refused loudly — it needs table statistics to invert into a
 #: fraction, which this engine doesn't keep.
+#: frac/off capture all three ClickHouse literal spellings — decimal
+#: (0.1), ratio (1/10) and bare integer (SAMPLE 1000, OFFSET 1) — so
+#: unsupported forms reach the loud ValueError below instead of
+#: leaking leftover OFFSET text into Spark SQL where it would either
+#: fail to parse or misparse as Spark's row-offset clause (ADVICE r7).
 _SAMPLE_RE = re.compile(
     r"(?is)\bFROM\s+(?P<table>[\w.`]+)\s+"
-    r"SAMPLE\s+(?P<frac>\d+(?:\.\d+)?)"
-    r"(?:\s+OFFSET\s+(?P<off>\d*\.\d+))?")
+    r"SAMPLE\s+(?P<frac>\d+(?:\.\d+)?(?:\s*/\s*\d+)?)"
+    r"(?:\s+OFFSET\s+(?P<off>\d+(?:\.\d+)?(?:\s*/\s*\d+)?|\.\d+))?")
+
+
+def _sample_literal(text: str) -> float:
+    """A ClickHouse SAMPLE/OFFSET literal → float: '0.1' | '.5' |
+    '1/10' | '3'."""
+    if "/" in text:
+        num, den = (p.strip() for p in text.split("/", 1))
+        return float(num) / float(den)
+    return float(text)
 
 #: table/view name → sampling-key SQL expression (the SAMPLE BY
 #: declaration). The hash applied on top is the engine's standard
@@ -657,14 +671,14 @@ def rewrite_sample(query: str) -> str:
 
     def _sub(m: re.Match) -> str:
         table = m.group("table")
-        frac = float(m.group("frac"))
+        frac = _sample_literal(m.group("frac"))
         if not 0 < frac < 1:
             raise ValueError(
                 f"SAMPLE {m.group('frac')}: only the fractional form "
                 f"SAMPLE f with 0 < f < 1 is supported (the row-count "
                 f"form needs table statistics to invert; pre-compute "
                 f"the fraction instead)")
-        off = float(m.group("off") or 0.0)
+        off = _sample_literal(m.group("off")) if m.group("off") else 0.0
         if off + frac > 1.0 + 1e-12:
             raise ValueError(
                 f"SAMPLE {frac} OFFSET {off}: slice exceeds [0, 1)")

@@ -137,12 +137,23 @@ def translate_sequence_pattern(pattern: str) -> str:
 
 def sequence_label(conds: list[Column]) -> Column:
     """Per-event condition label: '1'..'N' for the FIRST matching
-    condition, '0' for none (matches ``.``/``.*`` only). ClickHouse
-    evaluates conditions independently (one event may satisfy
-    several); this encoding is equivalent when the conditions are
-    mutually exclusive — the event_type-equality conditions every
+    condition, '0' for none — '0' events are DROPPED from the
+    sequence string before matching (ClickHouse stores only events
+    satisfying at least one condition, so its ``.`` and condition
+    adjacency operate over that filtered sequence — ADVICE r7).
+    ClickHouse evaluates conditions independently (one event may
+    satisfy several); this encoding is equivalent when the conditions
+    are mutually exclusive — the event_type-equality conditions every
     query here uses — and that restriction keeps the whole aggregate
-    a pure-expression string build both engines replay identically."""
+    a pure-expression string build both engines replay identically.
+    One char per label is a hard encoding limit: with 10+ conditions
+    str(10) would emit '10', whose '1' falsely matches condition 1
+    in the regex — refuse loudly (ADVICE r7)."""
+    if len(conds) > 9:
+        raise ValueError(
+            f"sequence match supports at most 9 conditions (one char "
+            f"per label — condition 10 would encode as '10' and its "
+            f"'1' would falsely match condition 1); got {len(conds)}")
     lab = F.lit("0")
     for i in range(len(conds), 0, -1):
         lab = F.when(conds[i - 1], F.lit(str(i))).otherwise(lab)
@@ -157,10 +168,12 @@ def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
     Spark-first formulation — no UDF, no per-user state machine: each
     event becomes one label char, the per-user labels concatenate in
     (ts, label) order into a sequence string (collect_list + array_sort
-    + transform + array_join, all codegen-able expressions; one
-    shuffle on user), and the pattern is a single ``rlike``. The
-    subsequence-exists semantic of ``(?1).*(?2)`` is exactly regex
-    match over that string because every event contributes a char.
+    + filter + transform + array_join, all codegen-able expressions;
+    one shuffle on user), and the pattern is a single ``rlike``. The
+    string holds one char per event satisfying ≥1 condition
+    (non-matches dropped — ClickHouse's storage rule), so
+    ``(?1).*(?2)`` subsequence-exists, bare ``.`` (exactly one stored
+    event) and ``(?1)(?2)`` adjacency all coincide with ClickHouse.
     Equal-timestamp ties order by label (deterministic, and identical
     to the oracle's ``ORDER BY ts, lab``); per-user state is the
     bounded label string — at 100 TB the shuffle carries one char per
@@ -178,7 +191,19 @@ def _per_user_label_sequence(events: DataFrame, conds: list[Column],
                              user_col: str, time_col: str) -> DataFrame:
     """(user, seq): the per-user condition-label string shared by
     sequence_match and sequence_count — one shuffle on user, one char
-    per event."""
+    per matching event.
+
+    Events matching NO condition (label '0') are filtered out of the
+    string AFTER the per-user sort but BEFORE concatenation: ClickHouse
+    stores only events satisfying at least one condition
+    (events.any() storage rule), so its ``.`` and ``(?1)(?2)``
+    adjacency operate over the filtered sequence — labelling
+    non-matches '0' and letting ``.`` match them diverged for those
+    patterns (ADVICE r7). The filter sits inside the aggregate
+    expression (not a WHERE), so every user keeps a row — ClickHouse's
+    sequenceMatch still aggregates over groups whose events all fail
+    the conditions (empty sequence → no match), and dropping those
+    users would change n_users."""
     lab = sequence_label(conds).alias("lab")
     ts = F.col(time_col).cast("timestamp")
     return (events
@@ -186,8 +211,10 @@ def _per_user_label_sequence(events: DataFrame, conds: list[Column],
             .groupBy(user_col)
             .agg(F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("__ts"), F.col("lab")))),
+                    F.filter(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__ts"), F.col("lab")))),
+                        lambda x: x["lab"] != F.lit("0")),
                     lambda x: x["lab"]),
                 "").alias("seq")))
 

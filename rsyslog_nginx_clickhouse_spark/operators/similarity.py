@@ -561,8 +561,12 @@ def label_centroids_exact(embeddings: DataFrame, label_col: str = "label",
         d = n * EMB_SCALE
         mi = (2 * 1_000_000 * (S + 4 * d) + d) // (2 * d) - 4_000_000
         out.append((r[label_col], r["pos"], n, mi / 1e6))
+    # the label field keeps the INPUT column's type — hardcoding int
+    # truncated/failed string or bigint labels despite the generic
+    # signature (ADVICE r7)
+    label_t = embeddings.schema[label_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"{label_col} int, pos int, n_vecs bigint, c double")
+        out, f"{label_col} {label_t}, pos int, n_vecs bigint, c double")
 
 
 def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,

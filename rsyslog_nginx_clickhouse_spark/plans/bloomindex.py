@@ -87,7 +87,13 @@ def bloom_candidate_files(spark: SparkSession, path: str,
     negatives). Probe positions come from a |values|-row Spark job
     (the hash must be the writer's own xxhash64, not a Python
     reimplementation) and the returned list is O(files) — both
-    parameter-sized, never data."""
+    parameter-sized, never data.
+
+    An empty probe list short-circuits to no candidates (ADVICE r7:
+    ``reduce(or_, [])`` has no initializer and |values|-row
+    createDataFrame rejects empty input — both crash opaquely)."""
+    if not probe_values:
+        return []
     pos_rows = (spark.createDataFrame([(v,) for v in probe_values],
                                       f"v {value_type}")
                 .select(bloom_positions(F.col("v"), m, k).alias("ps"))
@@ -111,4 +117,6 @@ def read_bloom_pruned(spark: SparkSession, path: str, index_col: str,
                                   m, k)
     base = spark.read.parquet(*cands) if cands \
         else spark.read.parquet(path).where(F.lit(False))
+    if not probe_values:  # isin() rejects an empty value list
+        return base
     return base.where(F.col(index_col).isin(probe_values))

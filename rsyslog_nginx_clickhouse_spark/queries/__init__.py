@@ -118,6 +118,74 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: identical in-repo gate (tools/selfcheck.py, same oracle compare
 #: as the driver) at HEAD regardless of window position;
 #: rotationcheck enforces that nothing mandatory was displaced.
+#: Round-8 ordering (VERDICT r7 item 1 — execute the _FRONTLOAD_R8
+#: cohort): with all 149 queries green at r7 and none yet changed this
+#: round, the window is purely the 50 oldest-verified rows — the 12 r4
+#: rows (q18_large_volume_customers .. value_histogram) and 38 r5 rows,
+#: exactly the overdue cohort VERDICT r7 called the round's only
+#: verification debt. New/text-changed queries added during r8 are
+#: spliced in at the top (mandatory) and evict the YOUNGEST fill rows
+#: (r5, reverse-alphabetical from the tail) so the 23 most-overdue
+#: rows (12 r4 + the 11 r5 fillers big_spender_customers ..
+#: funnel_view_click_purchase) keep their slots; rotationcheck
+#: enforces the result.
+_FRONTLOAD_R8 = [
+    # new/text-changed this round — never/no-longer driver-verified
+    # (names are spliced in here as they land, evicting tail fills)
+    "sequence_match_funnel",    # oracle now drops '0' labels (ADVICE)
+    "sequence_count_chains",    # same storage-rule filter
+    # the 12 r4 rows — oldest in the registry (3 rounds overdue)
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "retention_cohort",
+    "status_class_share",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_bigrams",
+    "top_users",
+    "train_test_split",
+    "value_histogram",
+    # r5 rows, oldest-first fill (alphabetical within the round)
+    "big_spender_customers",
+    "collapsing_state_roundtrip",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "domain_mixture",
+    "events_in_sessions_rangejoin",
+    "funnel_view_click_purchase",
+    "grafana_adhoc_filters",
+    "grafana_from_to_macros",
+    "grafana_natural_timeseries",
+    "grafana_timeseries",
+    "lang_detect",
+    "latency_quantiles",
+    "multimodal_decode_bmp",
+    "multimodal_features",
+    "parts_above_brand_avg",
+    "pii_redaction",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+]
+
 _FRONTLOAD_R7 = [
     # (0) new this round — never driver-verified
     "bucketed_build",
@@ -213,8 +281,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R7 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R8 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R7}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R8}
     ordered.update(REGISTRY)
     return ordered

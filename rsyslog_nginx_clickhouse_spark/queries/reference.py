@@ -1603,10 +1603,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sequence_match_funnel",
     # the oracle rebuilds the SAME per-user label sequence (one char
-    # per event, ordered by ts then label) and applies the same regex
-    # — the encoding makes sequenceMatch a plain string match both
-    # engines evaluate identically; matched/users is an exact int
-    # ratio → tie-exact integer HALF_UP (functions/rounding.py)
+    # per event satisfying a condition, ordered by ts then label;
+    # non-matching events are dropped inside the aggregate — the
+    # ClickHouse events.any() storage rule, ADVICE r7 — with COALESCE
+    # keeping every user's row like Spark's in-aggregate filter) and
+    # applies the same regex — the encoding makes sequenceMatch a
+    # plain string match both engines evaluate identically;
+    # matched/users is an exact int ratio → tie-exact integer HALF_UP
+    # (functions/rounding.py)
     oracle=f"""
     WITH lab AS (
       SELECT user_id, ts,
@@ -1614,7 +1618,9 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 'purchase' THEN '3' ELSE '0' END AS lab
       FROM events),
     seq AS (
-      SELECT user_id, string_agg(lab, '' ORDER BY ts, lab) AS s
+      SELECT user_id,
+             coalesce(string_agg(lab, '' ORDER BY ts, lab)
+                      FILTER (WHERE lab <> '0'), '') AS s
       FROM lab GROUP BY user_id)
     SELECT count(*) AS n_users,
            cast(sum(CASE WHEN regexp_matches(s, '1.*2.*3')
@@ -1665,7 +1671,9 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 'purchase' THEN '2' ELSE '0' END AS lab
       FROM events),
     seq AS (
-      SELECT user_id, string_agg(lab, '' ORDER BY ts, lab) AS s
+      SELECT user_id,
+             coalesce(string_agg(lab, '' ORDER BY ts, lab)
+                      FILTER (WHERE lab <> '0'), '') AS s
       FROM lab GROUP BY user_id)
     SELECT len(regexp_extract_all(s, '1.*?2'))::BIGINT AS n_chains,
            count(*)::BIGINT AS n_users

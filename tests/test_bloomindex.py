@@ -70,6 +70,15 @@ def test_bloom_absent_key_returns_empty(spark, sf_dir, tmp_path):
                              [10 ** 12 + 7]).count() == 0
 
 
+def test_bloom_empty_probe_list_is_no_candidates(spark, sf_dir,
+                                                 tmp_path):
+    """Zero probe values → zero candidate files and an empty pruned
+    read, not an opaque reduce()/createDataFrame crash (ADVICE r7)."""
+    _, path = _build(spark, sf_dir, tmp_path, files=8)
+    assert bloom_candidate_files(spark, path, []) == []
+    assert read_bloom_pruned(spark, path, "event_id", []).count() == 0
+
+
 def test_bloom_index_is_index_sized(spark, sf_dir, tmp_path):
     """The side index must stay O(files · keys_per_file · k) position
     entries — state, not data: it never exceeds k positions per

@@ -124,6 +124,27 @@ def test_sample_refusals():
         rewrite_sample("SELECT 1 FROM undeclared_t SAMPLE 0.1")
 
 
+def test_sample_ratio_and_integer_offset_forms():
+    """ClickHouse's ratio spelling ('SAMPLE 1/10 OFFSET 1/2') rewrites
+    like its decimal twin, and integer OFFSET reaches the loud
+    out-of-range error instead of leaking 'OFFSET 1' into Spark SQL
+    (ADVICE r7)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+        rewrite_sample,
+    )
+
+    declare_sample_by("st", "user_id")
+    ratio = rewrite_sample("SELECT 1 FROM st SAMPLE 1/4 OFFSET 1/2")
+    decimal = rewrite_sample("SELECT 1 FROM st SAMPLE 0.25 OFFSET 0.5")
+    assert ratio == decimal
+    assert "OFFSET" not in ratio
+    with pytest.raises(ValueError, match="exceeds"):
+        rewrite_sample("SELECT 1 FROM st SAMPLE 1/2 OFFSET 1")
+    with pytest.raises(ValueError, match="row-count form"):
+        rewrite_sample("SELECT 1 FROM st SAMPLE 5/2")
+
+
 def test_sample_slices_partition_exactly(spark):
     """Disjoint OFFSET slices must cover every row exactly once, and
     the same slice must select the SAME rows regardless of

@@ -139,13 +139,79 @@ def test_sequence_match_basic_chain(spark):
     got2 = {r["user_id"]: r["matched"] for r in
             sequence_match(df, conds, "(?1).*(?2)").collect()}
     assert got2 == {1: True, 2: True, 3: True}
-    # adjacency: '.' means EXACTLY one event between
+    # adjacency: '.' means EXACTLY one STORED event between —
+    # ClickHouse keeps only events satisfying >= 1 condition, so the
+    # non-matching 'scroll' is invisible to '.' (ADVICE r7)
     assert translate_sequence_pattern("(?1).(?2)") == "1.2"
     got3 = {r["user_id"]: r["matched"] for r in
             sequence_match(df, conds, "(?1).(?2)").collect()}
-    # user 1: view,scroll,click -> exactly one event between: True;
-    # user 3: view,click adjacent -> no single event between: False
-    assert got3[1] is True and got3[3] is False
+    # user 1: stored sequence view,click,purchase — view/click are
+    # ADJACENT (scroll dropped), no single stored event between: False;
+    # user 3: view,click adjacent -> False
+    assert got3[1] is False and got3[3] is False
+
+
+def test_sequence_match_dot_and_adjacency_skip_unmatched(spark):
+    """ClickHouse events.any() storage rule: '.' and condition
+    adjacency see ONLY events satisfying >= 1 condition (ADVICE r7
+    medium). view,purchase,click => stored '132': '(?1).(?2)' matches
+    (purchase is the one stored event between); '(?1)(?2)' does not.
+    With an interleaved non-matching event the answers are identical —
+    unmatched events are not stored."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "purchase"),
+        (1, "2024-01-01 10:02:00", "click"),
+        # user 2: same stored sequence, noise interleaved everywhere
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:00:30", "scroll"),
+        (2, "2024-01-01 10:01:00", "purchase"),
+        (2, "2024-01-01 10:01:30", "scroll"),
+        (2, "2024-01-01 10:02:00", "click"),
+        # user 3: view then click with noise between -> stored '12',
+        # adjacency HOLDS (noise invisible), '.' does not
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 10:00:30", "scroll"),
+        (3, "2024-01-01 10:01:00", "click"),
+        # user 4: only noise -> empty stored sequence, row survives
+        (4, "2024-01-01 10:00:00", "scroll"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    conds = [F.col("event_type") == t
+             for t in ("view", "click", "purchase")]
+
+    def res(pattern):
+        return {r["user_id"]: r["matched"] for r in
+                sequence_match(df, conds, pattern).collect()}
+
+    dot = res("(?1).(?2)")
+    assert dot == {1: True, 2: True, 3: False, 4: False}
+    adj = res("(?1)(?2)")
+    assert adj == {1: False, 2: False, 3: True, 4: False}
+    # every user keeps a row even when all its events are unmatched
+    assert set(dot) == {1, 2, 3, 4}
+
+
+def test_sequence_label_rejects_ten_conditions(spark):
+    """>9 conditions would encode condition 10 as the two-char '10',
+    whose '1' falsely matches condition 1 (ADVICE r7 low) — refuse."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view")],
+        "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    conds = [F.col("event_type") == f"t{i}" for i in range(10)]
+    with pytest.raises(ValueError, match="at most 9 conditions"):
+        sequence_match(df, conds, "(?1).*(?2)")
 
 
 def test_sequence_count_non_overlapping_lazy(spark):

@@ -780,3 +780,35 @@ def test_label_centroids_match_numpy_and_partitioning(spark, sf_dir):
              for r in label_centroids_exact(
                  emb.repartition(13)).collect()}
     assert again == got
+
+
+def test_label_centroids_non_int_label_types(spark, sf_dir):
+    """The label field's output type follows the INPUT column — a
+    string or bigint label column must survive createDataFrame instead
+    of failing against a hardcoded int schema (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        label_centroids_exact,
+    )
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("label", "embedding").limit(64).cache())
+    base = {(str(r.label), r.pos): (r.n_vecs, r.c)
+            for r in label_centroids_exact(emb).collect()}
+
+    as_str = emb.withColumn(
+        "label", F.concat(F.lit("cls_"), F.col("label")))
+    got_str = label_centroids_exact(as_str)
+    assert got_str.schema["label"].dataType.simpleString() == "string"
+    assert {(r.label.removeprefix("cls_"), r.pos): (r.n_vecs, r.c)
+            for r in got_str.collect()} == base
+
+    as_big = emb.withColumn(
+        "label", (F.col("label").cast("bigint") + F.lit(2 ** 40)))
+    got_big = label_centroids_exact(as_big)
+    assert got_big.schema["label"].dataType.simpleString() == "bigint"
+    assert {(str(r.label - 2 ** 40), r.pos): (r.n_vecs, r.c)
+            for r in got_big.collect()} == base
+    emb.unpersist()
