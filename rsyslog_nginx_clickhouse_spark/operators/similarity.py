@@ -846,6 +846,25 @@ def knn_join_ivf(spark, queries: DataFrame, index_dir: str, k: int = 10,
                 .where(F.col("__rn") <= k).drop("__rn"))
 
 
+def semdedup_n_lists(n_rows: int, floor: int = N_LISTS) -> int:
+    """Corpus-scaled list count for semantic dedup: ``max(floor,
+    ceil(sqrt(n)))`` (VERDICT r7 item 2 — a fixed n_lists turns the
+    O(n²/n_lists) per-list GEMM quadratic as the corpus grows).
+
+    √n balances the two costs that move in opposite directions with
+    n_lists: Lloyd training/assignment is O(n·n_lists) dot products
+    per iteration, the dedup GEMM is O(n²/n_lists) — both O(n^1.5) at
+    the √n crossing, so neither side degenerates at 100 TB (SemDeDup
+    itself runs k=50 000 on LAION-440M, the same order as √n). The
+    formula is replayed in the oracle as
+    ``greatest(floor, CAST(ceil(sqrt(count(*))) AS INT))`` — IEEE sqrt
+    is correctly rounded, so ceil(sqrt(n)) agrees across engines for
+    any n < 2^52."""
+    import math
+
+    return max(floor, math.ceil(math.sqrt(n_rows)))
+
+
 def semantic_dedup(spark, index_dir: str, threshold: float = 0.35,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:

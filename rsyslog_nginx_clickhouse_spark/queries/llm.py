@@ -1004,7 +1004,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count("text").cast("long").alias("n_chars"))
 
 
-def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
+def _ivf_train_ctes(n_iter: int = 2, n_lists: int | str = 16,
                     dim: int = 64,
                     src: str = "embeddings") -> tuple[list[str], str]:
     """CTE chain replaying the deterministic Lloyd training
@@ -1024,7 +1024,11 @@ def _ivf_train_ctes(n_iter: int = 2, n_lists: int = 16,
     identical integer sequence the Spark side computes, so both
     engines iterate from bit-identical centroids regardless of
     partitioning. An empty list keeps its previous centroid
-    (count(cm)=0 CASE ↔ the empty-stats fallthrough)."""
+    (count(cm)=0 CASE ↔ the empty-stats fallthrough).
+
+    ``n_lists`` may be an int literal or a SQL scalar-subquery string
+    (e.g. the corpus-scaled ``_SEMDEDUP_NLISTS_SQL``) — it lands in
+    the seed CTE's LIMIT, which DuckDB evaluates either way."""
     from rsyslog_nginx_clickhouse_spark.operators.similarity import (
         EMB_SCALE,
     )
@@ -1499,14 +1503,25 @@ def knn_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ivf(spark, qs, idx)
 
 
-def _semdedup_oracle(n_iter: int = 2, n_lists: int = 16,
+#: corpus-scaled list count, the SQL twin of
+#: operators/similarity.semdedup_n_lists (VERDICT r7 item 2): IEEE
+#: sqrt is correctly rounded, so ceil(sqrt(n)) agrees with Python's
+#: math.ceil(math.sqrt(n)) for any n < 2^52.
+_SEMDEDUP_NLISTS_SQL = ("(SELECT greatest(16, CAST(ceil(sqrt(count(*)))"
+                        " AS INT)) FROM embeddings)")
+
+
+def _semdedup_oracle(n_iter: int = 2,
+                     n_lists: int | str = _SEMDEDUP_NLISTS_SQL,
                      dim: int = 64, threshold: float = 0.35) -> str:
-    """semantic_dedup oracle: shared training replay (_ivf_train_ctes),
-    final assignment, then a within-list self-join restricted to
-    strictly-lower-id partners; a vector is dropped iff its best
-    (rounded cos DESC, id ASC) lower-id witness clears the threshold —
-    the threshold cut and witness ranking both decided on the
-    tie6-rounded cosine, exactly as the numpy side does."""
+    """semantic_dedup oracle: shared training replay (_ivf_train_ctes,
+    with the corpus-scaled n_lists evaluated by the seed CTE's LIMIT
+    subquery — the same max(16, ceil(sqrt(n))) the Spark side computes
+    before building), final assignment, then a within-list self-join
+    restricted to strictly-lower-id partners; a vector is dropped iff
+    its best (rounded cos DESC, id ASC) lower-id witness clears the
+    threshold — the threshold cut and witness ranking both decided on
+    the tie6-rounded cosine, exactly as the numpy side does."""
     ctes, prev = _ivf_train_ctes(n_iter, n_lists, dim)
     ctes.append(f"""asgf AS (
       SELECT vec_id, embedding, list_id FROM (
@@ -1532,25 +1547,51 @@ def _semdedup_oracle(n_iter: int = 2, n_lists: int = 16,
     ORDER BY vec_id""")
 
 
+def _semdedup_ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (iff absent/stale) the semantic-dedup IVF index at
+    ``<ivf dir>_sem`` with the CORPUS-SCALED list count
+    max(16, ceil(sqrt(n))) — its own directory because the shared
+    nprobe index (_ivf_ensure_index) pins n_lists=16 into the
+    knn_ivf/ivf_build oracle replays, while semantic dedup needs
+    n_lists to grow with the corpus to keep the per-list GEMM bounded
+    (VERDICT r7 item 2). The row count is parquet-metadata-cheap and
+    feeds the fingerprint, so a corpus size change rebuilds."""
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_fresh,
+        semdedup_n_lists,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = load(spark, sf_dir, "embeddings")
+    n_lists = semdedup_n_lists(emb.count())
+    idx = _ivf_index_dir(sf_dir) + "_sem"
+    if not ivf_index_fresh(idx, src, n_lists=n_lists):
+        ivf_build(spark, emb, idx, n_lists=n_lists, embeddings_src=src)
+    return idx
+
+
 @query(
     "semantic_dedup",
     oracle=_semdedup_oracle(),
-    doc="SemDeDup-style semantic dedup over the persisted IVF index "
+    doc="SemDeDup-style semantic dedup over a persisted IVF index "
+        "built with the corpus-scaled list count max(16, ceil(√n)) "
         "(cluster first so pairwise work is bounded per list — "
-        "O(n²/n_lists), n_lists grows with the corpus, never "
-        "all-pairs): drops every vector with a lower-id same-list "
-        "neighbor at rounded cosine >= 0.35, reporting the "
-        "max-similarity witness; surviving set provably holds no "
-        "within-list pair over the threshold; oracle replays "
-        "training, assignment, and the within-list witness ranking "
-        "entirely in SQL (operators/similarity.semantic_dedup)",
+        "O(n²/n_lists); √n keeps training O(n·n_lists) and the GEMM "
+        "O(n²/n_lists) both at O(n^1.5), never all-pairs): drops "
+        "every vector with a lower-id same-list neighbor at rounded "
+        "cosine >= 0.35, reporting the max-similarity witness; "
+        "surviving set provably holds no within-list pair over the "
+        "threshold; oracle replays training (same √n list count via "
+        "a LIMIT subquery), assignment, and the within-list witness "
+        "ranking entirely in SQL (operators/similarity.semantic_dedup)",
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsyslog_nginx_clickhouse_spark.operators.similarity import (
         semantic_dedup,
     )
 
-    idx = _ivf_ensure_index(spark, sf_dir)
+    idx = _semdedup_ensure_index(spark, sf_dir)
     return semantic_dedup(spark, idx, threshold=0.35).orderBy("vec_id")
 
 

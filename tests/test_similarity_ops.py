@@ -782,6 +782,36 @@ def test_label_centroids_match_numpy_and_partitioning(spark, sf_dir):
     assert again == got
 
 
+def test_semdedup_n_lists_scales_with_corpus(spark, sf_dir):
+    """n_lists = max(16, ceil(sqrt(n))) (VERDICT r7 item 2): the
+    formula floors at the legacy 16, grows as sqrt, and the built
+    semantic-dedup index actually records the scaled value in its
+    fingerprint so a corpus change rebuilds."""
+    import json
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        semdedup_n_lists,
+    )
+    from rsyslog_nginx_clickhouse_spark.queries.llm import (
+        _semdedup_ensure_index,
+    )
+
+    assert semdedup_n_lists(1) == 16
+    assert semdedup_n_lists(256) == 16
+    assert semdedup_n_lists(500) == 23       # testdata embeddings
+    assert semdedup_n_lists(10_000) == 100
+    assert semdedup_n_lists(1_000_000) == 1000
+    # perfect square straddle: IEEE sqrt is exact on squares
+    assert semdedup_n_lists(99_980_001) == 9999
+
+    idx = _semdedup_ensure_index(spark, sf_dir)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    n = load(spark, sf_dir, "embeddings").count()
+    assert meta["n_lists"] == semdedup_n_lists(n) > 16
+
+
 def test_label_centroids_non_int_label_types(spark, sf_dir):
     """The label field's output type follows the INPUT column — a
     string or bigint label column must survive createDataFrame instead
