@@ -135,6 +135,7 @@ _FRONTLOAD_R8 = [
     "sequence_match_funnel",    # oracle now drops '0' labels (ADVICE)
     "sequence_count_chains",    # same storage-rule filter
     "semantic_dedup",           # n_lists now scales max(16, ceil(√n))
+    "ngram_lm_perplexity_seeded",  # NEW: broadcast-weights CCNet form
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -183,7 +184,6 @@ _FRONTLOAD_R8 = [
     "q22_idle_customers",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_regional_revenue",
 ]
 
 _FRONTLOAD_R7 = [

@@ -977,3 +977,89 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.sum("nll") / F.count("*"), 6)
                     .alias("cross_entropy"))
               .orderBy("doc_id"))
+
+
+@query(
+    "ngram_lm_perplexity_seeded",
+    # the oracle replays the identical estimator: bigram counts and
+    # vocabulary from the SEED subset only (lang='en' — the curated
+    # corpus stand-in), every doc scored with add-1 smoothing and OOV
+    # backoff -ln((c2+1)/(c1+V)) where missing counts coalesce to 0.
+    # ln/means are irrational-valued → plain round(6) is tie-safe
+    # (functions/rounding.py discipline, same class as
+    # ngram_lm_perplexity).
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM normed
+                WHERE lang = 'en')),
+    bg AS (
+      SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      FROM normed, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en'
+           GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en'
+           GROUP BY w1)
+    SELECT b.doc_id, count(*)::bigint AS n_bigrams,
+           round(sum(-ln((coalesce(c2.c2, 0) + 1)::double
+                         / (coalesce(c1.c1, 0) + v.v)))
+                 / count(*), 6) AS cross_entropy
+    FROM bg b
+    LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    doc="The PRODUCTION form of CCNet perplexity filtering (VERDICT "
+        "r7 item 3): the bigram LM is trained on a bounded curated "
+        "SEED corpus (lang='en' stands in for Wikipedia), not the "
+        "corpus being scored — so the count tables are "
+        "seed-vocabulary-sized PARAMETERS, broadcast to every "
+        "executor, and scoring any corpus size is one scan + two "
+        "broadcast hash joins + a per-doc agg with NO big-side "
+        "shuffle growth (the corpus-trained twin's weight join grows "
+        "with corpus vocabulary — its sf1 probe drifted 5.2x/10x on "
+        "disjoint-vocab shards; this form is flat by construction). "
+        "Unseen bigrams back off through add-1 smoothing with counts "
+        "coalesced to 0: -ln((c2+1)/(c1+V)) over the SEED vocabulary "
+        "V — every doc scores, OOV text just scores high (the CCNet "
+        "tail bucket)",
+)
+def ngram_lm_perplexity_seeded(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", _toks(F.col("text")).alias("toks"))
+    seed_toks = t.where(F.col("lang") == "en")
+    # seed vocabulary: ONE scalar, a parameter-sized driver fetch
+    # inlined as a literal (the zorder-bounds pattern)
+    v = int(seed_toks.select(F.explode("toks").alias("tok"))
+            .agg(F.count_distinct("tok")).collect()[0][0])
+    if v == 0:
+        raise ValueError("seed subset (lang='en') holds no tokens — "
+                         "a perplexity model needs a non-empty seed "
+                         "corpus")
+    bg_all = (t.where(F.size("toks") >= 2)
+              .select("doc_id", "lang",
+                      F.explode(F.expr(
+                          "transform(sequence(0, size(toks) - 2), "
+                          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                      )).alias("b"))
+              .select("doc_id", "lang", "b.w1", "b.w2"))
+    seed_bg = bg_all.where(F.col("lang") == "en")
+    c2 = seed_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = seed_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    nll = -F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v)))
+    return (bg_all
+            .join(F.broadcast(c2), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum(nll) / F.count("*"), 6)
+                  .alias("cross_entropy"))
+            .orderBy("doc_id"))
