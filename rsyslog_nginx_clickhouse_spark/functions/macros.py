@@ -734,6 +734,83 @@ def rewrite_array_join(query: str) -> str:
     return out
 
 
+#: ClickHouse ``FROM t FINAL`` — merge-on-read over the mutable
+#: MergeTree tiers (VERDICT r7 item 4: a ClickHouse user's first query
+#: against a Replacing table says FINAL). The DDL side lives in
+#: ``declare_final_table`` (engine + keys + version/sign columns — the
+#: information the CH CREATE TABLE carries); the rewrite then expands
+#: FINAL into the SAME aggregation plans/replacing.read_latest /
+#: plans/collapsing.read_collapsed build: one map-side-combinable
+#: aggregate per key (max(struct) latest-wins, or net-sign > 0), no
+#: window sort, subquery aliased back to the table name so the
+#: surrounding query is untouched. FINAL on an undeclared table is
+#: refused loudly — ClickHouse likewise errors on engines without
+#: FINAL support.
+_FINAL_RE = re.compile(r"(?is)\bFROM\s+(?P<table>[\w.`]+)\s+FINAL\b")
+
+_FINAL_TABLES: dict[str, dict] = {}
+
+
+def declare_final_table(table: str, kind: str, keys: list[str],
+                        payload: list[str],
+                        version_col: str | None = None,
+                        sign_col: str = "sign") -> None:
+    """Register the merge metadata ``FROM table FINAL`` needs — the
+    analog of declaring ``ENGINE = ReplacingMergeTree(version)`` /
+    ``CollapsingMergeTree(sign)`` with its ORDER BY key."""
+    if kind not in ("replacing", "collapsing"):
+        raise ValueError(f"kind must be 'replacing' or 'collapsing', "
+                         f"got {kind!r}")
+    if kind == "replacing" and not version_col:
+        raise ValueError("replacing tables need a version_col "
+                         "(ReplacingMergeTree's version parameter)")
+    _FINAL_TABLES[table] = {"kind": kind, "keys": list(keys),
+                            "payload": list(payload),
+                            "version_col": version_col,
+                            "sign_col": sign_col}
+
+
+def rewrite_final(query: str) -> str:
+    """``FROM t FINAL`` → the merge-on-read subquery aliased back to
+    ``t``: latest-wins ``max(struct(version, payload...))`` per key for
+    replacing tables, net-``sign > 0`` groups for collapsing tables —
+    both single map-side-combinable aggregates, the exact plans
+    ``plans/replacing.read_latest`` / ``plans/collapsing
+    .read_collapsed`` build, so the SQL surface and the DataFrame API
+    cannot drift."""
+
+    def _sub(m: re.Match) -> str:
+        t = m.group("table")
+        d = _FINAL_TABLES.get(t)
+        if d is None:
+            raise ValueError(
+                f"FROM {t} FINAL: {t!r} is not declared as a "
+                f"replacing/collapsing table — call "
+                f"declare_final_table({t!r}, ...) first (the ENGINE "
+                f"clause of the ClickHouse DDL); FINAL has no meaning "
+                f"on an append-only table")
+        keys = ", ".join(d["keys"])
+        if d["kind"] == "replacing":
+            ver = d["version_col"]
+            wfields = ", ".join([ver, *d["payload"]])
+            outer = ", ".join(
+                [*d["keys"], f"__w.{ver} AS {ver}",
+                 *(f"__w.{p} AS {p}" for p in d["payload"])])
+            return (f"FROM (SELECT {outer} FROM (SELECT {keys}, "
+                    f"max(struct({wfields})) AS __w FROM {t} "
+                    f"GROUP BY {keys})) AS {t}")
+        cols = ", ".join([*d["keys"], *d["payload"]])
+        return (f"FROM (SELECT {cols} FROM {t} GROUP BY {cols} "
+                f"HAVING sum({d['sign_col']}) > 0) AS {t}")
+
+    out = _FINAL_RE.sub(_sub, query)
+    if re.search(r"(?is)\)\s*FINAL\b", out):
+        raise ValueError(
+            "FINAL is supported only directly on a declared table "
+            "('FROM <table> FINAL'), not on subqueries/joins")
+    return out
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -743,4 +820,4 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         query = rewrite_aggregates(query)
     return spark.sql(
         rewrite_with_totals(rewrite_limit_by(rewrite_sample(
-            rewrite_array_join(query)))))
+            rewrite_array_join(rewrite_final(query))))))

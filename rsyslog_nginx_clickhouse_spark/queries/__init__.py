@@ -136,6 +136,8 @@ _FRONTLOAD_R8 = [
     "sequence_count_chains",    # same storage-rule filter
     "semantic_dedup",           # n_lists now scales max(16, ceil(√n))
     "ngram_lm_perplexity_seeded",  # NEW: broadcast-weights CCNet form
+    "final_replacing_read",     # NEW: FROM t FINAL (replacing)
+    "final_collapsing_read",    # NEW: FROM t FINAL (collapsing)
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -182,8 +184,6 @@ _FRONTLOAD_R8 = [
     "q1_pricing_summary",
     "q20_promo_suppliers",
     "q22_idle_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
 ]
 
 _FRONTLOAD_R7 = [

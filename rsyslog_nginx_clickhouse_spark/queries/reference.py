@@ -1046,6 +1046,111 @@ def collapsing_state_roundtrip(spark: SparkSession,
 
 
 @query(
+    "final_replacing_read",
+    # same post-upsert expectation as replacing_upsert_roundtrip,
+    # derived straight from events — what FINAL must surface
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 3 = 0
+                THEN round(round(value, 4) * 2, 4)
+                ELSE round(value, 4) END AS value,
+           CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS ver
+    FROM events ORDER BY event_id
+    """,
+    doc="ClickHouse `FROM t FINAL` surface over a Replacing table "
+        "(VERDICT r7 item 4 — a CH user's first query against "
+        "ReplacingMergeTree says FINAL): the verbatim CH text runs "
+        "through the engine's SQL entry, which expands FINAL into the "
+        "same latest-wins max(struct(version, payload)) aggregate "
+        "plans/replacing.read_latest builds — one map-side-combinable "
+        "agg, no window sort; the table's engine metadata comes from "
+        "declare_final_table (the CH DDL's ENGINE clause); FINAL on "
+        "an undeclared table is refused "
+        "(functions/macros.rewrite_final)",
+)
+def final_replacing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_final_table,
+    )
+    from rsyslog_nginx_clickhouse_spark.plans.replacing import (
+        append_versions,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"final_replacing_{os.path.basename(sf_dir)}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    append_versions(ev.withColumn("ver", F.lit(0)), path)
+    append_versions(
+        ev.where(F.col("event_id") % 3 == 0)
+          .withColumn("value", F.round(F.col("value") * 2, 4))
+          .withColumn("ver", F.lit(1)),
+        path)
+    spark.read.parquet(path).createOrReplaceTempView("profiles_r")
+    declare_final_table("profiles_r", "replacing", keys=["event_id"],
+                        payload=["user_id", "value"], version_col="ver")
+    return engine_sql(spark, """
+        SELECT event_id, user_id, value, ver
+        FROM profiles_r FINAL ORDER BY event_id
+    """)
+
+
+@query(
+    "final_collapsing_read",
+    # same surviving-state expectation as collapsing_state_roundtrip
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 4 = 0
+                THEN round(round(value, 4) + 1, 4)
+                ELSE round(value, 4) END AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="ClickHouse `FROM t FINAL` surface over a Collapsing table: "
+        "FINAL expands to the net-sign > 0 group filter "
+        "plans/collapsing.read_collapsed builds (cancelled +1/-1 "
+        "pairs vanish, the replacement payload survives) — verbatim "
+        "CH text through the engine's SQL entry, engine metadata via "
+        "declare_final_table (functions/macros.rewrite_final)",
+)
+def final_collapsing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_final_table,
+    )
+    from rsyslog_nginx_clickhouse_spark.plans.collapsing import (
+        append_signed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"final_collapsing_{os.path.basename(sf_dir)}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    append_signed(ev.withColumn("sign", F.lit(1)), path)
+    upd = ev.where(F.col("event_id") % 4 == 0)
+    append_signed(upd.withColumn("sign", F.lit(-1)), path)
+    append_signed(
+        upd.withColumn("value", F.round(F.col("value") + 1, 4))
+           .withColumn("sign", F.lit(1)),
+        path)
+    spark.read.parquet(path).createOrReplaceTempView("state_c")
+    declare_final_table("state_c", "collapsing", keys=["event_id"],
+                       payload=["user_id", "value"])
+    return engine_sql(spark, """
+        SELECT event_id, user_id, value
+        FROM state_c FINAL ORDER BY event_id
+    """)
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

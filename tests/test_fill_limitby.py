@@ -145,6 +145,84 @@ def test_sample_ratio_and_integer_offset_forms():
         rewrite_sample("SELECT 1 FROM st SAMPLE 5/2")
 
 
+# -------------------------------------------------------------- FINAL --
+
+
+def test_final_rewrite_shape_and_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_final_table,
+        rewrite_final,
+    )
+
+    declare_final_table("prof", "replacing", keys=["id"],
+                        payload=["name", "v"], version_col="ver")
+    out = rewrite_final("SELECT id, v FROM prof FINAL WHERE id < 5")
+    assert "max(struct(ver, name, v))" in out
+    assert "GROUP BY id" in out and out.rstrip().endswith("WHERE id < 5")
+    assert "FINAL" not in out
+
+    declare_final_table("st8", "collapsing", keys=["id"],
+                        payload=["v"])
+    out = rewrite_final("SELECT * FROM st8 FINAL")
+    assert "HAVING sum(sign) > 0" in out and "GROUP BY id, v" in out
+
+    with pytest.raises(ValueError, match="not declared"):
+        rewrite_final("SELECT 1 FROM plain_t FINAL")
+    with pytest.raises(ValueError, match="only directly on"):
+        rewrite_final("SELECT 1 FROM (SELECT 1) FINAL")
+    with pytest.raises(ValueError, match="version_col"):
+        declare_final_table("bad", "replacing", keys=["id"],
+                            payload=["v"])
+    with pytest.raises(ValueError, match="replacing.*collapsing"):
+        declare_final_table("bad", "summing", keys=["id"],
+                            payload=["v"])
+
+
+def test_final_matches_dataframe_merge_paths(spark, tmp_path):
+    """FROM t FINAL must return exactly what read_latest /
+    read_collapsed return — the SQL surface and the DataFrame API are
+    the same plan."""
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+    from rsyslog_nginx_clickhouse_spark.plans.collapsing import (
+        append_signed,
+        read_collapsed,
+    )
+    from rsyslog_nginx_clickhouse_spark.plans.replacing import (
+        append_versions,
+        read_latest,
+    )
+
+    rp = str(tmp_path / "rp")
+    rows = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1), (2, "c", 0), (3, "d", 2),
+         (3, "e", 1)],
+        "id long, name string, ver int")
+    append_versions(rows, rp)
+    spark.read.parquet(rp).createOrReplaceTempView("t_final_r")
+    macros.declare_final_table("t_final_r", "replacing", keys=["id"],
+                               payload=["name"], version_col="ver")
+    got = {tuple(r) for r in macros.sql(
+        spark, "SELECT id, name, ver FROM t_final_r FINAL").collect()}
+    want = {tuple(r) for r in read_latest(
+        spark, rp, ["id"], "ver", ["name"])
+        .select("id", "name", "ver").collect()}
+    assert got == want == {(1, "b", 1), (2, "c", 0), (3, "d", 2)}
+
+    cp = str(tmp_path / "cp")
+    signed = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", -1), (1, "b", 1), (2, "c", 1)],
+        "id long, name string, sign int")
+    append_signed(signed, cp)
+    spark.read.parquet(cp).createOrReplaceTempView("t_final_c")
+    macros.declare_final_table("t_final_c", "collapsing", keys=["id"],
+                               payload=["name"])
+    got = {tuple(r) for r in macros.sql(
+        spark, "SELECT id, name FROM t_final_c FINAL").collect()}
+    want = {tuple(r) for r in read_collapsed(
+        spark, cp, ["id"], ["name"]).collect()}
+    assert got == want == {(1, "b"), (2, "c")}
+
+
 def test_sample_slices_partition_exactly(spark):
     """Disjoint OFFSET slices must cover every row exactly once, and
     the same slice must select the SAME rows regardless of
