@@ -269,6 +269,81 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("doc_id", "chunk_idx"))
 
 
+#: token-boundary chunking (VERDICT r7 item 5): window of 48 tokens,
+#: stride 40 (8-token overlap) over the SAME normalized tokenization
+#: every curation metric uses — chunks never split a token, the
+#: contract char-stride windows cannot give.
+_CHUNK_WT = 48
+_CHUNK_ST = 40
+
+
+@query(
+    "doc_chunk_tokens",
+    # identical integer arithmetic to doc_chunk_windows but in token
+    # space: count = 1 + ceil(max(L-W,0)/S) over the token count,
+    # chunk = 1-based inclusive list slice (both engines clamp at the
+    # end), content pinned byte-for-byte via md5 of the
+    # space-rejoined window — no floats anywhere
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS L,
+             1 + (greatest(len(toks) - {_CHUNK_WT}, 0)
+                  + {_CHUNK_ST - 1}) // {_CHUNK_ST} AS n_chunks
+      FROM d WHERE len(toks) > 0),
+    series AS (
+      SELECT unnest(range(0, (SELECT max(n_chunks) FROM n))) AS i),
+    c AS (
+      SELECT doc_id, toks, i AS chunk_idx
+      FROM n JOIN series ON i < n_chunks)
+    SELECT doc_id, chunk_idx::int AS chunk_idx,
+           (chunk_idx * {_CHUNK_ST})::int AS start_tok,
+           len(toks[chunk_idx * {_CHUNK_ST} + 1 :
+                    chunk_idx * {_CHUNK_ST} + {_CHUNK_WT}])::int
+             AS n_toks,
+           md5(array_to_string(
+               toks[chunk_idx * {_CHUNK_ST} + 1 :
+                    chunk_idx * {_CHUNK_ST} + {_CHUNK_WT}], ' '))
+             AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc="token-boundary context-window chunking — doc_chunk_windows' "
+        "production twin (VERDICT r7 item 5): 48-token windows at "
+        "stride 40 over the SHARED normalized tokenization, so chunks "
+        "never split a token and overlap is measured in model tokens, "
+        "not characters. Same narrow plan: split + sequence + explode "
+        "+ slice are all per-row expressions — no shuffle, "
+        "partitioning inherits the scan, pipelines ahead of "
+        "tokenize/embed at any scale; every chunk byte is under the "
+        "value gate via md5 of the rejoined window",
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.queries.pipeline import _toks
+
+    W, S = _CHUNK_WT, _CHUNK_ST
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", _toks(F.col("text")).alias("toks"))
+         .withColumn("L", F.size("toks"))
+         .where(F.col("L") > 0))
+    n_chunks = (F.lit(1)
+                + F.floor((F.greatest(F.col("L") - W, F.lit(0))
+                           + F.lit(S - 1)) / S).cast("int"))
+    win = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
+    return (d.withColumn("chunk_idx",
+                         F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+             .select("doc_id",
+                     F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                     (F.col("chunk_idx") * S).cast("int")
+                     .alias("start_tok"),
+                     F.size(win).cast("int").alias("n_toks"),
+                     F.md5(F.array_join(win, " ")).alias("chunk_hash"))
+             .orderBy("doc_id", "chunk_idx"))
+
+
 # --------------------------------------------------------------- dedup --
 
 
