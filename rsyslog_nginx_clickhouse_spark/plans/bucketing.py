@@ -22,6 +22,33 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: target rows per bucket for scaled_bucket_count — sized so an
+#: in-bucket-sorted SMJ task stays comfortably in one executor's
+#: memory (a 64 Ki-row bucket of fact-table rows is a few MB).
+ROWS_PER_BUCKET = 65536
+
+
+def scaled_bucket_count(n_rows: int, target: int = ROWS_PER_BUCKET,
+                        floor: int = 16) -> int:
+    """Bucket count that grows with the fact table (VERDICT r7 item
+    6: a fixed 16 caps join parallelism at 16 tasks and grows each
+    bucket linearly with the data — the sf1 probe drifted 2.2x/10x).
+
+    ``max(floor, 2^ceil(log2(n/target)))`` — the next power of two
+    above n/target: per-bucket size stays in [target/2, target], task
+    parallelism scales with data, and powers of two keep Spark's
+    bucket-coalescing rule applicable (a reader may coalesce a
+    2k-bucket table onto a k-bucket side without a shuffle). BOTH
+    join sides must use the SAME count — derive it from the larger
+    side and pass it to each ensure_bucketed; the fingerprint
+    includes the count, so a growth step rebuilds once."""
+    import math
+
+    if n_rows <= target * floor:
+        return floor
+    return 2 ** math.ceil(math.log2(n_rows / target))
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
                    sort: bool = True, path: str | None = None) -> None:
     """Persist ``df`` hash-bucketed (and in-bucket sorted) on ``key``.

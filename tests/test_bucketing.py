@@ -11,6 +11,30 @@ from rsyslog_nginx_clickhouse_spark.plans.bucketing import (
 )
 
 
+def test_scaled_bucket_count_formula():
+    """buckets = max(16, next-pow2(n/target)) (VERDICT r7 item 6):
+    floors at the legacy 16 through every bench SF, then doubles with
+    the data so per-bucket size stays in [target/2, target]."""
+    from rsyslog_nginx_clickhouse_spark.plans.bucketing import (
+        ROWS_PER_BUCKET as T,
+        scaled_bucket_count,
+    )
+
+    assert scaled_bucket_count(1) == 16
+    assert scaled_bucket_count(600_000) == 16      # lineitem sf0.1
+    assert scaled_bucket_count(16 * T) == 16       # exact boundary
+    assert scaled_bucket_count(16 * T + 1) == 32
+    assert scaled_bucket_count(6_000_000) == 128   # sf1 probe scale
+    assert scaled_bucket_count(100 * T) == 128
+    # powers of two only — the bucket-coalescing requirement
+    for n in (1, 10**5, 10**6, 10**7, 10**8):
+        b = scaled_bucket_count(n)
+        assert b & (b - 1) == 0 and b >= 16
+        # per-bucket load bounded by the target once above the floor
+        if b > 16:
+            assert n / b <= T
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load(spark, sf_dir, "lineitem").select(
