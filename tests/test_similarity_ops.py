@@ -38,6 +38,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert len(truth & got) >= 5
 
 
+def test_registry_knn_ivf_recall_floor(spark, sf_dir):
+    """VERDICT r7 item 7: the REGISTRY knn_ivf (persisted index,
+    build-once/probe-many) holds an asserted recall floor against the
+    registry knn_bruteforce — an index/centroid regression fails
+    loudly instead of merely shifting a recorded number. Observed
+    today: 9/10 at sf0.001 AND sf0.01; floor 7/10 leaves noise room
+    but catches any structural break."""
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    qs = load_all()
+    truth = {r["vec_id"]
+             for r in qs["knn_bruteforce"].spark(spark, sf_dir).collect()}
+    got = {r["vec_id"]
+           for r in qs["knn_ivf"].spark(spark, sf_dir).collect()}
+    assert 1 in got  # the query vector itself must be found
+    assert len(truth & got) >= 7, (truth, got)
+
+
 def test_ivf_lloyd_recall_recorded_vs_seed(spark, sf_dir):
     """VERDICT r4 item 5: the registry default (deterministic Lloyd
     k-means) with a RECORDED recall-vs-bruteforce number. Measured at
