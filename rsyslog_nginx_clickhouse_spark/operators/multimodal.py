@@ -230,19 +230,279 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, bpp)
 
 
+# ------------------------------------------------------ baseline JPEG --
+# Dependency-free baseline-sequential JPEG (VERDICT r7 item 9 — the
+# most common real-corpus image format): full marker parse, canonical
+# Huffman tables built from the stream's own DHT segments, DC
+# prediction + AC run-length decode, dequantization, de-zigzag, float
+# IDCT, level shift. Supported: 8-bit precision, single scan, 1
+# component (grayscale) or 3 components 4:4:4 (YCbCr → RGB, BT.601);
+# progressive (SOF2), arithmetic coding, 16-bit quant precision and
+# chroma subsampling are rejected loudly.
+
+#: zigzag scan order (spec Figure A.6): _JPEG_ZIGZAG[i] = the
+#: block-raster index of the i-th coefficient in scan order.
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: standard luminance Huffman tables (spec Annex K): (BITS, HUFFVAL).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_canonical_codes(bits, vals) -> dict:
+    """BITS/HUFFVAL → {value: (code, length)} (spec §C.2: codes of
+    each length are consecutive, doubling when the length grows)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits, vals) -> dict:
+    """BITS/HUFFVAL → {(code, length): value} for incremental decode."""
+    return {cl: v for v, cl in _jpeg_canonical_codes(bits, vals).items()}
+
+
+#: IDCT basis: _JPEG_DCT_A[u, x] = c(u)/2 · cos((2x+1)uπ/16); the 2-D
+#: inverse transform of coefficient block F is  A.T @ F @ A.
+_JPEG_DCT_A = np.array(
+    [[(np.sqrt(0.125) if u == 0 else 0.5)
+      * np.cos((2 * x + 1) * u * np.pi / 16)
+      for x in range(8)] for u in range(8)], dtype=np.float64)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; a bare 0xFF + marker ends the segment (RSTn markers
+    are surfaced to the caller for predictor resets)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise EOFError(f"marker 0xFF{nxt:02X} inside entropy "
+                               f"data")
+        bit = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (RSTn between restart intervals);
+        returns the marker's second byte."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+    def decode_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            v = table.get((code, length))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Spec F.2.2.1 EXTEND: t-bit magnitude → signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Dependency-free baseline-sequential JPEG decoder → (H, W, 3)
+    uint8 RGB (grayscale replicated across channels)."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos, qt, huff, dri = 2, {}, {}, 0
+    frame = None
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG ended before a scan")
+        seg_len = int.from_bytes(payload[pos:pos + 2], "big")
+        seg = payload[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization precision unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    seg[i + 1:i + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = (seg[0],
+                              int.from_bytes(seg[1:3], "big"),
+                              int.from_bytes(seg[3:5], "big"), seg[5])
+            if prec != 8:
+                raise NotImplementedError(f"precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG "
+                                          "unsupported")
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) is supported, got "
+                f"SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tdta >> 4, tdta & 0xF)
+            pos += seg_len
+            break
+        pos += seg_len
+
+    h, w, comps = frame
+    if h % 8 or w % 8:
+        raise NotImplementedError("image dims must be multiples of 8 "
+                                  "(no partial-MCU padding)")
+    by, bx = h // 8, w // 8
+    reader = _JpegBitReader(payload, pos)
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if dri and mcu and mcu % dri == 0:
+                m = reader.align_to_marker()
+                if not 0xD0 <= m <= 0xD7:
+                    raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
+                pred = [0] * len(comps)
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scan_tables[cid]
+                t = reader.decode_huff(huff[(0, td)])
+                diff = _jpeg_extend(reader.read_bits(t), t)
+                pred[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_huff(huff[(1, ta)])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[_JPEG_ZIGZAG] = zz
+                coef = block.reshape(8, 8) * qt[tq]
+                spat = _JPEG_DCT_A.T @ coef.astype(np.float64) @ _JPEG_DCT_A
+                planes[ci][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = spat
+            mcu += 1
+    out = [np.clip(np.round(p + 128.0), 0, 255) for p in planes]
+    if len(out) == 1:
+        g = out[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0  # BT.601
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8)
+         for c in (r, g, b)], axis=2)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff the payload magic and decode: BMP ('BM'), PPM ('P6') or
-    PNG (8-byte signature)."""
+    """Sniff the payload magic and decode: BMP ('BM'), PPM ('P6'),
+    PNG (8-byte signature) or baseline JPEG (SOI)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "unrecognized image format (supported dependency-free: 24-bit "
-        "BMP, P6 PPM, 8-bit RGB/RGBA PNG); JPEG/audio/video need codec "
-        "libraries not present in this container")
+        "BMP, P6 PPM, 8-bit RGB/RGBA PNG, baseline-sequential JPEG); "
+        "progressive JPEG/audio/video codecs need libraries not "
+        "present in this container")
 
 
 def image_features(img: np.ndarray) -> np.ndarray:
@@ -728,6 +988,102 @@ def attach_png(docs: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "payload": [render_png_bytes(t) for t in pdf[text_col]],
+            })
+
+    # explicit projection: Catalyst cannot prune columns THROUGH
+    # mapInPandas — without this the scan reads the full table
+    # for a 2-column transform
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
+
+
+JPEG_W = JPEG_H = 16  # 2x2 grid of 8x8 blocks
+
+
+def render_jpeg_bytes(text: str, width: int = JPEG_W,
+                      height: int = JPEG_H) -> bytes:
+    """A real baseline-sequential grayscale JPEG whose 8×8 blocks carry
+    the text's bytes: block b (raster order) is the CONSTANT value
+    ord(text[b mod len(text)]). A constant block survives the DCT
+    round-trip exactly — its spectrum is DC-only (DC = 8·(v−128),
+    every AC = 0), and with an all-ones quantization table the decoder
+    recovers v bit-exactly — so the lossy format gets a lossless,
+    text-derivable oracle while the decoder still exercises the full
+    baseline path: marker parse, DHT Huffman decode (standard Annex K
+    luminance tables), DC prediction, EOB, dequant, zigzag, IDCT.
+
+    Same non-empty-ASCII contract as render_bmp_bytes (the SQL oracle
+    indexes code points, the renderer indexes UTF-8 bytes)."""
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_jpeg_bytes requires non-empty ASCII text: the "
+            "external oracle indexes code points, the renderer indexes "
+            "UTF-8 bytes — they diverge on non-ASCII input")
+    if width % 8 or height % 8:
+        raise ValueError("JPEG render dims must be multiples of 8")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_code = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+
+    bitbuf, nbits = 0, 0
+    out = bytearray()
+
+    def emit(code: int, length: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (bitbuf >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    n_blocks = (width // 8) * (height // 8)
+    prev_dc = 0
+    for b in range(n_blocks):
+        v = tb[b % len(tb)]
+        dc = 8 * (v - 128)
+        diff = dc - prev_dc
+        prev_dc = dc
+        t = abs(diff).bit_length()
+        emit(*dc_codes[t])
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(*eob_code)
+    if nbits:  # pad the final byte with 1s (spec F.1.2.3)
+        emit((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    zz_q = np.ones(64, dtype=np.uint8)  # all-ones table, zigzag order
+    dqt = seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS)
+              + bytes([0x10]) + bytes(_JPEG_AC_BITS)
+              + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos + bytes(out)
+            + b"\xFF\xD9")
+
+
+def attach_jpeg(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Multimodal table with REAL baseline-JPEG payloads — same
+    Arrow-batched mapInPandas shape as attach_bmp/attach_png."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_jpeg_bytes(t) for t in pdf[text_col]],
             })
 
     # explicit projection: Catalyst cannot prune columns THROUGH

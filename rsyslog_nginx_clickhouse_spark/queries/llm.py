@@ -929,6 +929,55 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg",
+    # the rendered 16x16 grayscale JPEG is a 2x2 grid of CONSTANT 8x8
+    # blocks, block b = ord(text[b % len]) — constant blocks are
+    # DC-only, so with an all-ones quant table the lossy format round-
+    # trips losslessly and every decoded pixel is text-derivable:
+    # pixel (y,x) = block (y//8)*2 + (x//8). Features are 32-pixel
+    # chunk means / 255 (2 rows per chunk, 16 px of each of two
+    # horizontally-adjacent blocks): integer avg / 255 cannot sit on a
+    # 6-decimal tie ((a+b)/510 = m/10^7 forces m % 10 = 0), so plain
+    # round(6) is cross-engine exact (functions/rounding.py
+    # discipline, same class as the BMP/PNG decode queries)
+    oracle="""
+    SELECT doc_id, (p.p // 32)::int AS feat_idx,
+           round(avg(ascii(substr(text,
+                 ((((p.p // 16) // 8) * 2 + ((p.p % 16) // 8))
+                  % length(text)) + 1, 1))) / 255.0, 6) AS feat
+    FROM documents, unnest(generate_series(0, 255)) AS p(p)
+    GROUP BY doc_id, p.p // 32
+    ORDER BY doc_id, feat_idx
+    """,
+    doc="REAL baseline JPEG decode, zero dependencies (VERDICT r7 "
+        "item 9 — JPEG is the most common real-corpus image format, "
+        "previously a NotImplementedError gate): render each doc as a "
+        "genuine baseline-sequential grayscale JFIF (standard Annex K "
+        "Huffman tables, DC-predicted entropy coding, byte stuffing), "
+        "decode it back through the full path — marker parse, "
+        "canonical Huffman from the stream's own DHT, dequant, "
+        "zigzag, float IDCT, level shift — and emit the 8 "
+        "grayscale-chunk features; constant 8x8 blocks make the DCT "
+        "round-trip exact, so the oracle recomputes every decoded "
+        "value from the text bytes and one mis-decoded coefficient "
+        "anywhere fails the hash "
+        "(operators/multimodal.decode_jpeg)",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_jpeg,
+    )
+
+    mm = attach_jpeg(_docs(spark, sf_dir))
+    feats = extract_features(mm, fake=False)
+    return (feats.select("doc_id", F.posexplode("features"))
+                 .select("doc_id",
+                         F.col("pos").cast("int").alias("feat_idx"),
+                         F.round("col", 6).alias("feat"))
+                 .orderBy("doc_id", "feat_idx"))
+
+
+@query(
     "multimodal_resize",
     # the 8x8 render has pixel (y,x) = ord(text[(8y+x) % len]);
     # nearest-neighbor 8->4 samples the pixel CENTER: source index

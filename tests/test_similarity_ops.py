@@ -455,6 +455,214 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert dirs == {str(s) for s in some}
 
 
+def _assemble_jpeg(blocks_zz, quant=1, dri=0, h=8, w=8):
+    """Independent test-side JPEG assembler: arbitrary QUANTIZED
+    coefficient blocks (zigzag order) → a baseline grayscale stream
+    with full AC run-length coding (ZRL, EOB), optional restart
+    markers. Deliberately NOT the module's renderer — an independent
+    implementation of the spec so encoder and decoder bugs cannot
+    cancel."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_canonical_codes,
+    )
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    state = {"buf": 0, "n": 0}
+
+    def emit(code, length):
+        state["buf"] = (state["buf"] << length) | code
+        state["n"] += length
+        while state["n"] >= 8:
+            byte = (state["buf"] >> (state["n"] - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            state["n"] -= 8
+        state["buf"] &= (1 << state["n"]) - 1
+
+    def flush_ones():
+        if state["n"]:
+            emit((1 << (8 - state["n"])) - 1, 8 - state["n"])
+
+    def put_signed(v, t):
+        emit(v if v >= 0 else v + (1 << t) - 1, t)
+
+    prev_dc = 0
+    for i, zz in enumerate(blocks_zz):
+        if dri and i and i % dri == 0:
+            flush_ones()
+            out.extend([0xFF, 0xD0 + ((i // dri - 1) % 8)])
+            prev_dc = 0
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        t = abs(diff).bit_length()
+        emit(*dc_codes[t])
+        if t:
+            put_signed(diff, t)
+        k, run = 1, 0
+        last_nz = max([j for j in range(1, 64) if zz[j]], default=0)
+        while k <= last_nz:
+            if zz[k] == 0:
+                run += 1
+            else:
+                while run >= 16:
+                    emit(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = abs(int(zz[k])).bit_length()
+                emit(*ac_codes[(run << 4) | s])
+                put_signed(int(zz[k]), s)
+                run = 0
+            k += 1
+        if last_nz < 63:
+            emit(*ac_codes[0x00])  # EOB
+    flush_ones()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    zq = np.full(64, quant, dtype=np.uint8)
+    parts = [b"\xFF\xD8", seg(0xDB, bytes([0x00]) + zq.tobytes())]
+    if dri:
+        parts.append(seg(0xDD, dri.to_bytes(2, "big")))
+    parts.append(seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                 + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])))
+    parts.append(seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                 + bytes(_JPEG_DC_VALS) + bytes([0x10])
+                 + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)))
+    parts.append(seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))
+    parts.append(bytes(out))
+    parts.append(b"\xFF\xD9")
+    return b"".join(parts)
+
+
+def _jpeg_expected(blocks_zz, quant, h, w):
+    """Reference reconstruction: dequant → dezigzag → IDCT → +128,
+    via the module's basis matrix but plain numpy composition."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        _JPEG_DCT_A,
+        _JPEG_ZIGZAG,
+    )
+
+    img = np.zeros((h, w))
+    for i, zz in enumerate(blocks_zz):
+        block = np.zeros(64)
+        block[_JPEG_ZIGZAG] = np.asarray(zz, dtype=np.float64) * quant
+        spat = _JPEG_DCT_A.T @ block.reshape(8, 8) @ _JPEG_DCT_A
+        by, bx = divmod(i, w // 8)
+        img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spat
+    return np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_render_decode_roundtrip_exact():
+    """Constant 8x8 blocks survive the DCT round-trip exactly — every
+    decoded pixel equals the text byte its block carries."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+        render_jpeg_bytes,
+    )
+
+    for text in ("a", "jpeg baseline!", "".join(chr(32 + i % 95)
+                                               for i in range(37))):
+        img = decode_jpeg(render_jpeg_bytes(text))
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        tb = text.encode()
+        for b in range(4):
+            v = tb[b % len(tb)]
+            blk = img[(b // 2) * 8:(b // 2) * 8 + 8,
+                      (b % 2) * 8:(b % 2) * 8 + 8]
+            assert (blk == v).all()
+
+
+def test_jpeg_decodes_ac_coefficients_zrl_and_quant():
+    """The decoder's AC run-length path (runs, ZRL, EOB), dequant
+    scaling and IDCT must reproduce an independently-assembled stream
+    with rich spectra — not just the renderer's DC-only blocks."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    zz1 = np.zeros(64, dtype=np.int64)
+    zz1[0] = -40          # negative DC
+    zz1[1] = 7            # immediate AC
+    zz1[5] = -3           # short zero run
+    zz1[30] = 2           # long run crossing a ZRL
+    zz1[63] = 1           # final coefficient — no EOB emitted
+    zz2 = np.zeros(64, dtype=np.int64)
+    zz2[0] = 100
+    zz2[20] = -5          # 19-zero run => ZRL + (3,s)
+    for quant in (1, 3):
+        payload = _assemble_jpeg([zz1, zz2], quant=quant, h=8, w=16)
+        want = _jpeg_expected([zz1, zz2], quant, 8, 16)
+        got = decode_jpeg(payload)
+        assert (got[:, :, 0] == want).all()
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    zz1 = np.zeros(64, dtype=np.int64)
+    zz1[0] = 200
+    zz2 = np.zeros(64, dtype=np.int64)
+    zz2[0] = -100
+    payload = _assemble_jpeg([zz1, zz2], dri=1, h=8, w=16)
+    want = _jpeg_expected([zz1, zz2], 1, 8, 16)
+    assert (decode_jpeg(payload)[:, :, 0] == want).all()
+
+
+def test_jpeg_rejections_are_loud():
+    import numpy as np
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+        render_jpeg_bytes,
+    )
+
+    good = render_jpeg_bytes("reject me")
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"BM" + good)
+    # SOF0 -> SOF2 (progressive): find the marker and patch it
+    sof0 = good.index(b"\xFF\xC0")
+    prog = good[:sof0 + 1] + b"\xC2" + good[sof0 + 2:]
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(prog)
+    # 16-bit quant precision
+    dqt = good.index(b"\xFF\xDB")
+    deep = good[:dqt + 4] + b"\x10" + good[dqt + 5:]
+    with pytest.raises(NotImplementedError, match="quantization"):
+        decode_jpeg(deep)
+    # 4:2:0 subsampling
+    sub = good[:sof0 + 11] + b"\x22" + good[sof0 + 12:]
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(sub)
+    # render refuses non-ASCII / empty (oracle indexes code points)
+    with pytest.raises(ValueError, match="ASCII"):
+        render_jpeg_bytes("héllo")
+    with pytest.raises(ValueError, match="ASCII"):
+        render_jpeg_bytes("")
+
+
 def test_png_render_decode_roundtrip_all_filters():
     """Every scanline of the rendered PNG uses a different filter type
     (y mod 5), so this roundtrip fails if ANY of the five unfilter
