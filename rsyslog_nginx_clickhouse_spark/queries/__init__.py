@@ -140,6 +140,7 @@ _FRONTLOAD_R8 = [
     "final_collapsing_read",    # NEW: FROM t FINAL (collapsing)
     "doc_chunk_tokens",         # NEW: token-boundary window chunking
     "multimodal_decode_jpeg",   # NEW: dependency-free baseline JPEG
+    "image_hash_dedup",         # NEW: perceptual image near-dup pairs
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -183,7 +184,6 @@ _FRONTLOAD_R8 = [
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
-    "q1_pricing_summary",
 ]
 
 _FRONTLOAD_R7 = [

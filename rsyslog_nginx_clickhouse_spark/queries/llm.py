@@ -1015,6 +1015,63 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_hash_dedup",
+    # integer-exact aHash replay: pixel p of the rendered 8x8 BMP is
+    # ord(text[p % len]); bit p ⇔ 64·v_p > Σv (no float mean); the
+    # 64-bit value packs MSB-first into two's-complement BIGINT by
+    # summing 2^(63-p) terms with the p=0 term written as -2^63
+    # (every other term fits in BIGINT); pairs = exact popcount over
+    # xor — all integers end to end, so the value gate covers every
+    # hash bit and every pair decision
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, p.p AS p,
+             ascii(substr(text, (p.p % length(text)) + 1, 1)) AS v
+      FROM documents, unnest(generate_series(0, 63)) AS p(p)),
+    b AS (
+      SELECT doc_id, p, v,
+             64 * v > sum(v) OVER (PARTITION BY doc_id) AS bit
+      FROM px),
+    h AS (
+      SELECT doc_id,
+             sum(CASE WHEN NOT bit THEN 0
+                      WHEN p = 0 THEN -9223372036854775808
+                      ELSE (CAST(1 AS BIGINT) << (63 - p)) END)::BIGINT
+               AS fp
+      FROM b GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           bit_count(xor(a.fp, c.fp))::int AS hamming
+    FROM h a JOIN h c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.fp, c.fp)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="perceptual image near-dup pairs — the image half of the "
+        "dedup family (VERDICT r7 item 9 companion): render each doc "
+        "as a real 8x8 BMP, decode it, hash with the INTEGER-EXACT "
+        "average hash (bit p ⇔ 64·gray_p > Σgray — no float mean, so "
+        "the SQL oracle replays every bit), then the same pigeonhole "
+        "chunk-LSH join as text SimHash (budget 3 → 4 chunks; any "
+        "pair within budget agrees on ≥1 chunk) + exact popcount "
+        "verify. The shuffle carries (id, hash) — 16 bytes a row, "
+        "never pixels. The DCT pHash variant (image_phash64) shares "
+        "this exact plan and is pinned by tests against a numpy "
+        "replay — float DCT + median thresholds are not cross-engine "
+        "value-gateable (operators/imagehash.py)",
+)
+def image_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.imagehash import (
+        image_hash_pairs,
+    )
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_bmp,
+    )
+
+    mm = attach_bmp(_docs(spark, sf_dir))
+    return (image_hash_pairs(mm, kind="ahash", max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+@query(
     "multimodal_decode_audio",
     # sample p of the rendered WAV is (ord(text[p % len]) - 128)·256;
     # features are 8-sample chunk means / 32768 — ALL-DYADIC

@@ -982,9 +982,11 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_lm_perplexity_seeded",
     # the oracle replays the identical estimator: bigram counts and
-    # vocabulary from the SEED subset only (lang='en' — the curated
-    # corpus stand-in), every doc scored with add-1 smoothing and OOV
-    # backoff -ln((c2+1)/(c1+V)) where missing counts coalesce to 0.
+    # vocabulary from the SEED subset only (lang='en' docs among a
+    # FIXED id range — a bounded curated corpus, like production's
+    # Wikipedia seed: its size does NOT grow with the corpus being
+    # scored), every doc scored with add-1 smoothing and OOV backoff
+    # -ln((c2+1)/(c1+V)) where missing counts coalesce to 0.
     # ln/means are irrational-valued → plain round(6) is tie-safe
     # (functions/rounding.py discipline, same class as
     # ngram_lm_perplexity).
@@ -996,15 +998,15 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     v AS (SELECT count(DISTINCT tok) AS v
           FROM (SELECT unnest(toks) AS tok FROM normed
-                WHERE lang = 'en')),
+                WHERE lang = 'en' AND doc_id < 500)),
     bg AS (
       SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
       FROM normed, unnest(generate_series(1, len(toks) - 1)) AS t(i)
       WHERE len(toks) >= 2),
-    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE lang = 'en'
-           GROUP BY w1, w2),
-    c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en'
-           GROUP BY w1)
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+           WHERE lang = 'en' AND doc_id < 500 GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg
+           WHERE lang = 'en' AND doc_id < 500 GROUP BY w1)
     SELECT b.doc_id, count(*)::bigint AS n_bigrams,
            round(sum(-ln((coalesce(c2.c2, 0) + 1)::double
                          / (coalesce(c1.c1, 0) + v.v)))
@@ -1016,15 +1018,16 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.doc_id ORDER BY b.doc_id
     """,
     doc="The PRODUCTION form of CCNet perplexity filtering (VERDICT "
-        "r7 item 3): the bigram LM is trained on a bounded curated "
-        "SEED corpus (lang='en' stands in for Wikipedia), not the "
-        "corpus being scored — so the count tables are "
+        "r7 item 3): the bigram LM is trained on a BOUNDED curated "
+        "SEED corpus (lang='en' docs within a fixed id range stands "
+        "in for Wikipedia — crucially the seed does NOT grow with "
+        "the corpus being scored), so the count tables are "
         "seed-vocabulary-sized PARAMETERS, broadcast to every "
         "executor, and scoring any corpus size is one scan + two "
         "broadcast hash joins + a per-doc agg with NO big-side "
         "shuffle growth (the corpus-trained twin's weight join grows "
         "with corpus vocabulary — its sf1 probe drifted 5.2x/10x on "
-        "disjoint-vocab shards; this form is flat by construction). "
+        "disjoint-vocab shards; this form's probe is flat). "
         "Unseen bigrams back off through add-1 smoothing with counts "
         "coalesced to 0: -ln((c2+1)/(c1+V)) over the SEED vocabulary "
         "V — every doc scores, OOV text just scores high (the CCNet "
@@ -1034,7 +1037,7 @@ def ngram_lm_perplexity_seeded(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", _toks(F.col("text")).alias("toks"))
-    seed_toks = t.where(F.col("lang") == "en")
+    seed_toks = t.where((F.col("lang") == "en") & (F.col("doc_id") < 500))
     # seed vocabulary: ONE scalar, a parameter-sized driver fetch
     # inlined as a literal (the zorder-bounds pattern)
     v = int(seed_toks.select(F.explode("toks").alias("tok"))
@@ -1050,7 +1053,8 @@ def ngram_lm_perplexity_seeded(spark: SparkSession,
                           "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
                       )).alias("b"))
               .select("doc_id", "lang", "b.w1", "b.w2"))
-    seed_bg = bg_all.where(F.col("lang") == "en")
+    seed_bg = bg_all.where((F.col("lang") == "en")
+                           & (F.col("doc_id") < 500))
     c2 = seed_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = seed_bg.groupBy("w1").agg(F.count("*").alias("c1"))
     nll = -F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")

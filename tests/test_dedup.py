@@ -226,3 +226,106 @@ def test_repeated_span_removal_partition_invariant(spark):
     r2 = {tuple(r) for r in
           repeated_span_removal(df.coalesce(1), k=5).collect()}
     assert r1 == r2
+
+
+# ------------------------------------------------- perceptual image hash --
+
+
+def test_image_ahash_integer_exact_vs_text_replay():
+    """aHash bits replay from the text bytes with pure integer
+    arithmetic (64·v > Σv) — the property that makes the SQL oracle
+    possible; a constant image hashes to 0."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.imagehash import (
+        _pack_bits_msb,
+        image_ahash64,
+    )
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_image,
+        render_bmp_bytes,
+    )
+
+    for text in ("imagehash", "The quick brown fox", "zz top 123"):
+        got = image_ahash64(decode_image(render_bmp_bytes(text)))
+        tb = text.encode()
+        px = [tb[i % len(tb)] for i in range(64)]
+        s = sum(px)
+        want = _pack_bits_msb(np.array([64 * v > s for v in px]))
+        assert got == want
+    assert image_ahash64(
+        decode_image(render_bmp_bytes("qqqq"))) == 0
+
+
+def test_image_phash_matches_independent_dct_replay():
+    """pHash bits replay from an independently-computed DCT-II (scipy-
+    style direct cosine sums, NOT the module's basis matrix) — 31 bits
+    set (median of 63 coefficients), brightness-shift tolerant."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.imagehash import (
+        _pack_bits_msb,
+        image_phash64,
+    )
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_image,
+        render_bmp_bytes,
+    )
+
+    text = "phash independent replay"
+    img = decode_image(render_bmp_bytes(text))
+    got = image_phash64(img)
+    g = np.asarray(img, dtype=np.float64).mean(axis=2)
+    # direct O(N^4) DCT-II with orthonormal scaling
+    coef = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.125) if u == 0 else 0.5
+            cv = np.sqrt(0.125) if v == 0 else 0.5
+            s = sum(g[x, y]
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                    for x in range(8) for y in range(8))
+            coef[u, v] = cu * cv * s
+    flat = coef.ravel()[1:]
+    bits = np.concatenate([flat > np.median(flat), [False]])
+    want = _pack_bits_msb(bits)
+    assert got == want
+    assert bin(got & (2 ** 64 - 1)).count("1") == 31
+    # a uniform brightness shift leaves every non-DC coefficient
+    # unchanged -> identical pHash, while aHash input pixels all moved
+    shifted = np.clip(img.astype(np.int64) + 20, 0, 255).astype("uint8")
+    assert image_phash64(shifted) == got
+
+
+def test_image_hash_pairs_match_allpairs_popcount(spark, sf_dir):
+    """The chunk-LSH candidate join + popcount verify returns EXACTLY
+    the all-pairs Hamming-≤-budget set (pigeonhole completeness), for
+    both hash kinds."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load
+    from rsyslog_nginx_clickhouse_spark.operators.imagehash import (
+        image_hash_pairs,
+        image_hashes,
+    )
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_bmp,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text") \
+        .limit(300)
+    mm = attach_bmp(docs)
+    for kind in ("ahash", "phash"):
+        got = {(r.id_a, r.id_b, r.hamming) for r in
+               image_hash_pairs(mm, kind=kind, max_hamming=3).collect()}
+        fp = {r.doc_id: r.img_hash
+              for r in image_hashes(mm, kind=kind).collect()}
+        want = set()
+        ids = sorted(fp)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin((fp[a] ^ fp[b]) & (2 ** 64 - 1)).count("1")
+                if d <= 3:
+                    want.add((a, b, d))
+        assert got == want, kind
