@@ -811,6 +811,52 @@ def rewrite_final(query: str) -> str:
     return out
 
 
+#: ClickHouse ``PREWHERE`` — a storage-layer optimization hint: read
+#: only the PREWHERE columns first, evaluate the (cheap) predicate,
+#: then fetch the remaining columns for surviving granules. Spark's
+#: scan already does exactly this via predicate pushdown + column
+#: pruning (PushedFilters evaluate against row-group stats and
+#: filter before the full projection materializes), so the rewrite
+#: folds PREWHERE into WHERE and lets Catalyst place it — same
+#: semantics (CH docs: PREWHERE differs from WHERE only in execution
+#: strategy), and the plan audit shows the predicate reaching the
+#: scan.
+_PREWHERE_RE = re.compile(
+    r"(?is)\bPREWHERE\s+(?P<cond>.+?)"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|\s*$)")
+
+#: ClickHouse ``FORMAT <name>`` — an OUTPUT-serialization directive
+#: (JSONEachRow, CSV, Pretty…), not part of query semantics. The
+#: engine returns a DataFrame; writers choose serialization. The
+#: clause is stripped so verbatim client text (every CH client
+#: appends one) runs unchanged.
+_FORMAT_RE = re.compile(r"(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$")
+
+
+def rewrite_prewhere(query: str) -> str:
+    """``FROM t PREWHERE p [WHERE q]`` → ``FROM t WHERE (p) AND (q)``
+    — Spark's pushdown already implements the PREWHERE strategy.
+    Both conditions are parenthesized (a bare ``q = a OR b`` must not
+    rebind against the AND)."""
+    m = _PREWHERE_RE.search(query)
+    if not m:
+        return query
+    cond = m.group("cond").strip()
+    before, after = query[:m.start()], query[m.end():]
+    wm = re.match(
+        r"(?is)\s*WHERE\s+(?P<w>.+?)"
+        r"(?=\s+(?:GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|\s*$)", after)
+    if wm:
+        return (f"{before}WHERE ({cond}) AND ({wm.group('w')})"
+                f"{after[wm.end():]}")
+    return f"{before}WHERE {cond}{after}"
+
+
+def rewrite_format(query: str) -> str:
+    """Strip a trailing ``FORMAT <name>`` output directive."""
+    return _FORMAT_RE.sub("", query)
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -820,4 +866,5 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         query = rewrite_aggregates(query)
     return spark.sql(
         rewrite_with_totals(rewrite_limit_by(rewrite_sample(
-            rewrite_array_join(rewrite_final(query))))))
+            rewrite_array_join(rewrite_final(rewrite_prewhere(
+                rewrite_format(query))))))))

@@ -362,7 +362,19 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Dependency-free baseline-sequential JPEG decoder → (H, W, 3)
-    uint8 RGB (grayscale replicated across channels)."""
+    uint8 RGB (grayscale replicated across channels). Truncated or
+    corrupt streams raise ValueError (never a bare IndexError — a
+    silently-wrong decode or an opaque crash would both corrupt the
+    pipeline downstream)."""
+    try:
+        return _decode_jpeg(payload)
+    except IndexError as e:
+        raise ValueError(
+            "truncated or corrupt JPEG stream (ran past the end "
+            "while parsing markers/entropy data)") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos, qt, huff, dri = 2, {}, {}, 0

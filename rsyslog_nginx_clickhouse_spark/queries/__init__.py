@@ -141,6 +141,7 @@ _FRONTLOAD_R8 = [
     "doc_chunk_tokens",         # NEW: token-boundary window chunking
     "multimodal_decode_jpeg",   # NEW: dependency-free baseline JPEG
     "image_hash_dedup",         # NEW: perceptual image near-dup pairs
+    "prewhere_format_scan",     # NEW: CH PREWHERE + FORMAT surface
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -183,7 +184,6 @@ _FRONTLOAD_R8 = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
 ]
 
 _FRONTLOAD_R7 = [

@@ -1151,6 +1151,43 @@ def final_collapsing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prewhere_format_scan",
+    # PREWHERE is an execution-strategy hint, not a semantic change:
+    # the oracle states the plain conjunctive WHERE; round(sum, 2)
+    # of 2-decimal values sits ON the grid (exact, no tie)
+    oracle="""
+    SELECT event_type, count(*)::bigint AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE value > 50 AND (event_type = 'view' OR event_type = 'click')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse `PREWHERE` + trailing `FORMAT` surface: the "
+        "verbatim CH client text runs through the engine's SQL entry "
+        "— PREWHERE folds into WHERE with both sides parenthesized "
+        "(Spark's predicate pushdown + column pruning IS the PREWHERE "
+        "strategy: the scan evaluates the pushed predicate against "
+        "row-group stats before materializing the projection; "
+        "PushedFilters asserted in tests), and the FORMAT output "
+        "directive every CH client appends is stripped — "
+        "serialization belongs to writers, not the query "
+        "(functions/macros.rewrite_prewhere / rewrite_format)",
+)
+def prewhere_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "prewhere_events")
+    return engine_sql(spark, """
+        SELECT event_type, CAST(count(*) AS bigint) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM prewhere_events
+        PREWHERE value > 50
+        WHERE event_type = 'view' OR event_type = 'click'
+        GROUP BY event_type ORDER BY event_type
+        FORMAT JSONEachRow
+    """)
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

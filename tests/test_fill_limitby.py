@@ -145,6 +145,46 @@ def test_sample_ratio_and_integer_offset_forms():
         rewrite_sample("SELECT 1 FROM st SAMPLE 5/2")
 
 
+# --------------------------------------------------- PREWHERE / FORMAT --
+
+
+def test_prewhere_rewrite_shapes():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_format,
+        rewrite_prewhere,
+    )
+
+    # merge with existing WHERE: both sides parenthesized so an OR in
+    # either cannot rebind against the AND
+    out = rewrite_prewhere(
+        "SELECT a FROM t PREWHERE v > 50 "
+        "WHERE e = 'x' OR e = 'y' GROUP BY a")
+    assert "WHERE (v > 50) AND (e = 'x' OR e = 'y') GROUP BY a" in out
+    assert "PREWHERE" not in out
+    # no WHERE: PREWHERE becomes WHERE
+    assert rewrite_prewhere("SELECT a FROM t PREWHERE v > 50 LIMIT 5") \
+        == "SELECT a FROM t WHERE v > 50 LIMIT 5"
+    # passthrough without the clause
+    q = "SELECT a FROM t WHERE v > 1"
+    assert rewrite_prewhere(q) == q
+    # FORMAT stripped only as a trailing output directive
+    assert rewrite_format("SELECT 1 FROM t FORMAT JSONEachRow") \
+        == "SELECT 1 FROM t"
+    assert rewrite_format("SELECT 1 FROM t ORDER BY format") \
+        == "SELECT 1 FROM t ORDER BY format"
+
+
+def test_prewhere_predicate_reaches_the_scan(spark, sf_dir):
+    """The folded PREWHERE predicate must appear in PushedFilters —
+    Spark's scan-layer evaluation IS the PREWHERE strategy."""
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    df = load_all()["prewhere_format_scan"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(value,50" in plan
+
+
 # -------------------------------------------------------------- FINAL --
 
 

@@ -177,8 +177,12 @@ def test_decode_rejects_garbage_loudly():
         decode_bmp(b"XXnot a bmp" + b"\x00" * 60)
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(render_bmp_bytes("abc")[:-10])
-    with pytest.raises(NotImplementedError, match="unrecognized"):
+    # FFD8 now dispatches to the real JPEG decoder (r8), which must
+    # reject garbage loudly rather than crash with a bare IndexError
+    with pytest.raises(ValueError, match="truncated|marker"):
         decode_image(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        decode_image(b"GIF89a not supported")
 
 
 def test_decode_stub_real_path_features():
