@@ -135,6 +135,7 @@ _FRONTLOAD_R8 = [
     "sequence_match_funnel",    # oracle now drops '0' labels (ADVICE)
     "sequence_count_chains",    # same storage-rule filter
     "semantic_dedup",           # n_lists now scales max(16, ceil(√n))
+    "streaming_semantic_dedup",  # base index scales the same way
     "ngram_lm_perplexity_seeded",  # NEW: broadcast-weights CCNet form
     "final_replacing_read",     # NEW: FROM t FINAL (replacing)
     "final_collapsing_read",    # NEW: FROM t FINAL (collapsing)
@@ -183,7 +184,6 @@ _FRONTLOAD_R8 = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
 ]
 
 _FRONTLOAD_R7 = [

@@ -362,11 +362,23 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory_table(spark, out, "append")
 
 
-def _stream_semdedup_oracle(n_iter: int = 2, n_lists: int = 16,
+#: corpus-scaled list count over the BASE (90%) subset — the
+#: streaming twin of llm._SEMDEDUP_NLISTS_SQL (VERDICT r7 item 2
+#: applied to both halves so the batch and in-flight paths share the
+#: same O(n^1.5) bound).
+_STREAM_SEM_NLISTS_SQL = (
+    "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) "
+    "FROM embeddings WHERE vec_id % 10 != 0)")
+
+
+def _stream_semdedup_oracle(n_iter: int = 2,
+                            n_lists: int | str = _STREAM_SEM_NLISTS_SQL,
                             dim: int = 64, nprobe: int = 4,
                             threshold: float = 0.35) -> str:
     """streaming_semantic_dedup oracle: replay the BASE-subset Lloyd
-    training (llm._ivf_train_ctes), base-only final assignment, each
+    training (llm._ivf_train_ctes, with the corpus-scaled n_lists
+    evaluated by the seed CTE's LIMIT subquery over the SAME base
+    subset the Spark side counts), base-only final assignment, each
     held-out arrival's nprobe probe lists, the within-probed-lists
     witness ranking at rounded cos >= threshold, and the final left
     join that keeps unique arrivals with NULL witness — the identical
@@ -445,8 +457,16 @@ def streaming_semantic_dedup(spark: SparkSession,
     src = os.path.join(sf_dir, "embeddings.parquet")
     idx = _ivf_index_dir(sf_dir) + "_base"
     emb = load(spark, sf_dir, "embeddings")
-    if not ivf_index_fresh(idx, src):
-        ivf_build(spark, emb.where(F.col("vec_id") % 10 != 0), idx,
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    # corpus-scaled list count over the base subset (same formula and
+    # fingerprint discipline as batch semantic_dedup)
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        semdedup_n_lists,
+    )
+
+    n_lists = semdedup_n_lists(base.count())
+    if not ivf_index_fresh(idx, src, n_lists=n_lists):
+        ivf_build(spark, base, idx, n_lists=n_lists,
                   embeddings_src=src)
     C = _unit_rows(load_centroid_matrix(spark, idx))
 
