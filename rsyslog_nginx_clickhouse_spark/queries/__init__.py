@@ -119,16 +119,19 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: as the driver) at HEAD regardless of window position;
 #: rotationcheck enforces that nothing mandatory was displaced.
 #: Round-8 ordering (VERDICT r7 item 1 — execute the _FRONTLOAD_R8
-#: cohort): with all 149 queries green at r7 and none yet changed this
-#: round, the window is purely the 50 oldest-verified rows — the 12 r4
-#: rows (q18_large_volume_customers .. value_histogram) and 38 r5 rows,
-#: exactly the overdue cohort VERDICT r7 called the round's only
-#: verification debt. New/text-changed queries added during r8 are
-#: spliced in at the top (mandatory) and evict the YOUNGEST fill rows
-#: (r5, reverse-alphabetical from the tail) so the 23 most-overdue
-#: rows (12 r4 + the 11 r5 fillers big_spender_customers ..
-#: funnel_view_click_purchase) keep their slots; rotationcheck
-#: enforces the result.
+#: cohort): the window leads with the round's 11 mandatory entries —
+#: 7 NEW (ngram_lm_perplexity_seeded, final_replacing_read,
+#: final_collapsing_read, doc_chunk_tokens, multimodal_decode_jpeg,
+#: image_hash_dedup, prewhere_format_scan) and 4 TEXT-CHANGED
+#: (sequence_match_funnel + sequence_count_chains: oracles drop '0'
+#: labels per the ClickHouse storage rule; semantic_dedup +
+#: streaming_semantic_dedup: corpus-scaled n_lists in query AND
+#: oracle) — then fills oldest-first: ALL 12 r4 rows
+#: (q18_large_volume_customers .. value_histogram, 3 rounds overdue)
+#: and 27 r5 rows, which covers the full 23-row overdue cohort
+#: VERDICT r7 called the round's only verification debt (the 11
+#: youngest r5 fills q17..q8 rotate to r9 — the price of 11 mandatory
+#: slots, same trade as r7's). rotationcheck enforces the result.
 _FRONTLOAD_R8 = [
     # new/text-changed this round — never/no-longer driver-verified
     # (names are spliced in here as they land, evicting tail fills)
