@@ -857,6 +857,104 @@ def rewrite_format(query: str) -> str:
     return _FORMAT_RE.sub("", query)
 
 
+#: ClickHouse ``ASOF JOIN`` — for each left row, the single right row
+#: with the same key and the closest time at-or-before it (the
+#: time-series enrichment join: trades⋈quotes, events⋈latest-state).
+#: Spark has no native ASOF JOIN; the rewrite routes the clause
+#: through operators/asof.asof_join — the union-sort-window
+#: composition (ONE shuffle on the key, no range cross-product — the
+#: 100 TB-safe shape) — materialized as a temp view, with the
+#: surrounding query's alias references rewritten onto the view's
+#: columns (left columns keep their names, right payload columns gain
+#: the ``_asof`` suffix, matching the operator's output contract).
+_ASOF_RE = re.compile(
+    r"(?is)\bFROM\s+(?P<lt>[\w.]+)(?:\s+AS)?\s+(?P<la>\w+)\s+"
+    r"ASOF\s+(?P<left>LEFT\s+)?JOIN\s+(?P<rt>[\w.]+)(?:\s+AS)?\s+"
+    r"(?P<ra>\w+)\s+ON\s+(?P<c1>\w+)\.(?P<k1>\w+)\s*=\s*"
+    r"(?P<c2>\w+)\.(?P<k2>\w+)\s+AND\s+"
+    r"(?P<c3>\w+)\.(?P<t1>\w+)\s*(?P<op><=|>=|<|>)\s*"
+    r"(?P<c4>\w+)\.(?P<t2>\w+)")
+
+
+def rewrite_asof_join(spark: SparkSession, query: str) -> str:
+    """``FROM a ASOF [LEFT] JOIN b ON a.k = b.k AND b.t <= a.t`` →
+    ``FROM <asof view>`` with alias references substituted.
+
+    Supported: table/view sides with mandatory aliases, one equality
+    key, one non-strict inequality resolving to "right time at or
+    before left time" (either spelling). Strict ``<``/``>`` (CH
+    allows them; the operator implements the allow-exact form) and
+    subquery sides are refused loudly rather than silently
+    mis-joined. Plain ``ASOF JOIN`` (no LEFT) drops unmatched left
+    rows, mirroring ClickHouse's inner form."""
+    m = _ASOF_RE.search(query)
+    if m is None:
+        if re.search(r"(?is)\bASOF\s+(?:LEFT\s+)?JOIN\b", query):
+            raise ValueError(
+                "unsupported ASOF JOIN form — needs 'FROM <table> "
+                "<alias> ASOF [LEFT] JOIN <table> <alias> ON "
+                "<l>.<k> = <r>.<k> AND <r>.<t> <= <l>.<t>' (table or "
+                "view sides with aliases; one equality; one "
+                "non-strict time inequality)")
+        return query
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
+
+    la, ra = m.group("la"), m.group("ra")
+    # resolve which side of each condition is left/right by alias
+    sides = {m.group("c1"): m.group("k1"), m.group("c2"): m.group("k2")}
+    if set(sides) != {la, ra}:
+        raise ValueError(
+            f"ASOF JOIN equality must relate the two join aliases "
+            f"({la!r}, {ra!r}); got {set(sides)!r}")
+    lkey, rkey = sides[la], sides[ra]
+    if lkey != rkey:
+        raise ValueError(
+            f"ASOF JOIN needs the same key column name on both sides "
+            f"(got {lkey!r} = {rkey!r}) — alias one side to match")
+    op = m.group("op")
+    tsides = {m.group("c3"): m.group("t1"), m.group("c4"): m.group("t2")}
+    if set(tsides) != {la, ra}:
+        raise ValueError(
+            "ASOF JOIN inequality must relate the two join aliases")
+    # normalize to "right time <= left time"
+    right_first = m.group("c3") == ra
+    if (right_first and op in ("<=",)) or \
+            (not right_first and op in (">=",)):
+        pass  # b.t <= a.t  |  a.t >= b.t
+    else:
+        raise ValueError(
+            f"ASOF JOIN inequality {m.group('c3')}.{m.group('t1')} "
+            f"{op} {m.group('c4')}.{m.group('t2')}: only the "
+            f"at-or-before form (right <= left / left >= right) is "
+            f"implemented — strict and forward variants are refused "
+            f"rather than silently mis-joined")
+    ltime, rtime = tsides[la], tsides[ra]
+    left_df = spark.table(m.group("lt"))
+    right_df = spark.table(m.group("rt"))
+    value_cols = [c for c in right_df.columns if c not in (rkey, rtime)]
+    out = asof_join(left_df, right_df, on=lkey, time_col=ltime,
+                    right_time_col=rtime, value_cols=value_cols)
+    if not m.group("left"):  # CH inner ASOF: unmatched left rows drop
+        out = out.where(F.col(f"{rtime}_asof").isNotNull())
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{m.group('lt')}|{m.group('rt')}|{lkey}|{ltime}|{rtime}"
+        .encode()).hexdigest()[:8]
+    view = f"__asof_{tag}"
+    out.createOrReplaceTempView(view)
+    rest = query[:m.start()] + f"FROM {view}" + query[m.end():]
+    # alias-reference substitution onto the view's columns
+    for col in value_cols:
+        rest = re.sub(rf"\b{ra}\.{col}\b", f"{col}_asof", rest)
+    rest = re.sub(rf"\b{ra}\.{rtime}\b", f"{rtime}_asof", rest)
+    rest = re.sub(rf"\b{ra}\.{rkey}\b", rkey, rest)
+    rest = re.sub(rf"\b{la}\.(\w+)", r"\1", rest)
+    return rest
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -867,4 +965,4 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     return spark.sql(
         rewrite_with_totals(rewrite_limit_by(rewrite_sample(
             rewrite_array_join(rewrite_final(rewrite_prewhere(
-                rewrite_format(query))))))))
+                rewrite_asof_join(spark, rewrite_format(query)))))))))

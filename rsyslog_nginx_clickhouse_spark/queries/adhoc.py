@@ -365,6 +365,46 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_sql",
+    # same oracle family as purchase_last_view_asof — DuckDB's native
+    # ASOF JOIN over the two filtered sides
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.ts AS ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="ClickHouse `ASOF LEFT JOIN` SQL surface: the verbatim CH "
+        "text runs through the engine's SQL entry, which routes the "
+        "clause into operators/asof.asof_join — the union-sort-window "
+        "composition (ONE shuffle on the key, no range cross-product) "
+        "— and rewrites the surrounding alias references onto the "
+        "result; strict/forward inequalities and subquery sides are "
+        "refused loudly (functions/macros.rewrite_asof_join); inner "
+        "ASOF JOIN drops unmatched left rows like ClickHouse",
+)
+def asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+
+    ev = load(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "purchase") \
+      .select("event_id", "user_id", "ts") \
+      .createOrReplaceTempView("asof_purchases")
+    ev.where(F.col("event_type") == "view") \
+      .select(F.col("event_id").alias("view_event_id"),
+              "user_id", "ts") \
+      .createOrReplaceTempView("asof_views")
+    return macros.sql(spark, """
+        SELECT p.event_id, p.user_id, p.ts,
+               v.view_event_id AS view_event_id, v.ts AS ts_asof
+        FROM asof_purchases p ASOF LEFT JOIN asof_views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """)
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH flagged AS (

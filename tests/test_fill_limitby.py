@@ -185,6 +185,65 @@ def test_prewhere_predicate_reaches_the_scan(spark, sf_dir):
     assert "GreaterThan(value,50" in plan
 
 
+# --------------------------------------------------------- ASOF JOIN --
+
+
+def test_asof_join_rewrite_inner_and_refusals(spark):
+    """The SQL surface must match the operator row-for-row; plain
+    (inner) ASOF JOIN drops unmatched left rows like ClickHouse;
+    strict/forward inequalities and malformed ON clauses are refused
+    loudly rather than silently mis-joined."""
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+    from rsyslog_nginx_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (3, 4, "d")],
+        "k long, t long, pay string")
+    right = spark.createDataFrame(
+        [(1, 8, "r1"), (1, 2, "r0"), (2, 7, "r2"), (9, 1, "rx")],
+        "k long, t long, rv string")
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+
+    got = {tuple(r) for r in macros.sql(spark, """
+        SELECT a.k, a.t, a.pay, b.rv AS rv, b.t AS t_asof
+        FROM asof_l a ASOF LEFT JOIN asof_r b
+          ON a.k = b.k AND b.t <= a.t
+    """).collect()}
+    want = {tuple(r) for r in
+            asof_join(left, right, on="k", time_col="t",
+                      value_cols=["rv"])
+            .select("k", "t", "pay", F.col("rv_asof").alias("rv"),
+                    "t_asof").collect()}
+    assert got == want
+    assert (1, 10, "a", "r1", 8) in got      # latest at-or-before
+    assert (3, 4, "d", None, None) in got    # LEFT keeps unmatched
+
+    # the >= spelling is the same join
+    got2 = {tuple(r) for r in macros.sql(spark, """
+        SELECT a.k, a.t, b.t AS t_asof FROM asof_l a
+        ASOF LEFT JOIN asof_r b ON a.k = b.k AND a.t >= b.t
+    """).collect()}
+    assert got2 == {(r[0], r[1], r[4]) for r in want}
+
+    # inner form drops the unmatched left rows (CH semantics)
+    inner = {tuple(r) for r in macros.sql(spark, """
+        SELECT a.k, a.t FROM asof_l a ASOF JOIN asof_r b
+          ON a.k = b.k AND b.t <= a.t
+    """).collect()}
+    assert inner == {(1, 10), (1, 5), (2, 7)}
+
+    with pytest.raises(ValueError, match="at-or-before"):
+        macros.sql(spark, "SELECT a.k FROM asof_l a ASOF JOIN asof_r b "
+                          "ON a.k = b.k AND b.t < a.t")
+    with pytest.raises(ValueError, match="at-or-before"):
+        macros.sql(spark, "SELECT a.k FROM asof_l a ASOF JOIN asof_r b "
+                          "ON a.k = b.k AND b.t >= a.t")
+    with pytest.raises(ValueError, match="unsupported ASOF"):
+        macros.sql(spark, "SELECT 1 FROM (SELECT 1) a ASOF JOIN "
+                          "asof_r b ON a.k = b.k AND b.t <= a.t")
+
+
 # -------------------------------------------------------------- FINAL --
 
 
