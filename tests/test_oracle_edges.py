@@ -58,7 +58,13 @@ TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 # DSIR builds unigram models over it
                 "doc_chunk_windows", "sequence_packing_plan",
                 "packed_sequences", "dsir_importance", "span_dedup",
-                "dedup_keep_best", "ngram_lm_perplexity"]
+                "dedup_keep_best", "ngram_lm_perplexity",
+                # round-8 text tier: token-space windows slice the
+                # SAME normalized token arrays (empty doc → one
+                # empty-token chunk in both engines); the seeded LM's
+                # fixed-id-range seed covers every edge doc, so OOV
+                # backoff and the en-only count tables both exercise
+                "doc_chunk_tokens", "ngram_lm_perplexity_seeded"]
 
 
 @pytest.fixture(scope="module")
@@ -89,3 +95,75 @@ def test_oracle_agrees_on_edge_corpus(spark, edge_dir, name):
     assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}"
     assert sorted(sdf.columns) == sorted(ocols)
     assert value_hash(srows, sdf.columns) == value_hash(orows, ocols)
+
+
+#: ASCII-only edge corpus for the multimodal/image tier — the
+#: renderers refuse empty/non-ASCII text by contract (the SQL oracle
+#: indexes code points, the renderer indexes UTF-8 bytes), so this
+#: corpus stresses the edges INSIDE that contract: a 1-char doc (every
+#: pixel/block identical — aHash 0, a maximal hash-collision bucket
+#: for the LSH join), exact dup pairs (hamming-0 pairs), a doc longer
+#: than any render (wrap-around indexing), near-dups differing in one
+#: trailing char, and punctuation-only text.
+MM_EDGE_DOCS = [
+    (1, "a", "en", "src0"),                    # constant image, hash 0
+    (2, "a", "en", "src0"),                    # exact dup of 1
+    (3, "b", "de", "src1"),                    # another constant image
+    (4, "ab" * 200, "en", "src1"),             # longer than any render
+    (5, "ab" * 200, "fr", "src1"),             # exact dup of 4
+    (6, "The quick brown fox jumps over the lazy dog", "en", "src2"),
+    (7, "The quick brown fox jumps over the lazy dot", "en", "src2"),
+    (8, "!!! ??? ;;; :::", "en", "src0"),
+    (9, " leading and trailing spaces ", "en", "src2"),
+]
+
+MM_QUERIES = ["multimodal_decode_bmp", "multimodal_decode_png",
+              "multimodal_decode_jpeg", "multimodal_resize",
+              "image_hash_dedup", "multimodal_decode_audio",
+              "multimodal_decode_video", "multimodal_features",
+              "multimodal_frames"]
+
+
+@pytest.fixture(scope="module")
+def mm_edge_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mm_edge"))
+    df = spark.createDataFrame(
+        MM_EDGE_DOCS, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", MM_QUERIES)
+def test_multimodal_oracle_agrees_on_ascii_edge_corpus(
+        spark, mm_edge_dir, name):
+    q = load_all()[name]
+    sdf = q.spark(spark, mm_edge_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM parquet_scan("
+        f"'{os.path.join(mm_edge_dir, 'documents.parquet')}/*.parquet')")
+    res = con.execute(q.oracle)
+    ocols = [dsc[0] for dsc in res.description]
+    orows = res.fetchall()
+
+    assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}"
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(srows, sdf.columns) == value_hash(orows, ocols)
+
+
+def test_image_hash_dedup_finds_the_planted_dups(spark, mm_edge_dir):
+    """The corpus plants two exact-dup pairs and a 1-char near-dup pair
+    — the LSH join must surface the dups at hamming 0 (and docs 1/2/3:
+    constant images share hash 0, so the all-constant triple is
+    pairwise hamming-0 too)."""
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             load_all()["image_hash_dedup"].spark(
+                 spark, mm_edge_dir).collect()}
+    assert pairs.get((1, 2)) == 0      # exact dup
+    assert pairs.get((4, 5)) == 0      # exact dup, wrapped render
+    assert pairs.get((1, 3)) == 0      # distinct constants, same hash 0
