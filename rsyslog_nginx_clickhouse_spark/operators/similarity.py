@@ -339,7 +339,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
 def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
              dim: int | None = None, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             exclude_same: str | None = None) -> DataFrame:
     """Multi-query ANN: for every row matching ``query_pred``, its
     top-``k`` cosine neighbors among ALL rows (self excluded) —
     the kNN JOIN, the similarity-search primitive batch pipelines
@@ -360,6 +361,15 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
     buckets hold no other row returns no neighbors (callers decide
     the fallback). Two-table form = union the tables with the tag
     predicate.
+
+    ``exclude_same``: name of a column (e.g. ``label``) — candidates
+    sharing the query's value are SKIPPED, and the in-bucket top-k
+    truncates among the survivors (exactness preserved: a global
+    top-k same-value-excluded neighbor is in the filtered top-k of
+    every bucket containing it). This is hard-negative mining: the
+    nearest rows that are NOT the query's own class. Filtering AFTER
+    a plain knn_join would be wrong — truncation would keep
+    same-class rows and drop negatives beyond the bucket top-k.
     """
     if dim is None:
         raise ValueError("knn_join requires dim=")
@@ -369,12 +379,13 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
     out_schema = f"qid {id_t}, cid {id_t}, cos_sim double"
     band_keys = make_band_keys_udf(dim)
 
+    extra = [F.col(exclude_same).alias("__ex")] if exclude_same else []
     bands = embeddings.select(
         F.col(id_col), F.col(vec_col),
         # coalesce: a NULL predicate row would reach the pandas mask
         # as dtype=object None and crash the boolean indexing
         F.coalesce(query_pred.cast("boolean"), F.lit(False))
-         .alias("__isq"),
+         .alias("__isq"), *extra,
         F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"))
 
     def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -395,11 +406,16 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
         # cosine_dedup_pairs comment measured at 13×
         ids = pdf[id_col].to_numpy()
         qids = Q[id_col].to_numpy()
+        ex = pdf["__ex"].to_numpy() if exclude_same else None
+        qex = Q["__ex"].to_numpy() if exclude_same else None
         out_q: list = []
         out_c: list = []
         out_s: list = []
         for row_i in range(len(QM)):
-            cand = np.nonzero(ids != qids[row_i])[0]
+            keep = ids != qids[row_i]
+            if ex is not None:
+                keep &= ex != qex[row_i]
+            cand = np.nonzero(keep)[0]
             if cand.size == 0:
                 continue
             srow = S[row_i]

@@ -148,6 +148,8 @@ _FRONTLOAD_R8 = [
     "image_hash_dedup",         # NEW: perceptual image near-dup pairs
     "prewhere_format_scan",     # NEW: CH PREWHERE + FORMAT surface
     "asof_join_sql",            # NEW: CH ASOF JOIN SQL surface
+    "temperature_mixture",      # NEW: mT5 alpha-temperature weights
+    "hard_negative_mining",     # NEW: filtered-kNN contrastive mining
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -187,7 +189,6 @@ _FRONTLOAD_R8 = [
     "q11_important_parts",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 ]
 
 _FRONTLOAD_R7 = [

@@ -1861,6 +1861,71 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negative_mining",
+    # the oracle replays the SAME banded LSH (plane literals, 8x4),
+    # keeps only DIFFERENT-label candidates, ranks by (tie6 cosine
+    # DESC, cid) and takes 3 per query — identical to the operator's
+    # filtered in-bucket truncation + global window (filter-before-
+    # truncate, so negatives beyond a bucket's unfiltered top-k are
+    # never lost)
+    oracle=f"""
+    WITH planes(p, pv) AS (VALUES {_planes_values(32)}),
+    s AS ({_SIG_CTE}),
+    bands AS (
+      SELECT vec_id, b AS band, substr(sig, b*4 + 1, 4) AS key
+      FROM s, unnest(generate_series(0, 7)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM bands q JOIN bands c USING (band, key)
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+      WHERE q.vec_id % 10 = 0 AND q.vec_id != c.vec_id
+        AND eq.label != ec.label),
+    sims AS (
+      -- coalesce 0: a zero (padding) vector's cosine is 0.0 by the
+      -- knn_join contract (x/0 is NULL here but the operator's
+      -- guarded unit rows yield 0 — NaN/NULL must not outrank real
+      -- neighbors in the DESC window)
+      SELECT qid, cid, ec.label AS neg_label,
+             floor((coalesce({_cos_sql('eq.embedding', 'ec.embedding')},
+                             0.0)) * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM cand JOIN embeddings eq ON eq.vec_id = qid
+                JOIN embeddings ec ON ec.vec_id = cid)
+    SELECT qid, cid, neg_label, cos_sim FROM (
+      SELECT qid, cid, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, cid) AS rn
+      FROM sims) WHERE rn <= 3
+    ORDER BY qid, cos_sim DESC, cid
+    """,
+    doc="hard-negative mining for contrastive training — for each "
+        "query vector (every 10th), the 3 most-similar vectors with "
+        "a DIFFERENT label: the near-miss examples a contrastive or "
+        "reranker objective learns most from (far more informative "
+        "than random in-batch negatives). Built on knn_join's "
+        "exclude_same path: the label filter applies INSIDE each "
+        "LSH-bucket GEMM before top-k truncation — filtering a plain "
+        "kNN afterwards would silently drop negatives ranked below "
+        "same-class neighbors; shuffle carries vectors×bands rows, "
+        "per-bucket GEMM, per-query window, no cross product "
+        "(operators/similarity.knn_join)",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn = knn_join(emb, F.col("vec_id") % 10 == 0, k=3, dim=64,
+                  exclude_same="label")
+    neg = emb.select(F.col("vec_id").alias("cid"),
+                     F.col("label").alias("neg_label"))
+    return (nn.join(neg, "cid")
+              .select("qid", "cid", "neg_label", "cos_sim")
+              .orderBy("qid", F.desc("cos_sim"), "cid"))
+
+
+@query(
     "multimodal_frames",
     oracle="""
     WITH f AS (

@@ -458,6 +458,59 @@ def mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query(
+    "temperature_mixture",
+    # alpha = 0.5: weights are sqrt-based (irrational for any
+    # non-perfect-square count), so plain round(6) is tie-safe
+    # (functions/rounding.py — same class as cosine/tfidf); counts
+    # stay exact integers
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g'),
+                                       ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens,
+             sqrt(n_tokens::double) AS pw,
+             sum(sqrt(n_tokens::double)) OVER () AS z,
+             sum(n_tokens) OVER ()::double AS nt
+      FROM per)
+    SELECT source, n_tokens,
+           round(pw / z, 6) AS temp_weight,
+           round((pw / z) * nt / n_tokens, 6) AS boost
+    FROM w ORDER BY source
+    """,
+    doc="temperature-based mixture weights (the mT5/multilingual "
+        "sampling rule, alpha = 0.5: p_s ∝ n_s^alpha) — the smooth "
+        "sibling of mixture_rebalance_plan's uniform-budget cap: "
+        "head sources are damped toward, not clamped to, the mean, "
+        "and tail sources are UP-weighted (boost > 1 — the column "
+        "says how far each source's sampling rate moves from its "
+        "natural share; realize it with weighted split_bucket "
+        "sampling or epoch repetition for boosts > 1). Plan: one "
+        "partial-agg token count per source + a window over the "
+        "|sources|-row aggregate — the fact table is scanned once, "
+        "nothing data-sized moves",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+               .agg(F.sum(F.size(_toks(F.col("text"))))
+                     .cast("bigint").alias("n_tokens")))
+    w = Window.partitionBy()
+    pw = F.sqrt(F.col("n_tokens").cast("double"))
+    z = F.sum(pw).over(w)
+    nt = F.sum("n_tokens").over(w).cast("double")
+    return (per.select(
+                "source", "n_tokens",
+                F.round(pw / z, 6).alias("temp_weight"),
+                F.round((pw / z) * nt / F.col("n_tokens"), 6)
+                 .alias("boost"))
+            .orderBy("source"))
+
+
 def _curation_oracle() -> str:
     # compose the published oracle pieces: shingles + exact-Jaccard
     # pairs (llm.py) + the recursive-CTE components (dedup_components

@@ -980,6 +980,68 @@ def test_streaming_semantic_dedup_decisions_match_batch(spark, sf_dir):
                 and r["cos_sim"] is None
 
 
+def test_knn_join_exclude_same_filters_before_truncation(spark, sf_dir):
+    """hard-negative mining correctness: exclude_same='label' must
+    equal a brute-force different-label top-k RESTRICTED to the LSH
+    candidate set — and differ from post-filtering a plain kNN when a
+    query's nearest neighbors are same-label (the in-bucket truncation
+    must apply AFTER the label filter, or negatives get lost)."""
+    import numpy as np
+
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import (
+        _unit_rows,
+        knn_join,
+        tie6_np,
+    )
+
+    # crafted bucket: queries' 3 nearest are SAME-label clones, the
+    # negatives sit farther — a post-filtered plain kNN would return
+    # nothing for them
+    base = np.ones(64)
+    rows = []
+    for i in range(4):                       # label-0 clones (near)
+        v = base.copy()
+        v[0] += i * 0.001
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(4, 8):                    # label-1, farther
+        v = base.copy()
+        v[1] -= 0.4 + (i - 4) * 0.05
+        rows.append((i, [float(x) for x in v], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qpred = F.col("vec_id") == 0
+
+    plain = knn_join(emb, qpred, k=3, dim=64).collect()
+    assert all(r["cid"] in (1, 2, 3) for r in plain)  # same-label top
+    hard = knn_join(emb, qpred, k=3, dim=64,
+                    exclude_same="label").collect()
+    assert {r["cid"] for r in hard} <= {4, 5, 6, 7}
+    assert len(hard) == 3  # negatives survive despite nearer clones
+
+    # against a numpy replay on real data (LSH-candidate-restricted)
+    emb2 = load(spark, sf_dir, "embeddings").limit(200).cache()
+    got = {(r.qid, r.cid, r.cos_sim) for r in
+           knn_join(emb2, F.col("vec_id") % 50 == 1, k=3, dim=64,
+                    exclude_same="label").collect()}
+    all_pairs = {(r.qid, r.cid) for r in
+                 knn_join(emb2, F.col("vec_id") % 50 == 1, k=10 ** 6,
+                          dim=64).collect()}
+    rows2 = emb2.collect()
+    lab = {r.vec_id: r.label for r in rows2}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows2}
+    want = set()
+    for qid in {q for q, _ in all_pairs}:
+        cands = [(c, float(tie6_np(np.array(
+            _unit_rows(vecs[qid][None])[0]
+            @ _unit_rows(vecs[c][None])[0]))))
+            for (q, c) in all_pairs if q == qid and lab[c] != lab[qid]]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want |= {(qid, c, s) for c, s in cands[:3]}
+    assert got == want
+    emb2.unpersist()
+
+
 def test_label_centroids_match_numpy_and_partitioning(spark, sf_dir):
     """The integer-exact per-label mean must agree with numpy's float
     mean to the 6-decimal rounding it applies, and be bit-identical

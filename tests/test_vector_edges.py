@@ -40,6 +40,10 @@ VECTOR_QUERIES = [
     "embedding_neardup_pairs", "label_centroids",
     "ivf_build", "knn_ivf", "knn_join_ivf", "ivf_append_probe",
     "pq_encode", "knn_pq_adc",
+    # r8: filtered-kNN hard negatives — the label-exclusion path over
+    # the adversarial corpus (zero vector, exact dups, antipodal,
+    # dyadic tie grid)
+    "hard_negative_mining", "semantic_dedup",
 ]
 
 
