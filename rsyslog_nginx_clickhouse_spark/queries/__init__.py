@@ -119,19 +119,20 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: as the driver) at HEAD regardless of window position;
 #: rotationcheck enforces that nothing mandatory was displaced.
 #: Round-8 ordering (VERDICT r7 item 1 — execute the _FRONTLOAD_R8
-#: cohort): the window leads with the round's 12 mandatory entries —
-#: 8 NEW (ngram_lm_perplexity_seeded, final_replacing_read,
+#: cohort): the window leads with the round's 14 mandatory entries —
+#: 10 NEW (ngram_lm_perplexity_seeded, final_replacing_read,
 #: final_collapsing_read, doc_chunk_tokens, multimodal_decode_jpeg,
-#: image_hash_dedup, prewhere_format_scan, asof_join_sql) and 4
+#: image_hash_dedup, prewhere_format_scan, asof_join_sql,
+#: temperature_mixture, hard_negative_mining) and 4
 #: TEXT-CHANGED
 #: (sequence_match_funnel + sequence_count_chains: oracles drop '0'
 #: labels per the ClickHouse storage rule; semantic_dedup +
 #: streaming_semantic_dedup: corpus-scaled n_lists in query AND
 #: oracle) — then fills oldest-first: ALL 12 r4 rows
 #: (q18_large_volume_customers .. value_histogram, 3 rounds overdue)
-#: and 26 r5 rows, which covers the full 23-row overdue cohort
-#: VERDICT r7 called the round's only verification debt (the 12
-#: youngest r5 fills q16..q8 rotate to r9 — the price of 11 mandatory
+#: and 24 r5 rows, which covers the full 23-row overdue cohort
+#: VERDICT r7 called the round's only verification debt (the 14
+#: youngest r5 fills q14..q8 rotate to r9 — the price of 11 mandatory
 #: slots, same trade as r7's). rotationcheck enforces the result.
 _FRONTLOAD_R8 = [
     # new/text-changed this round — never/no-longer driver-verified
