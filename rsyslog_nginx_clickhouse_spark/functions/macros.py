@@ -955,6 +955,64 @@ def rewrite_asof_join(spark: SparkSession, query: str) -> str:
     return rest
 
 
+#: ClickHouse ``ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]`` —
+#: densify the result over the key grid (the SQL spelling of
+#: operators/timeseries.fill_time_gaps). FROM is inclusive, TO is
+#: EXCLUSIVE (the CH contract); absent bounds derive from the
+#: result's min/max via scalar subqueries — collect-free, like the
+#: operator's 1-row bounds aggregate. DOCUMENTED deviation (same
+#: policy as ARRAY JOIN / WITH TOTALS): filled rows carry NULL in the
+#: non-key columns — the relational spelling — where ClickHouse
+#: writes the column type's default (0 / ''); wrap with coalesce for
+#: CH-exact output.
+_WITH_FILL_RE = re.compile(
+    r"(?is)\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(?P<frm>[\w.'-]+))?"
+    r"(?:\s+TO\s+(?P<to>[\w.'-]+))?"
+    r"(?:\s+STEP\s+(?P<step>INTERVAL\s+\d+\s+\w+|[\d.]+))?"
+    r"(?P<tail>\s+LIMIT\s+\d+)?\s*$")
+
+
+def rewrite_with_fill(query: str) -> str:
+    """``<q> ORDER BY c WITH FILL ...`` → spine LEFT JOIN over the
+    original query: ``WITH __fill_src AS (<q>) SELECT * FROM
+    (sequence spine) LEFT JOIN __fill_src USING (c) ORDER BY c`` —
+    the spine is an in-stage explode (no shuffle beyond the join),
+    bounds are literals or scalar subqueries, and an empty source
+    yields an empty (not NULL-keyed) result because sequence(NULL, …)
+    explodes to zero rows."""
+    m = _WITH_FILL_RE.search(query)
+    if m is None:
+        if re.search(r"(?is)\bWITH\s+FILL\b", query):
+            raise ValueError(
+                "unsupported WITH FILL form — needs 'ORDER BY <col> "
+                "WITH FILL [FROM a] [TO b] STEP <n | INTERVAL n "
+                "unit>' as the query's final clause (single key; "
+                "optional trailing LIMIT)")
+        return query
+    col = m.group("col")
+    step = m.group("step")
+    if step is None:
+        raise ValueError(
+            "WITH FILL needs an explicit STEP (ClickHouse defaults "
+            "to 1, which silently explodes dense grids over wide "
+            "ranges — state the step)")
+    src = query[:m.start()].rstrip()
+    frm = m.group("frm") or f"(SELECT min({col}) FROM __fill_src)"
+    to = m.group("to")
+    # CH: TO is exclusive; Spark sequence() is stop-inclusive, so an
+    # explicit TO adds a strict upper-bound filter INSIDE the spine
+    stop = to if to else f"(SELECT max({col}) FROM __fill_src)"
+    spine = f"SELECT explode(sequence({frm}, {stop}, {step})) AS {col}"
+    if to:
+        spine = f"SELECT {col} FROM ({spine}) WHERE {col} < {to}"
+    tail = m.group("tail") or ""
+    return (f"WITH __fill_src AS ({src}) "
+            f"SELECT * FROM ({spine}) "
+            f"LEFT JOIN __fill_src USING ({col}) "
+            f"ORDER BY {col}{tail}")
+
+
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
@@ -963,6 +1021,7 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     else:
         query = rewrite_aggregates(query)
     return spark.sql(
-        rewrite_with_totals(rewrite_limit_by(rewrite_sample(
-            rewrite_array_join(rewrite_final(rewrite_prewhere(
-                rewrite_asof_join(spark, rewrite_format(query)))))))))
+        rewrite_with_fill(rewrite_with_totals(rewrite_limit_by(
+            rewrite_sample(rewrite_array_join(rewrite_final(
+                rewrite_prewhere(rewrite_asof_join(
+                    spark, rewrite_format(query))))))))))

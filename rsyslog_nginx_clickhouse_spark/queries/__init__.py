@@ -119,20 +119,21 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: as the driver) at HEAD regardless of window position;
 #: rotationcheck enforces that nothing mandatory was displaced.
 #: Round-8 ordering (VERDICT r7 item 1 — execute the _FRONTLOAD_R8
-#: cohort): the window leads with the round's 14 mandatory entries —
-#: 10 NEW (ngram_lm_perplexity_seeded, final_replacing_read,
+#: cohort): the window leads with the round's 15 mandatory entries —
+#: 11 NEW (ngram_lm_perplexity_seeded, final_replacing_read,
 #: final_collapsing_read, doc_chunk_tokens, multimodal_decode_jpeg,
 #: image_hash_dedup, prewhere_format_scan, asof_join_sql,
-#: temperature_mixture, hard_negative_mining) and 4
+#: temperature_mixture, hard_negative_mining,
+#: with_fill_sql_histogram) and 4
 #: TEXT-CHANGED
 #: (sequence_match_funnel + sequence_count_chains: oracles drop '0'
 #: labels per the ClickHouse storage rule; semantic_dedup +
 #: streaming_semantic_dedup: corpus-scaled n_lists in query AND
 #: oracle) — then fills oldest-first: ALL 12 r4 rows
 #: (q18_large_volume_customers .. value_histogram, 3 rounds overdue)
-#: and 24 r5 rows, which covers the full 23-row overdue cohort
-#: VERDICT r7 called the round's only verification debt (the 14
-#: youngest r5 fills q14..q8 rotate to r9 — the price of 11 mandatory
+#: and 23 r5 rows, which covers the full 23-row overdue cohort
+#: VERDICT r7 called the round's only verification debt (the 15
+#: youngest r5 fills q13..q8 rotate to r9 — the price of 11 mandatory
 #: slots, same trade as r7's). rotationcheck enforces the result.
 _FRONTLOAD_R8 = [
     # new/text-changed this round — never/no-longer driver-verified
@@ -151,6 +152,7 @@ _FRONTLOAD_R8 = [
     "asof_join_sql",            # NEW: CH ASOF JOIN SQL surface
     "temperature_mixture",      # NEW: mT5 alpha-temperature weights
     "hard_negative_mining",     # NEW: filtered-kNN contrastive mining
+    "with_fill_sql_histogram",  # NEW: ORDER BY ... WITH FILL surface
     # the 12 r4 rows — oldest in the registry (3 rounds overdue)
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
@@ -189,7 +191,6 @@ _FRONTLOAD_R8 = [
     "q10_returned_items",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
 ]
 
 _FRONTLOAD_R7 = [

@@ -1188,6 +1188,47 @@ def prewhere_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "with_fill_sql_histogram",
+    # generate_series in DuckDB is stop-inclusive like Spark's
+    # sequence — range() is exclusive, matching CH's exclusive TO;
+    # filled rows carry NULL counts in BOTH engines (the documented
+    # deviation from CH's type-default fill)
+    oracle="""
+    WITH src AS (
+      SELECT CAST(floor(value / 20) * 20 AS INT) AS vb,
+             count(*)::bigint AS cnt
+      FROM events WHERE event_type = 'error' AND value < 100
+      GROUP BY vb)
+    SELECT g.vb::int AS vb, src.cnt AS cnt
+    FROM (SELECT unnest(range(0, 200, 20)) AS vb) g
+    LEFT JOIN src USING (vb)
+    ORDER BY vb
+    """,
+    doc="ClickHouse `ORDER BY ... WITH FILL FROM/TO/STEP` surface — "
+        "the SQL spelling of timeseries_gap_fill: the verbatim CH "
+        "text runs through the engine's SQL entry, which densifies "
+        "the result over the key grid via a sequence-explode spine + "
+        "LEFT JOIN (collect-free; bounds are literals here, scalar "
+        "subqueries when FROM/TO are omitted; CH's exclusive TO "
+        "honored); filled rows carry NULL in non-key columns — the "
+        "relational spelling of CH's type-default fill, same "
+        "documented-deviation policy as ARRAY JOIN "
+        "(functions/macros.rewrite_with_fill)",
+)
+def with_fill_sql_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "with_fill_events")
+    return engine_sql(spark, """
+        SELECT CAST(floor(value / 20) * 20 AS INT) AS vb,
+               CAST(count(*) AS bigint) AS cnt
+        FROM with_fill_events
+        WHERE event_type = 'error' AND value < 100
+        GROUP BY vb
+        ORDER BY vb WITH FILL FROM 0 TO 200 STEP 20
+    """).select(F.col("vb").cast("int").alias("vb"), "cnt")
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

@@ -185,6 +185,50 @@ def test_prewhere_predicate_reaches_the_scan(spark, sf_dir):
     assert "GreaterThan(value,50" in plan
 
 
+# ----------------------------------------------------- WITH FILL (SQL) --
+
+
+def test_with_fill_sql_rewrite_and_execution(spark):
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_with_fill,
+    )
+
+    out = rewrite_with_fill(
+        "SELECT vb, cnt FROM t GROUP BY vb "
+        "ORDER BY vb WITH FILL FROM 0 TO 200 STEP 20")
+    assert "sequence(0, 200, 20)" in out and "WHERE vb < 200" in out
+    assert out.startswith("WITH __fill_src AS")
+    # derived bounds use scalar subqueries; trailing LIMIT survives
+    out2 = rewrite_with_fill(
+        "SELECT a FROM t ORDER BY a WITH FILL STEP 5 LIMIT 3")
+    assert "(SELECT min(a) FROM __fill_src)" in out2
+    assert out2.rstrip().endswith("LIMIT 3")
+    with pytest.raises(ValueError, match="explicit STEP"):
+        rewrite_with_fill("SELECT a FROM t ORDER BY a WITH FILL")
+    with pytest.raises(ValueError, match="unsupported WITH FILL"):
+        rewrite_with_fill("SELECT a FROM t ORDER BY a DESC "
+                          "WITH FILL STEP 2")
+    q = "SELECT a FROM t ORDER BY a"
+    assert rewrite_with_fill(q) == q
+
+    # execution: gaps densify with NULL payload, TO is exclusive,
+    # empty source yields an empty (not NULL-keyed) result
+    spark.createDataFrame([(0, 7), (40, 9)], "vb int, cnt int") \
+        .createOrReplaceTempView("wf_t")
+    rows = macros.sql(spark, """
+        SELECT vb, cnt FROM wf_t
+        ORDER BY vb WITH FILL FROM 0 TO 60 STEP 20
+    """).collect()
+    assert [(r.vb, r.cnt) for r in rows] == \
+        [(0, 7), (20, None), (40, 9)]
+    rows2 = macros.sql(spark, """
+        SELECT vb, cnt FROM wf_t WHERE vb < -1
+        ORDER BY vb WITH FILL STEP 20
+    """).collect()
+    assert rows2 == []
+
+
 # --------------------------------------------------------- ASOF JOIN --
 
 
