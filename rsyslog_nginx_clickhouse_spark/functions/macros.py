@@ -757,10 +757,11 @@ def declare_final_table(table: str, kind: str, keys: list[str],
                         sign_col: str = "sign") -> None:
     """Register the merge metadata ``FROM table FINAL`` needs — the
     analog of declaring ``ENGINE = ReplacingMergeTree(version)`` /
-    ``CollapsingMergeTree(sign)`` with its ORDER BY key."""
-    if kind not in ("replacing", "collapsing"):
-        raise ValueError(f"kind must be 'replacing' or 'collapsing', "
-                         f"got {kind!r}")
+    ``CollapsingMergeTree(sign)`` / ``SummingMergeTree`` with its
+    ORDER BY key (summing: ``payload`` = the summed columns)."""
+    if kind not in ("replacing", "collapsing", "summing"):
+        raise ValueError(f"kind must be 'replacing', 'collapsing' or "
+                         f"'summing', got {kind!r}")
     if kind == "replacing" and not version_col:
         raise ValueError("replacing tables need a version_col "
                          "(ReplacingMergeTree's version parameter)")
@@ -799,6 +800,13 @@ def rewrite_final(query: str) -> str:
             return (f"FROM (SELECT {outer} FROM (SELECT {keys}, "
                     f"max(struct({wfields})) AS __w FROM {t} "
                     f"GROUP BY {keys})) AS {t}")
+        if d["kind"] == "summing":
+            # SummingMergeTree: FINAL re-sums the payload per key —
+            # the exact plan plans/summing.read_summed builds (one
+            # map-side-combinable aggregate over partial rows)
+            sums = ", ".join(f"sum({p}) AS {p}" for p in d["payload"])
+            return (f"FROM (SELECT {keys}, {sums} FROM {t} "
+                    f"GROUP BY {keys}) AS {t}")
         cols = ", ".join([*d["keys"], *d["payload"]])
         return (f"FROM (SELECT {cols} FROM {t} GROUP BY {cols} "
                 f"HAVING sum({d['sign_col']}) > 0) AS {t}")
@@ -823,7 +831,17 @@ def rewrite_final(query: str) -> str:
 #: scan.
 _PREWHERE_RE = re.compile(
     r"(?is)\bPREWHERE\s+(?P<cond>.+?)"
-    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|\s*$)")
+    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION"
+    r"|INTERSECT|EXCEPT)\b|\s*$)")
+
+#: clause keywords that must never survive inside a folded PREWHERE
+#: condition — if one does, the boundary lookahead failed to stop at
+#: a construct it doesn't know (QUALIFY, WINDOW, a second statement…)
+#: and folding would silently swallow query text into the WHERE.
+#: Loud refusal instead, mirroring rewrite_asof_join (ADVICE r8).
+_PREWHERE_LEAK_RE = re.compile(
+    r"(?is)\b(?:UNION|INTERSECT|EXCEPT|QUALIFY|WINDOW|SELECT"
+    r"|PREWHERE)\b|;")
 
 #: ClickHouse ``FORMAT <name>`` — an OUTPUT-serialization directive
 #: (JSONEachRow, CSV, Pretty…), not part of query semantics. The
@@ -842,10 +860,17 @@ def rewrite_prewhere(query: str) -> str:
     if not m:
         return query
     cond = m.group("cond").strip()
+    if _PREWHERE_LEAK_RE.search(cond):
+        raise ValueError(
+            "unsupported PREWHERE form — the condition runs into a "
+            "clause the folder does not bound (UNION/QUALIFY/WINDOW/"
+            "subquery/second statement); move the predicate to WHERE "
+            f"or simplify it: {cond[:120]!r}")
     before, after = query[:m.start()], query[m.end():]
     wm = re.match(
         r"(?is)\s*WHERE\s+(?P<w>.+?)"
-        r"(?=\s+(?:GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|\s*$)", after)
+        r"(?=\s+(?:GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION"
+        r"|INTERSECT|EXCEPT)\b|\s*$)", after)
     if wm:
         return (f"{before}WHERE ({cond}) AND ({wm.group('w')})"
                 f"{after[wm.end():]}")
@@ -946,12 +971,30 @@ def rewrite_asof_join(spark: SparkSession, query: str) -> str:
     view = f"__asof_{tag}"
     out.createOrReplaceTempView(view)
     rest = query[:m.start()] + f"FROM {view}" + query[m.end():]
-    # alias-reference substitution onto the view's columns
+    # A second FROM/JOIN still defining either alias means an
+    # unrelated scope (subquery, self-join) reuses the name — the
+    # textual substitution below would mangle it, so refuse loudly
+    # like the other unsupported-form branches (ADVICE r8).
+    for alias in (la, ra):
+        if re.search(rf"(?is)\b(?:FROM|JOIN)\s+[\w.]+\s+(?:AS\s+)?"
+                     rf"{alias}\b", rest):
+            raise ValueError(
+                f"ASOF JOIN alias {alias!r} is redefined elsewhere "
+                f"in the query — alias-reference rewriting would "
+                f"mangle that scope; rename one of the aliases")
+    # alias-reference substitution onto the view's columns —
+    # identifier contexts only: segments inside single-quoted string
+    # literals are left untouched (ADVICE r8)
+    def _sub_ident(pat: str, repl: str, text: str) -> str:
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        return "".join(p if i % 2 else re.sub(pat, repl, p)
+                       for i, p in enumerate(parts))
+
     for col in value_cols:
-        rest = re.sub(rf"\b{ra}\.{col}\b", f"{col}_asof", rest)
-    rest = re.sub(rf"\b{ra}\.{rtime}\b", f"{rtime}_asof", rest)
-    rest = re.sub(rf"\b{ra}\.{rkey}\b", rkey, rest)
-    rest = re.sub(rf"\b{la}\.(\w+)", r"\1", rest)
+        rest = _sub_ident(rf"\b{ra}\.{col}\b", f"{col}_asof", rest)
+    rest = _sub_ident(rf"\b{ra}\.{rtime}\b", f"{rtime}_asof", rest)
+    rest = _sub_ident(rf"\b{ra}\.{rkey}\b", rkey, rest)
+    rest = _sub_ident(rf"\b{la}\.(\w+)", r"\1", rest)
     return rest
 
 

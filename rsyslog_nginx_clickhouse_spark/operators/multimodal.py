@@ -368,7 +368,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pipeline downstream)."""
     try:
         return _decode_jpeg(payload)
-    except IndexError as e:
+    except (IndexError, EOFError) as e:
+        # EOFError: the bit reader hit a premature marker inside
+        # entropy data (a truncation at a byte boundary surfaces as
+        # the next 0xFF-prefixed marker, not as IndexError) — same
+        # contract, same ValueError (ADVICE r8)
         raise ValueError(
             "truncated or corrupt JPEG stream (ran past the end "
             "while parsing markers/entropy data)") from e

@@ -370,6 +370,10 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
     nearest rows that are NOT the query's own class. Filtering AFTER
     a plain knn_join would be wrong — truncation would keep
     same-class rows and drop negatives beyond the bucket top-k.
+    NULL semantics match the SQL predicate ``q.label != c.label``
+    under three-valued logic: a pair with NULL on EITHER side is
+    excluded (a NULL-label query returns no neighbors), so the
+    engine and a SQL oracle can never diverge on NULL labels.
     """
     if dim is None:
         raise ValueError("knn_join requires dim=")
@@ -414,7 +418,13 @@ def knn_join(embeddings: DataFrame, query_pred: Column, k: int = 5,
         for row_i in range(len(QM)):
             keep = ids != qids[row_i]
             if ex is not None:
-                keep &= ex != qex[row_i]
+                # SQL three-valued logic (the oracle's `q.label !=
+                # c.label`): NULL on EITHER side evaluates NULL →
+                # the pair is excluded. numpy object `!=` would keep
+                # NULL-vs-non-NULL pairs instead (ADVICE r8).
+                if pd.isnull(qex[row_i]):
+                    continue
+                keep &= (ex != qex[row_i]) & ~pd.isnull(ex)
             cand = np.nonzero(keep)[0]
             if cand.size == 0:
                 continue

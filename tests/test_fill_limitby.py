@@ -317,8 +317,15 @@ def test_final_rewrite_shape_and_refusals():
         declare_final_table("bad", "replacing", keys=["id"],
                             payload=["v"])
     with pytest.raises(ValueError, match="replacing.*collapsing"):
-        declare_final_table("bad", "summing", keys=["id"],
+        declare_final_table("bad", "aggregating", keys=["id"],
                             payload=["v"])
+    # summing kind: FINAL re-sums the payload per key (the
+    # plans/summing.read_summed plan in SQL)
+    declare_final_table("sm8", "summing", keys=["day", "etype"],
+                        payload=["hits", "bytes"])
+    out = rewrite_final("SELECT day, hits FROM sm8 FINAL")
+    assert "sum(hits) AS hits" in out and "sum(bytes) AS bytes" in out
+    assert "GROUP BY day, etype" in out and "FINAL" not in out
 
 
 def test_final_matches_dataframe_merge_paths(spark, tmp_path):
