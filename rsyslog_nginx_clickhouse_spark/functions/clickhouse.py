@@ -171,6 +171,11 @@ AGGREGATE_REWRITES: dict[str, str] = {
     # not an aggregate, but the same pre-parse token rename applies:
     # arrayJoin expands a row per array element = explode
     "arrayJoin": "explode",
+    # CH window functions: lagInFrame(x[, offset[, default]]) has the
+    # exact argument order of Spark's lag/lead — a token rename is
+    # argument-safe here (unlike the If-combinators)
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
 }
 
 #: xxxIf combinators: ``aggIf(value, cond)`` → ``agg(if(cond, value,

@@ -425,6 +425,59 @@ def expand_macros(sql: str, table: str, time_col: str = "logdatetime",
 _STR_LIT = re.compile(r"'(?:[^'\\]|\\.|'')*'")
 
 
+#: ClickHouse scalar WITH — ``WITH <expr> AS <name>[, ...] SELECT …``
+#: binds a named CONSTANT (not a relation; the expression precedes the
+#: name, the reverse of a standard CTE). Dashboards use it to state a
+#: threshold once. Spark has no equivalent form, so the rewrite
+#: substitutes ``(expr)`` for each identifier reference in the body.
+#: Standard CTEs (``name AS (SELECT …)``) pass through untouched;
+#: mixing both forms in one WITH list is refused (CH allows it, but a
+#: half-textual split would be fragile — state constants in their own
+#: query or inline them).
+_SCALAR_WITH_RE = re.compile(r"(?is)^\s*WITH\s+(?P<items>.+?)\s+"
+                             r"(?P<body>SELECT\b.*)$")
+
+
+def rewrite_scalar_with(query: str) -> str:
+    """``WITH 50 AS threshold SELECT … WHERE v > threshold`` →
+    ``SELECT … WHERE v > (50)``. Identifier-context substitution on
+    literal-masked text, like rewrite_aggregates."""
+    m = _SCALAR_WITH_RE.match(query)
+    if not m:
+        return query
+    items = _split_top_level(m.group("items"))
+    # standard CTE list (every item is `name AS (…)`): not ours
+    if all(re.match(r"(?is)^\s*\w+\s+AS\s*\(", it) for it in items):
+        return query
+    binds: dict[str, str] = {}
+    for it in items:
+        sm = re.match(r"(?is)^\s*(?P<expr>.+\S)\s+AS\s+(?P<name>\w+)"
+                      r"\s*$", it)
+        if not sm or re.match(r"(?is)^\s*\w+\s+AS\s*\(", it):
+            raise ValueError(
+                f"unsupported WITH item {it.strip()!r} — scalar form "
+                f"is '<const-expr> AS <name>'; mixing scalar items "
+                f"with subquery CTEs in one WITH list is refused")
+        expr = sm.group("expr")
+        if re.search(r"(?is)\bSELECT\b", expr):
+            raise ValueError(
+                f"WITH {expr.strip()!r}: scalar-WITH expressions must "
+                f"be constants — subqueries belong in a standard CTE")
+        binds[sm.group("name")] = expr.strip()
+    body = m.group("body")
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    body = _STR_LIT.sub(_mask, body)
+    for name, expr in binds.items():
+        body = re.sub(rf"\b{name}\b", f"({expr})", body)
+    return re.sub(r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))],
+                  body)
+
+
 def rewrite_aggregates(out: str) -> str:
     """ClickHouse aggregate names → Spark builtins, including the
     parametric syntax ``agg(p)(x)`` (no Spark equivalent) collapsed to
@@ -449,11 +502,22 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out,
                  flags=re.IGNORECASE)
     out = re.sub(r"\buniqExact\s*\(", "count(DISTINCT ", out)
-    for ch_name, spark_name in AGGREGATE_REWRITES.items():
-        out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
     # value arg may itself contain one level of calls, e.g.
     # quantile(0.9)(toUInt32(t))
     nested = r"(?:[^()]|\([^()]*\))*"
+    # multi-quantile combinators FIRST (before the token renames —
+    # 'quantiles' must not be left for a later partial match):
+    # quantilesExact(p1,..,pn)(x) → percentile(x, array(p1,..,pn)),
+    # one pass over the data returning the full array, exactly CH's
+    # one-state-many-cuts contract
+    out = re.sub(
+        rf"\bquantilesExact\(({nested})\)\(({nested})\)",
+        r"percentile(\2, array(\1))", out)
+    out = re.sub(
+        rf"\bquantiles(?:TDigest)?\(({nested})\)\(({nested})\)",
+        r"percentile_approx(\2, array(\1))", out)
+    for ch_name, spark_name in AGGREGATE_REWRITES.items():
+        out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
     out = re.sub(
         rf"\b(percentile_approx|percentile)\(([^()]*)\)\(({nested})\)",
         r"\1(\3, \2)", out)
@@ -1013,6 +1077,7 @@ _WITH_FILL_RE = re.compile(
     r"(?:\s+FROM\s+(?P<frm>[\w.'-]+))?"
     r"(?:\s+TO\s+(?P<to>[\w.'-]+))?"
     r"(?:\s+STEP\s+(?P<step>INTERVAL\s+\d+\s+\w+|[\d.]+))?"
+    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^()]*)\))?"
     r"(?P<tail>\s+LIMIT\s+\d+)?\s*$")
 
 
@@ -1050,15 +1115,44 @@ def rewrite_with_fill(query: str) -> str:
     if to:
         spine = f"SELECT {col} FROM ({spine}) WHERE {col} < {to}"
     tail = m.group("tail") or ""
+    # INTERPOLATE (c [AS c], …): ClickHouse carries the previous
+    # row's value forward over filled rows (the `c AS expr` general
+    # form evaluates expr against the PREVIOUS row — only the
+    # carry-forward identity is implemented; anything else is refused
+    # rather than silently miscomputed). The relational spelling is
+    # last_value-ignore-nulls over the densified result — a window on
+    # the (grid-sized) output, never the fact table.
+    names: list[str] = []
+    if m.group("interp"):
+        for it in m.group("interp").split(","):
+            im = re.match(r"(?is)^\s*(?P<c>\w+)"
+                          r"(?:\s+AS\s+(?P<e>.+\S))?\s*$", it)
+            if not im or (im.group("e")
+                          and im.group("e").strip() != im.group("c")):
+                raise ValueError(
+                    f"unsupported INTERPOLATE item {it.strip()!r} — "
+                    f"only the carry-forward form (bare column or "
+                    f"'c AS c') is implemented; general previous-row "
+                    f"expressions are refused")
+            names.append(im.group("c"))
+    filled = (f"SELECT * FROM ({spine}) "
+              f"LEFT JOIN __fill_src USING ({col})")
+    if names:
+        locf = ", ".join(
+            f"last_value({c}, true) OVER (ORDER BY {col} ROWS "
+            f"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+            for c in names)
+        filled = (f"SELECT * EXCEPT ({', '.join(names)}), {locf} "
+                  f"FROM ({filled})")
     return (f"WITH __fill_src AS ({src}) "
-            f"SELECT * FROM ({spine}) "
-            f"LEFT JOIN __fill_src USING ({col}) "
+            f"{filled} "
             f"ORDER BY {col}{tail}")
 
 
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
+    query = rewrite_scalar_with(query)
     if "$" in query and "table" in macro_kwargs:
         query = expand_macros(query, **macro_kwargs)
     else:

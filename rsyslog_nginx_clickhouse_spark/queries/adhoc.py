@@ -661,3 +661,32 @@ def events_in_sessions_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (matched.groupBy("user_id")
                    .agg(F.count("*").alias("n_matched"))
                    .orderBy("user_id"))
+
+
+@query(
+    "select_except_modifier",
+    # DuckDB spells the star modifier EXCLUDE; same column algebra
+    oracle="""
+    SELECT * EXCLUDE (s_acctbal, s_name) FROM supplier
+    WHERE s_nationkey < 5 ORDER BY s_suppkey
+    """,
+    doc="ClickHouse `SELECT * EXCEPT (cols)` star modifier — the "
+        "column-pruning idiom for wide tables (drop the blob/comment "
+        "columns without naming the 50 you keep): Spark parses the "
+        "CH text natively, and the pruned list reaches the scan's "
+        "ReadSchema — the parquet reader never materializes the "
+        "excluded columns (asserted in tests/test_plans.py); at "
+        "100 TB the excluded comment column IS the I/O difference",
+)
+def select_except_modifier(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    load(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "sem_supplier")
+    return engine_sql(spark, """
+        SELECT * EXCEPT (s_acctbal, s_name) FROM sem_supplier
+        WHERE s_nationkey < 5 ORDER BY s_suppkey
+    """)

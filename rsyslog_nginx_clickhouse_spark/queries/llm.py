@@ -2330,3 +2330,169 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_tokenize_counts(load(spark, sf_dir, "documents"),
                                n_merges=8)
+
+
+@query(
+    "bm25_top_docs",
+    # op-order mirror: n/sum_len are the same integers both sides
+    # (Spark inlines the collected stats, the oracle computes them),
+    # and every divide/multiply is written in the same order, so the
+    # only cross-engine wiggle is ln()'s last ulp — absorbed by
+    # round 6 (idf is a log -> irrational, never ON a tie; the
+    # top-20 cutoff orders by the ROUNDED score with doc_id
+    # tiebreak, so a last-ulp difference cannot flip the boundary)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    lens AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS dl
+      FROM documents),
+    stats AS (
+      SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_len
+      FROM lens),
+    tf AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+      WHERE tok IN ('spark', 'window', 'hash')
+      GROUP BY doc_id, tok),
+    dfreq AS (
+      SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok)
+    SELECT t.doc_id,
+           round(sum(
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n / s.sum_len)))
+           ), 6) AS score
+    FROM tf t
+    JOIN dfreq d USING (tok)
+    JOIN lens l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 retrieval (Robertson/Sparck-Jones probabilistic "
+        "ranking, k1=1.2 b=0.75 — the lexical-retrieval baseline "
+        "every RAG/contrastive pipeline pairs with dense kNN): "
+        "corpus stats (N, total length) are ONE parameter-sized "
+        "aggregate inlined as literals; per-doc term frequencies "
+        "keep only the query terms via an array filter BEFORE the "
+        "explode (the shuffle carries matched tokens only, never the "
+        "corpus token stream); df is a 3-row broadcast. At 100 TB "
+        "the shape is scan + one matched-token shuffle + one "
+        "doc-sized join — no global token index needed for a fixed "
+        "query; the per-query cost is independent of vocabulary",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["spark", "window", "hash"]
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                       "toks")
+    n, sum_len = lens.agg(
+        F.count("*"), F.sum("dl")).collect()[0]  # parameter-sized
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    tf = (lens.select(
+              "doc_id",
+              F.explode(F.expr(
+                  f"filter(toks, t -> t IN ({terms_sql}))"))
+               .alias("tok"))
+              .groupBy("doc_id", "tok")
+              .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "tok")
+                .join(lens.select("doc_id", "dl"), "doc_id"))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    term_score = (idf * (F.col("tf") * F.lit(2.2))
+                  / (F.col("tf") + F.lit(1.2)
+                     * (F.lit(0.25) + F.lit(0.75)
+                        * (F.col("dl") * F.lit(n) / F.lit(sum_len)))))
+    return (scored.groupBy("doc_id")
+                  .agg(F.round(F.sum(term_score), 6).alias("score"))
+                  .orderBy(F.desc("score"), F.asc("doc_id"))
+                  .limit(20))
+
+
+@query(
+    "upsample_epochs",
+    # generate_series yields BIGINT; the Spark sequence is cast to
+    # match
+    oracle="""
+    SELECT doc_id, source,
+           unnest(generate_series(
+             1, 1 + CAST(source[4:] AS INT) % 3)) AS epoch
+    FROM documents
+    """,
+    doc="epoch upsampling (the mT5/Llama data-mixture mechanism: "
+        "high-weight sources repeat for k epochs, low-weight for 1): "
+        "per-source epoch counts derive deterministically from the "
+        "source id, and the replication is a narrow "
+        "explode(sequence(1, k)) — each copy carries (doc_id, epoch), "
+        "never duplicated text (the gather against the corpus happens "
+        "at read time, like packed_sequences); at 100 TB the "
+        "materialized plan is O(docs x mean_epochs) 16-byte rows, and "
+        "the explode is partition-local — zero shuffle",
+)
+def upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    epochs = (F.lit(1)
+              + F.substring("source", 4, 10).cast("int") % 3)
+    return docs.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(1).cast("long"),
+                             epochs.cast("long"))).alias("epoch"))
+
+
+@query(
+    "curriculum_schedule",
+    # integer-only output: ranks and shards, no float hazard
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id)
+               AS pos_in_source,
+             CAST(source[4:] AS INT) AS src_num
+      FROM documents)
+    SELECT doc_id, source, pos_in_source,
+           row_number() OVER (ORDER BY pos_in_source * 100000
+                              + src_num) AS global_pos,
+           (row_number() OVER (ORDER BY pos_in_source * 100000
+                               + src_num) - 1) % 8 AS shard
+    FROM ranked ORDER BY global_pos
+    """,
+    doc="curriculum schedule (easy-to-hard ordering interleaved "
+        "round-robin across sources, so every shard sees the same "
+        "difficulty ramp — Bengio et al. curriculum learning applied "
+        "to corpus sharding): difficulty rank is a PER-SOURCE window "
+        "(partitioned — parallel), and the GLOBAL order position "
+        "comes from operators/prefix.distributed_cumsum, the "
+        "two-phase range-partitioned prefix scan — never a "
+        "single-partition global window (the classic Spark scale "
+        "trap); shard = (pos-1) % n_shards gives every shard an "
+        "interleaved, difficulty-balanced slice",
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from rsyslog_nginx_clickhouse_spark.operators.prefix import (
+        distributed_cumsum,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source",
+        F.row_number().over(w).cast("long").alias("pos_in_source"),
+        F.substring("source", 4, 10).cast("int").alias("src_num"))
+    keyed = ranked.withColumn(
+        "ord_key",
+        F.col("pos_in_source") * 100000 + F.col("src_num")) \
+        .withColumn("one", F.lit(1).cast("long"))
+    out = distributed_cumsum(keyed, "ord_key", "one",
+                             out_col="global_pos")
+    return (out.select("doc_id", "source", "pos_in_source",
+                       "global_pos",
+                       ((F.col("global_pos") - 1) % 8).alias("shard"))
+               .orderBy("global_pos"))

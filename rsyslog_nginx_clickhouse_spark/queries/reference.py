@@ -2026,3 +2026,270 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.count("*") * F.lit(100), 6)
                    .alias("mean_value"))
               .orderBy("bucket"))
+
+
+@query(
+    "rollup_sql_daily",
+    # subtotal + grand-total rows carry NULL group keys in BOTH
+    # engines; round(sum, 2) of 2-decimal values sits ON the grid
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           count(*)::bigint AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY ROLLUP (d, event_type)
+    ORDER BY d, event_type
+    """,
+    doc="ClickHouse `GROUP BY … WITH ROLLUP` surface: the verbatim CH "
+        "text runs through the engine's SQL entry unchanged — Spark "
+        "parses WITH ROLLUP natively and Catalyst plans ALL grouping "
+        "sets as a single Expand + one HashAggregate (one scan, one "
+        "shuffle, regardless of set count — the same plan as the "
+        "DataFrame rollup in rollup_customer_balance, here as SQL "
+        "text a CH dashboard sends as-is); WITH CUBE parses the same "
+        "way (revenue_cube is the DataFrame spelling)",
+)
+def rollup_sql_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "rollup_sql_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d, event_type,
+               CAST(count() AS bigint) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM rollup_sql_events
+        GROUP BY d, event_type WITH ROLLUP
+        ORDER BY d, event_type
+    """)
+
+
+@query(
+    "quantiles_array_sql",
+    # exact multi-quantile: Spark percentile and DuckDB quantile_cont
+    # interpolate with the same lo + f*(hi-lo) op sequence, and both
+    # sides round elementwise at 4 (the latency_quantiles discipline:
+    # identical IEEE inputs -> identical rounded outputs)
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                          x -> round(x, 4)) AS qs
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse multi-quantile combinator "
+        "`quantilesExact(p1,…,pn)(x)` surface → one "
+        "percentile(x, array(…)) aggregate: ONE pass / one agg state "
+        "per group yields the whole cut array (CH's "
+        "one-state-many-cuts contract), instead of n separate "
+        "percentile aggregates re-sorting the same values "
+        "(functions/macros.rewrite_aggregates; quantilesTDigest(…) "
+        "maps to percentile_approx the same way — the sketched "
+        "variant for 100 TB, where exact percentile's per-group "
+        "value buffer is the scale limit)",
+)
+def quantiles_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "quantiles_events")
+    df = engine_sql(spark, """
+        SELECT event_type,
+               quantilesExact(0.5, 0.9, 0.99)(value) AS qs
+        FROM quantiles_events GROUP BY event_type ORDER BY event_type
+    """)
+    return df.select("event_type",
+                     F.expr("transform(qs, x -> round(x, 4))")
+                      .alias("qs"))
+
+
+@query(
+    "with_fill_interpolate",
+    # LOCF over the densified grid: last_value IGNORE NULLS in both
+    # engines; rows before the first real bucket stay NULL
+    oracle="""
+    WITH src AS (
+      SELECT CAST(floor(value / 20) * 20 AS INT) AS vb,
+             count(*)::bigint AS cnt
+      FROM events WHERE event_type = 'error' AND value < 100
+      GROUP BY vb),
+    filled AS (
+      SELECT g.vb::int AS vb, src.cnt AS cnt
+      FROM (SELECT unnest(range(0, 200, 20)) AS vb) g
+      LEFT JOIN src USING (vb))
+    SELECT vb,
+           last_value(cnt IGNORE NULLS) OVER (ORDER BY vb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+    FROM filled ORDER BY vb
+    """,
+    doc="ClickHouse `WITH FILL … INTERPOLATE (col)` surface — filled "
+        "rows carry the previous row's value forward (LOCF) instead "
+        "of NULL: the rewrite wraps the densified grid in one "
+        "last_value-ignore-nulls window ON THE GRID-SIZED RESULT "
+        "(never the fact table), the relational spelling of CH's "
+        "previous-row interpolation; the general `col AS expr` "
+        "previous-row-expression form is refused loudly "
+        "(functions/macros.rewrite_with_fill)",
+)
+def with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wfi_events")
+    return engine_sql(spark, """
+        SELECT CAST(floor(value / 20) * 20 AS INT) AS vb,
+               CAST(count(*) AS bigint) AS cnt
+        FROM wfi_events
+        WHERE event_type = 'error' AND value < 100
+        GROUP BY vb
+        ORDER BY vb WITH FILL FROM 0 TO 200 STEP 20 INTERPOLATE (cnt)
+    """).select(F.col("vb").cast("int").alias("vb"), "cnt")
+
+
+@query(
+    "window_lag_lead_sql",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+             count(*)::bigint AS cnt
+      FROM events GROUP BY d)
+    SELECT d, cnt,
+           cnt - lag(cnt, 1, cnt) OVER (ORDER BY d) AS delta,
+           lead(cnt, 1) OVER (ORDER BY d) AS next_cnt
+    FROM daily ORDER BY d
+    """,
+    doc="ClickHouse `lagInFrame`/`leadInFrame` window-function surface "
+        "(the CH replacement for the deprecated runningDifference): "
+        "token-renamed to Spark lag/lead — identical argument order "
+        "(value, offset, default), so the rename is argument-safe "
+        "(functions/clickhouse.AGGREGATE_REWRITES); the day-over-day "
+        "delta runs on the 30-row daily aggregate, never the fact "
+        "table — the window sort is result-sized",
+)
+def window_lag_lead_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wl_events")
+    return engine_sql(spark, """
+        SELECT d, cnt,
+               cnt - lagInFrame(cnt, 1, cnt) OVER (ORDER BY d) AS delta,
+               leadInFrame(cnt, 1) OVER (ORDER BY d) AS next_cnt
+        FROM (SELECT toStartOfDay(ts) AS d,
+                     CAST(count() AS bigint) AS cnt
+              FROM wl_events GROUP BY d)
+        ORDER BY d
+    """)
+
+
+@query(
+    "scalar_with_threshold",
+    oracle="""
+    SELECT user_id, count(*)::bigint AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE value > 50 AND event_type = 'purchase'
+    GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+    doc="ClickHouse scalar-WITH surface (`WITH 50 AS min_value SELECT "
+        "…`) — the named-constant form every CH dashboard uses to "
+        "state a threshold once; the expression precedes the name "
+        "(the reverse of a standard CTE), so Spark cannot parse it: "
+        "the rewrite substitutes the constant at identifier "
+        "references on literal-masked text, standard CTEs pass "
+        "through untouched, and subquery expressions are refused "
+        "(functions/macros.rewrite_scalar_with)",
+)
+def scalar_with_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "swt_events")
+    return engine_sql(spark, """
+        WITH 50 AS min_value, 'purchase' AS et
+        SELECT user_id, CAST(count() AS bigint) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM swt_events
+        WHERE value > min_value AND event_type = et
+        GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
+    """)
+
+
+@query(
+    "final_summing_read",
+    # the oracle aggregates the raw events directly: partial-epoch
+    # appends + FINAL's re-sum must land on the same totals; value is
+    # 2-decimal so round(sum, 2) sits ON the grid in both engines
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           round(sum(value), 2) AS total_value,
+           count(*)::bigint AS cnt
+    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="ClickHouse `FROM t FINAL` surface over a SUMMING table "
+        "(completing the FINAL family beside final_replacing_read / "
+        "final_collapsing_read): two epoch-partial appends via "
+        "plans/summing.append_partial (each one map-side-combined "
+        "groupBy writing O(groups) partial rows, never O(events)), "
+        "then the verbatim CH text re-sums the partials per key — "
+        "rewrite_final expands the summing kind to the exact "
+        "plans/summing.read_summed aggregate, so the SQL surface and "
+        "the DataFrame API cannot drift "
+        "(functions/macros.declare_final_table kind='summing')",
+)
+def final_summing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_final_table,
+    )
+    from rsyslog_nginx_clickhouse_spark.plans.summing import (
+        append_partial,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("day", "ts").alias("d"),
+        "event_type", "value")
+    path = scratch_dir("summing_final", sf_dir)
+    for parity in (0, 1):  # two writer epochs -> two partial parts
+        append_partial(
+            ev.where(F.col("event_id") % 2 == parity)
+              .drop("event_id"),
+            path, keys=["d", "event_type"], sum_cols=["value"])
+    spark.read.parquet(path).createOrReplaceTempView("sum_final_t")
+    declare_final_table("sum_final_t", "summing",
+                        keys=["d", "event_type"],
+                        payload=["value", "_n"])
+    return engine_sql(spark, """
+        SELECT d, event_type, round(value, 2) AS total_value,
+               _n AS cnt
+        FROM sum_final_t FINAL ORDER BY d, event_type
+    """)
+
+
+@query(
+    "mutation_delete_roundtrip",
+    oracle="""
+    SELECT event_type, count(*)::bigint AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE NOT (event_type = 'error' AND CAST(ts AS DATE)
+               BETWEEN DATE '2024-01-05' AND DATE '2024-01-09')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse mutation surface (`ALTER TABLE t DELETE WHERE p`) "
+        "— partition-scoped copy-on-write (plans/mutations.py): one "
+        "partition-pruned scan finds the affected date partitions "
+        "(parameter-sized collect, O(partitions)), and ONLY those are "
+        "rewritten via dynamic partition overwrite — CH rewrites "
+        "exactly the parts containing matches, untouched parts stay "
+        "on disk byte-identical (asserted by mtime in "
+        "tests/test_mutations.py); at 100 TB a date-scoped DELETE "
+        "touches days, not the table — the GDPR-delete shape for "
+        "training corpora",
+)
+def mutation_delete_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.mutations import (
+        alter_delete,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    path = scratch_dir("mutation_delete", sf_dir)
+    ev.write.partitionBy("d").parquet(path)
+    alter_delete(
+        spark, path,
+        "event_type = 'error' AND d BETWEEN DATE'2024-01-05' "
+        "AND DATE'2024-01-09'", partition_col="d")
+    return (spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("event_type"))

@@ -1,0 +1,107 @@
+"""Round-9 CH SQL-surface additions: scalar WITH, multi-quantile
+combinators, WITH FILL INTERPOLATE, lagInFrame/leadInFrame renames,
+WITH ROLLUP passthrough, * EXCEPT, and FINAL on summing tables."""
+from __future__ import annotations
+
+import pytest
+
+from rsyslog_nginx_clickhouse_spark.functions import macros
+from rsyslog_nginx_clickhouse_spark.functions.macros import (
+    rewrite_aggregates,
+    rewrite_scalar_with,
+    rewrite_with_fill,
+)
+
+
+def test_scalar_with_substitutes_constants_only():
+    out = rewrite_scalar_with(
+        "WITH 50 AS thr, 'click' AS et SELECT a FROM t "
+        "WHERE v > thr AND e = et AND s = 'thr'")
+    assert out == ("SELECT a FROM t WHERE v > (50) AND e = ('click') "
+                   "AND s = 'thr'")  # literal untouched
+    # standard CTEs pass through byte-identical
+    q = "WITH x AS (SELECT 1) SELECT * FROM x"
+    assert rewrite_scalar_with(q) == q
+    q2 = "SELECT 1 FROM t"
+    assert rewrite_scalar_with(q2) == q2
+    with pytest.raises(ValueError, match="mixing scalar"):
+        rewrite_scalar_with(
+            "WITH 5 AS k, x AS (SELECT 1) SELECT k FROM x")
+    with pytest.raises(ValueError, match="must be constants"):
+        rewrite_scalar_with(
+            "WITH (SELECT max(v) FROM t) AS m SELECT m FROM t")
+
+
+def test_quantiles_combinator_rewrites():
+    assert rewrite_aggregates(
+        "SELECT quantilesExact(0.5, 0.9)(value) AS qs FROM t") == \
+        "SELECT percentile(value, array(0.5, 0.9)) AS qs FROM t"
+    assert rewrite_aggregates(
+        "SELECT quantiles(0.5)(toUInt32(v)) AS qs FROM t") == \
+        "SELECT percentile_approx(toUInt32(v), array(0.5)) AS qs FROM t"
+    assert rewrite_aggregates(
+        "SELECT quantilesTDigest(0.9, 0.99)(v) AS qs FROM t") == \
+        "SELECT percentile_approx(v, array(0.9, 0.99)) AS qs FROM t"
+    # the single-quantile parametric form is unchanged by the new pass
+    assert rewrite_aggregates("SELECT quantile(0.9)(v) AS q FROM t") \
+        == "SELECT percentile_approx(v, 0.9) AS q FROM t"
+    # string literals survive
+    assert "'quantiles(0.5)(v)'" in rewrite_aggregates(
+        "SELECT 'quantiles(0.5)(v)' AS s FROM t")
+
+
+def test_lag_lead_in_frame_rename():
+    out = rewrite_aggregates(
+        "SELECT lagInFrame(c, 1, c) OVER (ORDER BY d) AS p, "
+        "leadInFrame(c) OVER (ORDER BY d) AS n FROM t")
+    assert "lag(c, 1, c)" in out and "lead(c)" in out
+    assert "InFrame" not in out
+
+
+def test_with_fill_interpolate_rewrite_and_refusal():
+    out = rewrite_with_fill(
+        "SELECT vb, cnt FROM t GROUP BY vb "
+        "ORDER BY vb WITH FILL FROM 0 TO 60 STEP 20 INTERPOLATE (cnt)")
+    assert "last_value(cnt, true) OVER (ORDER BY vb" in out
+    assert "* EXCEPT (cnt)" in out
+    # `c AS c` is the same carry-forward form
+    out2 = rewrite_with_fill(
+        "SELECT vb, cnt FROM t ORDER BY vb WITH FILL STEP 5 "
+        "INTERPOLATE (cnt AS cnt)")
+    assert "last_value(cnt, true)" in out2
+    with pytest.raises(ValueError, match="unsupported INTERPOLATE"):
+        rewrite_with_fill(
+            "SELECT vb, cnt FROM t ORDER BY vb WITH FILL STEP 5 "
+            "INTERPOLATE (cnt AS cnt + 1)")
+    # the plain form is byte-identical to the pre-INTERPOLATE rewrite
+    plain = rewrite_with_fill(
+        "SELECT vb, cnt FROM t ORDER BY vb WITH FILL FROM 0 TO 60 "
+        "STEP 20")
+    assert "EXCEPT" not in plain and "last_value" not in plain
+
+
+def test_with_fill_interpolate_execution(spark):
+    spark.createDataFrame([(0, 7), (60, 9)], "vb int, cnt int") \
+        .createOrReplaceTempView("wfi_t")
+    rows = macros.sql(spark, """
+        SELECT vb, cnt FROM wfi_t
+        ORDER BY vb WITH FILL FROM 0 TO 100 STEP 20 INTERPOLATE (cnt)
+    """).collect()
+    assert [(r.vb, r.cnt) for r in rows] == \
+        [(0, 7), (20, 7), (40, 7), (60, 9), (80, 9)]
+
+
+def test_summing_final_end_to_end(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_final_table,
+    )
+
+    spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 3.0, 1), ("b", 5.0, 4)],
+        "k string, value double, _n long") \
+        .createOrReplaceTempView("sum_t9")
+    declare_final_table("sum_t9", "summing", keys=["k"],
+                        payload=["value", "_n"])
+    rows = {tuple(r) for r in macros.sql(
+        spark, "SELECT k, value, _n FROM sum_t9 FINAL").collect()}
+    assert rows == {("a", 4.0, 3), ("b", 5.0, 4)}
