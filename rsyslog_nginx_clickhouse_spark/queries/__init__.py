@@ -135,6 +135,80 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: VERDICT r7 called the round's only verification debt (the 15
 #: youngest r5 fills q13..q8 rotate to r9 — the price of 11 mandatory
 #: slots, same trade as r7's). rotationcheck enforces the result.
+#: Round-9 ordering: the window leads with the round's 11 NEW entries
+#: (rollup_sql_daily, quantiles_array_sql, with_fill_interpolate,
+#: window_lag_lead_sql, scalar_with_threshold, final_summing_read,
+#: mutation_delete_roundtrip, select_except_modifier, bm25_top_docs,
+#: upsample_epochs, curriculum_schedule — no text-changed entries this
+#: round: the r9 macro/operator edits touch helpers, not registered
+#: function sources or oracle strings, and rotationcheck verifies
+#: that), then fills oldest-first: ALL 23 remaining r5 rows (the
+#: _FRONTLOAD_R9 cohort VERDICT r7/round-8 planning called the next
+#: rotation debt — q13..q8 plus the non-TPC-H r5 fills), then 16 r6
+#: rows alphabetically. 25 r6 rows remain one round overdue — the
+#: price of 11 mandatory slots — and rotate first in r10
+#: (_FRONTLOAD_R10 cohort: multimodal_decode_video,
+#: multimodal_frames, nginx_* , orders_moving_avg, orderstatus_pivot,
+#: purchase_last_view_asof, q12/q9, replacing_upsert_roundtrip,
+#: rollup_customer_balance, running_customer_spend,
+#: skew_salted_event_counts, streaming_* , timeseries_5min_by_type,
+#: top3_parts_per_brand, user_sessions, zorder_pruned_scan).
+_FRONTLOAD_R9 = [
+    # new this round — never driver-verified
+    "rollup_sql_daily",          # NEW: GROUP BY ... WITH ROLLUP text
+    "quantiles_array_sql",       # NEW: quantilesExact(..)(x) combinator
+    "with_fill_interpolate",     # NEW: WITH FILL ... INTERPOLATE LOCF
+    "window_lag_lead_sql",       # NEW: lagInFrame/leadInFrame surface
+    "scalar_with_threshold",     # NEW: CH scalar WITH constants
+    "final_summing_read",        # NEW: FROM t FINAL (summing)
+    "mutation_delete_roundtrip",  # NEW: ALTER TABLE DELETE analog
+    "select_except_modifier",    # NEW: SELECT * EXCEPT star modifier
+    "bm25_top_docs",             # NEW: BM25 lexical retrieval
+    "upsample_epochs",           # NEW: per-source epoch replication
+    "curriculum_schedule",       # NEW: interleaved curriculum shards
+    # the 23 remaining r5 rows — oldest in the registry (4 rounds)
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_scores",
+    "repeat_users_intersect",
+    "repetition_stats",
+    "revenue_cube",
+    "source_overlap",
+    "text_stats",
+    "token_shard_plan",
+    "user_event_gaps",
+    # r6 rows, alphabetical fill (16 of 41)
+    "approx_daily_users",
+    "approx_latency_quantiles",
+    "bot_traffic_share",
+    "corpus_selection",
+    "customers_without_orders",
+    "daily_unique_users",
+    "decontamination",
+    "dedup_components",
+    "dedup_keep_best",
+    "duplicated_ngram_fraction",
+    "embedding_norms",
+    "error_rate_daily",
+    "event_type_share",
+    "ivf_build",
+    "multimodal_decode_audio",
+    "multimodal_decode_png",
+]
+
 _FRONTLOAD_R8 = [
     # new/text-changed this round — never/no-longer driver-verified
     # (names are spliced in here as they land, evicting tail fills)
@@ -288,8 +362,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R8 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R9 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R8}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R9}
     ordered.update(REGISTRY)
     return ordered
