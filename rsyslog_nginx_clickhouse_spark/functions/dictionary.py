@@ -1,0 +1,132 @@
+"""ClickHouse external dictionaries (``dictGet('name', 'attr', key)``).
+
+A ClickHouse dictionary is BY DEFINITION an in-memory lookup table
+(loaded from a file/DB and replicated to every server), queried with
+scalar ``dictGet`` calls inside any expression. The faithful Spark
+analog for that contract is a literal ``map(...)`` expression inside a
+SQL function: a literal ships with the plan to every executor —
+exactly the dictionary's replicate-everywhere semantics — and stays
+inside whole-stage codegen (no join, no shuffle, no Python).
+
+That contract only holds for PARAMETER-SIZED tables (the reference's
+``nginx.table`` month lookup, nation/region dims, enum decodes), so
+``declare_dictionary`` enforces a row cap and points big tables at
+``sources/lookup.lookup_join`` (the broadcast-join path) instead —
+the same split ClickHouse users make between dictionaries and JOINs.
+
+Reference parity: the reference's lookup table
+(/root/reference/nginx.table:1-15) is exactly such a dictionary;
+``sources/lookup.py`` implements the rsyslog spelling, this module the
+ClickHouse-SQL spelling.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: declared dictionaries: name -> {attr -> fn_name}; consulted by the
+#: rewrite so an undeclared dictionary fails loudly at rewrite time
+#: (not as an UNRESOLVED_ROUTINE deep inside Spark's analyzer)
+_DICTIONARIES: dict[str, dict[str, str]] = {}
+
+MAX_DICT_ROWS = 10_000
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        raise ValueError(
+            "dictionary attributes must be non-NULL (ClickHouse "
+            "dictionaries store the type default, not NULL — drop or "
+            "default the row before declaring)")
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return repr(v)
+
+
+def declare_dictionary(spark: SparkSession, name: str, source: DataFrame,
+                       key_col: str, attrs: dict[str, str]) -> None:
+    """Register dictionary ``name`` from a parameter-sized DataFrame:
+    one SQL function ``__dict_<name>_<attr>(key)`` per attribute, a
+    literal ``element_at(map(...), key)`` with the ClickHouse
+    default-on-missing (``attrs[attr]`` is the default expressed as a
+    SQL literal string, e.g. ``"'unknown'"`` / ``"0"``)."""
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(f"dictionary name must be an identifier, "
+                         f"got {name!r}")
+    rows = source.select(key_col, *attrs).limit(MAX_DICT_ROWS + 1) \
+                 .collect()
+    if len(rows) > MAX_DICT_ROWS:
+        raise ValueError(
+            f"dictionary {name!r} exceeds {MAX_DICT_ROWS} rows — a "
+            f"map literal that size bloats every plan that uses it; "
+            f"use sources/lookup.lookup_join (broadcast join) for "
+            f"table-sized enrichment")
+    keys = [r[0] for r in rows]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"dictionary {name!r}: duplicate keys — the "
+                         f"lookup would be nondeterministic")
+    key_t = source.schema[key_col].dataType.simpleString()
+    fns: dict[str, str] = {}
+    for i, (attr, default) in enumerate(attrs.items()):
+        pairs = ", ".join(
+            f"{_sql_literal(r[0])}, {_sql_literal(r[i + 1])}"
+            for r in rows)
+        fn = f"__dict_{name}_{attr}"
+        ret_t = source.schema[attr].dataType.simpleString()
+        body = (f"coalesce(element_at(map({pairs}), k), {default})"
+                if pairs else f"{default}")
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION "
+                  f"{fn}(k {key_t}) RETURNS {ret_t} RETURN {body}")
+        fns[attr] = fn
+    _DICTIONARIES[name] = fns
+
+
+_DICT_GET_RE = re.compile(
+    r"(?is)\bdictGet\s*\(\s*'(?P<name>\w+)'\s*,\s*'(?P<attr>\w+)'\s*,")
+
+
+def rewrite_dict_get(query: str) -> str:
+    """``dictGet('name', 'attr', key_expr)`` →
+    ``__dict_name_attr(key_expr)``. Literal name/attr only (the CH
+    form — computed dictionary names are refused loudly). String
+    literals are masked first so data mentioning ``dictGet`` comes
+    back byte-identical (the rewrite_aggregates discipline) — BUT the
+    mask must not hide the name/attr literals the pattern itself
+    consumes, so masking applies only when the quote is not part of a
+    dictGet call head (the pattern runs before the mask)."""
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    def _sub(m: re.Match) -> str:
+        d = _DICTIONARIES.get(m.group("name"))
+        if d is None:
+            raise ValueError(
+                f"dictGet: dictionary {m.group('name')!r} is not "
+                f"declared — call declare_dictionary(...) first (the "
+                f"CH CREATE DICTIONARY DDL analog)")
+        fn = d.get(m.group("attr"))
+        if fn is None:
+            raise ValueError(
+                f"dictGet: dictionary {m.group('name')!r} has no "
+                f"attribute {m.group('attr')!r} (declared: "
+                f"{sorted(d)})")
+        return f"{fn}("
+
+    out = _DICT_GET_RE.sub(_sub, query)
+    # leak check on literal-MASKED text: a string literal mentioning
+    # dictGet must not trip the refusal (and comes back untouched)
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, out)
+    if re.search(r"(?is)\bdictGet\w*\s*\(", masked):
+        raise ValueError(
+            "unsupported dictGet form — needs literal "
+            "dictGet('<name>', '<attr>', <key expr>); the typed "
+            "dictGetString/dictGetInt variants and computed names "
+            "are not implemented")
+    return out

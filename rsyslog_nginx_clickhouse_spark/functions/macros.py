@@ -516,6 +516,15 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(
         rf"\bquantiles(?:TDigest)?\(({nested})\)\(({nested})\)",
         r"percentile_approx(\2, array(\1))", out)
+    # groupUniqArray(x) → sorted distinct array. DOCUMENTED
+    # deviation: ClickHouse returns the distinct elements in
+    # nondeterministic (block) order; the deterministic sorted form
+    # is what a value-gated engine can promise. groupArray (insertion
+    # order, inherently nondeterministic when distributed) is
+    # deliberately NOT mapped — it fails loudly as an unknown
+    # function rather than silently de-determinizing.
+    out = re.sub(rf"\bgroupUniqArray\(({nested})\)",
+                 r"sort_array(collect_set(\1))", out)
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
     out = re.sub(
@@ -1152,7 +1161,11 @@ def rewrite_with_fill(query: str) -> str:
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     """engine.sql(): expand macros, ensure compat fns, run spark.sql."""
     register_clickhouse_functions(spark)
-    query = rewrite_scalar_with(query)
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        rewrite_dict_get,
+    )
+
+    query = rewrite_dict_get(rewrite_scalar_with(query))
     if "$" in query and "table" in macro_kwargs:
         query = expand_macros(query, **macro_kwargs)
     else:

@@ -690,3 +690,46 @@ def select_except_modifier(spark: SparkSession,
         SELECT * EXCEPT (s_acctbal, s_name) FROM sem_supplier
         WHERE s_nationkey < 5 ORDER BY s_suppkey
     """)
+
+
+@query(
+    "dict_get_enrichment",
+    oracle="""
+    SELECT coalesce(n.n_name, 'unknown') AS nation,
+           count(*)::bigint AS cnt,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY nation ORDER BY nation
+    """,
+    doc="ClickHouse external-dictionary surface "
+        "(`dictGet('nations', 'n_name', c_nationkey)`): a CH "
+        "dictionary is BY DEFINITION an in-memory lookup table "
+        "replicated to every server, so the faithful Spark analog is "
+        "a literal map() inside a SQL function — the literal ships "
+        "with the plan to every executor (replicate-everywhere) and "
+        "stays inside whole-stage codegen: NO join, NO shuffle for "
+        "the enrichment (plancheck shows a single scan). "
+        "declare_dictionary enforces a parameter-size row cap and "
+        "points bigger tables at the broadcast lookup_join — the "
+        "same dictionary-vs-JOIN split CH users make "
+        "(functions/dictionary.py; default-on-missing honored)",
+)
+def dict_get_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        declare_dictionary,
+    )
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    declare_dictionary(spark, "nations", load(spark, sf_dir, "nation"),
+                       key_col="n_nationkey",
+                       attrs={"n_name": "'unknown'"})
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "dict_customer")
+    return engine_sql(spark, """
+        SELECT dictGet('nations', 'n_name', c_nationkey) AS nation,
+               CAST(count() AS bigint) AS cnt,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM dict_customer GROUP BY nation ORDER BY nation
+    """)

@@ -2293,3 +2293,182 @@ def mutation_delete_roundtrip(spark: SparkSession,
             .agg(F.count("*").alias("cnt"),
                  F.round(F.sum("value"), 2).alias("total_value"))
             .orderBy("event_type"))
+
+
+@query(
+    "mutation_update_roundtrip",
+    # value is 2-decimal; value*2 is exact 2-decimal, so round(sum,2)
+    # sits ON the grid in both engines (no tie hazard)
+    oracle="""
+    SELECT event_type, count(*)::bigint AS cnt,
+           round(sum(CASE WHEN event_type = 'click'
+                           AND CAST(ts AS DATE) BETWEEN
+                               DATE '2024-01-10' AND DATE '2024-01-14'
+                          THEN value * 2 ELSE value END), 2)
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse mutation surface, UPDATE half (`ALTER TABLE t "
+        "UPDATE value = value * 2 WHERE …`): the same partition-"
+        "scoped copy-on-write as mutation_delete_roundtrip — the "
+        "assignment applies to matching rows, non-matching rows in "
+        "affected partitions copy through unchanged, untouched "
+        "partitions never rewrite; assignments to unknown or "
+        "partition columns are refused (a partition-column UPDATE "
+        "moves rows between partitions — a table rebuild, not a "
+        "mutation) (plans/mutations.alter_update)",
+)
+def mutation_update_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.catalog import scratch_dir
+    from rsyslog_nginx_clickhouse_spark.plans.mutations import (
+        alter_update,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    path = scratch_dir("mutation_update", sf_dir)
+    ev.write.partitionBy("d").parquet(path)
+    alter_update(
+        spark, path, {"value": "value * 2"},
+        "event_type = 'click' AND d BETWEEN DATE'2024-01-10' "
+        "AND DATE'2024-01-14'", partition_col="d")
+    return (spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("event_type"))
+
+
+@query(
+    "jsoneachrow_roundtrip",
+    # the oracle aggregates the raw events: the render -> parse loop
+    # must be lossless for the day/type/value columns (to_json emits
+    # millisecond ISO timestamps — day truncation is unaffected)
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           count(*)::bigint AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="JSONEachRow SOURCE round-trip (the read half of the wire "
+        "format sinks/clickhouse.py writes — ClickHouse's most common "
+        "ingest format): events rows render to one JSON object per "
+        "line, parse back through sources/jsoneachrow.parse_json_lines "
+        "(from_json with EXPLICIT DDL schema — a codegen expression, "
+        "no UDF, no inference scan), split ok/dead off one shared "
+        "scan with the nginx parser's dead-letter discipline, and the "
+        "typed result must re-aggregate to exactly the source values; "
+        "corrupt-line routing is pinned in tests/test_jsoneachrow.py",
+)
+def jsoneachrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.sources.jsoneachrow import (
+        parse_json_lines,
+        render_json_lines,
+        typed_rows,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    lines = ev.select(render_json_lines(ev).alias("value"))
+    typed = typed_rows(parse_json_lines(
+        lines,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double"))
+    return (typed.groupBy(F.date_trunc("day", "ts").alias("d"),
+                          "event_type")
+                 .agg(F.count("*").alias("cnt"),
+                      F.round(F.sum("value"), 2).alias("total_value"))
+                 .orderBy("d", "event_type"))
+
+
+@query(
+    "group_uniq_array_sql",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+           list_sort(list_distinct(list(event_type))) AS types,
+           count(*)::bigint AS cnt
+    FROM events GROUP BY d ORDER BY d
+    """,
+    doc="ClickHouse `groupUniqArray(x)` aggregate surface → "
+        "sort_array(collect_set(x)): one partial-aggregatable "
+        "distinct-set per group. DOCUMENTED deviation: CH returns "
+        "the distinct elements in nondeterministic block order; the "
+        "sorted form is what a value-gated engine can promise. "
+        "groupArray (insertion order — inherently nondeterministic "
+        "distributed) is deliberately NOT mapped and fails loudly "
+        "(functions/macros.rewrite_aggregates)",
+)
+def group_uniq_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "gua_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d,
+               groupUniqArray(event_type) AS types,
+               CAST(count() AS bigint) AS cnt
+        FROM gua_events GROUP BY d ORDER BY d
+    """)
+
+
+@query(
+    "csvwithnames_roundtrip",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           count(*)::bigint AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="CSVWithNames SOURCE round-trip — with jsoneachrow_roundtrip "
+        "this covers ClickHouse's top-two client formats: events rows "
+        "render to CSV records, parse back through "
+        "sources/csvwithnames.parse_csv_lines (from_csv with explicit "
+        "DDL — codegen, no UDF, no inference scan; corrupt lines "
+        "split off the same scan via the PERMISSIVE corrupt-record "
+        "column), and the typed result re-aggregates to exactly the "
+        "source values; empty-vs-NULL is the documented CSV "
+        "ambiguity, resolved as both Spark and CH's CSV reader do",
+)
+def csvwithnames_roundtrip(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.sources.csvwithnames import (
+        parse_csv_lines,
+        render_csv_lines,
+        typed_rows,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    lines = ev.select(render_csv_lines(ev).alias("value"))
+    typed = typed_rows(parse_csv_lines(
+        lines,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double"))
+    return (typed.groupBy(F.date_trunc("day", "ts").alias("d"),
+                          "event_type")
+                 .agg(F.count("*").alias("cnt"),
+                      F.round(F.sum("value"), 2).alias("total_value"))
+                 .orderBy("d", "event_type"))
+
+
+@query(
+    "cube_sql_status",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           count(*)::bigint AS cnt
+    FROM events WHERE value > 100
+    GROUP BY CUBE (d, event_type)
+    ORDER BY d, event_type
+    """,
+    doc="ClickHouse `GROUP BY … WITH CUBE` SQL surface — the CH-text "
+        "spelling of revenue_cube's DataFrame cube: all 2^2 grouping "
+        "sets planned as ONE Expand + one HashAggregate (one scan, "
+        "one shuffle), with the WHERE pushed beneath the Expand so "
+        "the filter runs once, not per grouping set",
+)
+def cube_sql_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "cube_sql_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d, event_type,
+               CAST(count() AS bigint) AS cnt
+        FROM cube_sql_events WHERE value > 100
+        GROUP BY d, event_type WITH CUBE
+        ORDER BY d, event_type
+    """)

@@ -105,3 +105,71 @@ def test_summing_final_end_to_end(spark):
     rows = {tuple(r) for r in macros.sql(
         spark, "SELECT k, value, _n FROM sum_t9 FINAL").collect()}
     assert rows == {("a", 4.0, 3), ("b", 5.0, 4)}
+
+
+def test_group_uniq_array_rewrite():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    assert rewrite_aggregates(
+        "SELECT d, groupUniqArray(event_type) AS t FROM e GROUP BY d") \
+        == ("SELECT d, sort_array(collect_set(event_type)) AS t "
+            "FROM e GROUP BY d")
+    # groupArray stays untouched (fails loudly downstream, never
+    # silently de-determinized)
+    q = "SELECT groupArray(x) FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+def test_dictionary_declare_and_rewrite(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        MAX_DICT_ROWS,
+        declare_dictionary,
+        rewrite_dict_get,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k int, name string")
+    declare_dictionary(spark, "t9dict", dim, key_col="k",
+                       attrs={"name": "'missing'"})
+    spark.createDataFrame([(1,), (2,), (99,)], "k int") \
+        .createOrReplaceTempView("t9_facts")
+    rows = {tuple(r) for r in macros.sql(spark, """
+        SELECT k, dictGet('t9dict', 'name', k) AS name FROM t9_facts
+    """).collect()}
+    # default-on-missing, CH semantics
+    assert rows == {(1, "one"), (2, "two"), (99, "missing")}
+    # enrichment is a single scan: no join anywhere in the plan
+    plan = macros.sql(
+        spark, "SELECT dictGet('t9dict', 'name', k) AS n "
+               "FROM t9_facts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+
+    with pytest.raises(ValueError, match="not declared"):
+        rewrite_dict_get("SELECT dictGet('nope', 'x', k) FROM t")
+    with pytest.raises(ValueError, match="no attribute"):
+        rewrite_dict_get("SELECT dictGet('t9dict', 'zz', k) FROM t")
+    with pytest.raises(ValueError, match="unsupported dictGet"):
+        rewrite_dict_get("SELECT dictGetString('t9dict', 'name', k) "
+                         "FROM t")
+    # string DATA mentioning dictGet survives byte-identical
+    q = "SELECT 'use dictGet(x) here' AS s FROM t"
+    assert rewrite_dict_get(q) == q
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        declare_dictionary(
+            spark, "dup9",
+            spark.createDataFrame([(1, "a"), (1, "b")],
+                                  "k int, v string"),
+            key_col="k", attrs={"v": "''"})
+    big = spark.range(MAX_DICT_ROWS + 1).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="exceeds"):
+        declare_dictionary(spark, "big9", big, key_col="k",
+                           attrs={"v": "''"})
