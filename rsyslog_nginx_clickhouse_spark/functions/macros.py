@@ -697,6 +697,58 @@ def rewrite_with_totals(query: str) -> str:
 #: partition the table exactly. The row-count form ``SAMPLE n`` (n>1)
 #: is refused loudly — it needs table statistics to invert into a
 #: fraction, which this engine doesn't keep.
+#: ClickHouse ``SELECT TOP n …`` — the T-SQL-style spelling CH accepts
+#: as an exact synonym of LIMIT. CH forbids combining TOP with LIMIT,
+#: and so does the rewrite (refusal, not silent precedence-picking).
+_TOP_RE = re.compile(
+    r"(?is)^(?P<head>\s*SELECT\s+(?:DISTINCT\s+)?)TOP\s+(?P<n>\d+)\s+")
+
+
+def rewrite_top(query: str) -> str:
+    """``SELECT TOP n <cols> …`` → ``SELECT <cols> … LIMIT n``."""
+    m = _TOP_RE.match(query)
+    if not m:
+        return query
+    if re.search(r"(?is)\bLIMIT\b", query):
+        raise ValueError(
+            "SELECT TOP n cannot be combined with LIMIT (ClickHouse "
+            "forbids it too) — state one of them")
+    return (query[:m.start()] + m.group("head")
+            + query[m.end():].rstrip().rstrip(";")
+            + f" LIMIT {m.group('n')}")
+
+
+#: ClickHouse ``ORDER BY … LIMIT n WITH TIES`` — keep every row tying
+#: with the cut row's sort key, so the result is DETERMINISTIC even
+#: without a tiebreak column (the whole point of the clause). Spark
+#: has no WITH TIES; the rewrite is the textbook rank() form. Same
+#: supported shape as LIMIT BY: a top-level ORDER BY whose keys are
+#: selected columns.
+_WITH_TIES_RE = re.compile(
+    r"(?is)^(?P<body>.*?)\s+ORDER\s+BY\s+(?P<order>[^()]+?)\s+"
+    r"LIMIT\s+(?P<n>\d+)\s+WITH\s+TIES\s*;?\s*$")
+
+
+def rewrite_limit_with_ties(query: str) -> str:
+    """``<body> ORDER BY k LIMIT n WITH TIES`` → rank-filtered form:
+    rank() ties share a rank, so ``rank <= n`` keeps exactly the rows
+    ClickHouse keeps."""
+    m = _WITH_TIES_RE.match(query)
+    if not m:
+        if re.search(r"(?is)\bWITH\s+TIES\b", query):
+            raise ValueError(
+                "unsupported WITH TIES form — needs '<select> ORDER "
+                "BY <cols> LIMIT <n> WITH TIES' as the final clauses, "
+                "with the order keys in the select list")
+        return query
+    body, order, n = m.group("body"), m.group("order").strip(), \
+        m.group("n")
+    return (f"WITH __wt AS ({body}) "
+            f"SELECT * EXCEPT (__rk) FROM "
+            f"(SELECT *, rank() OVER (ORDER BY {order}) AS __rk "
+            f"FROM __wt) WHERE __rk <= {n} ORDER BY {order}")
+
+
 #: frac/off capture all three ClickHouse literal spellings — decimal
 #: (0.1), ratio (1/10) and bare integer (SAMPLE 1000, OFFSET 1) — so
 #: unsupported forms reach the loud ValueError below instead of
@@ -1171,7 +1223,7 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
     else:
         query = rewrite_aggregates(query)
     return spark.sql(
-        rewrite_with_fill(rewrite_with_totals(rewrite_limit_by(
-            rewrite_sample(rewrite_array_join(rewrite_final(
-                rewrite_prewhere(rewrite_asof_join(
-                    spark, rewrite_format(query))))))))))
+        rewrite_with_fill(rewrite_with_totals(rewrite_limit_with_ties(
+            rewrite_limit_by(rewrite_sample(rewrite_array_join(
+                rewrite_final(rewrite_prewhere(rewrite_asof_join(
+                    spark, rewrite_top(rewrite_format(query))))))))))))

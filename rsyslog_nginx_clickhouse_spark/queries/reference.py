@@ -2472,3 +2472,57 @@ def cube_sql_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d, event_type WITH CUBE
         ORDER BY d, event_type
     """)
+
+
+@query(
+    "top_n_sql",
+    oracle="""
+    SELECT user_id, count(*)::bigint AS cnt
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5
+    """,
+    doc="ClickHouse `SELECT TOP n` surface (the T-SQL-style synonym "
+        "CH accepts for LIMIT): rewritten to a trailing LIMIT — "
+        "planned as TakeOrderedAndProject, no global sort; combining "
+        "TOP with LIMIT is refused as CH itself does "
+        "(functions/macros.rewrite_top)",
+)
+def top_n_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "top_sql_events")
+    return engine_sql(spark, """
+        SELECT TOP 5 user_id, CAST(count() AS bigint) AS cnt
+        FROM top_sql_events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY cnt DESC, user_id
+    """)
+
+
+@query(
+    "limit_with_ties_sql",
+    # WITH TIES is what makes a tiebreak-free ORDER BY deterministic:
+    # every row tying with the cut row is kept, in both engines
+    oracle="""
+    WITH src AS (
+      SELECT user_id, count(*)::bigint AS cnt
+      FROM events WHERE event_type = 'error' GROUP BY user_id)
+    SELECT user_id, cnt FROM
+      (SELECT *, rank() OVER (ORDER BY cnt DESC) AS rk FROM src)
+    WHERE rk <= 10 ORDER BY cnt DESC
+    """,
+    doc="ClickHouse `ORDER BY … LIMIT n WITH TIES` surface: keep "
+        "every row tying with the cut row's sort key — the clause "
+        "that makes a tiebreak-free top-n DETERMINISTIC (the result "
+        "set is closed under ties, so no arbitrary subset survives). "
+        "Spark has no WITH TIES; the rewrite is the textbook rank() "
+        "form — rank <= n keeps exactly the rows CH keeps "
+        "(functions/macros.rewrite_limit_with_ties)",
+)
+def limit_with_ties_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ties_events")
+    return engine_sql(spark, """
+        SELECT user_id, CAST(count() AS bigint) AS cnt
+        FROM ties_events WHERE event_type = 'error'
+        GROUP BY user_id
+        ORDER BY cnt DESC LIMIT 10 WITH TIES
+    """)

@@ -173,3 +173,43 @@ def test_dictionary_declare_and_rewrite(spark):
     with pytest.raises(ValueError, match="exceeds"):
         declare_dictionary(spark, "big9", big, key_col="k",
                            attrs={"v": "''"})
+
+
+def test_top_and_with_ties_rewrites(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_limit_with_ties,
+        rewrite_top,
+    )
+
+    assert rewrite_top("SELECT TOP 5 a FROM t ORDER BY a") == \
+        "SELECT a FROM t ORDER BY a LIMIT 5"
+    assert rewrite_top("SELECT DISTINCT TOP 3 a FROM t") == \
+        "SELECT DISTINCT a FROM t LIMIT 3"
+    q = "SELECT a FROM t LIMIT 5"
+    assert rewrite_top(q) == q
+    with pytest.raises(ValueError, match="cannot be combined"):
+        rewrite_top("SELECT TOP 5 a FROM t LIMIT 3")
+
+    out = rewrite_limit_with_ties(
+        "SELECT a, c FROM t ORDER BY c DESC LIMIT 2 WITH TIES")
+    assert "rank() OVER (ORDER BY c DESC)" in out
+    assert "__rk <= 2" in out and "WITH TIES" not in out
+    q2 = "SELECT a FROM t ORDER BY a LIMIT 2"
+    assert rewrite_limit_with_ties(q2) == q2
+    with pytest.raises(ValueError, match="unsupported WITH TIES"):
+        rewrite_limit_with_ties("SELECT a FROM t LIMIT 2 WITH TIES")
+
+    # execution: the tie at the cut row is kept entirely
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+
+    spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "k string, c int") \
+        .createOrReplaceTempView("ties_t")
+    rows = macros.sql(spark, """
+        SELECT k, c FROM ties_t ORDER BY c DESC LIMIT 2 WITH TIES
+    """).collect()
+    assert {(r.k, r.c) for r in rows} == {("a", 5), ("b", 3), ("c", 3)}
+    top = macros.sql(
+        spark, "SELECT TOP 2 k FROM ties_t ORDER BY c DESC, k"
+    ).collect()
+    assert [r.k for r in top] == ["a", "b"]
