@@ -71,9 +71,26 @@ def alter_delete(spark: SparkSession, path: str, where: str,
         return 0
     survivors = (df.where(F.col(partition_col).isin(parts))
                    .where(f"NOT ({where})"))
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written data — a partition whose rows ALL matched has no
+    # survivors to write and would silently survive the delete
+    # (caught by the edge-events corpus: a single-row day). Those
+    # fully-deleted partitions are removed explicitly; the kept-set
+    # fetch is parameter-sized (one row per affected partition).
+    kept = {r[0] for r in (survivors.select(partition_col)
+                           .distinct().collect())}
     with _dynamic_overwrite(spark):
         (survivors.write.mode("overwrite")
                   .partitionBy(partition_col).parquet(path))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in parts:
+        if p in kept:
+            continue
+        name = ("__HIVE_DEFAULT_PARTITION__" if p is None else str(p))
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{partition_col}={name}")
+        jpath.getFileSystem(conf).delete(jpath, True)
     return len(parts)
 
 

@@ -2031,11 +2031,16 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_sql_daily",
     # subtotal + grand-total rows carry NULL group keys in BOTH
-    # engines; round(sum, 2) of 2-decimal values sits ON the grid
+    # engines; round(sum, 2) of 2-decimal values sits ON the grid.
+    # HAVING count(*) > 0 mirrors Spark's AND ClickHouse's
+    # empty-input semantics (no grand-total row over zero rows) in
+    # DuckDB, which would otherwise emit one; count(*) >= 1 on every
+    # non-empty group, so it is a no-op on real data
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
            count(*)::bigint AS cnt, round(sum(value), 2) AS total_value
     FROM events GROUP BY ROLLUP (d, event_type)
+    HAVING count(*) > 0
     ORDER BY d, event_type
     """,
     doc="ClickHouse `GROUP BY … WITH ROLLUP` surface: the verbatim CH "
@@ -2454,6 +2459,7 @@ def csvwithnames_roundtrip(spark: SparkSession,
            count(*)::bigint AS cnt
     FROM events WHERE value > 100
     GROUP BY CUBE (d, event_type)
+    HAVING count(*) > 0
     ORDER BY d, event_type
     """,
     doc="ClickHouse `GROUP BY … WITH CUBE` SQL surface — the CH-text "

@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 _STRUCT = "_c"
 _CORRUPT = "_corrupt"
 
+#: microsecond timestamps, same rationale as the JSON twin (Spark's
+#: default serialization truncates to milliseconds)
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 
 def parse_csv_lines(lines: DataFrame, schema: str,
                     line_col: str = "value") -> DataFrame:
@@ -36,7 +40,7 @@ def parse_csv_lines(lines: DataFrame, schema: str,
         F.from_csv(
             F.col(line_col), f"{schema}, {_CORRUPT} string",
             {"columnNameOfCorruptRecord": _CORRUPT,
-             "mode": "PERMISSIVE"}).alias(_STRUCT)))
+             "mode": "PERMISSIVE", **_TS_OPTS}).alias(_STRUCT)))
 
 
 def typed_rows(parsed: DataFrame) -> DataFrame:
@@ -54,4 +58,5 @@ def dead_letters(parsed: DataFrame) -> DataFrame:
 def render_csv_lines(df: DataFrame) -> Column:
     """``to_csv(struct(*))`` — one CSV record per row (test/round-trip
     writer)."""
-    return F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
+    return F.to_csv(F.struct(*[F.col(c) for c in df.columns]),
+                    _TS_OPTS)

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 _STRUCT = "_j"
 _CORRUPT = "_corrupt"
 
+#: explicit microsecond timestamp format on BOTH sides: Spark's
+#: default to_json truncates timestamps to milliseconds (measured —
+#: truncation, not rounding, so it cannot flip a day bucket, but it
+#: silently loses 3 digits the parquet data carries). ClickHouse
+#: JSONEachRow round-trips full precision; so do we.
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 
 def parse_json_lines(lines: DataFrame, schema: str,
                      line_col: str = "value") -> DataFrame:
@@ -43,7 +50,8 @@ def parse_json_lines(lines: DataFrame, schema: str,
         F.col(line_col).alias("_raw"),
         F.from_json(
             F.col(line_col), f"{schema}, {_CORRUPT} string",
-            {"columnNameOfCorruptRecord": _CORRUPT}).alias(_STRUCT)))
+            {"columnNameOfCorruptRecord": _CORRUPT,
+             **_TS_OPTS}).alias(_STRUCT)))
 
 
 def typed_rows(parsed: DataFrame) -> DataFrame:
@@ -63,4 +71,5 @@ def render_json_lines(df: DataFrame) -> Column:
     """``to_json(struct(*))`` — one JSONEachRow line per row (the
     test/round-trip writer; the production writer is the ClickHouse
     sink's chunked POST of the same format)."""
-    return F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return F.to_json(F.struct(*[F.col(c) for c in df.columns]),
+                     _TS_OPTS)

@@ -42,6 +42,18 @@ EVENT_QUERIES = [
     "funnel_view_click_purchase", "retention_cohort",
     "sequence_match_funnel", "sequence_count_chains",
     "events_in_sessions_rangejoin", "skew_salted_event_counts",
+    # round-9 tier: rollup/cube NULL-key subtotals over sparse days,
+    # multi-quantile interpolation on exact-value ties, LOCF fill with
+    # a single real bucket, lag/lead on 1-row days, scalar-WITH
+    # constants, FINAL re-sum over 2-epoch partials, partition-scoped
+    # mutations with the edge days, format-source round-trips at the
+    # midnight/µs boundaries, tie-closed top-n where EVERYTHING ties
+    "rollup_sql_daily", "cube_sql_status", "quantiles_array_sql",
+    "with_fill_interpolate", "window_lag_lead_sql",
+    "scalar_with_threshold", "final_summing_read",
+    "mutation_delete_roundtrip", "mutation_update_roundtrip",
+    "jsoneachrow_roundtrip", "csvwithnames_roundtrip",
+    "group_uniq_array_sql", "top_n_sql", "limit_with_ties_sql",
 ]
 
 #: (event_id, ts, user_id, event_type, value, props)

@@ -81,3 +81,26 @@ def test_csv_ok_dead_split_and_roundtrip(spark):
     plan = csv_typed(parsed)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_microsecond_timestamps_roundtrip_lossless(spark):
+    from rsyslog_nginx_clickhouse_spark.sources.csvwithnames import (
+        parse_csv_lines,
+        render_csv_lines,
+    )
+    from rsyslog_nginx_clickhouse_spark.sources.csvwithnames import (
+        typed_rows as csv_typed,
+    )
+
+    src = spark.sql(
+        "SELECT TIMESTAMP'2024-01-01 23:59:59.999999' AS ts "
+        "UNION ALL SELECT TIMESTAMP'2024-01-02 00:00:00.000001'")
+    for render, parse, typed in (
+            (render_json_lines,
+             lambda ln, sch: parse_json_lines(ln, sch), typed_rows),
+            (render_csv_lines,
+             lambda ln, sch: parse_csv_lines(ln, sch), csv_typed)):
+        back = typed(parse(
+            src.select(render(src).alias("value")), "ts timestamp"))
+        assert {r.ts for r in back.collect()} == \
+            {r.ts for r in src.collect()}

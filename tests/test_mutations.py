@@ -81,3 +81,21 @@ def test_overwrite_mode_not_leaked(spark, tmp_path):
     prev = spark.conf.get(key, None)
     alter_delete(spark, path, "etype = 'error'", partition_col="d")
     assert spark.conf.get(key, None) == prev
+
+
+def test_alter_delete_removes_fully_matched_partition(spark, tmp_path):
+    """A partition whose rows ALL match must disappear — dynamic
+    overwrite alone cannot delete it (no survivors to write); the
+    edge-events corpus caught exactly this (a single-row day)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "d0", "error", 1.0), (2, "d1", "view", 2.0),
+         (3, "d1", "error", 3.0)],
+        "id long, d string, etype string, v double") \
+        .write.partitionBy("d").parquet(path)
+    n = alter_delete(spark, path, "etype = 'error'", partition_col="d")
+    assert n == 2
+    rows = {tuple(r) for r in spark.read.parquet(path)
+            .select("id", "etype", "d").collect()}
+    assert rows == {(2, "view", "d1")}
+    assert not os.path.exists(os.path.join(path, "d=d0"))

@@ -64,7 +64,13 @@ TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 # empty-token chunk in both engines); the seeded LM's
                 # fixed-id-range seed covers every edge doc, so OOV
                 # backoff and the en-only count tables both exercise
-                "doc_chunk_tokens", "ngram_lm_perplexity_seeded"]
+                "doc_chunk_tokens", "ngram_lm_perplexity_seeded",
+                # round-9 tier: BM25 over a corpus with NO matching
+                # query terms (empty result both engines), epoch
+                # replication from the source id, curriculum ranks
+                # with tied n_chars (doc_id tiebreak)
+                "bm25_top_docs", "upsample_epochs",
+                "curriculum_schedule"]
 
 
 @pytest.fixture(scope="module")
