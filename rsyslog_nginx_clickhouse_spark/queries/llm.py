@@ -2332,17 +2332,13 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_merges=8)
 
 
-@query(
-    "bm25_top_docs",
-    # op-order mirror: n/sum_len are the same integers both sides
-    # (Spark inlines the collected stats, the oracle computes them),
-    # and every divide/multiply is written in the same order, so the
-    # only cross-engine wiggle is ln()'s last ulp — absorbed by
-    # round 6 (idf is a log -> irrational, never ON a tie; the
-    # top-20 cutoff orders by the ROUNDED score with doc_id
-    # tiebreak, so a last-ulp difference cannot flip the boundary)
-    oracle="""
-    WITH toks AS (
+#: the BM25 pipeline shared by bm25_top_docs and hybrid_retrieval —
+#: ONE definition on each side (a drifting copy would silently
+#: desynchronize the lexical scores between the two queries).
+_BM25_TERMS = ("spark", "window", "hash")
+
+_BM25_CTES = """
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents),
     lens AS (
@@ -2357,34 +2353,26 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE tok IN ('spark', 'window', 'hash')
       GROUP BY doc_id, tok),
     dfreq AS (
-      SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok)
-    SELECT t.doc_id,
-           round(sum(
-             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-             * (t.tf * 2.2)
-             / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n / s.sum_len)))
-           ), 6) AS score
-    FROM tf t
-    JOIN dfreq d USING (tok)
-    JOIN lens l USING (doc_id)
-    CROSS JOIN stats s
-    GROUP BY t.doc_id
-    ORDER BY score DESC, doc_id LIMIT 20
-    """,
-    doc="BM25 retrieval (Robertson/Sparck-Jones probabilistic "
-        "ranking, k1=1.2 b=0.75 — the lexical-retrieval baseline "
-        "every RAG/contrastive pipeline pairs with dense kNN): "
-        "corpus stats (N, total length) are ONE parameter-sized "
-        "aggregate inlined as literals; per-doc term frequencies "
-        "keep only the query terms via an array filter BEFORE the "
-        "explode (the shuffle carries matched tokens only, never the "
-        "corpus token stream); df is a 3-row broadcast. At 100 TB "
-        "the shape is scan + one matched-token shuffle + one "
-        "doc-sized join — no global token index needed for a fixed "
-        "query; the per-query cost is independent of vocabulary",
-)
-def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    terms = ["spark", "window", "hash"]
+      SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    bm25 AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75
+                                * (l.dl * s.n / s.sum_len)))
+             ), 6) AS score
+      FROM tf t
+      JOIN dfreq d USING (tok)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id)"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) — BM25 (k1=1.2, b=0.75) for _BM25_TERMS, the
+    Spark twin of the _BM25_CTES oracle text, op-order mirrored."""
+    terms = _BM25_TERMS
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split("text", " ").alias("toks"))
     lens = toks.select("doc_id", F.size("toks").cast("long").alias("dl"),
@@ -2409,9 +2397,92 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (F.lit(0.25) + F.lit(0.75)
                         * (F.col("dl") * F.lit(n) / F.lit(sum_len)))))
     return (scored.groupBy("doc_id")
-                  .agg(F.round(F.sum(term_score), 6).alias("score"))
-                  .orderBy(F.desc("score"), F.asc("doc_id"))
-                  .limit(20))
+                  .agg(F.round(F.sum(term_score), 6).alias("score")))
+
+
+@query(
+    "bm25_top_docs",
+    # op-order mirror: n/sum_len are the same integers both sides
+    # (Spark inlines the collected stats, the oracle computes them),
+    # and every divide/multiply is written in the same order, so the
+    # only cross-engine wiggle is ln()'s last ulp — absorbed by
+    # round 6 (idf is a log -> irrational, never ON a tie; the
+    # top-20 cutoff orders by the ROUNDED score with doc_id
+    # tiebreak, so a last-ulp difference cannot flip the boundary)
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score FROM bm25
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 retrieval (Robertson/Sparck-Jones probabilistic "
+        "ranking, k1=1.2 b=0.75 — the lexical-retrieval baseline "
+        "every RAG/contrastive pipeline pairs with dense kNN): "
+        "corpus stats (N, total length) are ONE parameter-sized "
+        "aggregate inlined as literals; per-doc term frequencies "
+        "keep only the query terms via an array filter BEFORE the "
+        "explode (the shuffle carries matched tokens only, never the "
+        "corpus token stream); df is a 3-row broadcast. At 100 TB "
+        "the shape is scan + one matched-token shuffle + one "
+        "doc-sized join — no global token index needed for a fixed "
+        "query; the per-query cost is independent of vocabulary",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_bm25_scored(spark, sf_dir)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20))
+
+
+@query(
+    "hybrid_retrieval",
+    # the dense stage reranks by the tie6-rounded cosine (the shared
+    # rounding contract of the whole ANN family), bm25 rounded at 6
+    # breaks cosine ties, doc_id breaks the rest — every cutoff is
+    # taken on rounded keys, so engine ulps cannot flip it
+    oracle=f"""
+    WITH {_BM25_CTES},
+    cand AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM bm25),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    rer AS (
+      SELECT c.doc_id, c.score, {_cos_sql('e.embedding', 'qv')} AS cs
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+      WHERE c.rn <= 50)
+    SELECT doc_id, score AS bm25,
+           floor((cs) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM rer
+    ORDER BY floor((cs) * 1000000 + 0.5) / 1000000 DESC, score DESC,
+             doc_id
+    LIMIT 10
+    """,
+    doc="hybrid retrieval — the standard RAG serving pattern: BM25 "
+        "lexical recall (top-50 candidates, TakeOrderedAndProject — "
+        "no global sort) then dense rerank by cosine to the query "
+        "embedding (a parameter-sized driver fetch inlined as a "
+        "literal, exactly the knn_bruteforce contract). The dense "
+        "stage touches ONLY the candidate set: a 50-row broadcast "
+        "join against the embedding table, never a corpus-wide "
+        "scan — at 100 TB the per-query cost is the lexical pass "
+        "plus 50 cosines, which is why lexical-recall/dense-rerank "
+        "is the shape production retrieval stacks use",
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.similarity import tie6
+
+    cand = (_bm25_scored(spark, sf_dir)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(50))
+    qv = _query_vector(spark, sf_dir, 1)
+    emb = load(spark, sf_dir, "embeddings")
+    rer = (F.broadcast(cand)
+           .join(emb, cand.doc_id == emb.vec_id)
+           .select(F.col("doc_id"), F.col("score").alias("bm25"),
+                   tie6(cosine(F.col("embedding"), qv))
+                   .alias("cos_sim")))
+    return (rer.orderBy(F.desc("cos_sim"), F.desc("bm25"),
+                        F.asc("doc_id"))
+               .limit(10))
 
 
 @query(

@@ -173,3 +173,51 @@ def test_image_hash_dedup_finds_the_planted_dups(spark, mm_edge_dir):
     assert pairs.get((1, 2)) == 0      # exact dup
     assert pairs.get((4, 5)) == 0      # exact dup, wrapped render
     assert pairs.get((1, 3)) == 0      # distinct constants, same hash 0
+
+
+def test_hybrid_retrieval_edge_parity(spark, tmp_path):
+    """hybrid_retrieval needs BOTH tables, so it gets its own
+    two-table corpus: docs where the query terms are concentrated,
+    absent, or repeated, embeddings pointing different ways (incl. an
+    antipodal one), and fewer candidates than the top-50 recall cut —
+    the Spark query and DuckDB oracle must agree row-for-row."""
+    import duckdb
+
+    d = str(tmp_path)
+    docs = [
+        (1, "spark window hash join scan", "en", "src0"),
+        (2, "spark spark spark spark", "en", "src1"),
+        (3, "nothing relevant here at all", "en", "src2"),
+        (4, "window", "en", "src0"),
+        (5, "hash window spark", "en", "src1"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")) \
+        .coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),   # antipodal to the query
+        (5, [0.5, 0.5, 0.5, 0.5], 0),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    q = load_all()["hybrid_retrieval"]
+    sdf = q.spark(spark, d)
+    srows = [tuple(r) for r in sdf.collect()]
+    # doc 3 has no query terms: it must not appear at all
+    assert all(r[0] != 3 for r in srows) and srows
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan("
+                    f"'{os.path.join(d, t + '.parquet')}/*.parquet')")
+    res = con.execute(q.oracle)
+    ocols = [dsc[0] for dsc in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert value_hash(srows, sdf.columns) == value_hash(orows, ocols)
