@@ -2557,9 +2557,19 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.row_number().over(w).cast("long").alias("pos_in_source"),
         F.substring("source", 4, 10).cast("int").alias("src_num"))
+    # the composite key is collision-free only while pos < 100000 and
+    # src_num < 100000; a collision would silently de-determinize the
+    # prefix scan (distributed_cumsum requires a total order), so the
+    # bound is ASSERTED per row — codegen-cheap, loud at 100 TB
+    # instead of wrong
+    guard = F.assert_true(
+        (F.col("pos_in_source") < 100000) & (F.col("src_num") < 100000),
+        F.lit("curriculum_schedule: ord_key stride overflow — raise "
+              "the multiplier for this corpus"))
     keyed = ranked.withColumn(
         "ord_key",
-        F.col("pos_in_source") * 100000 + F.col("src_num")) \
+        F.when(guard.isNull(),
+               F.col("pos_in_source") * 100000 + F.col("src_num"))) \
         .withColumn("one", F.lit(1).cast("long"))
     out = distributed_cumsum(keyed, "ord_key", "one",
                              out_col="global_pos")
