@@ -451,8 +451,8 @@ def rewrite_scalar_with(query: str) -> str:
         return query
     binds: dict[str, str] = {}
     for it in items:
-        sm = re.match(r"(?is)^\s*(?P<expr>.+\S)\s+AS\s+(?P<name>\w+)"
-                      r"\s*$", it)
+        sm = re.match(r"(?is)^\s*(?P<expr>\S(?:.*\S)?)\s+AS\s+"
+                      r"(?P<name>\w+)\s*$", it)
         if not sm or re.match(r"(?is)^\s*\w+\s+AS\s*\(", it):
             raise ValueError(
                 f"unsupported WITH item {it.strip()!r} — scalar form "
@@ -473,7 +473,10 @@ def rewrite_scalar_with(query: str) -> str:
 
     body = _STR_LIT.sub(_mask, body)
     for name, expr in binds.items():
-        body = re.sub(rf"\b{name}\b", f"({expr})", body)
+        # (?<!\.) keeps qualified references (t.k) pointing at the
+        # COLUMN, as ClickHouse resolves them — only bare identifiers
+        # are the named constant
+        body = re.sub(rf"(?<!\.)\b{name}\b", f"({expr})", body)
     return re.sub(r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))],
                   body)
 
@@ -509,12 +512,15 @@ def rewrite_aggregates(out: str) -> str:
     # 'quantiles' must not be left for a later partial match):
     # quantilesExact(p1,..,pn)(x) → percentile(x, array(p1,..,pn)),
     # one pass over the data returning the full array, exactly CH's
-    # one-state-many-cuts contract
+    # one-state-many-cuts contract. The value arg may nest calls two
+    # levels deep; anything deeper is REFUSED below rather than
+    # leaking the CH name into Spark's parser.
+    nested2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
     out = re.sub(
-        rf"\bquantilesExact\(({nested})\)\(({nested})\)",
+        rf"\bquantilesExact\(({nested2})\)\(({nested2})\)",
         r"percentile(\2, array(\1))", out)
     out = re.sub(
-        rf"\bquantiles(?:TDigest)?\(({nested})\)\(({nested})\)",
+        rf"\bquantiles(?:TDigest)?\(({nested2})\)\(({nested2})\)",
         r"percentile_approx(\2, array(\1))", out)
     # groupUniqArray(x) → sorted distinct array. DOCUMENTED
     # deviation: ClickHouse returns the distinct elements in
@@ -523,8 +529,20 @@ def rewrite_aggregates(out: str) -> str:
     # order, inherently nondeterministic when distributed) is
     # deliberately NOT mapped — it fails loudly as an unknown
     # function rather than silently de-determinizing.
-    out = re.sub(rf"\bgroupUniqArray\(({nested})\)",
+    out = re.sub(rf"\bgroupUniqArray\(({nested2})\)",
                  r"sort_array(collect_set(\1))", out)
+    # leak check: a combinator whose argument nests deeper than the
+    # patterns above would otherwise pass through silently and hit
+    # Spark as an unknown function far from the cause — refuse HERE
+    # with the actual limitation named (literals are still masked, so
+    # string data cannot trip this)
+    leak = re.search(r"\b(quantiles(?:Exact|TDigest)?|groupUniqArray)"
+                     r"\s*\(", out)
+    if leak:
+        raise ValueError(
+            f"{leak.group(1)}: argument nests more than two call "
+            f"levels deep — flatten it (alias the inner expression "
+            f"in a subquery) or use the Spark names directly")
     for ch_name, spark_name in AGGREGATE_REWRITES.items():
         out = re.sub(rf"\b{ch_name}\s*\(", f"{spark_name}(", out)
     out = re.sub(

@@ -213,3 +213,31 @@ def test_top_and_with_ties_rewrites(spark):
         spark, "SELECT TOP 2 k FROM ties_t ORDER BY c DESC, k"
     ).collect()
     assert [r.k for r in top] == ["a", "b"]
+
+
+def test_round9_rewrite_hardening():
+    """Self-review findings: single-char scalar-WITH expressions,
+    two-level nesting in combinator args, deeper-nesting refusal, and
+    qualified references staying columns."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+        rewrite_scalar_with,
+    )
+
+    assert rewrite_scalar_with(
+        "WITH 5 AS k SELECT k, k2, kk FROM t WHERE k < k2") == \
+        "SELECT (5), k2, kk FROM t WHERE (5) < k2"
+    # qualified t.k is the COLUMN (CH resolution), not the constant
+    assert rewrite_scalar_with("WITH 5 AS k SELECT t.k, k FROM t") == \
+        "SELECT t.k, (5) FROM t"
+    assert rewrite_aggregates(
+        "SELECT quantilesExact(0.5)(abs(round(v, 2))) AS qs FROM t") \
+        == "SELECT percentile(abs(round(v, 2)), array(0.5)) AS qs FROM t"
+    assert rewrite_aggregates(
+        "SELECT groupUniqArray(lower(trim(x))) AS t FROM t") == \
+        "SELECT sort_array(collect_set(lower(trim(x)))) AS t FROM t"
+    with pytest.raises(ValueError, match="nests more than two"):
+        rewrite_aggregates("SELECT quantiles(0.5)(a(b(c(d)))) FROM t")
+    # masked literals still never trip the leak check
+    q = "SELECT 'groupUniqArray(x)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
