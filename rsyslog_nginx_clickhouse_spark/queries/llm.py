@@ -2577,3 +2577,50 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "global_pos",
                        ((F.col("global_pos") - 1) % 8).alias("shard"))
                .orderBy("global_pos"))
+
+
+@query(
+    "shuffle_shard_plan",
+    # md5 hex is identical in both engines; the lpad'ed doc_id suffix
+    # makes the order key globally UNIQUE (distributed_cumsum needs a
+    # total order) with lexicographic == numeric tiebreak
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('42-' || CAST(doc_id AS VARCHAR))
+               || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ord
+      FROM documents)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY ord) AS global_pos,
+           (row_number() OVER (ORDER BY ord) - 1) % 16 AS shard
+    FROM keyed ORDER BY global_pos
+    """,
+    doc="seeded global shuffle + sharding (the reproducible "
+        "training-order shuffle every pretraining run does before "
+        "writing shards): order key = md5(seed, doc_id) — "
+        "deterministic, reshuffles completely under a new seed — and "
+        "the global position comes from "
+        "operators/prefix.distributed_cumsum (two-phase "
+        "range-partitioned prefix scan), NEVER a single-partition "
+        "global sort; shard = (pos-1) % n gives equal-sized shards "
+        "with the shuffled order interleaved across them — "
+        "complements curriculum_schedule (difficulty order) with the "
+        "uniform-random order, same scale-safe machinery",
+)
+def shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.prefix import (
+        distributed_cumsum,
+    )
+
+    keyed = (_docs(spark, sf_dir)
+             .select("doc_id",
+                     F.concat(
+                         F.md5(F.concat(F.lit("42-"),
+                                        F.col("doc_id").cast("string"))),
+                         F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+                     .alias("ord"))
+             .withColumn("one", F.lit(1).cast("long")))
+    out = distributed_cumsum(keyed, "ord", "one", out_col="global_pos")
+    return (out.select("doc_id", "global_pos",
+                       ((F.col("global_pos") - 1) % 16).alias("shard"))
+               .orderBy("global_pos"))
