@@ -135,14 +135,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: VERDICT r7 called the round's only verification debt (the 15
 #: youngest r5 fills q13..q8 rotate to r9 — the price of 11 mandatory
 #: slots, same trade as r7's). rotationcheck enforces the result.
-#: Round-9 ordering: the window leads with the round's 21 NEW entries
+#: Round-9 ordering: the window leads with the round's 22 NEW entries
 #: (rollup_sql_daily, quantiles_array_sql, with_fill_interpolate,
 #: window_lag_lead_sql, scalar_with_threshold, final_summing_read,
 #: mutation_delete_roundtrip, select_except_modifier, bm25_top_docs,
 #: upsample_epochs, curriculum_schedule, mutation_update_roundtrip,
 #: dict_get_enrichment, group_uniq_array_sql, jsoneachrow_roundtrip,
 #: csvwithnames_roundtrip, cube_sql_status, top_n_sql,
-#: limit_with_ties_sql, hybrid_retrieval, shuffle_shard_plan
+#: limit_with_ties_sql, hybrid_retrieval, shuffle_shard_plan,
+#: streaming_jsoneachrow_ingest
 #: (bm25_top_docs is also
 #: text-changed by the shared-helper refactor, already in the
 #: mandatory set) —
@@ -151,9 +152,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: and rotationcheck verifies that), then fills oldest-first: ALL 23
 #: remaining r5 rows (the _FRONTLOAD_R9 cohort VERDICT r7/round-8
 #: planning called the next rotation debt — q13..q8 plus the
-#: non-TPC-H r5 fills), then 6 r6 rows alphabetically. 35 r6 rows
-#: remain one round overdue — the price of 21 mandatory slots — and
-#: rotate first in r10 (_FRONTLOAD_R10 cohort: decontamination,
+#: non-TPC-H r5 fills), then 5 r6 rows alphabetically. 36 r6 rows
+#: remain one round overdue — the price of 22 mandatory slots — and
+#: rotate first in r10 (_FRONTLOAD_R10 cohort: daily_unique_users,
+#: decontamination,
 #: dedup_components, dedup_keep_best,
 #: duplicated_ngram_fraction, embedding_norms,
 #: error_rate_daily, event_type_share,
@@ -186,6 +188,7 @@ _FRONTLOAD_R9 = [
     "limit_with_ties_sql",       # NEW: LIMIT n WITH TIES rank form
     "hybrid_retrieval",          # NEW: BM25 recall + dense rerank
     "shuffle_shard_plan",        # NEW: seeded global shuffle + shards
+    "streaming_jsoneachrow_ingest",  # NEW: streaming format-source run
     # the 23 remaining r5 rows — oldest in the registry (4 rounds)
     "q13_order_count_distribution",
     "q14_promo_revenue",
@@ -216,7 +219,6 @@ _FRONTLOAD_R9 = [
     "bot_traffic_share",
     "corpus_selection",
     "customers_without_orders",
-    "daily_unique_users",
 ]
 
 _FRONTLOAD_R8 = [

@@ -634,3 +634,57 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (read_quantile_merged(spark, path, ["event_type"], "value",
                                  {"p50": 0.5, "p99": 0.99})
             .orderBy("event_type"))
+
+
+@query(
+    "streaming_jsoneachrow_ingest",
+    # the oracle aggregates the RAW events: the streamed render →
+    # parse → aggregate loop must reproduce them exactly, and the two
+    # PLANTED corrupt lines must route to the dead-letter channel
+    # without perturbing a single count
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+           count(*)::bigint AS cnt, round(sum(value), 2) AS total_value
+    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="streaming JSONEachRow ingest — the DEPLOYMENT claim made "
+        "executable: the same sources/jsoneachrow expressions run "
+        "unchanged on a readStream (from_json is an expression, not a "
+        "source feature), corrupt lines split to the dead-letter "
+        "channel IN-FLIGHT off the same scan (two planted garbage "
+        "lines must not move any count), and the availableNow run's "
+        "complete-mode aggregate must equal the batch answer over the "
+        "raw events — the streaming-equals-batch property the "
+        "format-source family inherits by construction",
+)
+def streaming_jsoneachrow_ingest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import os
+
+    from rsyslog_nginx_clickhouse_spark.catalog import load, scratch_dir
+    from rsyslog_nginx_clickhouse_spark.sources.jsoneachrow import (
+        parse_json_lines,
+        render_json_lines,
+        typed_rows,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    path = scratch_dir("stream_json", sf_dir)
+    ev.select(render_json_lines(ev).alias("value")) \
+      .write.mode("overwrite").text(path)
+    spark.createDataFrame([("not json at all",), ('{"truncated',)],
+                          "value string") \
+        .coalesce(1).write.mode("append").text(path)
+    lines = (spark.readStream.schema("value string")
+             .option("pathGlobFilter", "*.txt").text(path))
+    typed = typed_rows(parse_json_lines(
+        lines,
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double"))
+    agg = (typed.groupBy(F.date_trunc("day", "ts").alias("d"),
+                         "event_type")
+                .agg(F.count("*").alias("cnt"),
+                     F.round(F.sum("value"), 2).alias("total_value")))
+    return (_run_to_memory_table(spark, agg, "complete")
+            .orderBy("d", "event_type"))
