@@ -76,6 +76,11 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
     # separator so '.' or '|' split literally, not as regex
     "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>",
                     "split(s, concat('\\\\Q', sep, '\\\\E'))"),
+    # the inverse: arrayStringConcat(arr, sep) → array_join. SQL UDFs
+    # can't overload, so the one-arg CH default-''-separator form is
+    # spelled arrayStringConcat(arr, '') here
+    "arrayStringConcat": ("arr ARRAY<STRING>, sep STRING", "STRING",
+                          "array_join(arr, sep)"),
     # JSON accessors (the events table carries a props JSON column;
     # ClickHouse dashboards lean on these constantly). ClickHouse edge
     # semantics honored: the key is a LITERAL member name — bracket

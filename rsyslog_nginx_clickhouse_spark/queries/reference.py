@@ -2072,10 +2072,15 @@ def rollup_sql_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides round elementwise at 4 (the latency_quantiles discipline:
     # identical IEEE inputs -> identical rounded outputs)
     oracle="""
+    WITH qarr AS (
+      SELECT event_type,
+             list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                            x -> round(x, 4)) AS qs
+      FROM events GROUP BY event_type)
     SELECT event_type,
-           list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
-                          x -> round(x, 4)) AS qs
-    FROM events GROUP BY event_type ORDER BY event_type
+           unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p,
+           unnest(qs) AS q
+    FROM qarr ORDER BY event_type, p
     """,
     doc="ClickHouse multi-quantile combinator "
         "`quantilesExact(p1,…,pn)(x)` surface → one "
@@ -2086,7 +2091,13 @@ def rollup_sql_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(functions/macros.rewrite_aggregates; quantilesTDigest(…) "
         "maps to percentile_approx the same way — the sketched "
         "variant for 100 TB, where exact percentile's per-group "
-        "value buffer is the scale limit)",
+        "value buffer is the scale limit). The cut array is exploded "
+        "to (event_type, p, q) rows at the SELECT boundary — the "
+        "registry forbids top-level ArrayType outputs (the driver's "
+        "canonicalizer cannot hash list cells, VERDICT r9 item 1); "
+        "posexplode keeps the explode AFTER the aggregate, so the "
+        "one-state plan is unchanged and only the 3-cuts-per-group "
+        "result is widened",
 )
 def quantiles_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
@@ -2096,9 +2107,15 @@ def quantiles_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantilesExact(0.5, 0.9, 0.99)(value) AS qs
         FROM quantiles_events GROUP BY event_type ORDER BY event_type
     """)
-    return df.select("event_type",
-                     F.expr("transform(qs, x -> round(x, 4))")
-                      .alias("qs"))
+    return (df.select(
+                "event_type",
+                F.posexplode(F.expr("transform(qs, x -> round(x, 4))"))
+                 .alias("pos", "q"))
+              .select("event_type",
+                      F.expr("element_at(array(0.5D, 0.9D, 0.99D), "
+                             "pos + 1)").alias("p"),
+                      "q")
+              .orderBy("event_type", "p"))
 
 
 @query(
@@ -2389,7 +2406,8 @@ def jsoneachrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_uniq_array_sql",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS d,
-           list_sort(list_distinct(list(event_type))) AS types,
+           array_to_string(list_sort(list_distinct(list(event_type))),
+                           ',') AS types,
            count(*)::bigint AS cnt
     FROM events GROUP BY d ORDER BY d
     """,
@@ -2398,16 +2416,22 @@ def jsoneachrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct-set per group. DOCUMENTED deviation: CH returns "
         "the distinct elements in nondeterministic block order; the "
         "sorted form is what a value-gated engine can promise. "
-        "groupArray (insertion order — inherently nondeterministic "
-        "distributed) is deliberately NOT mapped and fails loudly "
-        "(functions/macros.rewrite_aggregates)",
+        "groupArray (insertion order) maps only when a deterministic "
+        "order key is in scope — see group_array_sql; the bare "
+        "order-free form still fails loudly "
+        "(functions/macros.rewrite_aggregates). The set serializes "
+        "to a ','-joined string at the SELECT boundary — the "
+        "registry forbids top-level ArrayType outputs (driver "
+        "canonicalizer, VERDICT r9 item 2); the aggregate itself "
+        "still carries the array state",
 )
 def group_uniq_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
         "gua_events")
     return engine_sql(spark, """
         SELECT toStartOfDay(ts) AS d,
-               groupUniqArray(event_type) AS types,
+               arrayStringConcat(groupUniqArray(event_type), ',')
+                 AS types,
                CAST(count() AS bigint) AS cnt
         FROM gua_events GROUP BY d ORDER BY d
     """)

@@ -58,6 +58,21 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.spark(spark, sf_dir)
+            # registry lint (VERDICT r9): no top-level ArrayType/MapType
+            # output column — the driver's canonicalizer (pandas
+            # factorize) cannot hash list cells, so such a query would
+            # land a red driver row even when its values are correct.
+            # Serialize (array_join) or explode at the SELECT boundary.
+            from pyspark.sql.types import ArrayType, MapType
+
+            complex_cols = [f.name for f in sdf.schema.fields
+                            if isinstance(f.dataType, (ArrayType, MapType))]
+            if complex_cols:
+                print(f"FAIL {name}: top-level complex output column(s) "
+                      f"{complex_cols} — driver canonicalizer cannot hash "
+                      f"them; serialize or explode at the SELECT boundary")
+                n_fail += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
