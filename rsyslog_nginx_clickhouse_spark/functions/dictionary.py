@@ -48,23 +48,49 @@ def _sql_literal(v) -> str:
 
 
 def declare_dictionary(spark: SparkSession, name: str, source: DataFrame,
-                       key_col: str, attrs: dict[str, str]) -> None:
-    """Register dictionary ``name`` from a parameter-sized DataFrame:
-    one SQL function ``__dict_<name>_<attr>(key)`` per attribute, a
-    literal ``element_at(map(...), key)`` with the ClickHouse
+                       key_col: str, attrs: dict[str, str],
+                       style: str = "auto") -> None:
+    """Register dictionary ``name`` from a DataFrame: one SQL function
+    ``__dict_<name>_<attr>(key)`` per attribute with the ClickHouse
     default-on-missing (``attrs[attr]`` is the default expressed as a
-    SQL literal string, e.g. ``"'unknown'"`` / ``"0"``)."""
+    SQL literal string, e.g. ``"'unknown'"`` / ``"0"``).
+
+    Two physical layouts behind the SAME dictGet call sites:
+
+    - ``'literal'`` — a literal ``element_at(map(...), key)``
+      expression: ships with the plan to every executor (the CH
+      replicate-everywhere contract), stays inside whole-stage
+      codegen. Only for parameter-sized tables (≤ MAX_DICT_ROWS).
+    - ``'join'`` — the function body is a correlated aggregate
+      scalar subquery over a registered view with a BROADCAST hint;
+      Catalyst rewrites it to a broadcast-hash LEFT OUTER join, so a
+      TABLE-SIZED dictionary degrades to the join ClickHouse users
+      would write by hand — same results, join cost, no plan bloat.
+      Key uniqueness is verified distributed (one aggregate job);
+      a NULL attribute value behaves as missing (→ default), the
+      coalesce boundary CH's type-default storage also lands on.
+    - ``'auto'`` (default) — literal when the source fits the cap,
+      join above it (VERDICT r9 item 7: over-cap used to refuse and
+      point at lookup_join; now it degrades automatically).
+    """
     if not re.fullmatch(r"\w+", name):
         raise ValueError(f"dictionary name must be an identifier, "
                          f"got {name!r}")
-    rows = source.select(key_col, *attrs).limit(MAX_DICT_ROWS + 1) \
-                 .collect()
-    if len(rows) > MAX_DICT_ROWS:
-        raise ValueError(
-            f"dictionary {name!r} exceeds {MAX_DICT_ROWS} rows — a "
-            f"map literal that size bloats every plan that uses it; "
-            f"use sources/lookup.lookup_join (broadcast join) for "
-            f"table-sized enrichment")
+    if style not in ("auto", "literal", "join"):
+        raise ValueError(f"style must be auto|literal|join, got {style!r}")
+    rows: list = []
+    if style != "join":
+        rows = source.select(key_col, *attrs).limit(MAX_DICT_ROWS + 1) \
+                     .collect()
+    if style == "join" or len(rows) > MAX_DICT_ROWS:
+        if style == "literal":
+            raise ValueError(
+                f"dictionary {name!r} exceeds {MAX_DICT_ROWS} rows — a "
+                f"map literal that size bloats every plan that uses "
+                f"it; declare with style='join' (broadcast-join-backed "
+                f"dictGet) or use sources/lookup.lookup_join")
+        _declare_join_dictionary(spark, name, source, key_col, attrs)
+        return
     keys = [r[0] for r in rows]
     if len(set(keys)) != len(keys):
         raise ValueError(f"dictionary {name!r}: duplicate keys — the "
@@ -81,6 +107,45 @@ def declare_dictionary(spark: SparkSession, name: str, source: DataFrame,
                 if pairs else f"{default}")
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION "
                   f"{fn}(k {key_t}) RETURNS {ret_t} RETURN {body}")
+        fns[attr] = fn
+    _DICTIONARIES[name] = fns
+
+
+def _declare_join_dictionary(spark: SparkSession, name: str,
+                             source: DataFrame, key_col: str,
+                             attrs: dict[str, str]) -> None:
+    """The table-sized layout: view + broadcast-join-backed functions.
+
+    The body's ``max(attr)`` collapses the (verified-unique) single
+    match — Catalyst rewrites a correlated AGGREGATE subquery into an
+    Aggregate + LEFT OUTER equi-join, which the BROADCAST hint pins to
+    BroadcastHashJoin (probed: the bare scalar-subquery form plans as
+    BroadcastNestedLoopJoin/LeftSingle — O(rows · dict) — so the
+    aggregate form is load-bearing, not style)."""
+    view = f"__dictsrc_{name}"
+    src = source.select(key_col, *attrs)
+    src.createOrReplaceTempView(view)
+    dup = (src.groupBy(key_col).count()
+              .where("count > 1").limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"dictionary {name!r}: duplicate key {dup[0][0]!r} — the "
+            f"lookup would be nondeterministic")
+    key_t = source.schema[key_col].dataType.simpleString()
+    fns: dict[str, str] = {}
+    for attr, default in attrs.items():
+        fn = f"__dict_{name}_{attr}"
+        ret_t = source.schema[attr].dataType.simpleString()
+        # the parameter name must not collide with the view's columns
+        # (a bare `WHERE k = k` resolves BOTH sides to the column —
+        # always true, max over the whole dictionary), so it gets a
+        # reserved name and the column side is table-qualified
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {fn}"
+            f"(__dictkey {key_t}) RETURNS {ret_t} RETURN coalesce("
+            f"(SELECT /*+ BROADCAST({view}) */ max(__d.{attr}) "
+            f"FROM {view} AS __d WHERE __d.{key_col} = __dictkey), "
+            f"{default})")
         fns[attr] = fn
     _DICTIONARIES[name] = fns
 

@@ -733,3 +733,50 @@ def dict_get_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal), 2) AS total_balance
         FROM dict_customer GROUP BY nation ORDER BY nation
     """)
+
+
+@query(
+    "dict_get_large",
+    # quantities are integer-valued exact decimals, so the double sum
+    # is exact and the BIGINT cast agrees cross-engine
+    oracle="""
+    SELECT coalesce(p.p_brand, 'unknown') AS brand,
+           count(*)::bigint AS cnt,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY brand ORDER BY brand
+    """,
+    doc="dictGet over a TABLE-SIZED dimension (part — 20M rows at "
+        "TPC-H sf100, far past any map-literal budget): "
+        "declare_dictionary(style='join') keeps the SAME dictGet call "
+        "sites but backs each attribute function with a correlated "
+        "AGGREGATE scalar subquery + BROADCAST hint, which Catalyst "
+        "rewrites to a broadcast-hash LEFT OUTER join — the plan a CH "
+        "user would hand-write when their dictionary outgrows memory "
+        "(VERDICT r9 item 7: the over-cap case used to refuse; "
+        "style='auto' now degrades to this path automatically). The "
+        "aggregate form is load-bearing: the bare scalar subquery "
+        "plans as BroadcastNestedLoopJoin/LeftSingle, O(rows·dict). "
+        "Default-on-missing and key-uniqueness verification (one "
+        "distributed aggregate, parameter-sized result) are "
+        "preserved (functions/dictionary._declare_join_dictionary)",
+)
+def dict_get_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        declare_dictionary,
+    )
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    declare_dictionary(spark, "parts_dim", load(spark, sf_dir, "part"),
+                       key_col="p_partkey",
+                       attrs={"p_brand": "'unknown'"}, style="join")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "dictl_lineitem")
+    return engine_sql(spark, """
+        SELECT dictGet('parts_dim', 'p_brand', l_partkey) AS brand,
+               CAST(count() AS bigint) AS cnt,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM dictl_lineitem GROUP BY brand ORDER BY brand
+    """)

@@ -1643,6 +1643,54 @@ def sample_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_rowcount_scan",
+    # the oracle replays the inversion with the SAME IEEE sequence:
+    # frac = 300 / total (int/int → correctly-rounded double in both
+    # engines for counts < 2^53), hi = trunc(frac · 2^32) (the scale
+    # is a power of two — exact), factor = 1.0 / frac; floor() both
+    # sides for the extrapolation (Spark CAST(double AS BIGINT)
+    # truncates, DuckDB's ROUNDS — floor removes the divergence)
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM events),
+    s AS (
+      SELECT e.* FROM events e, t
+      WHERE ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+            < CAST(trunc((300 / t.total) * 4294967296) AS UBIGINT))
+    SELECT event_type, count(*)::bigint AS sampled_cnt,
+           CAST(floor(count(*) * (1.0 / (300 / (SELECT total FROM t))))
+                AS BIGINT) AS est_cnt
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse row-count `SAMPLE n` form (`SAMPLE 300` — "
+        "Grafana's CH datasource emits it for big tables; VERDICT r9 "
+        "item 5): the engine inverts n into a fraction with ONE "
+        "count(*) over the table (a metadata-only parquet job — CH "
+        "likewise inverts from part statistics), then reuses the "
+        "deterministic hash-range rewrite, so the kept set is still "
+        "identical at any cluster size and `_sample_factor` still "
+        "extrapolates (functions/macros.rewrite_sample). n ≥ total "
+        "degrades to the full table with factor 1, OFFSET with the "
+        "row-count form is refused (CH defines OFFSET only for "
+        "fractions)",
+)
+def sample_rowcount_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        declare_sample_by,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "samplen_events")
+    declare_sample_by("samplen_events", "user_id")
+    return engine_sql(spark, """
+        SELECT event_type, count(*) AS sampled_cnt,
+               CAST(floor(count(*) * any_value(_sample_factor))
+                    AS BIGINT) AS est_cnt
+        FROM samplen_events SAMPLE 300
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "array_join_token_counts",
     # unnest over the identical normalization is the relational form
     # ARRAY JOIN rewrites to; counts are exact integers
@@ -2434,6 +2482,48 @@ def group_uniq_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS types,
                CAST(count() AS bigint) AS cnt
         FROM gua_events GROUP BY d ORDER BY d
+    """)
+
+
+@query(
+    "group_array_sql",
+    # list(x ORDER BY …) is DuckDB's ordered aggregate — the same
+    # keys the rewrite lifts into the struct; event_id is unique, so
+    # the (ts, event_id) order is total and both engines agree
+    oracle="""
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id),
+                           ',') AS seq,
+           count(*)::bigint AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 100
+    """,
+    doc="ClickHouse `groupArray(x)` (insertion-order array aggregate) "
+        "in its ONLY deterministic idiom — over a sorted subquery "
+        "(`FROM (SELECT … ORDER BY ts, event_id)`): "
+        "functions/macros.rewrite_group_array lifts the subquery's "
+        "ORDER BY keys into "
+        "transform(sort_array(collect_list(struct(ts, event_id, x))), "
+        "s -> s.x) — a partial-aggregatable collect whose order is "
+        "imposed by sort_array, IDENTICAL at any partition count "
+        "(stronger than CH, which only promises this single-threaded; "
+        "VERDICT r9 item 3). Order-free groupArray stays a loud "
+        "refusal. Per-user sequences are the windowFunnel/retention "
+        "raw material; the array serializes to a ','-string at the "
+        "SELECT boundary per the no-ArrayType registry rule. At "
+        "100 TB the per-user collect is bounded by per-user event "
+        "counts (the same bound sessionization carries), one shuffle "
+        "on the group key",
+)
+def group_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ga_events")
+    return engine_sql(spark, """
+        SELECT user_id,
+               arrayStringConcat(groupArray(event_type), ',') AS seq,
+               CAST(count() AS bigint) AS n_events
+        FROM (SELECT user_id, event_type, ts, event_id FROM ga_events
+              ORDER BY ts, event_id)
+        GROUP BY user_id ORDER BY user_id LIMIT 100
     """)
 
 

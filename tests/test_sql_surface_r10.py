@@ -1,0 +1,215 @@
+"""Round-10 CH SQL-surface additions (VERDICT r9 items 3/5/7):
+deterministic groupArray over a sorted subquery, the row-count
+SAMPLE n form, and the join-backed large-dictionary dictGet path."""
+from __future__ import annotations
+
+import pytest
+
+from rsyslog_nginx_clickhouse_spark.functions.macros import (
+    declare_sample_by,
+    rewrite_aggregates,
+    rewrite_group_array,
+    rewrite_sample,
+)
+
+# --------------------------------------------------------- groupArray --
+
+
+def test_group_array_sorted_subquery_rewrite():
+    out = rewrite_aggregates(
+        "SELECT g, groupArray(x) AS seq "
+        "FROM (SELECT g, x, k FROM t ORDER BY k) GROUP BY g")
+    assert ("transform(sort_array(collect_list(struct(k AS __o0, "
+            "(x) AS __v))), s -> s.__v)") in out
+    assert "groupArray" not in out
+
+
+def test_group_array_multi_key_and_multi_call():
+    out = rewrite_group_array(
+        "SELECT g, groupArray(a), groupArray(b || c) "
+        "FROM (SELECT * FROM t ORDER BY k1, k2 ASC) GROUP BY g")
+    assert out.count("sort_array(collect_list(struct(k1 AS __o0, "
+                     "k2 AS __o1,") == 2
+    assert "(b || c) AS __v" in out
+
+
+def test_group_array_refusals():
+    # no sorted subquery at all
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_group_array("SELECT groupArray(x) FROM t GROUP BY g")
+    # DESC keys
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_group_array(
+            "SELECT groupArray(x) FROM (SELECT x FROM t ORDER BY k "
+            "DESC) GROUP BY g")
+    # expression keys
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_group_array(
+            "SELECT groupArray(x) FROM (SELECT x FROM t ORDER BY "
+            "abs(k)) GROUP BY g")
+    # two sorted subqueries with DIFFERENT key lists: ambiguous
+    with pytest.raises(ValueError, match="exactly one"):
+        rewrite_group_array(
+            "SELECT groupArray(x) FROM (SELECT x FROM t ORDER BY a) "
+            "JOIN (SELECT y FROM u ORDER BY b) ON x = y")
+
+
+def test_group_array_literal_safety():
+    # string DATA mentioning groupArray comes back byte-identical
+    q = "SELECT 'groupArray(x)' AS s FROM t"
+    assert rewrite_group_array(q) == q
+    assert rewrite_aggregates(q) == q
+    # groupUniqArray is NOT captured by the groupArray pass
+    out = rewrite_aggregates(
+        "SELECT groupUniqArray(x) FROM t GROUP BY g")
+    assert "sort_array(collect_set(x))" in out
+
+
+def test_group_array_executes(spark):
+    spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "z")],
+        "g int, k int, x string").createOrReplaceTempView("ga_t")
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = sql(spark, """
+        SELECT g, arrayStringConcat(groupArray(x), ',') AS seq
+        FROM (SELECT g, k, x FROM ga_t ORDER BY k)
+        GROUP BY g ORDER BY g
+    """).collect()
+    assert [(r.g, r.seq) for r in rows] == [(1, "a,b,c"), (2, "z")]
+
+
+def test_group_array_partition_invariance(spark):
+    """The sorted-collect is identical at any partition count — the
+    distributed determinism ClickHouse itself cannot promise."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    base = spark.range(0, 200).selectExpr(
+        "CAST(id % 7 AS INT) AS g", "CAST(id AS INT) AS k",
+        "CAST(id * 37 % 100 AS STRING) AS x")
+    q = """
+        SELECT g, arrayStringConcat(groupArray(x), ',') AS seq
+        FROM (SELECT g, k, x FROM ga_p ORDER BY k)
+        GROUP BY g ORDER BY g
+    """
+    base.coalesce(1).createOrReplaceTempView("ga_p")
+    one = [tuple(r) for r in sql(spark, q).collect()]
+    base.repartition(13).createOrReplaceTempView("ga_p")
+    many = [tuple(r) for r in sql(spark, q).collect()]
+    assert one == many
+
+
+# ----------------------------------------------------------- SAMPLE n --
+
+
+def test_sample_rowcount_inverts_fraction():
+    declare_sample_by("srt", "user_id")
+    out = rewrite_sample("SELECT 1 FROM srt SAMPLE 3000",
+                         count_of=lambda t: 12000)
+    # 3000/12000 = 0.25 → factor 4.0, hi = 2^30
+    assert "CAST(4.0 AS DOUBLE) AS _sample_factor" in out
+    assert "< 1073741824" in out and ">= 0" in out
+
+
+def test_sample_rowcount_at_least_total_reads_everything():
+    declare_sample_by("srt", "user_id")
+    out = rewrite_sample("SELECT 1 FROM srt SAMPLE 5000",
+                         count_of=lambda t: 100)
+    assert "_sample_factor" in out and "md5" not in out
+    assert "CAST(1.0 AS DOUBLE)" in out
+
+
+def test_sample_one_is_the_whole_table():
+    # CH: SAMPLE 1 is the FRACTION 1.0 — never a 1-row sample
+    declare_sample_by("srt", "user_id")
+    out = rewrite_sample("SELECT 1 FROM srt SAMPLE 1")
+    assert "md5" not in out and "CAST(1.0 AS DOUBLE)" in out
+
+
+def test_sample_rowcount_refusals():
+    declare_sample_by("srt", "user_id")
+    with pytest.raises(ValueError, match="OFFSET is defined only"):
+        rewrite_sample("SELECT 1 FROM srt SAMPLE 1000 OFFSET 0.5",
+                       count_of=lambda t: 10)
+    with pytest.raises(ValueError, match="row count to invert"):
+        rewrite_sample("SELECT 1 FROM srt SAMPLE 1000")  # no counter
+    with pytest.raises(ValueError, match="empty"):
+        rewrite_sample("SELECT 1 FROM srt SAMPLE 1000",
+                       count_of=lambda t: 0)
+
+
+# ------------------------------------------------------ dictGet large --
+
+
+def _mk_dim(spark, n):
+    return spark.range(n).selectExpr(
+        "CAST(id AS INT) AS k",
+        "concat('name_', CAST(id AS STRING)) AS nm")
+
+
+def test_join_dictionary_values_and_default(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        declare_dictionary,
+    )
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    declare_dictionary(spark, "jd", _mk_dim(spark, 50), key_col="k",
+                       attrs={"nm": "'missing'"}, style="join")
+    spark.createDataFrame([(3,), (49,), (777,)], "k int") \
+         .createOrReplaceTempView("jd_facts")
+    rows = sql(spark, "SELECT k, dictGet('jd', 'nm', k) AS nm "
+                      "FROM jd_facts ORDER BY k").collect()
+    assert [(r.k, r.nm) for r in rows] == [
+        (3, "name_3"), (49, "name_49"), (777, "missing")]
+
+
+def test_join_dictionary_plans_broadcast_hash(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        declare_dictionary,
+    )
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    declare_dictionary(spark, "jdp", _mk_dim(spark, 50), key_col="k",
+                       attrs={"nm": "'missing'"}, style="join")
+    spark.range(10).selectExpr("CAST(id AS INT) AS k") \
+         .createOrReplaceTempView("jdp_facts")
+    plan = sql(spark, "SELECT dictGet('jdp', 'nm', k) AS nm "
+                      "FROM jdp_facts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_auto_style_degrades_over_cap(spark):
+    from rsyslog_nginx_clickhouse_spark.functions import dictionary
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    # shrink the cap so the test doesn't build a 10k-literal plan
+    old = dictionary.MAX_DICT_ROWS
+    dictionary.MAX_DICT_ROWS = 20
+    try:
+        dictionary.declare_dictionary(
+            spark, "bigd", _mk_dim(spark, 200), key_col="k",
+            attrs={"nm": "'missing'"})  # auto
+        with pytest.raises(ValueError, match="style='join'"):
+            dictionary.declare_dictionary(
+                spark, "bigd2", _mk_dim(spark, 200), key_col="k",
+                attrs={"nm": "'missing'"}, style="literal")
+    finally:
+        dictionary.MAX_DICT_ROWS = old
+    spark.createDataFrame([(150,), (999,)], "k int") \
+         .createOrReplaceTempView("bigd_facts")
+    rows = sql(spark, "SELECT dictGet('bigd', 'nm', k) AS nm "
+                      "FROM bigd_facts ORDER BY k").collect()
+    assert [r.nm for r in rows] == ["name_150", "missing"]
+
+
+def test_join_dictionary_duplicate_keys_refused(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.dictionary import (
+        declare_dictionary,
+    )
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, nm string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        declare_dictionary(spark, "dupd", dup, key_col="k",
+                           attrs={"nm": "'x'"}, style="join")
