@@ -1649,15 +1649,22 @@ def sample_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines for counts < 2^53), hi = trunc(frac · 2^32) (the scale
     # is a power of two — exact), factor = 1.0 / frac; floor() both
     # sides for the extrapolation (Spark CAST(double AS BIGINT)
-    # truncates, DuckDB's ROUNDS — floor removes the divergence)
+    # truncates, DuckDB's ROUNDS — floor removes the divergence).
+    # BOTH branches replayed: n ≥ total keeps every row with factor 1
+    # (the engine's full-table degradation), so the oracle is correct
+    # at ANY corpus size — the events edge harness runs it on 31 rows
     oracle="""
     WITH t AS (SELECT count(*) AS total FROM events),
     s AS (
       SELECT e.* FROM events e, t
-      WHERE ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
-            < CAST(trunc((300 / t.total) * 4294967296) AS UBIGINT))
+      WHERE 300 >= t.total
+         OR ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+            < CAST(trunc((300 / t.total) * 4294967296) AS UBIGINT)),
+    f AS (
+      SELECT CASE WHEN 300 >= total THEN 1.0
+                  ELSE 1.0 / (300 / total) END AS factor FROM t)
     SELECT event_type, count(*)::bigint AS sampled_cnt,
-           CAST(floor(count(*) * (1.0 / (300 / (SELECT total FROM t))))
+           CAST(floor(count(*) * (SELECT factor FROM f))
                 AS BIGINT) AS est_cnt
     FROM s GROUP BY event_type ORDER BY event_type
     """,

@@ -54,6 +54,11 @@ EVENT_QUERIES = [
     "mutation_delete_roundtrip", "mutation_update_roundtrip",
     "jsoneachrow_roundtrip", "csvwithnames_roundtrip",
     "group_uniq_array_sql", "top_n_sql", "limit_with_ties_sql",
+    # round-10 tier: ordered per-user sequences over the duplicate-ts
+    # pairs (the struct tiebreak must stay total cross-engine) and the
+    # row-count SAMPLE's full-table degradation (300 >= 31 rows — the
+    # oracle must replay the factor-1 branch, not extrapolate)
+    "group_array_sql", "sample_rowcount_scan",
 ]
 
 #: (event_id, ts, user_id, event_type, value, props)

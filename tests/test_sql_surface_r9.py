@@ -116,10 +116,12 @@ def test_group_uniq_array_rewrite():
         "SELECT d, groupUniqArray(event_type) AS t FROM e GROUP BY d") \
         == ("SELECT d, sort_array(collect_set(event_type)) AS t "
             "FROM e GROUP BY d")
-    # groupArray stays untouched (fails loudly downstream, never
-    # silently de-determinized)
-    q = "SELECT groupArray(x) FROM t"
-    assert rewrite_aggregates(q) == q
+    # order-free groupArray is refused AT THE REWRITE since r10 (it
+    # used to leak to Spark as an unknown function — still loud, but
+    # far from the cause); the sorted-subquery idiom now maps, see
+    # test_sql_surface_r10.py
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_aggregates("SELECT groupArray(x) FROM t")
 
 
 def test_dictionary_declare_and_rewrite(spark):
@@ -170,9 +172,12 @@ def test_dictionary_declare_and_rewrite(spark):
             key_col="k", attrs={"v": "''"})
     big = spark.range(MAX_DICT_ROWS + 1).select(
         F.col("id").alias("k"), F.col("id").cast("string").alias("v"))
+    # r10: the explicit literal style still refuses over-cap; the
+    # default (auto) degrades to the broadcast-join path instead —
+    # covered in test_sql_surface_r10.py
     with pytest.raises(ValueError, match="exceeds"):
         declare_dictionary(spark, "big9", big, key_col="k",
-                           attrs={"v": "''"})
+                           attrs={"v": "''"}, style="literal")
 
 
 def test_top_and_with_ties_rewrites(spark):
