@@ -164,6 +164,11 @@ _CLICKHOUSE_FNS: dict[str, tuple[str, str, str]] = {
 #: aggregates; the macro expander rewrites these tokens pre-parse).
 AGGREGATE_REWRITES: dict[str, str] = {
     "uniq": "approx_count_distinct",
+    # the sketch-variant spellings share uniq's estimator contract
+    # (approximate distinct count); Spark's HLL++ stands in for all
+    "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
     "quantile": "percentile_approx",
     "quantileExact": "percentile",
     "median": "median",

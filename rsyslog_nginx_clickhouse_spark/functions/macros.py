@@ -655,6 +655,7 @@ def rewrite_aggregates(out: str) -> str:
     # when a '(p)(x)' parametric pair survived the collapse above)
     out = _default_quantile_fraction(out)
     out = _rewrite_if_combinators(out)
+    out = _rewrite_multi_if(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
@@ -697,6 +698,43 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return parts
+
+
+def _rewrite_multi_if(out: str) -> str:
+    """ClickHouse ``multiIf(c1, v1[, c2, v2…], else)`` → ``CASE WHEN
+    c1 THEN v1 … ELSE else END`` — the branching scalar every CH
+    dashboard uses (Spark's if() covers only the 3-arg form).
+    Argument-aware like the If-combinators: balanced scan, top-level
+    split, rebuilt on literal-MASKED text. An even argument count is
+    malformed in CH too — refused loudly rather than mis-bracketed.
+    Nested multiIf in the arguments is handled by resuming the scan
+    AT the replacement (the outer name is gone, inner ones remain).
+    """
+    pos = 0
+    while True:
+        m = re.compile(r"\bmultiIf\s*\(").search(out, pos)
+        if not m:
+            break
+        depth, i = 1, m.end()
+        while i < len(out) and depth:
+            ch = out[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        args = [a.strip() for a in _split_top_level(out[m.end():i - 1])]
+        if depth or len(args) < 3 or len(args) % 2 == 0:
+            raise ValueError(
+                f"multiIf takes an odd number of arguments >= 3 "
+                f"(cond, value pairs + else), got {len(args)}")
+        whens = " ".join(
+            f"WHEN {args[j]} THEN {args[j + 1]}"
+            for j in range(0, len(args) - 1, 2))
+        repl = f"CASE {whens} ELSE {args[-1]} END"
+        out = out[:m.start()] + repl + out[i:]
+        pos = m.start()
+    return out
 
 
 def _rewrite_if_combinators(out: str) -> str:
@@ -980,6 +1018,79 @@ def rewrite_sample(query: str, count_of=None) -> str:
                 f"WHERE {h} >= {lo} AND {h} < {hi}) AS {table}")
 
     return _SAMPLE_RE.sub(_sub, query)
+
+
+#: ClickHouse join STRICTNESS/LOCALITY modifiers. ``GLOBAL`` controls
+#: distributed data movement in CH (ship the right side to every
+#: shard); Spark's planner owns data movement (broadcast vs shuffle,
+#: chosen from stats/AQE), so the modifier strips to a no-op — the
+#: documented equivalent, not a loss. ``ALL`` is CH's explicit
+#: standard-multiplicity join — strips to the bare join. ``ANY``
+#: keeps at most ONE right-side match per key; CH picks an arbitrary
+#: one, which a value-gated engine cannot promise, so the rewrite
+#: dedups the right side FIRST with max(struct(*)) per join key — the
+#: lexicographically-greatest full row, deterministic at any
+#: partition count (same one-aggregate shape as FINAL replacing).
+_GLOBAL_RE = re.compile(
+    r"(?is)\bGLOBAL\s+(?=(?:\w+\s+){0,3}JOIN\b)")
+_ALL_JOIN_RE = re.compile(
+    r"(?is)\bALL\s+(?=(?:INNER\s+|LEFT\s+)?JOIN\b)")
+_ANY_JOIN_RE = re.compile(
+    r"(?is)\bANY\s+(?P<kind>LEFT\s+|INNER\s+)?JOIN\s+"
+    r"(?P<rhs>[\w.`]+)"
+    r"(?:\s+AS\s+(?P<alias>\w+)|\s+(?!(?:USING|ON)\b)(?P<alias2>\w+))?"
+    r"\s+USING\s*\((?P<keys>[^)]*)\)")
+
+
+def rewrite_any_join(query: str) -> str:
+    """ClickHouse join modifiers → Spark:
+
+    - ``GLOBAL …`` → stripped (Spark's planner owns distribution);
+    - ``ALL [INNER|LEFT] JOIN`` → the bare join (same semantics);
+    - ``ANY [LEFT|INNER] JOIN t [AS a] USING (k…)`` → the same join
+      against a per-key deduplicated right side:
+      ``(SELECT __s.* FROM (SELECT max(struct(*)) AS __s FROM t
+      GROUP BY k…) ) AS a`` — one partial-aggregatable shuffle of the
+      right side, never a row explosion. DOCUMENTED deviation: CH
+      keeps an ARBITRARY match (block order); this keeps the
+      lexicographically-greatest full row — deterministic, so the
+      value gate can hold. ANY RIGHT/FULL (dedup of the outer side)
+      and the ON form are refused loudly — spell the key with USING.
+    """
+    if not re.search(r"(?i)\b(GLOBAL|ALL|ANY)\b", query):
+        return query
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    out = _STR_LIT.sub(_mask, query)
+    out = _GLOBAL_RE.sub("", out)
+    out = _ALL_JOIN_RE.sub("", out)
+    n = 0
+
+    def _sub(m: re.Match) -> str:
+        nonlocal n
+        n += 1
+        kind = (m.group("kind") or "INNER ").strip().upper()
+        rhs = m.group("rhs")
+        alias = (m.group("alias") or m.group("alias2")
+                 or rhs.strip("`").split(".")[-1])
+        keys = m.group("keys").strip()
+        return (f"{kind} JOIN (SELECT __s.* FROM "
+                f"(SELECT max(struct(*)) AS __s FROM {rhs} "
+                f"GROUP BY {keys}) __anyd{n}) AS {alias} "
+                f"USING ({keys})")
+
+    out = _ANY_JOIN_RE.sub(_sub, out)
+    if re.search(r"(?is)\bANY\s+(?:\w+\s+){0,2}JOIN\b", out):
+        raise ValueError(
+            "unsupported ANY JOIN form — implemented: ANY [LEFT|INNER] "
+            "JOIN <table|view> [AS alias] USING (keys). ANY RIGHT/FULL "
+            "(outer-side dedup) and the ON form are refused; alias a "
+            "subquery right side as a view and use USING")
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
 #: ClickHouse ``[LEFT] ARRAY JOIN <expr> AS <alias>`` — the row
@@ -1388,5 +1499,6 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
         rewrite_with_fill(rewrite_with_totals(rewrite_limit_with_ties(
             rewrite_limit_by(rewrite_sample(rewrite_array_join(
                 rewrite_final(rewrite_prewhere(rewrite_asof_join(
-                    spark, rewrite_top(rewrite_format(query)))))),
+                    spark, rewrite_any_join(
+                        rewrite_top(rewrite_format(query))))))),
                 count_of))))))

@@ -166,8 +166,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: skew_salted_event_counts, streaming_* , timeseries_5min_by_type,
 #: top3_parts_per_brand, user_sessions, zorder_pruned_scan).
 #: Round-10 ordering (VERDICT r9 items 1-3 + the standing rotation
-#: contract): the window leads with the round's 5 mandatory entries —
-#: 3 NEW (group_array_sql: deterministic groupArray over a sorted
+#: contract): the window leads with the round's 6 mandatory entries —
+#: 4 NEW (any_join_sql: GLOBAL/ANY/ALL join modifiers;
+#: group_array_sql: deterministic groupArray over a sorted
 #: subquery; sample_rowcount_scan: CH row-count SAMPLE n; dict_get_large:
 #: join-backed dictGet over a table-sized dim) and 2 TEXT-CHANGED
 #: (quantiles_array_sql + group_uniq_array_sql: the round's two
@@ -176,10 +177,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: serialized via arrayStringConcat, oracles mirrored) — then fills
 #: oldest-first: ALL 36 r6 rows (the _FRONTLOAD_R10 cohort VERDICT r9
 #: item 2 called one round overdue: daily_unique_users …
-#: zorder_pruned_scan), then 9 r7 rows alphabetically
-#: (argmax_rollup_latest … dsir_importance). The round deliberately
-#: adds only 3 new queries — far under the 17-slot budget — so the
-#: whole overdue cohort rotates; 37 r7 rows remain the oldest outside
+#: zorder_pruned_scan), then 8 r7 rows alphabetically
+#: (argmax_rollup_latest … doc_chunk_windows). The round deliberately
+#: adds only 4 new queries — far under the 17-slot budget — so the
+#: whole overdue cohort rotates; 38 r7 rows remain the oldest outside
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
 _FRONTLOAD_R10 = [
@@ -187,6 +188,7 @@ _FRONTLOAD_R10 = [
     "group_array_sql",           # NEW: deterministic groupArray
     "sample_rowcount_scan",      # NEW: row-count SAMPLE n form
     "dict_get_large",            # NEW: join-backed large dictGet
+    "any_join_sql",              # NEW: GLOBAL/ANY/ALL join modifiers
     # text-changed this round — the two r9 driver-red rows, re-shaped
     "quantiles_array_sql",       # exploded to scalar rows
     "group_uniq_array_sql",      # set serialized to a ','-string
@@ -236,7 +238,6 @@ _FRONTLOAD_R10 = [
     "bucketed_build",
     "bucketed_join_revenue",
     "doc_chunk_windows",
-    "dsir_importance",
 ]
 
 _FRONTLOAD_R9 = [

@@ -2535,6 +2535,61 @@ def group_array_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "any_join_sql",
+    # the oracle replays the deterministic pick: max(struct(user_id,
+    # signup_ts, signup_value)) == the row ranked first by
+    # (signup_ts DESC, signup_value DESC) within each user — struct
+    # comparison is field-by-field in declaration order and user_id
+    # is constant within the group
+    oracle="""
+    WITH sg AS (
+      SELECT user_id, ts AS signup_ts, value AS signup_value
+      FROM events WHERE event_type = 'signup'),
+    pick AS (
+      SELECT user_id, signup_ts, signup_value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY signup_ts DESC, signup_value DESC) AS rn
+        FROM sg) WHERE rn = 1)
+    SELECT e.event_type,
+           count(*)::bigint AS cnt,
+           count(p.signup_ts)::bigint AS with_signup,
+           round(max(p.signup_value), 2) AS max_signup_value
+    FROM events e LEFT JOIN pick p USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="ClickHouse join modifiers (`GLOBAL ANY LEFT JOIN … USING`) — "
+        "the spelling every distributed-CH dashboard carries: GLOBAL "
+        "strips (Spark's planner owns data movement — broadcast vs "
+        "shuffle from stats/AQE, the decision GLOBAL hand-makes in "
+        "CH), ALL strips to the bare join, and ANY dedups the right "
+        "side to ONE row per key BEFORE the join via max(struct(*)) "
+        "— one partial-aggregatable shuffle, never a multi-match row "
+        "explosion, and the pick is the lexicographically-greatest "
+        "row (DOCUMENTED deviation: CH keeps an arbitrary block-order "
+        "match, which a value-gated engine cannot promise; "
+        "functions/macros.rewrite_any_join; ANY RIGHT/FULL and the "
+        "ON form refused loudly). At 100 TB the dedup aggregate is "
+        "the cheap side: it shrinks the right table before any join "
+        "data movement",
+)
+def any_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("anyj_events")
+    ev.where("event_type = 'signup'").selectExpr(
+        "user_id", "ts AS signup_ts", "value AS signup_value"
+    ).createOrReplaceTempView("anyj_signups")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(count() AS bigint) AS cnt,
+               CAST(count(signup_ts) AS bigint) AS with_signup,
+               round(max(signup_value), 2) AS max_signup_value
+        FROM anyj_events
+        GLOBAL ANY LEFT JOIN anyj_signups USING (user_id)
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "csvwithnames_roundtrip",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,

@@ -213,3 +213,109 @@ def test_join_dictionary_duplicate_keys_refused(spark):
     with pytest.raises(ValueError, match="duplicate key"):
         declare_dictionary(spark, "dupd", dup, key_col="k",
                            attrs={"nm": "'x'"}, style="join")
+
+
+# --------------------------------------------------- ANY/GLOBAL JOIN --
+
+
+def test_any_join_rewrite_shapes():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_any_join,
+    )
+
+    out = rewrite_any_join(
+        "SELECT a FROM e GLOBAL ANY LEFT JOIN s AS x USING (k) "
+        "GROUP BY a")
+    assert "GLOBAL" not in out
+    assert ("LEFT JOIN (SELECT __s.* FROM (SELECT max(struct(*)) AS "
+            "__s FROM s GROUP BY k) __anyd1) AS x USING (k)") in out
+    # bare ANY JOIN defaults to INNER (CH semantics); multi-key GROUP
+    out = rewrite_any_join("SELECT a FROM e ANY JOIN s USING (k1, k2)")
+    assert out.startswith("SELECT a FROM e INNER JOIN (")
+    assert "GROUP BY k1, k2" in out and "USING (k1, k2)" in out
+    # ALL and GLOBAL strip to the bare join
+    assert rewrite_any_join("SELECT a FROM e ALL INNER JOIN s "
+                            "USING (k)") == \
+        "SELECT a FROM e INNER JOIN s USING (k)"
+    assert rewrite_any_join("SELECT a FROM e GLOBAL LEFT JOIN s "
+                            "USING (k)") == \
+        "SELECT a FROM e LEFT JOIN s USING (k)"
+
+
+def test_any_join_refusals_and_literal_safety():
+    import pytest
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_any_join,
+    )
+
+    with pytest.raises(ValueError, match="unsupported ANY JOIN"):
+        rewrite_any_join("SELECT a FROM e ANY RIGHT JOIN s USING (k)")
+    with pytest.raises(ValueError, match="unsupported ANY JOIN"):
+        rewrite_any_join("SELECT a FROM e ANY LEFT JOIN s ON e.k = s.k")
+    # string DATA and the any() aggregate survive untouched
+    q = "SELECT 'GLOBAL ANY JOIN' AS s FROM t"
+    assert rewrite_any_join(q) == q
+    q2 = "SELECT any(x) FROM t"
+    assert rewrite_any_join(q2) == q2
+
+
+def test_any_join_executes_deterministic_pick(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, lbl string"
+    ).createOrReplaceTempView("anyl")
+    # two matches for k=1: the pick must be the greatest full row
+    spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "k int, v int, tag string"
+    ).createOrReplaceTempView("anyr")
+    rows = sql(spark, """
+        SELECT k, lbl, v, tag
+        FROM anyl ANY LEFT JOIN anyr USING (k) ORDER BY k
+    """).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, "a", 20, "new"), (2, "b", 5, "only")]
+    # exactly one output row per left row — never a multi-match fanout
+    assert len(rows) == 2
+
+
+# --------------------------------------------- multiIf / uniq aliases --
+
+
+def test_multi_if_rewrites_to_case():
+    out = rewrite_aggregates(
+        "SELECT multiIf(a > 1, 'x', b < 2, 'y', 'z') AS c FROM t")
+    assert out == ("SELECT CASE WHEN a > 1 THEN 'x' WHEN b < 2 "
+                   "THEN 'y' ELSE 'z' END AS c FROM t")
+    # nested multiIf in the arguments
+    assert rewrite_aggregates("SELECT multiIf(a, multiIf(b, 1, 2), 3) "
+                              "FROM t") == \
+        ("SELECT CASE WHEN a THEN CASE WHEN b THEN 1 ELSE 2 END "
+         "ELSE 3 END FROM t")
+    # literal safety + loud even-arity refusal
+    q = "SELECT 'multiIf(a,b)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
+    with pytest.raises(ValueError, match="odd number"):
+        rewrite_aggregates("SELECT multiIf(a, 1) FROM t")
+
+
+def test_uniq_sketch_variant_aliases():
+    out = rewrite_aggregates(
+        "SELECT uniqCombined(u), uniqCombined64(u), uniqHLL12(v) "
+        "FROM t")
+    assert out.count("approx_count_distinct(") == 3
+    assert "uniq" not in out
+
+
+def test_multi_if_executes(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(1,), (5,), (50,)], "v int") \
+         .createOrReplaceTempView("mi_t")
+    rows = sql(spark, """
+        SELECT v, multiIf(v < 3, 'small', v < 10, 'mid', 'big') AS b
+        FROM mi_t ORDER BY v
+    """).collect()
+    assert [r.b for r in rows] == ["small", "mid", "big"]
