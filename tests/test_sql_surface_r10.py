@@ -240,6 +240,11 @@ def test_any_join_rewrite_shapes():
     assert rewrite_any_join("SELECT a FROM e GLOBAL LEFT JOIN s "
                             "USING (k)") == \
         "SELECT a FROM e LEFT JOIN s USING (k)"
+    # GLOBAL also precedes ASOF in distributed CH — the strip feeds
+    # the ASOF rewrite downstream
+    assert rewrite_any_join("SELECT a FROM e GLOBAL ASOF LEFT JOIN s "
+                            "ON e.u = s.u AND e.t >= s.t") == \
+        "SELECT a FROM e ASOF LEFT JOIN s ON e.u = s.u AND e.t >= s.t"
 
 
 def test_any_join_refusals_and_literal_safety():
