@@ -656,6 +656,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _default_quantile_fraction(out)
     out = _rewrite_if_combinators(out)
     out = _rewrite_multi_if(out)
+    out = _rewrite_array_lambdas(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
@@ -698,6 +699,65 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return parts
+
+
+#: ClickHouse array lambda functions: the lambda comes FIRST
+#: (``arrayMap(x -> f(x), arr)``), Spark's higher-order functions take
+#: it LAST (``transform(arr, x -> f(x))``) — an argument-REORDERING
+#: rewrite, so it is balanced-scan + top-level-split like the
+#: If-combinators, never a token rename. Spark target per name; the
+#: 2-array arrayMap maps to zip_with (CH zips elementwise too).
+_ARRAY_LAMBDAS: dict[str, str] = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+    "arrayCount": "__count",  # size(filter(...)) — no direct builtin
+}
+
+
+def _rewrite_array_lambdas(out: str) -> str:
+    """``arrayMap(f, a)`` → ``transform(a, f)`` and friends (masked
+    text). Forms refused loudly rather than mis-bracketed: a first
+    argument that is not a lambda (CH's lambda-less arrayCount(arr)
+    etc.), and multi-array forms except the 2-array arrayMap
+    (→ zip_with)."""
+    for name, target in _ARRAY_LAMBDAS.items():
+        pos = 0
+        while True:
+            m = re.compile(rf"\b{name}\s*\(").search(out, pos)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                ch = out[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            args = [a.strip() for a in
+                    _split_top_level(out[m.end():i - 1])]
+            if depth or "->" not in args[0]:
+                raise ValueError(
+                    f"{name}: expected the ClickHouse lambda form "
+                    f"{name}(x -> expr, array); the lambda-less and "
+                    f"computed forms are not implemented")
+            lam = args[0]
+            if name == "arrayMap" and len(args) == 3:
+                repl = f"zip_with({args[1]}, {args[2]}, {lam})"
+            elif len(args) != 2:
+                raise ValueError(
+                    f"{name}: only the single-array form (and 2-array "
+                    f"arrayMap → zip_with) is implemented, got "
+                    f"{len(args) - 1} arrays")
+            elif name == "arrayCount":
+                repl = f"size(filter({args[1]}, {lam}))"
+            else:
+                repl = f"{target}({args[1]}, {lam})"
+            out = out[:m.start()] + repl + out[i:]
+            pos = m.start()
+    return out
 
 
 def _rewrite_multi_if(out: str) -> str:

@@ -2590,6 +2590,50 @@ def any_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_lambda_sql",
+    # DuckDB's list lambdas take the array FIRST like Spark's — the
+    # oracle is the reordered spelling; counts/sums are exact ints
+    oracle="""
+    SELECT lang,
+           count(*)::bigint AS docs,
+           sum(len(list_filter(string_split(lower(text), ' '),
+                               t -> length(t) > 5)))::bigint
+             AS long_tokens,
+           sum(CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         t -> t = 'spark')) > 0
+                    THEN 1 ELSE 0 END)::bigint AS docs_with_spark
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="ClickHouse array lambda functions (`arrayCount(x -> …, arr)`, "
+        "`arrayExists`, with arrayMap/arrayFilter/arrayAll in the same "
+        "family) — CH puts the LAMBDA FIRST, Spark's higher-order "
+        "functions take it LAST, so the rewrite is argument-REORDERING "
+        "(balanced scan + top-level split, never a token rename; "
+        "functions/macros._rewrite_array_lambdas; 2-array arrayMap → "
+        "zip_with, lambda-less and other multi-array forms refused "
+        "loudly). Higher-order functions run INSIDE whole-stage "
+        "codegen — per-row array work with zero Python and zero "
+        "explode-shuffle, the 100 TB-safe spelling of per-document "
+        "token analysis",
+)
+def array_lambda_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "al_docs")
+    return engine_sql(spark, """
+        SELECT lang,
+               CAST(count() AS bigint) AS docs,
+               CAST(sum(arrayCount(t -> length(t) > 5,
+                                   split(lower(text), ' ')))
+                    AS bigint) AS long_tokens,
+               CAST(sum(CASE WHEN arrayExists(t -> t = 'spark',
+                                              split(lower(text), ' '))
+                             THEN 1 ELSE 0 END)
+                    AS bigint) AS docs_with_spark
+        FROM al_docs GROUP BY lang ORDER BY lang
+    """)
+
+
+@query(
     "csvwithnames_roundtrip",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,

@@ -324,3 +324,51 @@ def test_multi_if_executes(spark):
         FROM mi_t ORDER BY v
     """).collect()
     assert [r.b for r in rows] == ["small", "mid", "big"]
+
+
+# ------------------------------------------------------ array lambdas --
+
+
+def test_array_lambda_reordering():
+    assert rewrite_aggregates("SELECT arrayMap(x -> x * 2, arr) "
+                              "FROM t") == \
+        "SELECT transform(arr, x -> x * 2) FROM t"
+    assert rewrite_aggregates(
+        "SELECT arrayFilter(t -> length(t) > 5, split(s, ' ')) "
+        "FROM t") == \
+        "SELECT filter(split(s, ' '), t -> length(t) > 5) FROM t"
+    out = rewrite_aggregates(
+        "SELECT arrayCount(x -> x > 0, arr), "
+        "arrayExists(x -> x = 1, arr), "
+        "arrayAll(x -> x >= 0, arr) FROM t")
+    assert ("size(filter(arr, x -> x > 0)), exists(arr, x -> x = 1), "
+            "forall(arr, x -> x >= 0)") in out
+    # 2-array arrayMap zips; nested calls rewrite inside-out
+    assert rewrite_aggregates("SELECT arrayMap((x, y) -> x + y, a, b) "
+                              "FROM t") == \
+        "SELECT zip_with(a, b, (x, y) -> x + y) FROM t"
+    assert rewrite_aggregates(
+        "SELECT arrayMap(x -> arrayCount(y -> y > x, b), a) FROM t") \
+        == "SELECT transform(a, x -> size(filter(b, y -> y > x))) FROM t"
+
+
+def test_array_lambda_refusals_and_literal_safety():
+    with pytest.raises(ValueError, match="lambda form"):
+        rewrite_aggregates("SELECT arrayCount(arr) FROM t")
+    with pytest.raises(ValueError, match="single-array"):
+        rewrite_aggregates("SELECT arrayFilter(f -> 1, a, b) FROM t")
+    q = "SELECT 'arrayMap(x -> 1, a)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+def test_array_lambda_executes(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([("a bb ccc dddd",)], "s string") \
+         .createOrReplaceTempView("alam_t")
+    rows = sql(spark, """
+        SELECT arrayCount(t -> length(t) > 2, split(s, ' ')) AS n,
+               arrayExists(t -> t = 'bb', split(s, ' ')) AS has_bb
+        FROM alam_t
+    """).collect()
+    assert rows[0].n == 2 and rows[0].has_bb is True
