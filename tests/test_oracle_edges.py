@@ -70,7 +70,12 @@ TEXT_QUERIES = ["text_stats", "quality_scores", "token_counts",
                 # replication from the source id, curriculum ranks
                 # with tied n_chars (doc_id tiebreak)
                 "bm25_top_docs", "upsample_epochs",
-                "curriculum_schedule"]
+                "curriculum_schedule",
+                # round-10 tier: lambda-first array functions over the
+                # edge texts — empty/whitespace docs split to
+                # empty-string tokens (kept by BOTH engines' split),
+                # non-ASCII lengths are char-counted on both sides
+                "array_lambda_sql"]
 
 
 @pytest.fixture(scope="module")
