@@ -288,3 +288,26 @@ def test_sample_slice_bounds_partition_the_hash_space(frac, off_num):
     if o + 2 * f <= 1.0:
         lo2, hi2 = bounds(f, o + f)
         assert lo2 == hi
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(1, 10**7), total=st.integers(1, 10**8))
+def test_sample_rowcount_inversion_matches_duckdb_ieee(n, total):
+    """The row-count SAMPLE form's inversion (frac = n/total, hi =
+    trunc(frac·2^32), factor = 1.0/frac) must land on EXACTLY the
+    same doubles in DuckDB's replay expressions, for ANY n/total —
+    the oracle contract of sample_rowcount_scan. Python's int/int
+    division is correctly rounded and both engines scale by a power
+    of two (exact), so any drift here is a real bug, not float noise."""
+    import duckdb
+
+    if n >= total:
+        return  # the full-table branch has no arithmetic to diverge
+    frac = n / total
+    hi_py = int(frac * 4294967296)
+    factor_py = 1.0 / frac
+    hi_db, factor_db = duckdb.sql(
+        f"SELECT CAST(trunc(({n} / {total}) * 4294967296) AS UBIGINT),"
+        f" 1.0 / ({n} / {total})").fetchone()
+    assert hi_py == hi_db
+    assert factor_py == factor_db
