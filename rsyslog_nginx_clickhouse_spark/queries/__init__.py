@@ -166,8 +166,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: skew_salted_event_counts, streaming_* , timeseries_5min_by_type,
 #: top3_parts_per_brand, user_sessions, zorder_pruned_scan).
 #: Round-10 ordering (VERDICT r9 items 1-3 + the standing rotation
-#: contract): the window leads with the round's 7 mandatory entries —
-#: 5 NEW (any_join_sql: GLOBAL/ANY/ALL join modifiers;
+#: contract): the window leads with the round's 8 mandatory entries —
+#: 6 NEW (decontamination_bloom: the m-bounded bloom-prefilter
+#: form of eval-set decontamination;
+#: any_join_sql: GLOBAL/ANY/ALL join modifiers;
 #: array_lambda_sql: lambda-first array functions reordered to
 #: Spark's higher-order builtins;
 #: group_array_sql: deterministic groupArray over a sorted
@@ -179,11 +181,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: serialized via arrayStringConcat, oracles mirrored) — then fills
 #: oldest-first: ALL 36 r6 rows (the _FRONTLOAD_R10 cohort VERDICT r9
 #: item 2 called one round overdue: daily_unique_users …
-#: zorder_pruned_scan), then 7 r7 rows alphabetically
-#: (argmax_rollup_latest … bucketed_join_revenue). The round
-#: deliberately adds only 5 new queries — far under the 17-slot
-#: budget — so the whole overdue cohort rotates; 39 r7 rows remain
-#: the oldest outside
+#: zorder_pruned_scan), then 6 r7 rows alphabetically
+#: (argmax_rollup_latest … bucketed_build). The round deliberately
+#: adds only 6 new queries — far under the 17-slot budget — so the
+#: whole overdue cohort rotates; 40 r7 rows remain the oldest outside
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
 _FRONTLOAD_R10 = [
@@ -193,6 +194,7 @@ _FRONTLOAD_R10 = [
     "dict_get_large",            # NEW: join-backed large dictGet
     "any_join_sql",              # NEW: GLOBAL/ANY/ALL join modifiers
     "array_lambda_sql",          # NEW: CH lambda-first array fns
+    "decontamination_bloom",     # NEW: bloom-prefiltered decontam
     # text-changed this round — the two r9 driver-red rows, re-shaped
     "quantiles_array_sql",       # exploded to scalar rows
     "group_uniq_array_sql",      # set serialized to a ','-string
@@ -240,7 +242,6 @@ _FRONTLOAD_R10 = [
     "bpe_tokenize_docs",
     "bpe_train_merges",
     "bucketed_build",
-    "bucketed_join_revenue",
 ]
 
 _FRONTLOAD_R9 = [

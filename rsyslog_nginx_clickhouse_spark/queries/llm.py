@@ -831,6 +831,86 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / F.count("*"), 6).alias("contamination")))
 
 
+@query(
+    "decontamination_bloom",
+    # IDENTICAL values to `decontamination` (a bloom filter has no
+    # false negatives and every candidate is exact-verified), so the
+    # oracle is the same exact-containment SQL — what differs is the
+    # PLAN, which plancheck pins (3 int-keyed broadcast probes + one
+    # null-key-skipping verify join)
+    oracle=_SHINGLES_CTE + """
+    , bench AS (
+      SELECT DISTINCT unnest(shingles) AS s
+      FROM sh WHERE doc_id % 20 = 0),
+    tr AS (
+      SELECT doc_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           count(*) AS n_shingles,
+           cast(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_contaminated,
+           floor((sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0
+                      END)::double / count(*))
+                 * 1000000 + 0.5) / 1000000 AS contamination
+    FROM tr LEFT JOIN bench USING (s)
+    GROUP BY tr.doc_id
+    """,
+    doc="BLOOM-prefiltered decontamination — the 100 TB form of the "
+        "eval-set hygiene pass (GPT-3/Llama style): when the benchmark "
+        "shingle set outgrows a string broadcast (hundreds of eval "
+        "suites × 13-grams), its BLOOM POSITION dim still broadcasts — "
+        "bounded by m (2^16) regardless of eval size. Train shingles "
+        "probe the k=3 positions via 3 int-keyed broadcast hash joins "
+        "(pure column expressions, NO explode — each probe is one "
+        "xxhash64+pmod), and only bloom candidates reach the exact "
+        "verify join: its key is NULLed for non-candidates, so "
+        "non-matching rows stream through the left join without "
+        "probing. False positives cost one extra hash probe, never a "
+        "wrong value (exact verify); false negatives are impossible, "
+        "so values equal plain `decontamination` — the shared oracle "
+        "pins that. Bloom machinery shared with plans/bloomindex.py",
+)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import doc_shingles
+    from rsyslog_nginx_clickhouse_spark.plans.bloomindex import (
+        bloom_positions,
+    )
+
+    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    bench_sh = (sh.where(F.col("doc_id") % 20 == 0)
+                  .select(F.explode("shingles").alias("bs")).distinct())
+    # the m-bounded broadcast dim: every set bloom position, ≤ 2^16
+    # rows no matter how many eval shingles exist
+    bloom_dim = (bench_sh
+                 .select(F.explode(bloom_positions(F.col("bs")))
+                          .alias("pos"))
+                 .distinct())
+    tr = (sh.where(F.col("doc_id") % 20 != 0)
+            .select("doc_id", F.explode("shingles").alias("s")))
+    probed = tr
+    for i in range(3):
+        d = bloom_dim.select(F.col("pos").alias(f"p{i}"),
+                             F.lit(1).alias(f"h{i}"))
+        probed = probed.join(
+            F.broadcast(d),
+            F.element_at(bloom_positions(F.col("s")), i + 1)
+            == F.col(f"p{i}"), "left").drop(f"p{i}")
+    cand = (F.col("h0").isNotNull() & F.col("h1").isNotNull()
+            & F.col("h2").isNotNull())
+    # exact verify ONLY for candidates: a NULL join key never matches
+    # and streams through the left join unprobed
+    verified = probed.withColumn(
+        "s_cand", F.when(cand, F.col("s"))).join(
+        F.broadcast(bench_sh.withColumn("hit", F.lit(1))),
+        F.col("s_cand") == F.col("bs"), "left")
+    return (verified.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  .cast("long").alias("n_contaminated"),
+                 tie_round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                           / F.count("*"), 6).alias("contamination")))
+
+
 # ---------------------------------------------------------- multimodal --
 
 

@@ -372,3 +372,22 @@ def test_array_lambda_executes(spark):
         FROM alam_t
     """).collect()
     assert rows[0].n == 2 and rows[0].has_bb is True
+
+
+# -------------------------------------------- bloom decontamination --
+
+
+def test_decontamination_bloom_equals_exact(spark):
+    """The bloom prefilter must be value-invisible: no false negatives
+    (bloom property) and every false positive removed by the exact
+    verify — so the bloom query's rows equal plain decontamination's
+    on the same corpus."""
+    from rsyslog_nginx_clickhouse_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = {tuple(r) for r in
+             reg["decontamination"].spark(spark, sf).collect()}
+    bloom = {tuple(r) for r in
+             reg["decontamination_bloom"].spark(spark, sf).collect()}
+    assert exact == bloom and len(exact) > 0
