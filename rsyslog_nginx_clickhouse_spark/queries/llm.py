@@ -876,15 +876,22 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_positions,
     )
 
+    from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
     sh = doc_shingles(load(spark, sf_dir, "documents"))
-    bench_sh = (sh.where(F.col("doc_id") % 20 == 0)
-                  .select(F.explode("shingles").alias("bs")).distinct())
+    # barrier: the bench dims feed FOUR joins, and Catalyst shares no
+    # subplans across join inputs — without it the bench shingle
+    # aggregation re-runs per probe (plancheck showed scans=5). Both
+    # dims are parameter-sized (≤ distinct eval shingles / ≤ m rows)
+    bench_sh = barrier(
+        sh.where(F.col("doc_id") % 20 == 0)
+          .select(F.explode("shingles").alias("bs")).distinct())
     # the m-bounded broadcast dim: every set bloom position, ≤ 2^16
     # rows no matter how many eval shingles exist
-    bloom_dim = (bench_sh
-                 .select(F.explode(bloom_positions(F.col("bs")))
-                          .alias("pos"))
-                 .distinct())
+    bloom_dim = barrier(
+        bench_sh.select(F.explode(bloom_positions(F.col("bs")))
+                         .alias("pos"))
+                .distinct())
     tr = (sh.where(F.col("doc_id") % 20 != 0)
             .select("doc_id", F.explode("shingles").alias("s")))
     probed = tr
