@@ -1091,8 +1091,11 @@ def rewrite_sample(query: str, count_of=None) -> str:
 #: dedups the right side FIRST with max(struct(*)) per join key — the
 #: lexicographically-greatest full row, deterministic at any
 #: partition count (same one-aggregate shape as FINAL replacing).
+#: GLOBAL precedes JOIN *and* IN/NOT IN in distributed CH (``x GLOBAL
+#: IN (SELECT …)`` ships the subquery result to every shard) — both
+#: strip for the same reason: Spark's planner owns data movement
 _GLOBAL_RE = re.compile(
-    r"(?is)\bGLOBAL\s+(?=(?:\w+\s+){0,3}JOIN\b)")
+    r"(?is)\bGLOBAL\s+(?=(?:\w+\s+){0,3}JOIN\b|(?:NOT\s+)?IN\s*\()")
 _ALL_JOIN_RE = re.compile(
     r"(?is)\bALL\s+(?=(?:INNER\s+|LEFT\s+)?JOIN\b)")
 _ANY_JOIN_RE = re.compile(

@@ -391,3 +391,18 @@ def test_decontamination_bloom_equals_exact(spark):
     bloom = {tuple(r) for r in
              reg["decontamination_bloom"].spark(spark, sf).collect()}
     assert exact == bloom and len(exact) > 0
+
+
+def test_global_in_strips():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_any_join,
+    )
+
+    assert rewrite_any_join(
+        "SELECT a FROM t WHERE u GLOBAL IN (SELECT u FROM s)") == \
+        "SELECT a FROM t WHERE u IN (SELECT u FROM s)"
+    assert rewrite_any_join(
+        "SELECT a FROM t WHERE u GLOBAL NOT IN (SELECT u FROM s)") == \
+        "SELECT a FROM t WHERE u NOT IN (SELECT u FROM s)"
+    q = "SELECT 'GLOBAL IN (x)' AS s FROM t"
+    assert rewrite_any_join(q) == q
