@@ -230,15 +230,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(height, width, bpp)
 
 
-# ------------------------------------------------------ baseline JPEG --
-# Dependency-free baseline-sequential JPEG (VERDICT r7 item 9 — the
-# most common real-corpus image format): full marker parse, canonical
-# Huffman tables built from the stream's own DHT segments, DC
-# prediction + AC run-length decode, dequantization, de-zigzag, float
-# IDCT, level shift. Supported: 8-bit precision, single scan, 1
-# component (grayscale) or 3 components 4:4:4 (YCbCr → RGB, BT.601);
-# progressive (SOF2), arithmetic coding, 16-bit quant precision and
-# chroma subsampling are rejected loudly.
+# ------------------------------------------------------------- JPEG --
+# Dependency-free JPEG (VERDICT r7 item 9 — the most common
+# real-corpus image format): full marker parse, canonical Huffman
+# tables built from the stream's own DHT segments, DC prediction +
+# AC run-length decode, dequantization, de-zigzag, float IDCT, level
+# shift. Supported: 8-bit precision, 1 component (grayscale) or 3
+# components 4:4:4 (YCbCr → RGB, BT.601), baseline sequential (SOF0)
+# AND progressive Huffman (SOF2 — VERDICT r10 item 8: multi-scan
+# spectral selection + successive approximation, DC/AC first and
+# refinement scans, EOB runs; coefficients accumulate across scans
+# and IDCT once at EOI). Arithmetic coding (SOF9+), hierarchical,
+# lossless, 16-bit quant precision, chroma subsampling, and restart
+# intervals inside progressive scans are rejected loudly.
 
 #: zigzag scan order (spec Figure A.6): _JPEG_ZIGZAG[i] = the
 #: block-raster index of the i-th coefficient in scan order.
@@ -344,6 +348,15 @@ class _JpegBitReader:
         self.pos += 2
         return m
 
+    def segment_end(self) -> int:
+        """Byte offset of the next real marker's 0xFF (the end of this
+        scan's entropy data) WITHOUT consuming it — progressive scans
+        return control to the marker loop here."""
+        p = self.pos + (1 if self.bit else 0)
+        while not (self.data[p] == 0xFF and self.data[p + 1] != 0x00):
+            p += 1
+        return p
+
     def decode_huff(self, table: dict) -> int:
         code, length = 0, 0
         while length <= 16:
@@ -383,12 +396,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos, qt, huff, dri = 2, {}, {}, 0
     frame = None
+    progressive = False
+    coefs: list | None = None  # progressive: (n_blocks, 64) zigzag/comp
+    scanned = False
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and scanned:
+                h, w, comps = frame
+                return _jpeg_color_out(
+                    _jpeg_idct_planes(coefs, comps, qt, h, w))
             raise ValueError("JPEG ended before a scan")
         seg_len = int.from_bytes(payload[pos:pos + 2], "big")
         seg = payload[pos + 2:pos + seg_len]
@@ -413,7 +433,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + n])
                 huff[(tc, th)] = _jpeg_decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = (seg[0],
                               int.from_bytes(seg[1:3], "big"),
                               int.from_bytes(seg[3:5], "big"), seg[5])
@@ -429,30 +450,54 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG "
                                           "unsupported")
+            if h % 8 or w % 8:
+                raise NotImplementedError(
+                    "image dims must be multiples of 8 (no "
+                    "partial-MCU padding)")
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            if progressive:
+                coefs = [np.zeros((h // 8 * (w // 8), 64),
+                                  dtype=np.int64) for _ in comps]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) is supported, got "
+                f"only baseline sequential (SOF0) and progressive "
+                f"Huffman (SOF2) are supported, got "
                 f"SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_cids = []
             for c in range(ns):
                 cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tdta >> 4, tdta & 0xF)
+                scan_cids.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
             pos += seg_len
-            break
+            if not progressive:
+                break
+            # one progressive scan: decode its entropy data into the
+            # coefficient store, then return to the marker loop (DHT
+            # tables may be redefined between scans)
+            if dri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans "
+                    "unsupported")
+            reader = _JpegBitReader(payload, pos)
+            _jpeg_progressive_scan(
+                reader, coefs, huff, frame, scan_cids, scan_tables,
+                ss, se, ah, al)
+            scanned = True
+            pos = reader.segment_end()
+            continue
         pos += seg_len
 
     h, w, comps = frame
-    if h % 8 or w % 8:
-        raise NotImplementedError("image dims must be multiples of 8 "
-                                  "(no partial-MCU padding)")
     by, bx = h // 8, w // 8
     reader = _JpegBitReader(payload, pos)
     planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
@@ -490,6 +535,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 spat = _JPEG_DCT_A.T @ coef.astype(np.float64) @ _JPEG_DCT_A
                 planes[ci][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = spat
             mcu += 1
+    return _jpeg_color_out(planes)
+
+
+def _jpeg_color_out(planes: list) -> np.ndarray:
+    """Level shift + gray/YCbCr→RGB tail shared by the baseline and
+    progressive decode paths."""
     out = [np.clip(np.round(p + 128.0), 0, 255) for p in planes]
     if len(out) == 1:
         g = out[0].astype(np.uint8)
@@ -501,6 +552,146 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return np.stack(
         [np.clip(np.round(c), 0, 255).astype(np.uint8)
          for c in (r, g, b)], axis=2)
+
+
+def _jpeg_idct_planes(coefs: list, comps: list, qt: dict, h: int,
+                      w: int) -> list:
+    """Progressive finish: dequantize + de-zigzag + IDCT every
+    component's accumulated coefficient store in ONE einsum per
+    component (the per-block Python loop the baseline path tolerates
+    would be n_blocks× slower here)."""
+    by, bx = h // 8, w // 8
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        blocks = np.zeros((by * bx, 64), dtype=np.int64)
+        blocks[:, _JPEG_ZIGZAG] = coefs[ci]
+        deq = (blocks.reshape(-1, 8, 8)
+               * qt[tq][None, :, :]).astype(np.float64)
+        spat = np.einsum("ux,nuv,vy->nxy", _JPEG_DCT_A, deq,
+                         _JPEG_DCT_A)
+        planes.append(
+            spat.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(h, w))
+    return planes
+
+
+def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
+                           huff: dict, frame: tuple, scan_cids: list,
+                           scan_tables: dict, ss: int, se: int,
+                           ah: int, al: int) -> None:
+    """Decode ONE progressive scan (spec G.1.2 / the classic
+    libjpeg-structured algorithm) into the zigzag coefficient store:
+
+    - DC first (Ss=0, Ah=0): baseline DC prediction, value << Al
+      (the point transform), interleaved over the scan's components;
+    - DC refinement (Ss=0, Ah>0): one appended bit per block;
+    - AC first (Ss>0, Ah=0): single-component band decode with
+      EOB-run codes (EOBn spans whole blocks);
+    - AC refinement (Ss>0, Ah>0): correction bits for
+      already-nonzero coefficients + newly-significant ±1<<Al.
+    """
+    h, w, comps = frame
+    n_blocks = (h // 8) * (w // 8)  # 4:4:4 only: every comp full-res
+    ci_of = {cid: i for i, (cid, _) in enumerate(comps)}
+    if ss == 0:  # DC scan (spectral band 0..0)
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC "
+                             "coefficients (Ss=0 requires Se=0)")
+        order = [(ci_of[cid], scan_tables[cid][0]) for cid in scan_cids]
+        if ah == 0:
+            pred = [0] * len(order)
+            for blk in range(n_blocks):
+                for i, (ci, td) in enumerate(order):
+                    t = reader.decode_huff(huff[(0, td)])
+                    pred[i] += _jpeg_extend(reader.read_bits(t), t)
+                    coefs[ci][blk, 0] = pred[i] << al
+        else:
+            for blk in range(n_blocks):
+                for ci, _ in order:
+                    if reader.read_bit():
+                        coefs[ci][blk, 0] |= 1 << al
+        return
+    if len(scan_cids) != 1:
+        raise ValueError("progressive AC scans are single-component "
+                         "by spec")
+    ci = ci_of[scan_cids[0]]
+    ta = scan_tables[scan_cids[0]][1]
+    table = huff[(1, ta)]
+    eobrun = 0
+    if ah == 0:  # AC first scan
+        for blk in range(n_blocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = coefs[ci][blk]
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient ran past the "
+                                     "scan's spectral band")
+                zz[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                k += 1
+        return
+    for blk in range(n_blocks):  # AC refinement scan
+        eobrun = _jpeg_refine_ac(reader, coefs[ci][blk], table,
+                                 ss, se, al, eobrun)
+
+
+def _jpeg_refine_ac(reader: "_JpegBitReader", zz: np.ndarray,
+                    table: dict, ss: int, se: int, al: int,
+                    eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (spec G.1.2.3): already-nonzero coefficients receive a correction
+    bit (magnitude grows away from zero when set), zero-history
+    coefficients become newly significant as ±1<<Al; EOB runs still
+    carry correction bits for the remaining nonzero coefficients."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement scan: magnitude "
+                                     "category must be 1")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            while k <= se:
+                if zz[k]:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            if zz[k] and reader.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -516,9 +707,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     raise NotImplementedError(
         "unrecognized image format (supported dependency-free: 24-bit "
-        "BMP, P6 PPM, 8-bit RGB/RGBA PNG, baseline-sequential JPEG); "
-        "progressive JPEG/audio/video codecs need libraries not "
-        "present in this container")
+        "BMP, P6 PPM, 8-bit RGB/RGBA PNG, baseline-sequential and "
+        "progressive-Huffman JPEG); arithmetic-coded JPEG and "
+        "audio/video codecs need libraries not present in this "
+        "container")
 
 
 def image_features(img: np.ndarray) -> np.ndarray:
@@ -1087,6 +1279,292 @@ def render_jpeg_bytes(text: str, width: int = JPEG_W,
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
     return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos + bytes(out)
             + b"\xFF\xD9")
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF00 stuffing; ``flush`` pads the
+    final partial byte with 1-bits (spec F.1.2.3) — progressive scans
+    each flush independently (every scan's entropy data is
+    byte-aligned)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._buf = 0
+        self._n = 0
+
+    def emit(self, code: int, length: int) -> None:
+        self._buf = (self._buf << length) | code
+        self._n += length
+        while self._n >= 8:
+            byte = (self._buf >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._buf &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.emit((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+#: the progressive encoder's AC Huffman table: the Annex-K sequential
+#: table has no EOBn (r<<4, r>0) symbols — sequential JPEG never uses
+#: them — so the SOF2 file ships its own table: all 176 (r, s≤10)
+#: symbols at a uniform 8 bits (canonical codes 0..175; the all-ones
+#: code is never assigned, as the spec requires). The DECODER reads
+#: whatever DHT the stream declares, so this is encoder-local.
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_PROG_AC_VALS = tuple((r << 4) | s
+                           for r in range(16) for s in range(11))
+
+
+def _jpeg_headers(width: int, height: int, sof_marker: int,
+                  ac_bits=_JPEG_AC_BITS,
+                  ac_vals=_JPEG_AC_VALS) -> bytes:
+    """SOI + JFIF + all-ones DQT + SOF + DHT (standard Annex-K DC,
+    caller-chosen AC) — the shared header stack of the render/encode
+    helpers (grayscale, quantization identity so coefficient oracles
+    stay exact)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + (len(body) + 2).to_bytes(2, "big") + body)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes(64 * [1]))
+    sof = seg(sof_marker, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS)
+              + bytes([0x10]) + bytes(ac_bits)
+              + bytes(ac_vals))
+    return b"\xFF\xD8" + app0 + dqt + sof + dht
+
+
+def encode_baseline_jpeg(blocks_zz: "np.ndarray", width: int,
+                         height: int) -> bytes:
+    """Arbitrary-coefficient grayscale baseline encoder (the
+    equivalence anchor for the progressive encoder below): blocks_zz
+    is (n_blocks, 64) QUANTIZED zigzag coefficients in raster block
+    order; all-ones quantization, standard Annex-K tables."""
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for zz in blocks_zz:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        t = abs(diff).bit_length()
+        w.emit(*dc_codes[t])
+        if t:
+            w.emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        r = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                w.emit(*ac_codes[0xF0])
+                r -= 16
+            s = abs(v).bit_length()
+            w.emit(*ac_codes[(r << 4) | s])
+            w.emit(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last_nz < 63:
+            w.emit(*ac_codes[0x00])  # EOB
+    w.flush()
+    sos = (bytes([0xFF, 0xDA]) + (8).to_bytes(2, "big")
+           + bytes([1, 1, 0x00, 0, 63, 0]))
+    return (_jpeg_headers(width, height, 0xC0) + sos + bytes(w.out)
+            + b"\xFF\xD9")
+
+
+#: the default progressive scan script: exercises all four scan kinds
+#: (DC first with point transform, DC refinement, AC first split into
+#: two spectral bands, AC refinement of both bands)
+_PROGRESSIVE_SCANS = ((0, 0, 0, 1), (0, 0, 1, 0),
+                      (1, 5, 0, 1), (6, 63, 0, 1),
+                      (1, 5, 1, 0), (6, 63, 1, 0))
+
+
+def encode_progressive_jpeg(blocks_zz: "np.ndarray", width: int,
+                            height: int,
+                            scans=_PROGRESSIVE_SCANS) -> bytes:
+    """Arbitrary-coefficient grayscale PROGRESSIVE (SOF2) encoder —
+    spectral selection + successive approximation per the spec G.1.2
+    scan algebra (the libjpeg-structured encoding): DC scans use the
+    arithmetic point transform (>> Al), AC scans the magnitude
+    transform (sign · (|v| >> Al)); refinement scans emit correction
+    bits for already-significant coefficients and (r,1) codes for
+    newly-significant ones, with EOB runs spanning whole blocks and
+    carrying the buffered correction bits. ``scans`` is a sequence of
+    (Ss, Se, Ah, Al); successive-approximation scans of a band must
+    step Al one bit at a time (Ah == previous Al), DC before any AC —
+    spec ordering rules the DECODER does not re-check."""
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS,
+                                     _JPEG_PROG_AC_VALS)
+    payload = bytearray(_jpeg_headers(width, height, 0xC2,
+                                      _JPEG_PROG_AC_BITS,
+                                      _JPEG_PROG_AC_VALS))
+    n_blocks = len(blocks_zz)
+    for ss, se, ah, al in scans:
+        w = _JpegBitWriter()
+        if ss == 0 and ah == 0:  # DC first
+            prev = 0
+            for zz in blocks_zz:
+                v = int(zz[0]) >> al
+                diff, prev = v - prev, v
+                t = abs(diff).bit_length()
+                w.emit(*dc_codes[t])
+                if t:
+                    w.emit(diff if diff >= 0 else diff + (1 << t) - 1,
+                           t)
+        elif ss == 0:  # DC refinement
+            for zz in blocks_zz:
+                w.emit((int(zz[0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first
+            eobrun = 0
+
+            def flush_eob(w=w, ac=ac_codes):
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    w.emit(*ac[r << 4])
+                    if r:
+                        w.emit(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for zz in blocks_zz:
+                vals = [int(np.sign(zz[k])) * (abs(int(zz[k])) >> al)
+                        for k in range(ss, se + 1)]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                last = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals[:last + 1]):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        w.emit(*ac_codes[0xF0])
+                        r -= 16
+                    s = abs(v).bit_length()
+                    w.emit(*ac_codes[(r << 4) | s])
+                    w.emit(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last < len(vals) - 1:
+                    eobrun += 1
+            flush_eob()
+        else:  # AC refinement
+            # two correction-bit buffers, as in the classic encoder:
+            # `be` rides the pending EOB run (emitted right after the
+            # EOBn code), `br` buffers since the last emitted symbol
+            # (emitted right after that symbol + sign) — the decoder
+            # reads them in exactly those positions
+            eobrun = 0
+            be: list[int] = []
+
+            def flush_eob_r(w=w, ac=ac_codes):
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    w.emit(*ac[r << 4])
+                    if r:
+                        w.emit(eobrun - (1 << r), r)
+                    eobrun = 0
+                    for b in be:
+                        w.emit(b, 1)
+                    be.clear()
+
+            for zz in blocks_zz:
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = max((i for i, v in enumerate(absv) if v == 1),
+                          default=-1)
+                r = 0
+                br: list[int] = []
+                for i, temp in enumerate(absv):
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob_r()
+                        w.emit(*ac_codes[0xF0])
+                        r -= 16
+                        for b in br:
+                            w.emit(b, 1)
+                        br = []
+                    if temp > 1:  # already significant: correction bit
+                        br.append(temp & 1)
+                        continue
+                    flush_eob_r()
+                    w.emit(*ac_codes[(r << 4) | 1])
+                    w.emit(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    for b in br:
+                        w.emit(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob_r()
+            flush_eob_r()
+        w.flush()
+        payload += (bytes([0xFF, 0xDA]) + (8).to_bytes(2, "big")
+                    + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+                    + bytes(w.out))
+    return bytes(payload) + b"\xFF\xD9"
+
+
+def render_progressive_jpeg_bytes(text: str, width: int = JPEG_W,
+                                  height: int = JPEG_H) -> bytes:
+    """A real PROGRESSIVE (SOF2) grayscale JPEG with the same
+    text-derivable constant-block contract as render_jpeg_bytes
+    (block b is the constant ord(text[b mod len]); DC-only spectrum
+    survives the all-ones quantization bit-exactly), emitted through
+    the full scan script — DC first at Al=1, DC refinement, split AC
+    first scans, AC refinement — so the decode exercises every
+    progressive scan kind while the SQL oracle stays exact."""
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_progressive_jpeg_bytes requires non-empty ASCII "
+            "text: the external oracle indexes code points, the "
+            "renderer indexes UTF-8 bytes — they diverge on non-ASCII "
+            "input")
+    if width % 8 or height % 8:
+        raise ValueError("JPEG render dims must be multiples of 8")
+    n_blocks = (width // 8) * (height // 8)
+    blocks = np.zeros((n_blocks, 64), dtype=np.int64)
+    for b in range(n_blocks):
+        blocks[b, 0] = 8 * (tb[b % len(tb)] - 128)
+    return encode_progressive_jpeg(blocks, width, height)
+
+
+def attach_progressive_jpeg(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Multimodal table with REAL progressive-JPEG payloads — same
+    Arrow-batched mapInPandas shape as attach_jpeg."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_progressive_jpeg_bytes(t)
+                            for t in pdf[text_col]],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
 
 
 def attach_jpeg(docs: DataFrame, id_col: str = "doc_id",

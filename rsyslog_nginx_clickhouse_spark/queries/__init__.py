@@ -187,6 +187,80 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: whole overdue cohort rotates; 40 r7 rows remain the oldest outside
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
+#: Round-11 ordering (VERDICT r10 items 1-5, 8 + the standing
+#: rotation contract): the window leads with the round's 5 mandatory
+#: entries — 4 NEW (topk_sql: parametric topK(n)(x)/topKIf
+#: exact-frequency rewrite; any_right_join_sql: ANY RIGHT JOIN … ON
+#: with the left-side mirror dedup; array_sort_group_array_sql: the
+#: arraySort(groupArray(x)) order-imposing composite;
+#: multimodal_decode_jpeg_progressive: real SOF2 multi-scan decode,
+#: spectral selection + successive approximation) and 1 TEXT-CHANGED
+#: (decontamination_bloom: the exact-verify join dropped its forced
+#: broadcast hint — AQE owns the strategy in the regime the query
+#: documents, VERDICT r10 item 1) — then fills oldest-first: ALL 40
+#: r7 rows (the _FRONTLOAD_R11 cohort VERDICT r10 item 2 named:
+#: bucketed_join_revenue … with_totals_event_counts) and 5 r8 rows
+#: alphabetically. The round adds only 4 new queries — well under
+#: budget — so the whole overdue cohort rotates; 45 r8 rows remain
+#: the oldest outside the window and lead _FRONTLOAD_R12.
+#: rotationcheck enforces the result.
+_FRONTLOAD_R11 = [
+    # new this round — never driver-verified
+    "topk_sql",                   # NEW: topK(n)(x)/topKIf combinator
+    "any_right_join_sql",         # NEW: ANY RIGHT JOIN … ON mirror
+    "array_sort_group_array_sql",  # NEW: arraySort(groupArray(x))
+    "multimodal_decode_jpeg_progressive",  # NEW: SOF2 decode
+    # text-changed this round — the verify join lost its forced hint
+    "decontamination_bloom",
+    # the 40 r7 rows — oldest in the registry (one round overdue)
+    "bucketed_join_revenue",
+    "doc_chunk_windows",
+    "dsir_importance",
+    "embedding_neardup_exact",
+    "embedding_neardup_pairs",
+    "embedding_quantization",
+    "gopher_quality_filter",
+    "grafana_columns_macro",
+    "grafana_conditional_filters",
+    "grafana_per_second_columns_macro",
+    "grafana_per_second_macro",
+    "grafana_rate_columns_macro",
+    "grafana_rate_macro",
+    "ivf_append_probe",
+    "kmv_rollup_users",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_join_ivf",
+    "knn_label_accuracy",
+    "knn_lsh",
+    "knn_pq_adc",
+    "label_centroids",
+    "limit_by_recent_events",
+    "mixture_rebalance_plan",
+    "multimodal_resize",
+    "ngram_lm_perplexity",
+    "packed_sequences",
+    "pq_encode",
+    "props_json_stats",
+    "quantile_rollup_latency",
+    "sample_clause_scan",
+    "sequence_packing_plan",
+    "similar_activity_users",
+    "span_dedup",
+    "streaming_kmv_rollup",
+    "streaming_quantile_rollup",
+    "timeseries_gap_fill",
+    "topk_rollup_users",
+    "ttl_rollup_compaction",
+    "with_totals_event_counts",
+    # r8 rows, alphabetical fill (5 of 50)
+    "asof_join_sql",
+    "big_spender_customers",
+    "collapsing_state_roundtrip",
+    "curation_pipeline",
+    "dedup_exact",
+]
+
 _FRONTLOAD_R10 = [
     # new this round — never driver-verified
     "group_array_sql",           # NEW: deterministic groupArray
@@ -235,7 +309,7 @@ _FRONTLOAD_R10 = [
     "top3_parts_per_brand",
     "user_sessions",
     "zorder_pruned_scan",
-    # r7 rows, alphabetical fill (9 of 46)
+    # r7 rows, alphabetical fill (6 of 46)
     "argmax_rollup_latest",
     "array_join_token_counts",
     "bloom_pruned_scan",
@@ -453,8 +527,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R10 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R11 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R10}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R11}
     ordered.update(REGISTRY)
     return ordered

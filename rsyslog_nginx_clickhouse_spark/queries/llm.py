@@ -862,10 +862,14 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounded by m (2^16) regardless of eval size. Train shingles "
         "probe the k=3 positions via 3 int-keyed broadcast hash joins "
         "(pure column expressions, NO explode — each probe is one "
-        "xxhash64+pmod), and only bloom candidates reach the exact "
-        "verify join: its key is NULLed for non-candidates, so "
-        "non-matching rows stream through the left join without "
-        "probing. False positives cost one extra hash probe, never a "
+        "xxhash64+pmod), then ONE partial-agg pass folds the corpus "
+        "to doc-level rows (count + bloom-thinned candidate list) — "
+        "so only CANDIDATES ever reach the exact verify join, whose "
+        "strategy is AQE's call (no broadcast hint, VERDICT r10 "
+        "item 1): broadcast while the eval strings fit, shuffle past "
+        "the budget — and a shuffle there moves candidate-sized "
+        "inputs on both sides, never the corpus. False positives "
+        "cost one extra hash probe, never a "
         "wrong value (exact verify); false negatives are impossible, "
         "so values equal plain `decontamination` — the shared oracle "
         "pins that. Bloom machinery shared with plans/bloomindex.py",
@@ -904,18 +908,32 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col(f"p{i}"), "left").drop(f"p{i}")
     cand = (F.col("h0").isNotNull() & F.col("h1").isNotNull()
             & F.col("h2").isNotNull())
-    # exact verify ONLY for candidates: a NULL join key never matches
-    # and streams through the left join unprobed
-    verified = probed.withColumn(
-        "s_cand", F.when(cand, F.col("s"))).join(
-        F.broadcast(bench_sh.withColumn("hit", F.lit(1))),
-        F.col("s_cand") == F.col("bs"), "left")
-    return (verified.groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                  .cast("long").alias("n_contaminated"),
-                 tie_round(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                           / F.count("*"), 6).alias("contamination")))
+    # ONE corpus pass: the partial-agg shuffle carries (doc_id, count,
+    # bloom-thinned candidate list) — docs + candidates, never the
+    # full shingle stream. Only candidates then reach the exact
+    # verify join, which deliberately carries NO broadcast hint
+    # (VERDICT r10 item 1): the eval shingle STRING set is the side
+    # that can outgrow a broadcast — the regime this form exists for —
+    # so AQE picks the strategy, and if it shuffles, BOTH join inputs
+    # are already candidate-sized. barrier: per_doc feeds the verify
+    # path and the final join; doc-level rows (id, count, small
+    # array), so the checkpoint is corpus-count-sized, not
+    # corpus-sized.
+    per_doc = barrier(
+        probed.groupBy("doc_id").agg(
+            F.count("*").alias("n_shingles"),
+            F.collect_list(F.when(cand, F.col("s"))).alias("cands")))
+    hits = (per_doc.select("doc_id", F.explode("cands").alias("s_cand"))
+            .join(bench_sh, F.col("s_cand") == F.col("bs"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("hits")))
+    return (per_doc.drop("cands").join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("hits"), F.lit(0))
+                     .cast("long").alias("n_contaminated"),
+                    tie_round(F.coalesce(F.col("hits"), F.lit(0))
+                              / F.col("n_shingles"), 6)
+                    .alias("contamination")))
 
 
 # ---------------------------------------------------------- multimodal --
@@ -1056,6 +1074,53 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mm = attach_jpeg(_docs(spark, sf_dir))
+    feats = extract_features(mm, fake=False)
+    return (feats.select("doc_id", F.posexplode("features"))
+                 .select("doc_id",
+                         F.col("pos").cast("int").alias("feat_idx"),
+                         F.round("col", 6).alias("feat"))
+                 .orderBy("doc_id", "feat_idx"))
+
+
+@query(
+    "multimodal_decode_jpeg_progressive",
+    # same rendered image as multimodal_decode_jpeg (2x2 grid of
+    # constant DC-only blocks, all-ones quant → lossless), different
+    # WIRE FORMAT: six SOF2 scans (DC first at Al=1, DC refinement,
+    # AC first split 1-5/6-63, AC refinement of both bands), so the
+    # oracle is byte-for-byte the baseline one — the decoded pixels
+    # must be identical whichever scan script carried them
+    oracle="""
+    SELECT doc_id, (p.p // 32)::int AS feat_idx,
+           round(avg(ascii(substr(text,
+                 ((((p.p // 16) // 8) * 2 + ((p.p % 16) // 8))
+                  % length(text)) + 1, 1))) / 255.0, 6) AS feat
+    FROM documents, unnest(generate_series(0, 255)) AS p(p)
+    GROUP BY doc_id, p.p // 32
+    ORDER BY doc_id, feat_idx
+    """,
+    doc="REAL progressive (SOF2) JPEG decode, zero dependencies "
+        "(VERDICT r10 item 8 — the most common previously-gated codec "
+        "in real crawls): render each doc as a genuine multi-scan "
+        "progressive JFIF (spectral selection + successive "
+        "approximation: DC first with point transform, DC refinement "
+        "bits, band-split AC first scans with EOB runs, AC refinement "
+        "with correction bits) and decode it back — coefficients "
+        "accumulate across scans, one IDCT at EOI. The text-derived "
+        "oracle is identical to multimodal_decode_jpeg's, pinning "
+        "scan-script invariance; a 40-trial random-coefficient "
+        "equivalence pytest pins the nonzero-AC refinement paths the "
+        "constant-block render cannot reach "
+        "(operators/multimodal._jpeg_progressive_scan; arithmetic "
+        "coding SOF9+ stays loudly rejected)",
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_progressive_jpeg,
+    )
+
+    mm = attach_progressive_jpeg(_docs(spark, sf_dir))
     feats = extract_features(mm, fake=False)
     return (feats.select("doc_id", F.posexplode("features"))
                  .select("doc_id",

@@ -2590,6 +2590,100 @@ def any_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_sort_group_array_sql",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',')
+             AS types_sorted,
+           array_to_string(list_reverse_sort(list(event_type)), ',')
+             AS types_desc,
+           count(*)::bigint AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 100
+    """,
+    doc="the `arraySort(groupArray(x))` composite CH users write "
+        "inline (VERDICT r10 item 5): the order-imposing wrapper "
+        "makes the aggregate deterministic WITHOUT the sorted-"
+        "subquery idiom, so functions/macros.rewrite_group_array "
+        "maps it unconditionally to sort_array(collect_list(x)) "
+        "(arrayReverseSort → sort_array(…, false)) — one partial-"
+        "aggregatable collect, order canonicalized at the end, "
+        "identical at any partition count. Bare groupArray still "
+        "refuses loudly (and now also when an unsorted subquery "
+        "sits alongside a sorted one — the harvested key could "
+        "belong to the wrong scope, ADVICE r10). Arrays serialize "
+        "to ','-strings at the SELECT boundary per the registry "
+        "no-ArrayType rule",
+)
+def array_sort_group_array_sql(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "asga_events")
+    return engine_sql(spark, """
+        SELECT user_id,
+               arrayStringConcat(arraySort(groupArray(event_type)),
+                                 ',') AS types_sorted,
+               arrayStringConcat(
+                 arrayReverseSort(groupArray(event_type)), ',')
+                 AS types_desc,
+               CAST(count() AS bigint) AS n_events
+        FROM asga_events GROUP BY user_id ORDER BY user_id LIMIT 100
+    """)
+
+
+@query(
+    "any_right_join_sql",
+    # RIGHT JOIN against a deduped left == events LEFT JOIN the pick:
+    # the oracle replays max(struct(user_id, signup_ts, signup_value))
+    # as rank-1 by (signup_ts DESC, signup_value DESC) per user
+    oracle="""
+    WITH sg AS (
+      SELECT user_id, ts AS signup_ts, value AS signup_value
+      FROM events WHERE event_type = 'signup'),
+    pick AS (
+      SELECT user_id, signup_ts, signup_value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY signup_ts DESC, signup_value DESC) AS rn
+        FROM sg) WHERE rn = 1)
+    SELECT e.event_type,
+           count(*)::bigint AS cnt,
+           count(p.signup_ts)::bigint AS with_signup,
+           round(max(p.signup_value), 2) AS max_signup_value
+    FROM events e LEFT JOIN pick p USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="ClickHouse `ANY RIGHT JOIN … ON` (VERDICT r10 item 4 — the "
+        "mirror of any_join_sql's LEFT USING form): ANY RIGHT keeps "
+        "every right row and at most one LEFT match, so the rewrite "
+        "dedups the LEFT side with the same max(struct(*)) aggregate "
+        "before any join movement; the ON form derives the dedup key "
+        "from the qualified equi-conjuncts and keeps the ON text "
+        "verbatim (functions/macros.rewrite_any_join; expression "
+        "keys / OR / non-equi still refuse loudly, ANY FULL dedups "
+        "both sides per the legacy CH contract). GLOBAL strips as "
+        "always — Spark's planner owns movement. Same documented "
+        "determinism deviation: CH keeps an arbitrary block-order "
+        "match, the rewrite keeps the lexicographically-greatest "
+        "row. At 100 TB the dedup shrinks the dim side before the "
+        "shuffle/broadcast decision AQE makes",
+)
+def any_right_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("anyrj_events")
+    ev.where("event_type = 'signup'").selectExpr(
+        "user_id", "ts AS signup_ts", "value AS signup_value"
+    ).createOrReplaceTempView("anyrj_signups")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(count() AS bigint) AS cnt,
+               CAST(count(signup_ts) AS bigint) AS with_signup,
+               round(max(signup_value), 2) AS max_signup_value
+        FROM anyrj_signups s
+        GLOBAL ANY RIGHT JOIN anyrj_events e ON s.user_id = e.user_id
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "array_lambda_sql",
     # DuckDB's list lambdas take the array FIRST like Spark's — the
     # oracle is the reordered spelling; counts/sums are exact ints
@@ -2630,6 +2724,71 @@ def array_lambda_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END)
                     AS bigint) AS docs_with_spark
         FROM al_docs GROUP BY lang ORDER BY lang
+    """)
+
+
+@query(
+    "topk_sql",
+    # the oracle replays the exact-count + rank slice the rewrite
+    # promises: frequency DESC, value ASC tie-break; list(... ORDER BY
+    # rn) serializes in that rank order. coalesce('') covers a day
+    # with zero qualifying topKIf rows (Spark side yields an empty
+    # array → '' after array_join)
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type, value
+      FROM events),
+    c1 AS (SELECT d, event_type, count(*) AS cnt
+           FROM base GROUP BY d, event_type),
+    r1 AS (SELECT d, event_type, row_number() OVER (
+             PARTITION BY d ORDER BY cnt DESC, event_type) AS rn
+           FROM c1),
+    c2 AS (SELECT d, event_type, count(*) AS cnt
+           FROM base WHERE value > 50 GROUP BY d, event_type),
+    r2 AS (SELECT d, event_type, row_number() OVER (
+             PARTITION BY d ORDER BY cnt DESC, event_type) AS rn
+           FROM c2),
+    t1 AS (SELECT d, array_to_string(list(event_type ORDER BY rn),
+                                     ',') AS top_types
+           FROM r1 WHERE rn <= 3 GROUP BY d),
+    t2 AS (SELECT d, array_to_string(list(event_type ORDER BY rn),
+                                     ',') AS top_hi_types
+           FROM r2 WHERE rn <= 2 GROUP BY d),
+    n AS (SELECT d, count(*)::bigint AS cnt FROM base GROUP BY d)
+    SELECT n.d, t1.top_types,
+           coalesce(t2.top_hi_types, '') AS top_hi_types, n.cnt
+    FROM n JOIN t1 USING (d) LEFT JOIN t2 USING (d) ORDER BY n.d
+    """,
+    doc="ClickHouse parametric `topK(n)(x)` / `topKIf(n)(x, cond)` "
+        "SELECT surface (VERDICT r10 item 3 — the next aggregate a "
+        "Grafana CH user types after uniq/quantile, README.md:49): "
+        "functions/macros._rewrite_topk collapses it to an exact "
+        "top-n-by-frequency expression over ONE collect_list "
+        "aggregate — struct-sort on (-count, value) gives frequency "
+        "DESC with value-ASC tie-break, all inside higher-order "
+        "functions (whole-stage codegen, no second shuffle, no "
+        "explode). DOCUMENTED deviation: CH's topK is approximate "
+        "Filtered Space-Saving whose membership depends on block "
+        "arrival order; the exact deterministic form is what a "
+        "value-gated engine can promise (the State/Merge rollup "
+        "analog in plans/agg_rollup.py makes the same choice). At "
+        "100 TB the per-group collect is bounded by per-group "
+        "distinct values × group size — for heavy-hitter use the "
+        "pre-aggregated rollup path instead; arrays serialize to "
+        "','-strings at the SELECT boundary per the no-ArrayType "
+        "registry rule",
+)
+def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "topk_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d,
+               arrayStringConcat(topK(3)(event_type), ',')
+                 AS top_types,
+               arrayStringConcat(topKIf(2)(event_type, value > 50),
+                                 ',') AS top_hi_types,
+               CAST(count() AS bigint) AS cnt
+        FROM topk_events GROUP BY d ORDER BY d
     """)
 
 

@@ -646,10 +646,16 @@ def test_jpeg_rejections_are_loud():
     good = render_jpeg_bytes("reject me")
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"BM" + good)
-    # SOF0 -> SOF2 (progressive): find the marker and patch it
+    # SOF0 -> SOF9 (arithmetic-coded): find the marker and patch it.
+    # (SOF2 progressive is SUPPORTED since round 11; relabeling a
+    # baseline stream as SOF2 makes its full-band SOS an invalid
+    # progressive scan, which fails loudly too — asserted below.)
     sof0 = good.index(b"\xFF\xC0")
+    arith = good[:sof0 + 1] + b"\xC9" + good[sof0 + 2:]
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(arith)
     prog = good[:sof0 + 1] + b"\xC2" + good[sof0 + 2:]
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
     # 16-bit quant precision
     dqt = good.index(b"\xFF\xDB")
@@ -669,11 +675,11 @@ def test_jpeg_rejections_are_loud():
 
 def test_jpeg_reject_names_every_unsupported_sof_marker():
     """Decode-contract breadth (VERDICT r9 item 6): every unsupported
-    SOF variant — progressive (C2), extended/lossless sequential
-    (C1/C3/C5-C7), ALL arithmetic-coded frames (C9-CB/CD-CF) — is
-    rejected with the exact marker byte in the message, so a corpus
-    triage can count rejects per codec variant straight from the
-    error text."""
+    SOF variant — extended/lossless sequential (C1/C3/C5-C7), ALL
+    arithmetic-coded frames (C9-CB/CD-CF) — is rejected with the
+    exact marker byte in the message, so a corpus triage can count
+    rejects per codec variant straight from the error text.
+    Progressive (C2) left this list in round 11 — it decodes."""
     import pytest
 
     from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
@@ -683,7 +689,7 @@ def test_jpeg_reject_names_every_unsupported_sof_marker():
 
     good = render_jpeg_bytes("marker corpus")
     sof0 = good.index(b"\xFF\xC0")
-    for marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    for marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
         patched = good[:sof0 + 1] + bytes([marker]) + good[sof0 + 2:]
         with pytest.raises(NotImplementedError,

@@ -25,8 +25,15 @@ key-disjoint shards of sf0.1, exactly how TPC-H itself scales:
   q21/q9/q2/q18/bucketed_join_revenue;
 - nation/region: copied verbatim (shared dimensions, as in TPC-H).
 
-events is deliberately absent: a verbatim copy would read as a fake
-1× "scaling" row; event-table queries show nan at the sf1 column.
+- events (VERDICT r10 item 6): 10 USER-disjoint shards —
+  user_id/event_id offset by replica·stride, ts and event_type kept —
+  so per-user sequence/funnel/session structure is IDENTICAL to
+  sf0.1 while each calendar day carries 10× the rows: the same
+  "more users, same days" shape real event growth has. A verbatim
+  copy (same ids) would instead read as fake 1× scaling for
+  per-user queries; this keeps the probe honest for the whole
+  events family (any_join_sql, group_array_sql,
+  sample_rowcount_scan, topk_sql, …).
 
 Usage: python tools/sf1gen.py [out_dir]   (default /tmp/scalecheck_sf1)
 """
@@ -100,6 +107,18 @@ def main() -> None:
                 k, F.col(k) + F.col("__rep") * F.lit(ID_STRIDE))
         big.drop("__rep").write.mode("overwrite") \
             .parquet(os.path.join(out, f"{tbl}.parquet"))
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    big_ev = (ev.crossJoin(reps)
+              .withColumn("user_id",
+                          F.col("user_id")
+                          + F.col("__rep") * F.lit(ID_STRIDE))
+              .withColumn("event_id",
+                          F.col("event_id")
+                          + F.col("__rep") * F.lit(ID_STRIDE))
+              .drop("__rep"))
+    big_ev.write.mode("overwrite") \
+        .parquet(os.path.join(out, "events.parquet"))
+
     for tbl in ("nation", "region"):
         spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet")) \
             .write.mode("overwrite") \
