@@ -567,6 +567,7 @@ def rewrite_group_array(query: str) -> str:
     # may be the groupArray's own FROM, so harvesting another
     # scope's keys would impose an order the user never declared.
     key_sets: set[tuple[str, ...]] = set()
+    spans: list[tuple[int, int]] = []
     n_subqueries = 0
     for fm in re.finditer(r"(?is)\b(?:FROM|JOIN)\s*\(", out):
         close = _scan_balanced(out, fm.end() - 1)
@@ -579,6 +580,8 @@ def rewrite_group_array(query: str) -> str:
                          for k in om.group("keys").split(","))
             if all(re.fullmatch(r"\w+", k) for k in keys):
                 key_sets.add(keys)
+                spans.append((fm.end() + om.start(),
+                              fm.end() + om.end()))
         else:
             key_sets.add(())  # unsorted subquery → ambiguity below
     if len(key_sets) != 1 or key_sets == {()}:
@@ -593,6 +596,15 @@ def rewrite_group_array(query: str) -> str:
             "call in arraySort(...) for a canonical order, or use "
             "groupUniqArray for order-free sets.")
     keys = key_sets.pop()
+    # strip the now-REDUNDANT inner ORDER BY clauses (round 11): the
+    # lift imposes the order with sort_array AFTER the collect, so
+    # the subquery's sort contributes nothing to the values — but at
+    # scale it is a GLOBAL range-partition sort of the corpus that
+    # Catalyst cannot eliminate (collect_list is order-sensitive in
+    # its book; the sf1 probe showed 40x/10x with the sort, linear
+    # without). Values stay pinned by the shared oracle.
+    for a, b in sorted(spans, reverse=True):
+        out = out[:a] + out[b:]
     # rewrite every call, balanced-scanning each argument
     pieces: list[str] = []
     pos = 0

@@ -197,12 +197,16 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: spectral selection + successive approximation) and 1 TEXT-CHANGED
 #: (decontamination_bloom: the exact-verify join dropped its forced
 #: broadcast hint — AQE owns the strategy in the regime the query
-#: documents, VERDICT r10 item 1) — then fills oldest-first: ALL 40
-#: r7 rows (the _FRONTLOAD_R11 cohort VERDICT r10 item 2 named:
-#: bucketed_join_revenue … with_totals_event_counts) and 5 r8 rows
-#: alphabetically. The round adds only 4 new queries — well under
-#: budget — so the whole overdue cohort rotates; 45 r8 rows remain
-#: the oldest outside the window and lead _FRONTLOAD_R12.
+#: documents, VERDICT r10 item 1; group_array_sql: the rewrite now
+#: STRIPS the subquery's redundant ORDER BY — a global corpus sort
+#: Catalyst keeps because collect_list is order-sensitive; sf1 probe
+#: 40x/10x with it, 2.8x without, values oracle-pinned) — then fills
+#: oldest-first: ALL 40 r7 rows (the _FRONTLOAD_R11 cohort VERDICT
+#: r10 item 2 named: bucketed_join_revenue …
+#: with_totals_event_counts) and 4 r8 rows alphabetically. The round
+#: adds only 4 new queries — well under budget — so the whole
+#: overdue cohort rotates; 46 r8 rows remain the oldest outside the
+#: window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R11 = [
     # new this round — never driver-verified
@@ -211,7 +215,10 @@ _FRONTLOAD_R11 = [
     "array_sort_group_array_sql",  # NEW: arraySort(groupArray(x))
     "multimodal_decode_jpeg_progressive",  # NEW: SOF2 decode
     # text-changed this round — the verify join lost its forced hint
+    # / the redundant inner ORDER BY is now stripped (plan change,
+    # values oracle-pinned)
     "decontamination_bloom",
+    "group_array_sql",
     # the 40 r7 rows — oldest in the registry (one round overdue)
     "bucketed_join_revenue",
     "doc_chunk_windows",
@@ -253,12 +260,11 @@ _FRONTLOAD_R11 = [
     "topk_rollup_users",
     "ttl_rollup_compaction",
     "with_totals_event_counts",
-    # r8 rows, alphabetical fill (5 of 50)
+    # r8 rows, alphabetical fill (4 of 50)
     "asof_join_sql",
     "big_spender_customers",
     "collapsing_state_roundtrip",
     "curation_pipeline",
-    "dedup_exact",
 ]
 
 _FRONTLOAD_R10 = [

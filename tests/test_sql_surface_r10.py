@@ -48,7 +48,7 @@ def test_group_array_refusals():
             "SELECT groupArray(x) FROM (SELECT x FROM t ORDER BY "
             "abs(k)) GROUP BY g")
     # two sorted subqueries with DIFFERENT key lists: ambiguous
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="one shared key list"):
         rewrite_group_array(
             "SELECT groupArray(x) FROM (SELECT x FROM t ORDER BY a) "
             "JOIN (SELECT y FROM u ORDER BY b) ON x = y")
@@ -254,10 +254,17 @@ def test_any_join_refusals_and_literal_safety():
         rewrite_any_join,
     )
 
-    with pytest.raises(ValueError, match="unsupported ANY JOIN"):
-        rewrite_any_join("SELECT a FROM e ANY RIGHT JOIN s USING (k)")
-    with pytest.raises(ValueError, match="unsupported ANY JOIN"):
-        rewrite_any_join("SELECT a FROM e ANY LEFT JOIN s ON e.k = s.k")
+    # r11: ANY RIGHT (left-side mirror dedup) and the qualified
+    # equi-ON form now REWRITE instead of refusing — their shapes and
+    # refusal boundaries are pinned in test_round11.py; what must
+    # still refuse here is a left side that isn't a simple FROM table
+    out = rewrite_any_join("SELECT a FROM e ANY RIGHT JOIN s USING (k)")
+    assert "max(struct(*)) AS __s FROM e" in out
+    out = rewrite_any_join("SELECT a FROM e ANY LEFT JOIN s ON e.k = s.k")
+    assert "ON e.k = s.k" in out
+    with pytest.raises(ValueError, match="simple"):
+        rewrite_any_join("SELECT a FROM x JOIN y USING (j) "
+                         "ANY RIGHT JOIN s USING (k)")
     # string DATA and the any() aggregate survive untouched
     q = "SELECT 'GLOBAL ANY JOIN' AS s FROM t"
     assert rewrite_any_join(q) == q
