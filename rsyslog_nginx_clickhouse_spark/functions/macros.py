@@ -681,6 +681,7 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(rf"\bgroupUniqArray\(({nested2})\)",
                  r"sort_array(collect_set(\1))", out)
     out = _rewrite_topk(out)
+    out = _rewrite_avg_weighted(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
     # Spark as an unknown function far from the cause — refuse HERE
@@ -730,25 +731,33 @@ def _rewrite_topk(out: str) -> str:
     The out-of-query State/Merge rollup analog (truncated exact
     counters, the same determinism choice) is plans/agg_rollup.py.
     ``topKIf`` filters via CASE (collect_list skips the NULLs, the
-    CH -If null-skip contract). Runs on literal-masked text; the
-    candidate-set distinct is group-local, so the whole expression is
-    one partial-aggregatable collect — no second shuffle.
-    Non-literal k or a Weighted combinator is refused loudly here
-    rather than leaking the CH name into Spark's parser.
+    CH -If null-skip contract). ``topKWeighted(n)(x, w)`` ranks by
+    the EXACT weighted frequency — per distinct value, the sum of
+    ``w`` over its rows (the quantity CH's weighted Space-Saving
+    counters approximate), computed by a higher-order ``aggregate``
+    over one collect of (value, weight) structs; rows where either
+    side is NULL are skipped (the CH aggregate NULL contract).
+    Runs on literal-masked text; the candidate-set distinct is
+    group-local, so the whole expression is one partial-aggregatable
+    collect — no second shuffle. Non-literal k or the WeightedIf
+    combinator is refused loudly here rather than leaking the CH
+    name into Spark's parser.
     """
-    bad = re.search(r"\btopK(?!\s*\()(?!If\s*\()\w*\s*\(", out)
+    bad = re.search(
+        r"\btopK(?!\s*\()(?!If\s*\()(?!Weighted\s*\()\w*\s*\(", out)
     if bad:
         raise ValueError(
-            f"{bad.group(0).rstrip('( ')}: only topK/topKIf are "
-            "rewritten — the Weighted family's weight-biased counter "
-            "eviction has no deterministic Spark mapping")
-    rx = re.compile(r"\btopK(If)?\s*\(")
+            f"{bad.group(0).rstrip('( ')}: only topK/topKIf/"
+            "topKWeighted are rewritten — further combinators "
+            "(WeightedIf, Merge/State spellings) are not mapped; "
+            "use the rollup API in plans/agg_rollup.py for states")
+    rx = re.compile(r"\btopK(If|Weighted)?\s*\(")
     pos = 0
     while True:
         m = rx.search(out, pos)
         if not m:
             break
-        is_if = bool(m.group(1))
+        kind = m.group(1) or ""
         first, after = _take_call_args(out, m.end() - 1)
         if out[after:].lstrip().startswith("("):
             if len(first) != 1 or not re.fullmatch(r"\d+",
@@ -756,14 +765,35 @@ def _rewrite_topk(out: str) -> str:
                 raise ValueError(
                     "topK: the parameter must be a single literal "
                     f"integer (got {','.join(first)!r}); "
-                    "topKWeighted and expression-valued k have no "
-                    "deterministic Spark mapping")
+                    "expression-valued k has no deterministic "
+                    "Spark mapping")
             n = int(first[0])
             args, end = _take_call_args(out, out.index("(", after))
         else:
             n, args, end = 10, first, after
         args = [a.strip() for a in args]
-        if is_if:
+        if kind == "Weighted":
+            if len(args) != 2:
+                raise ValueError("topKWeighted(n)(x, w): need "
+                                 f"exactly 2 arguments, got "
+                                 f"{len(args)}")
+            x, w = args
+            lst = (f"collect_list(CASE WHEN ({x}) IS NOT NULL AND "
+                   f"({w}) IS NOT NULL THEN "
+                   f"struct(({x}) AS v, CAST(({w}) AS DOUBLE) AS w) "
+                   f"END)")
+            repl = (
+                f"transform(slice(array_sort(transform("
+                f"array_distinct(transform({lst}, __twe -> __twe.v))"
+                f", __twv -> struct("
+                f"-aggregate(filter({lst}, __twe -> __twe.v <=> "
+                f"__twv), CAST(0 AS DOUBLE), "
+                f"(__twa, __twe) -> __twa + __twe.w) AS ns, "
+                f"__twv AS val))), 1, {n}), __tws -> __tws.val)")
+            out = out[:m.start()] + repl + out[end:]
+            pos = m.start() + len(repl)
+            continue
+        if kind == "If":
             if len(args) != 2:
                 raise ValueError("topKIf(n)(x, cond): need exactly "
                                  f"2 arguments, got {len(args)}")
@@ -779,6 +809,36 @@ def _rewrite_topk(out: str) -> str:
             f"array_distinct({lst}), __tkv -> struct("
             f"-size(filter({lst}, __tke -> __tke <=> __tkv)) AS nc, "
             f"__tkv AS val))), 1, {n}), __tks -> __tks.val)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _rewrite_avg_weighted(out: str) -> str:
+    """ClickHouse ``avgWeighted(x, w)`` → ``sum(x·w)/sum(w)`` — the
+    exact definition CH computes (Float64 result). Argument-aware
+    (either side can nest calls/commas); rows where EITHER side is
+    NULL are skipped on both sums, the CH aggregate NULL contract
+    (a naive sum(x*w)/sum(w) would drop the row from the numerator
+    but keep its weight in the denominator). Runs on literal-masked
+    text. Division by a zero weight-sum follows Spark/DuckDB double
+    semantics (NULL), where CH returns NaN — a DOCUMENTED deviation
+    (NaN poisons downstream Spark aggregates; both render as empty
+    in Grafana)."""
+    pos = 0
+    while True:
+        m = re.compile(r"\bavgWeighted\s*\(").search(out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError("avgWeighted(x, w): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, w = (a.strip() for a in args)
+        both = f"(({x}) IS NOT NULL AND ({w}) IS NOT NULL)"
+        repl = (f"(sum(CASE WHEN {both} THEN ({x}) * ({w}) END) / "
+                f"sum(CASE WHEN {both} THEN CAST(({w}) AS DOUBLE) "
+                f"END))")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out

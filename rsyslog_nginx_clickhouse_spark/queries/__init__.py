@@ -188,13 +188,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
 #: Round-11 ordering (VERDICT r10 items 1-5, 8 + the standing
-#: rotation contract): the window leads with the round's 5 mandatory
-#: entries — 4 NEW (topk_sql: parametric topK(n)(x)/topKIf
+#: rotation contract): the window leads with the round's 7 mandatory
+#: entries — 5 NEW (topk_sql: parametric topK(n)(x)/topKIf
 #: exact-frequency rewrite; any_right_join_sql: ANY RIGHT JOIN … ON
 #: with the left-side mirror dedup; array_sort_group_array_sql: the
 #: arraySort(groupArray(x)) order-imposing composite;
 #: multimodal_decode_jpeg_progressive: real SOF2 multi-scan decode,
-#: spectral selection + successive approximation) and 1 TEXT-CHANGED
+#: spectral selection + successive approximation; weighted_agg_sql:
+#: topKWeighted exact-weighted-frequency + avgWeighted with the CH
+#: NULL contract) and 2 TEXT-CHANGED
 #: (decontamination_bloom: the exact-verify join dropped its forced
 #: broadcast hint — AQE owns the strategy in the regime the query
 #: documents, VERDICT r10 item 1; group_array_sql: the rewrite now
@@ -203,9 +205,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: 40x/10x with it, 2.8x without, values oracle-pinned) — then fills
 #: oldest-first: ALL 40 r7 rows (the _FRONTLOAD_R11 cohort VERDICT
 #: r10 item 2 named: bucketed_join_revenue …
-#: with_totals_event_counts) and 4 r8 rows alphabetically. The round
-#: adds only 4 new queries — well under budget — so the whole
-#: overdue cohort rotates; 46 r8 rows remain the oldest outside the
+#: with_totals_event_counts) and 3 r8 rows alphabetically. The round
+#: adds only 5 new queries — well under budget — so the whole
+#: overdue cohort rotates; 47 r8 rows remain the oldest outside the
 #: window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R11 = [
@@ -214,6 +216,7 @@ _FRONTLOAD_R11 = [
     "any_right_join_sql",         # NEW: ANY RIGHT JOIN … ON mirror
     "array_sort_group_array_sql",  # NEW: arraySort(groupArray(x))
     "multimodal_decode_jpeg_progressive",  # NEW: SOF2 decode
+    "weighted_agg_sql",           # NEW: topKWeighted + avgWeighted
     # text-changed this round — the verify join lost its forced hint
     # / the redundant inner ORDER BY is now stripped (plan change,
     # values oracle-pinned)
@@ -260,11 +263,10 @@ _FRONTLOAD_R11 = [
     "topk_rollup_users",
     "ttl_rollup_compaction",
     "with_totals_event_counts",
-    # r8 rows, alphabetical fill (4 of 50)
+    # r8 rows, alphabetical fill (3 of 50)
     "asof_join_sql",
     "big_spender_customers",
     "collapsing_state_roundtrip",
-    "curation_pipeline",
 ]
 
 _FRONTLOAD_R10 = [

@@ -2799,6 +2799,68 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_agg_sql",
+    # weighted frequency sums are exact (small-int weights), so the
+    # rank replay is deterministic; avgWeighted runs over integer
+    # cents so the ratio is an exact rational and the floor-round
+    # formula (identical IEEE sequence both engines) cannot tie-flip
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+             (1 + user_id % 3)::int AS w,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    c1 AS (SELECT d, event_type, sum(w) AS wsum
+           FROM base GROUP BY d, event_type),
+    r1 AS (SELECT d, event_type, row_number() OVER (
+             PARTITION BY d ORDER BY wsum DESC, event_type) AS rn
+           FROM c1),
+    t1 AS (SELECT d, array_to_string(list(event_type ORDER BY rn),
+                                     ',') AS top_weighted
+           FROM r1 WHERE rn <= 2 GROUP BY d),
+    a1 AS (SELECT d, floor((sum(cents * w)::double / sum(w))
+                           * 1000000 + 0.5) / 1000000 AS avg_cents
+           FROM base WHERE cents IS NOT NULL GROUP BY d),
+    n AS (SELECT d, count(*)::bigint AS cnt FROM base GROUP BY d)
+    SELECT n.d, t1.top_weighted, a1.avg_cents, n.cnt
+    FROM n JOIN t1 USING (d) JOIN a1 USING (d) ORDER BY n.d
+    """,
+    doc="the WEIGHTED aggregate pair every CH dashboard eventually "
+        "types: `topKWeighted(n)(x, w)` ranks by EXACT weighted "
+        "frequency (per distinct value, sum of w — the quantity CH's "
+        "weighted Space-Saving counters approximate; same "
+        "deterministic-beats-approximate policy as topK, ties break "
+        "value-ASC) via a higher-order aggregate over one collect of "
+        "(value, weight) structs, and `avgWeighted(x, w)` → "
+        "sum(x·w)/sum(w) with the CH NULL contract (a row with "
+        "either side NULL leaves BOTH sums — a naive spelling would "
+        "keep its weight in the denominator). Both stay one "
+        "partial-aggregatable shuffle, codegen-side "
+        "(functions/macros._rewrite_topk/_rewrite_avg_weighted). "
+        "avgWeighted runs over integer cents with the shared "
+        "floor-round formula so the cross-engine value gate is "
+        "exact; division by a zero weight-sum yields NULL where CH "
+        "gives NaN (DOCUMENTED deviation — NaN poisons Spark "
+        "aggregates downstream)",
+)
+def weighted_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wa_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d,
+               arrayStringConcat(
+                 topKWeighted(2)(event_type,
+                                 CAST(1 + user_id % 3 AS INT)), ',')
+                 AS top_weighted,
+               floor(avgWeighted(CAST(floor(value * 100) AS BIGINT),
+                                 CAST(1 + user_id % 3 AS INT))
+                     * 1000000 + 0.5) / 1000000 AS avg_cents,
+               CAST(count() AS bigint) AS cnt
+        FROM wa_events GROUP BY d ORDER BY d
+    """)
+
+
+@query(
     "csvwithnames_roundtrip",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,

@@ -110,8 +110,10 @@ def test_topkif_empty_group_yields_empty_array(spark):
 def test_topk_refusals():
     with pytest.raises(ValueError, match="literal integer"):
         rewrite_aggregates("SELECT topK(n)(x) FROM t")
-    with pytest.raises(ValueError, match="Weighted"):
-        rewrite_aggregates("SELECT topKWeighted(3)(x, w) FROM t")
+    # topKWeighted REWRITES since the weighted extension — only the
+    # WeightedIf combinator still refuses (test_weighted_refusals)
+    out = rewrite_aggregates("SELECT topKWeighted(3)(x, w) FROM t")
+    assert "aggregate(filter" in out and "topK" not in out
     with pytest.raises(ValueError, match="2 arguments"):
         rewrite_aggregates("SELECT topKIf(3)(x) FROM t")
     # string DATA mentioning topK comes back byte-identical
@@ -290,6 +292,46 @@ def test_rejected_join_dictionary_leaks_no_view(spark):
         declare_dictionary(spark, "leakd", dup, key_col="k",
                            attrs={"nm": "'x'"}, style="join")
     assert not spark.catalog.tableExists("__dictsrc_leakd")
+
+
+# -------------------------------- topKWeighted / avgWeighted --
+
+
+def test_topk_weighted_ranks_by_weight_sum(spark):
+    spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 1.0), (1, "b", 5.0), (1, "c", 2.0),
+         (1, None, 9.0), (1, "d", None)],
+        "g int, x string, w double").createOrReplaceTempView("tkw_t")
+    rows = sql(spark, """
+        SELECT array_join(topKWeighted(2)(x, w), ',') AS topw
+        FROM tkw_t GROUP BY g""").collect()
+    # b(5) first; a and c tie at 2 -> value-ASC picks a; NULL x and
+    # NULL w rows are skipped (CH aggregate NULL contract)
+    assert rows[0].topw == "b,a"
+
+
+def test_avg_weighted_null_contract(spark):
+    # a NULL on EITHER side must leave BOTH sums: the naive
+    # sum(x*w)/sum(w) would keep the weight in the denominator
+    spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 3.0), (1, None, 100.0),
+         (1, 30.0, None)],
+        "g int, x double, w double").createOrReplaceTempView("avw_t")
+    rows = sql(spark, """
+        SELECT avgWeighted(x, w) AS aw FROM avw_t GROUP BY g
+    """).collect()
+    assert abs(rows[0].aw - (10 * 1 + 20 * 3) / 4.0) < 1e-12
+
+
+def test_weighted_refusals():
+    with pytest.raises(ValueError, match="WeightedIf|combinators"):
+        rewrite_aggregates("SELECT topKWeightedIf(3)(x, w, c) FROM t")
+    with pytest.raises(ValueError, match="exactly 2"):
+        rewrite_aggregates("SELECT topKWeighted(3)(x) FROM t")
+    with pytest.raises(ValueError, match="exactly 2"):
+        rewrite_aggregates("SELECT avgWeighted(x) FROM t")
+    q = "SELECT 'avgWeighted(x, w)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
 
 
 # ------------------------------------ progressive JPEG (SOF2) --
