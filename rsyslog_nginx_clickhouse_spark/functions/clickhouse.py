@@ -198,6 +198,8 @@ IF_COMBINATORS: dict[str, str] = {
     "avgIf": "avg",
     "minIf": "min",
     "maxIf": "max",
+    # the sketch combinator shares uniq's estimator contract
+    "uniqIf": "approx_count_distinct",
 }
 
 

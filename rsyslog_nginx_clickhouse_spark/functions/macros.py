@@ -1023,6 +1023,47 @@ def _rewrite_if_combinators(out: str) -> str:
                 repl = f"coalesce({repl}, 0)"
             out = out[:m.start()] + repl + out[i:]
             pos = m.start() + 1
+    # the combinators whose target isn't a plain agg-name template
+    # (round 11): uniqExactIf → the exact COUNT(DISTINCT …) form
+    # uniqExact itself maps to; medianIf needs the 0.5 fraction
+    # appended (this rewrite runs after _default_quantile_fraction);
+    # argMaxIf/argMinIf carry THREE args — the condition NULLs both
+    # the returned and the ordering expression, and max_by/min_by
+    # ignore NULL-ordering rows, exactly the -If filter contract.
+    specials = {
+        "uniqExactIf": (2, lambda a, c, _:
+                        f"count(DISTINCT if({c}, {a[0]}, NULL))"),
+        "medianIf": (2, lambda a, c, _:
+                     f"percentile_approx(if({c}, {a[0]}, NULL), 0.5)"),
+        "argMaxIf": (3, lambda a, c, _:
+                     f"max_by(if({c}, {a[0]}, NULL), "
+                     f"if({c}, {a[1]}, NULL))"),
+        "argMinIf": (3, lambda a, c, _:
+                     f"min_by(if({c}, {a[0]}, NULL), "
+                     f"if({c}, {a[1]}, NULL))"),
+    }
+    for name, (arity, build) in specials.items():
+        pos = 0
+        while True:
+            m = re.compile(rf"\b{name}\s*\(").search(out, pos)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(out) and depth:
+                ch = out[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            args = [a.strip() for a in
+                    _split_top_level(out[m.end():i - 1])]
+            if depth or len(args) != arity:
+                pos = m.end()
+                continue
+            repl = build(args[:-1], args[-1], None)
+            out = out[:m.start()] + repl + out[i:]
+            pos = m.start() + 1
     return out
 
 
@@ -1603,6 +1644,37 @@ _PREWHERE_LEAK_RE = re.compile(
 #: appends one) runs unchanged.
 _FORMAT_RE = re.compile(r"(?is)\s+FORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$")
 
+#: ClickHouse trailing ``SETTINGS name = value[, …]`` — per-query
+#: execution knobs (max_execution_time, max_threads,
+#: use_query_cache, join_algorithm, …). Spark owns these concerns at
+#: the SESSION level (spark.conf / cluster policy), and none of the
+#: CH names has a per-query Spark equivalent, so the clause STRIPS —
+#: verbatim client text runs unchanged, the knobs' intent moves to
+#: session configuration (the same treatment GLOBAL gets: the engine
+#: owns execution). Values may be quoted (masked) or bare literals.
+#: In CH grammar SETTINGS follows everything except FORMAT, and
+#: rewrite_format strips FORMAT first, so trailing-anchor is exact.
+_SETTINGS_RE = re.compile(
+    r"(?is)\s+SETTINGS\s+\w+\s*=\s*[^,\s]+"
+    r"(?:\s*,\s*\w+\s*=\s*[^,\s]+)*\s*$")
+
+
+def rewrite_settings(query: str) -> str:
+    """Strip a trailing ``SETTINGS k = v[, …]`` clause (masked-literal
+    discipline: string DATA mentioning SETTINGS survives)."""
+    if not re.search(r"(?i)\bSETTINGS\b", query):
+        return query
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    out = _STR_LIT.sub(_mask, query)
+    out = _SETTINGS_RE.sub("", out)
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))],
+                  out)
+
 
 def rewrite_prewhere(query: str) -> str:
     """``FROM t PREWHERE p [WHERE q]`` → ``FROM t WHERE (p) AND (q)``
@@ -1868,5 +1940,6 @@ def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:
             rewrite_limit_by(rewrite_sample(rewrite_array_join(
                 rewrite_final(rewrite_prewhere(rewrite_asof_join(
                     spark, rewrite_any_join(
-                        rewrite_top(rewrite_format(query))))))),
+                        rewrite_top(rewrite_settings(
+                            rewrite_format(query)))))))),
                 count_of))))))

@@ -188,15 +188,16 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
 #: Round-11 ordering (VERDICT r10 items 1-5, 8 + the standing
-#: rotation contract): the window leads with the round's 7 mandatory
-#: entries — 5 NEW (topk_sql: parametric topK(n)(x)/topKIf
+#: rotation contract): the window leads with the round's 9 mandatory
+#: entries — 6 NEW (topk_sql: parametric topK(n)(x)/topKIf
 #: exact-frequency rewrite; any_right_join_sql: ANY RIGHT JOIN … ON
 #: with the left-side mirror dedup; array_sort_group_array_sql: the
 #: arraySort(groupArray(x)) order-imposing composite;
 #: multimodal_decode_jpeg_progressive: real SOF2 multi-scan decode,
 #: spectral selection + successive approximation; weighted_agg_sql:
 #: topKWeighted exact-weighted-frequency + avgWeighted with the CH
-#: NULL contract) and 2 TEXT-CHANGED
+#: NULL contract; if_combinators_sql: uniqExactIf/argMaxIf/argMinIf/
+#: uniqIf/medianIf combinator breadth) and 3 TEXT-CHANGED
 #: (decontamination_bloom: the exact-verify join dropped its forced
 #: broadcast hint — AQE owns the strategy in the regime the query
 #: documents, VERDICT r10 item 1; group_array_sql: the rewrite now
@@ -205,9 +206,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: 40x/10x with it, 2.8x without, values oracle-pinned) — then fills
 #: oldest-first: ALL 40 r7 rows (the _FRONTLOAD_R11 cohort VERDICT
 #: r10 item 2 named: bucketed_join_revenue …
-#: with_totals_event_counts) and 3 r8 rows alphabetically. The round
-#: adds only 5 new queries — well under budget — so the whole
-#: overdue cohort rotates; 47 r8 rows remain the oldest outside the
+#: with_totals_event_counts) and 1 r8 row alphabetically. The round
+#: adds only 6 new queries — well under budget — so the whole
+#: overdue cohort rotates; 49 r8 rows remain the oldest outside the
 #: window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R11 = [
@@ -217,11 +218,14 @@ _FRONTLOAD_R11 = [
     "array_sort_group_array_sql",  # NEW: arraySort(groupArray(x))
     "multimodal_decode_jpeg_progressive",  # NEW: SOF2 decode
     "weighted_agg_sql",           # NEW: topKWeighted + avgWeighted
+    "if_combinators_sql",         # NEW: uniqExactIf/argMaxIf breadth
     # text-changed this round — the verify join lost its forced hint
     # / the redundant inner ORDER BY is now stripped (plan change,
-    # values oracle-pinned)
+    # values oracle-pinned) / the query text now carries a SETTINGS
+    # clause exercising the r11 strip
     "decontamination_bloom",
     "group_array_sql",
+    "prewhere_format_scan",
     # the 40 r7 rows — oldest in the registry (one round overdue)
     "bucketed_join_revenue",
     "doc_chunk_windows",
@@ -263,10 +267,8 @@ _FRONTLOAD_R11 = [
     "topk_rollup_users",
     "ttl_rollup_compaction",
     "with_totals_event_counts",
-    # r8 rows, alphabetical fill (3 of 50)
+    # r8 rows, alphabetical fill (1 of 50)
     "asof_join_sql",
-    "big_spender_customers",
-    "collapsing_state_roundtrip",
 ]
 
 _FRONTLOAD_R10 = [

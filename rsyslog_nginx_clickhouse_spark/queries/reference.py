@@ -1162,16 +1162,20 @@ def final_collapsing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE value > 50 AND (event_type = 'view' OR event_type = 'click')
     GROUP BY event_type ORDER BY event_type
     """,
-    doc="ClickHouse `PREWHERE` + trailing `FORMAT` surface: the "
-        "verbatim CH client text runs through the engine's SQL entry "
-        "— PREWHERE folds into WHERE with both sides parenthesized "
-        "(Spark's predicate pushdown + column pruning IS the PREWHERE "
-        "strategy: the scan evaluates the pushed predicate against "
-        "row-group stats before materializing the projection; "
-        "PushedFilters asserted in tests), and the FORMAT output "
-        "directive every CH client appends is stripped — "
-        "serialization belongs to writers, not the query "
-        "(functions/macros.rewrite_prewhere / rewrite_format)",
+    doc="ClickHouse `PREWHERE` + trailing `SETTINGS` + `FORMAT` "
+        "surface: the verbatim CH client text runs through the "
+        "engine's SQL entry — PREWHERE folds into WHERE with both "
+        "sides parenthesized (Spark's predicate pushdown + column "
+        "pruning IS the PREWHERE strategy: the scan evaluates the "
+        "pushed predicate against row-group stats before "
+        "materializing the projection; PushedFilters asserted in "
+        "tests), the per-query SETTINGS knobs strip (r11 — Spark "
+        "owns execution settings at the session level, the same "
+        "engine-owns-execution treatment GLOBAL gets), and the "
+        "FORMAT output directive every CH client appends is "
+        "stripped — serialization belongs to writers, not the query "
+        "(functions/macros.rewrite_prewhere / rewrite_settings / "
+        "rewrite_format)",
 )
 def prewhere_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
@@ -1183,6 +1187,7 @@ def prewhere_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         PREWHERE value > 50
         WHERE event_type = 'view' OR event_type = 'click'
         GROUP BY event_type ORDER BY event_type
+        SETTINGS max_execution_time = 60, max_threads = 8
         FORMAT JSONEachRow
     """)
 
@@ -2795,6 +2800,57 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ',') AS top_hi_types,
                CAST(count() AS bigint) AS cnt
         FROM topk_events GROUP BY d ORDER BY d
+    """)
+
+
+@query(
+    "if_combinators_sql",
+    # event_id is unique, so the argMaxIf/argMinIf picks are total-
+    # ordered (no ts-collision tie risk); round(sum,2) of 2-decimal
+    # values is the established precedent of the format-roundtrip
+    # oracles; an all-filtered group yields NULL arg picks and
+    # sumIf's coalesced 0 on both engines
+    oracle="""
+    SELECT event_type,
+           (count(DISTINCT user_id) FILTER (WHERE value > 50))::bigint
+             AS hi_users,
+           round(arg_max(value, event_id) FILTER (WHERE value > 50),
+                 2) AS last_hi_value,
+           round(arg_min(value, event_id) FILTER (WHERE value > 50),
+                 2) AS first_hi_value,
+           round(coalesce(sum(value) FILTER (WHERE value > 50), 0),
+                 2) AS hi_sum,
+           (count(*) FILTER (WHERE value > 50))::bigint AS hi_cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="the -If combinator breadth a Grafana CH dashboard actually "
+        "uses beyond sumIf/countIf (round 11): `uniqExactIf` → "
+        "count(DISTINCT if(cond, x, NULL)), `argMaxIf`/`argMinIf` → "
+        "max_by/min_by with the condition NULLing BOTH the returned "
+        "and the ordering expression (NULL-ordering rows are ignored "
+        "— exactly the -If filter contract), alongside the existing "
+        "sumIf zero-coalesce and countIf. uniqIf (sketch estimator) "
+        "and medianIf (approx percentile) are mapped too but value-"
+        "gated only via their exact cousins here — an approximate "
+        "estimate cannot share a DuckDB oracle "
+        "(functions/macros._rewrite_if_combinators). One partial-"
+        "aggregatable shuffle; the unique event_id ordering key "
+        "makes the arg picks deterministic on both engines",
+)
+def if_combinators_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ifc_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(uniqExactIf(user_id, value > 50) AS bigint)
+                 AS hi_users,
+               round(argMaxIf(value, event_id, value > 50), 2)
+                 AS last_hi_value,
+               round(argMinIf(value, event_id, value > 50), 2)
+                 AS first_hi_value,
+               round(sumIf(value, value > 50), 2) AS hi_sum,
+               CAST(countIf(value > 50) AS bigint) AS hi_cnt
+        FROM ifc_events GROUP BY event_type ORDER BY event_type
     """)
 
 

@@ -294,6 +294,74 @@ def test_rejected_join_dictionary_leaks_no_view(spark):
     assert not spark.catalog.tableExists("__dictsrc_leakd")
 
 
+# --------------------------------------- SETTINGS clause strip --
+
+
+def test_settings_clause_strips():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_format,
+        rewrite_settings,
+    )
+
+    q = ("SELECT count() FROM t "
+         "SETTINGS max_execution_time = 60, max_threads = 8")
+    assert "SETTINGS" not in rewrite_settings(q)
+    # CH grammar order: SETTINGS then FORMAT — both strip
+    q2 = "SELECT 1 SETTINGS join_algorithm = 'hash' FORMAT JSON"
+    assert "SETTINGS" not in rewrite_settings(rewrite_format(q2))
+    # string DATA mentioning SETTINGS survives, and a NON-trailing
+    # SETTINGS (not the CH clause) is left for the parser to reject
+    s = "SELECT 'SETTINGS x = 1' AS s FROM t"
+    assert rewrite_settings(s) == s
+
+
+def test_settings_clause_executes(spark):
+    spark.range(5).createOrReplaceTempView("sett_t")
+    r = sql(spark, "SELECT count() AS c FROM sett_t "
+                   "SETTINGS use_query_cache = true "
+                   "FORMAT JSONEachRow").collect()
+    assert r[0].c == 5
+
+
+# ---------------------------------- -If combinator breadth --
+
+
+def test_if_combinator_rewrite_shapes():
+    for q, want in [
+        ("SELECT uniqIf(u, v > 5) FROM t",
+         "approx_count_distinct(if(v > 5, u, NULL))"),
+        ("SELECT uniqExactIf(u, v > 5) FROM t",
+         "count(DISTINCT if(v > 5, u, NULL))"),
+        ("SELECT medianIf(x, c) FROM t",
+         "percentile_approx(if(c, x, NULL), 0.5)"),
+        ("SELECT argMaxIf(a, b, c) FROM t",
+         "max_by(if(c, a, NULL), if(c, b, NULL))"),
+        ("SELECT argMinIf(a, b, c) FROM t",
+         "min_by(if(c, a, NULL), if(c, b, NULL))"),
+    ]:
+        assert want in rewrite_aggregates(q), q
+    # literal safety: string DATA mentioning a combinator survives
+    q = "SELECT 'argMaxIf(a, b, c)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+def test_arg_if_combinator_values(spark):
+    spark.createDataFrame(
+        [(1, 10, 5.0, 100), (1, 20, 60.0, 101), (1, 20, 70.0, 102),
+         (1, 30, 80.0, 99)],
+        "g int, u int, v double, eid int") \
+        .createOrReplaceTempView("ifc_t")
+    r = sql(spark, """
+        SELECT CAST(uniqExactIf(u, v > 50) AS bigint) AS hu,
+               argMaxIf(v, eid, v > 50) AS lastv,
+               argMinIf(v, eid, v > 50) AS firstv,
+               medianIf(v, v > 50) AS med,
+               argMaxIf(v, eid, v > 999) AS none_match
+        FROM ifc_t GROUP BY g""").collect()[0]
+    assert (r.hu, r.lastv, r.firstv, r.med) == (2, 70.0, 80.0, 70.0)
+    assert r.none_match is None
+
+
 # -------------------------------- topKWeighted / avgWeighted --
 
 
