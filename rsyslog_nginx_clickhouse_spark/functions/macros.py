@@ -529,7 +529,7 @@ def rewrite_group_array(query: str) -> str:
     an error (VERDICT r9 item 3; reference SELECT-surface requirement
     README.md:49).
     """
-    if not re.search(r"\bgroupArray\s*\(", query):
+    if not re.search(r"\b(groupArray|deltaSum)", query):
         return query
     lits: list[str] = []
 
@@ -538,8 +538,15 @@ def rewrite_group_array(query: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     out = _STR_LIT.sub(_mask, query)
-    if not re.search(r"\bgroupArray\s*\(", out):
+    if not re.search(r"\b(groupArray|deltaSum)", out):
         return query  # only string DATA mentions it — untouched
+    bad = re.search(r"\bdeltaSumTimestamp\s*\(", out)
+    if bad:
+        raise ValueError(
+            f"{bad.group(0).rstrip('( ')}: only deltaSum itself is "
+            "mapped (sorted-subquery idiom); deltaSumTimestamp's "
+            "merge-order semantics have no deterministic Spark "
+            "mapping")
     # the ORDER-IMPOSING-WRAPPER composite (VERDICT r10 item 5):
     # arraySort(groupArray(x)) / arrayReverseSort(groupArray(x)) —
     # the wrapper canonicalizes the order CH never promised, so the
@@ -556,7 +563,7 @@ def rewrite_group_array(query: str) -> str:
         rf"\barrayReverseSort\s*\(\s*groupArray\s*\(({nested2})\)"
         rf"\s*\)",
         r"sort_array(collect_list(\1), false)", out)
-    if not re.search(r"\bgroupArray\s*\(", out):
+    if not re.search(r"\b(groupArray|deltaSum)\s*\(", out):
         return re.sub(r"\x00(\d+)\x00",
                       lambda m: lits[int(m.group(1))], out)
     # collect the ORDER BY key lists of all immediate FROM/JOIN (…)
@@ -586,7 +593,8 @@ def rewrite_group_array(query: str) -> str:
             key_sets.add(())  # unsorted subquery → ambiguity below
     if len(key_sets) != 1 or key_sets == {()}:
         raise ValueError(
-            "groupArray(x) is order-dependent and maps only when "
+            "groupArray(x)/deltaSum(x) are order-dependent and map "
+            "only when "
             "every immediate subquery of the query is of the form "
             "FROM (SELECT … ORDER BY <bare asc columns>) with one "
             "shared key list supplying the order (ClickHouse's own "
@@ -609,7 +617,7 @@ def rewrite_group_array(query: str) -> str:
     pieces: list[str] = []
     pos = 0
     while True:
-        cm = re.search(r"\bgroupArray\s*\(", out[pos:])
+        cm = re.search(r"\b(groupArray|deltaSum)\s*\(", out[pos:])
         if not cm:
             pieces.append(out[pos:])
             break
@@ -617,13 +625,37 @@ def rewrite_group_array(query: str) -> str:
         opn = pos + cm.end() - 1
         close = _scan_balanced(out, opn)
         if close < 0:
-            raise ValueError("groupArray: unbalanced parentheses")
+            raise ValueError(f"{cm.group(1)}: unbalanced parentheses")
         arg = out[opn + 1:close].strip()
         fields = ", ".join(f"{k} AS __o{i}" for i, k in enumerate(keys))
+        sorted_structs = (f"sort_array(collect_list(struct({fields}, "
+                          f"({arg}) AS __v)))")
         pieces.append(out[pos:start])
-        pieces.append(
-            f"transform(sort_array(collect_list(struct({fields}, "
-            f"({arg}) AS __v))), s -> s.__v)")
+        if cm.group(1) == "groupArray":
+            pieces.append(
+                f"transform({sorted_structs}, s -> s.__v)")
+        else:
+            # deltaSum(x): CH's counter aggregate — the sum of the
+            # POSITIVE deltas between CONSECUTIVE values in key
+            # order (counter increases survive resets). One sorted
+            # collect, then a single left-fold tracking the previous
+            # value — sequential and deterministic, NULL rows
+            # skipped without breaking the prev chain (the CH
+            # aggregate NULL contract). Result is DOUBLE (CH keeps
+            # x's type; cast at the SELECT if integer output is
+            # wanted — DOCUMENTED deviation).
+            pieces.append(
+                f"aggregate({sorted_structs}, "
+                f"struct(CAST(0 AS DOUBLE) AS __ds, "
+                f"CAST(NULL AS DOUBLE) AS __dp), "
+                f"(__da, __de) -> CASE WHEN __de.__v IS NULL "
+                f"THEN __da ELSE struct("
+                f"__da.__ds + CASE WHEN __da.__dp IS NOT NULL "
+                f"AND CAST(__de.__v AS DOUBLE) > __da.__dp "
+                f"THEN CAST(__de.__v AS DOUBLE) - __da.__dp "
+                f"ELSE CAST(0 AS DOUBLE) END AS __ds, "
+                f"CAST(__de.__v AS DOUBLE) AS __dp) END, "
+                f"__df -> __df.__ds)")
         pos = close + 1
     out = "".join(pieces)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
@@ -682,6 +714,7 @@ def rewrite_aggregates(out: str) -> str:
                  r"sort_array(collect_set(\1))", out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
+    out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
     # Spark as an unknown function far from the cause — refuse HERE
@@ -809,6 +842,44 @@ def _rewrite_topk(out: str) -> str:
             f"array_distinct({lst}), __tkv -> struct("
             f"-size(filter({lst}, __tke -> __tke <=> __tkv)) AS nc, "
             f"__tkv AS val))), 1, {n}), __tks -> __tks.val)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _rewrite_quantile_if(out: str) -> str:
+    """The parametric quantile If-combinators —
+    ``quantileIf(p)(x, cond)`` → ``percentile_approx(if(cond, x,
+    NULL), p)`` and ``quantileExactIf`` → the exact ``percentile``
+    — plus the bare 2-arg forms defaulting to the median (the CH
+    no-parameter quantile contract). These cannot ride the generic
+    If-combinator template (the parameter lives in a separate call
+    group) nor the quantile token renames (the If suffix blocks the
+    ``name(`` match), so without this they'd leak the CH name into
+    Spark's parser. Runs on literal-masked text."""
+    rx = re.compile(r"\bquantile(Exact)?If\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        fn = "percentile" if m.group(1) else "percentile_approx"
+        first, after = _take_call_args(out, m.end() - 1)
+        if out[after:].lstrip().startswith("("):
+            if len(first) != 1:
+                raise ValueError(
+                    f"quantile{m.group(1) or ''}If: exactly one "
+                    f"parameter expected, got {len(first)}")
+            p = first[0].strip()
+            args, end = _take_call_args(out, out.index("(", after))
+        else:
+            p, args, end = "0.5", first, after
+        args = [a.strip() for a in args]
+        if len(args) != 2:
+            raise ValueError(
+                f"quantile{m.group(1) or ''}If(p)(x, cond): need "
+                f"exactly 2 arguments, got {len(args)}")
+        repl = f"{fn}(if({args[1]}, {args[0]}, NULL), {p})"
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out

@@ -188,8 +188,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: the window and lead _FRONTLOAD_R11. rotationcheck enforces the
 #: result.
 #: Round-11 ordering (VERDICT r10 items 1-5, 8 + the standing
-#: rotation contract): the window leads with the round's 9 mandatory
-#: entries — 6 NEW (topk_sql: parametric topK(n)(x)/topKIf
+#: rotation contract): the window leads with the round's 10 mandatory
+#: entries — 7 NEW (topk_sql: parametric topK(n)(x)/topKIf
 #: exact-frequency rewrite; any_right_join_sql: ANY RIGHT JOIN … ON
 #: with the left-side mirror dedup; array_sort_group_array_sql: the
 #: arraySort(groupArray(x)) order-imposing composite;
@@ -197,7 +197,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: spectral selection + successive approximation; weighted_agg_sql:
 #: topKWeighted exact-weighted-frequency + avgWeighted with the CH
 #: NULL contract; if_combinators_sql: uniqExactIf/argMaxIf/argMinIf/
-#: uniqIf/medianIf combinator breadth) and 3 TEXT-CHANGED
+#: uniqIf/medianIf combinator breadth; delta_sum_sql: the deltaSum
+#: counter aggregate in the sorted-subquery idiom) and 3 TEXT-CHANGED
 #: (decontamination_bloom: the exact-verify join dropped its forced
 #: broadcast hint — AQE owns the strategy in the regime the query
 #: documents, VERDICT r10 item 1; group_array_sql: the rewrite now
@@ -206,10 +207,10 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: 40x/10x with it, 2.8x without, values oracle-pinned) — then fills
 #: oldest-first: ALL 40 r7 rows (the _FRONTLOAD_R11 cohort VERDICT
 #: r10 item 2 named: bucketed_join_revenue …
-#: with_totals_event_counts) and 1 r8 row alphabetically. The round
-#: adds only 6 new queries — well under budget — so the whole
-#: overdue cohort rotates; 49 r8 rows remain the oldest outside the
-#: window and lead _FRONTLOAD_R12.
+#: with_totals_event_counts); the window is exactly 10 + 40 with no
+#: r8 fills left. The round adds 7 new queries — still under budget —
+#: so the whole overdue cohort rotates; all 50 r8 rows remain the
+#: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R11 = [
     # new this round — never driver-verified
@@ -219,6 +220,7 @@ _FRONTLOAD_R11 = [
     "multimodal_decode_jpeg_progressive",  # NEW: SOF2 decode
     "weighted_agg_sql",           # NEW: topKWeighted + avgWeighted
     "if_combinators_sql",         # NEW: uniqExactIf/argMaxIf breadth
+    "delta_sum_sql",              # NEW: deltaSum counter aggregate
     # text-changed this round — the verify join lost its forced hint
     # / the redundant inner ORDER BY is now stripped (plan change,
     # values oracle-pinned) / the query text now carries a SETTINGS
@@ -267,8 +269,6 @@ _FRONTLOAD_R11 = [
     "topk_rollup_users",
     "ttl_rollup_compaction",
     "with_totals_event_counts",
-    # r8 rows, alphabetical fill (1 of 50)
-    "asof_join_sql",
 ]
 
 _FRONTLOAD_R10 = [

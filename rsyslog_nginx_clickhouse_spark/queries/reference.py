@@ -2804,6 +2804,64 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_sum_sql",
+    # integer cents make every delta and the positive-delta sum exact
+    # (ints ≤ 2^53 in the double fold), so no rounding form is needed;
+    # the oracle filters NULL cents BEFORE lag — the same
+    # skip-without-breaking-the-prev-chain contract the fold keeps
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events),
+    d AS (
+      SELECT event_type,
+             cents - lag(cents) OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id) AS dd
+      FROM s WHERE cents IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             COALESCE(SUM(CASE WHEN dd > 0 THEN dd ELSE 0 END),
+                      0)::BIGINT AS delta_cents
+      FROM d GROUP BY event_type),
+    n AS (SELECT event_type, count(*)::bigint AS cnt
+          FROM events GROUP BY event_type)
+    SELECT n.event_type, agg.delta_cents, n.cnt
+    FROM n JOIN agg USING (event_type) ORDER BY n.event_type
+    """,
+    doc="ClickHouse `deltaSum(x)` — the counter aggregate (sum of "
+        "POSITIVE deltas between consecutive values; monitoring "
+        "dashboards feed it cumulative counters so resets don't go "
+        "negative). Order-dependent like groupArray, so it maps in "
+        "the same sorted-subquery idiom and shares its machinery "
+        "(functions/macros.rewrite_group_array): the subquery's "
+        "ORDER BY keys lift into ONE sorted collect, a single "
+        "sequential left-fold tracks the previous value (NULL rows "
+        "skipped without breaking the prev chain — the CH aggregate "
+        "NULL contract), and the now-redundant inner global sort is "
+        "stripped. Deterministic at any partition count — stronger "
+        "than CH, whose deltaSum merge order is only safe "
+        "single-threaded (its own docs warn about parallel merge). "
+        "Result is DOUBLE (cast at the SELECT for integer output — "
+        "documented deviation from CH's type-preserving return); "
+        "deltaSumTimestamp refuses loudly. Per-group collect bounded "
+        "by group size, one partial-aggregatable shuffle",
+)
+def delta_sum_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "dsum_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(deltaSum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS delta_cents,
+               CAST(count() AS bigint) AS cnt
+        FROM (SELECT event_type, value, ts, event_id
+              FROM dsum_events ORDER BY ts, event_id)
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "if_combinators_sql",
     # event_id is unique, so the argMaxIf/argMinIf picks are total-
     # ordered (no ts-collision tie risk); round(sum,2) of 2-decimal
@@ -2829,10 +2887,11 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_by/min_by with the condition NULLing BOTH the returned "
         "and the ordering expression (NULL-ordering rows are ignored "
         "— exactly the -If filter contract), alongside the existing "
-        "sumIf zero-coalesce and countIf. uniqIf (sketch estimator) "
-        "and medianIf (approx percentile) are mapped too but value-"
-        "gated only via their exact cousins here — an approximate "
-        "estimate cannot share a DuckDB oracle "
+        "sumIf zero-coalesce and countIf. uniqIf (sketch estimator), "
+        "medianIf, and the parametric quantileIf(p)(x, cond) / "
+        "quantileExactIf (approx/interpolated percentiles) are "
+        "mapped too but value-gated only via their exact cousins "
+        "here — an approximate estimate cannot share a DuckDB oracle "
         "(functions/macros._rewrite_if_combinators). One partial-"
         "aggregatable shuffle; the unique event_id ordering key "
         "makes the arg picks deterministic on both engines",

@@ -294,6 +294,40 @@ def test_rejected_join_dictionary_leaks_no_view(spark):
     assert not spark.catalog.tableExists("__dictsrc_leakd")
 
 
+# ------------------------------------------- deltaSum counter --
+
+
+def test_delta_sum_rewrite_and_values(spark):
+    out = rewrite_group_array(
+        "SELECT g, deltaSum(x) FROM "
+        "(SELECT g, x, k FROM t ORDER BY k) GROUP BY g")
+    assert "aggregate(sort_array" in out
+    assert "deltaSum" not in out and "ORDER BY" not in out
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (1, 3, 7.0), (1, 4, 12.0),
+         (1, 5, None), (1, 6, 15.0)],
+        "g int, k int, x double").createOrReplaceTempView("dsum_t")
+    r = sql(spark, """
+        SELECT g, deltaSum(x) AS ds
+        FROM (SELECT g, k, x FROM dsum_t ORDER BY k)
+        GROUP BY g""").collect()[0]
+    # +3 (10→13), reset ignored (13→7), +5 (7→12), NULL skipped
+    # without breaking the chain, +3 (12→15)
+    assert r.ds == 11.0
+
+
+def test_delta_sum_refusals():
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_group_array("SELECT deltaSum(x) FROM t GROUP BY g")
+    with pytest.raises(ValueError, match="deltaSumTimestamp"):
+        rewrite_group_array("SELECT deltaSumTimestamp(x, ts) FROM t")
+    # name-prefix safety: a user function sharing the prefix survives
+    q = "SELECT deltaSummary(x) FROM t"
+    assert rewrite_group_array(q) == q
+    q2 = "SELECT 'deltaSum(x)' AS s FROM t"
+    assert rewrite_group_array(q2) == q2
+
+
 # --------------------------------------- SETTINGS clause strip --
 
 
@@ -343,6 +377,31 @@ def test_if_combinator_rewrite_shapes():
     # literal safety: string DATA mentioning a combinator survives
     q = "SELECT 'argMaxIf(a, b, c)' AS s FROM t"
     assert rewrite_aggregates(q) == q
+
+
+def test_quantile_if_combinators():
+    for q, want in [
+        ("SELECT quantileIf(0.9)(x, c) FROM t",
+         "percentile_approx(if(c, x, NULL), 0.9)"),
+        ("SELECT quantileExactIf(0.25)(x, v > 1) FROM t",
+         "percentile(if(v > 1, x, NULL), 0.25)"),
+        ("SELECT quantileIf(x, c) FROM t",
+         "percentile_approx(if(c, x, NULL), 0.5)"),
+    ]:
+        assert want in rewrite_aggregates(q), q
+    with pytest.raises(ValueError, match="exactly 2"):
+        rewrite_aggregates("SELECT quantileIf(0.9)(x) FROM t")
+    q = "SELECT 'quantileIf(0.9)(x, c)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+def test_quantile_exact_if_value(spark):
+    spark.createDataFrame(
+        [(1, float(i)) for i in range(1, 11)],
+        "g int, v double").createOrReplaceTempView("qif_t")
+    r = sql(spark, "SELECT quantileExactIf(0.5)(v, v <= 5) AS m "
+                   "FROM qif_t GROUP BY g").collect()[0]
+    assert r.m == 3.0
 
 
 def test_arg_if_combinator_values(spark):
