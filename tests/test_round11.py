@@ -294,6 +294,42 @@ def test_rejected_join_dictionary_leaks_no_view(spark):
     assert not spark.catalog.tableExists("__dictsrc_leakd")
 
 
+# ----------------------------- property: topK vs a reference --
+
+
+def test_topk_property_random_groups(spark):
+    """Seeded random multisets: the SQL topK/topKWeighted templates
+    must equal a direct Python reference (count/weight-sum DESC,
+    value ASC) on every group — catches template regressions the
+    hand-picked fixtures can't."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(12):
+        for _ in range(rng.randint(0, 40)):
+            rows.append((g, f"v{rng.randint(0, 9)}",
+                         float(rng.randint(1, 5))))
+    df = spark.createDataFrame(rows, "g int, x string, w double")
+    df.createOrReplaceTempView("tkprop_t")
+    got = {r.g: (r.topc, r.topw) for r in sql(spark, """
+        SELECT g, array_join(topK(3)(x), ',') AS topc,
+               array_join(topKWeighted(3)(x, w), ',') AS topw
+        FROM tkprop_t GROUP BY g""").collect()}
+    counts = defaultdict(Counter)
+    wsums = defaultdict(Counter)
+    for g, x, w in rows:
+        counts[g][x] += 1
+        wsums[g][x] += w
+    for g in counts:
+        ref_c = ",".join(sorted(counts[g],
+                                key=lambda v: (-counts[g][v], v))[:3])
+        ref_w = ",".join(sorted(wsums[g],
+                                key=lambda v: (-wsums[g][v], v))[:3])
+        assert got[g] == (ref_c, ref_w), (g, got[g], ref_c, ref_w)
+
+
 # ------------------------------------------- deltaSum counter --
 
 
