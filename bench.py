@@ -43,6 +43,20 @@ ADJ_FLOOR_S = 0.3
 #: queries in one back-to-back run). A regression must clear BOTH the
 #: ratio and this absolute margin to be worth a probe.
 ADJ_ABS_SLACK_S = 0.6
+#: a 1-min load above this BEFORE the bench starts means another
+#: tenant is on the box — the run is CONTENDED: it records that fact,
+#: would-be 'real' regression verdicts ship as 'contended' (the r11
+#: driver pass at load 7.05 labeled 7 ghosts 'real'; the quiet
+#: same-tree run refuted every one), and BENCH_BEST does not ratchet
+#: (a new plan signature must not baseline against a loaded sample).
+#: Only the PRE-bench load is meaningful: the suite's own Spark work
+#: legitimately drives 1-min load to ~7 on local[32] (quiet r11 run:
+#: start 1.57, after pass 1: 7.08), so mid-run loads diagnose, never
+#: convict.
+CONTENDED_LOAD_1M = 2.0
+#: bounded drain-wait at start: give a transient spike this long to
+#: clear before declaring the run contended
+DRAIN_WAIT_S = 180
 
 
 def _plan_sig(df) -> str:
@@ -157,7 +171,8 @@ def _update_best_by_sig(timings: dict, plan_sigs: dict,
 
 
 def _adjudicate(registry, spark, timings, plan_sigs, gc,
-                best_known=None, best_by_sig=None) -> dict:
+                best_known=None, best_by_sig=None,
+                contended=False) -> dict:
     """Pre-adjudicate regressions (VERDICT r5 item 7): any query >=
     ADJ_RATIO× its best recorded round gets (a) a plan-signature
     check — a changed plan is an EXPECTED shift, not steal — then (b)
@@ -221,10 +236,14 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             # embedding_neardup_exact probe 1.76 s at load 12.8 vs
             # 1.04 s settled — a 'real' verdict on a ghost). Wait,
             # bounded, for the box to drain before sampling.
-            for _ in range(18):
+            # no drain-wait on a contended run: the start-of-run wait
+            # already failed, and the verdict is capped anyway — don't
+            # burn 90 s per adjudication confirming the box is busy
+            for _ in range(0 if contended else 18):
                 if os.getloadavg()[0] < 3.0:
                     break
                 _time.sleep(5)
+            probe_start_load = os.getloadavg()[0]
             probe = None
             for _ in range(2):
                 t0 = _time.time()
@@ -246,15 +265,40 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
                 # probe 5.88 s vs in-suite 2.93 s at load 4.9, shipped
                 # as 'real' on a ghost). Say so instead of convicting.
                 entry["verdict"] = "probe-invalid"
+            elif probe / ref < ADJ_RATIO \
+                    or probe - ref < ADJ_ABS_SLACK_S:
+                entry["verdict"] = "steal"
+            elif contended or probe_start_load >= 3.0:
+                # a loaded box cannot convict: the suite sample AND
+                # the solo re-probe both ran under external load, so
+                # "it reproduces" proves nothing (VERDICT r11: the
+                # driver's load-7.05 pass labeled 7 ghosts 'real';
+                # the quiet same-tree run refuted every one). Ship
+                # the context; a quiet round re-adjudicates.
+                entry["verdict"] = "contended"
             else:
-                entry["verdict"] = (
-                    "steal" if probe / ref < ADJ_RATIO
-                    or probe - ref < ADJ_ABS_SLACK_S else "real")
+                entry["verdict"] = "real"
         out[name] = entry
     return out
 
 
 def main() -> None:
+    # drain-wait BEFORE any Spark work: give a transient external
+    # spike DRAIN_WAIT_S to clear; a load that persists marks the
+    # whole run contended (recorded in the artifact, blocks 'real'
+    # verdicts and the BENCH_BEST ratchet)
+    waited = 0
+    while os.getloadavg()[0] >= CONTENDED_LOAD_1M \
+            and waited < DRAIN_WAIT_S:
+        time.sleep(5)
+        waited += 5
+    load_start = round(os.getloadavg()[0], 2)
+    contended = load_start >= CONTENDED_LOAD_1M
+    if contended:
+        print(f"# bench contended: 1-min load {load_start} >= "
+              f"{CONTENDED_LOAD_1M} after {waited}s drain-wait — "
+              "verdicts capped at 'contended', no ratchet",
+              file=sys.stderr)
     registry = load_all()
     spark = get_spark("bench")
     # Warm up the JVM / parquet footer caches AND the Python worker pool
@@ -294,7 +338,7 @@ def main() -> None:
     # BENCH_r{N}.json can separate microVM steal (load >> local work)
     # from a real regression without re-running anything (VERDICT r4
     # item 8 / PLANS.md variance note)
-    loads = [round(os.getloadavg()[0], 2)]
+    loads = [load_start]
     # min over INTERLEAVED passes (pass 1 runs every query, then pass 2
     # runs every query): a contention spike taxes one pass of many
     # queries instead of both samples of the same query, so the min
@@ -339,8 +383,13 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    adjudications = _adjudicate(registry, spark, timings, plan_sigs, gc)
-    _update_best_by_sig(timings, plan_sigs, adjudications)
+    adjudications = _adjudicate(registry, spark, timings, plan_sigs,
+                                gc, contended=contended)
+    if not contended:
+        # a contended pass must not ratchet: minimums can't improve
+        # under load, but a NEW plan signature would otherwise reset
+        # its BENCH_BEST baseline to a load-inflated sample
+        _update_best_by_sig(timings, plan_sigs, adjudications)
     out = {
         "metric": "query_set_wall_seconds",
         "value": total,
@@ -351,6 +400,8 @@ def main() -> None:
         "load_avg": loads,
         "plan_sig": plan_sigs,
     }
+    if contended:
+        out["contended"] = True
     if adjudications:
         out["adjudications"] = adjudications
     if failed:

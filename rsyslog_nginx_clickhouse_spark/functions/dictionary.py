@@ -168,10 +168,19 @@ def _declare_join_dictionary(spark: SparkSession, name: str,
                  if isinstance(f.dataType, StringType)
                  else F.lit(16))
         row_bytes = piece if row_bytes is None else row_bytes + piece
-    n, nd, est_bytes = src.agg(
-        F.count(F.lit(1)), F.count_distinct(F.col(key_col)),
+    n, nk, nd, est_bytes = src.agg(
+        F.count(F.lit(1)), F.count(F.col(key_col)),
+        F.count_distinct(F.col(key_col)),
         F.sum(row_bytes)).first()
-    if n != nd:
+    # count() skips NULLs while count(*) does not, so a NULL key row
+    # makes n != nd without a >1 duplicate group — probe with the
+    # non-null count and name the NULL key explicitly (ADVICE r11:
+    # the duplicate probe returned no rows and dup[0][0] crashed)
+    if n != nk:
+        raise ValueError(
+            f"dictionary {name!r}: {n - nk} NULL key row(s) — "
+            f"dictGet cannot address a NULL key; filter the source")
+    if nk != nd:
         dup = (src.groupBy(key_col).count()
                   .where("count > 1").limit(1).collect())
         raise ValueError(

@@ -1422,9 +1422,9 @@ _ANY_JOIN_RE = re.compile(
     r"(?P<rhs>[\w.`]+)"
     r"(?:\s+AS\s+(?P<alias>\w+)|\s+(?!(?:USING|ON)\b)(?P<alias2>\w+))?"
     r"(?:\s+USING\s*\((?P<keys>[^)]*)\)"
-    r"|\s+ON\s+(?P<on>.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING"
-    r"|UNION|SETTINGS|INNER|LEFT|RIGHT|FULL|CROSS|ANY|ALL|GLOBAL"
-    r"|JOIN)\b|\s*$))")
+    r"|\s+ON\s+(?P<on>.*?)(?=\s*\)|\s+(?:WHERE|GROUP|ORDER|LIMIT"
+    r"|HAVING|UNION|SETTINGS|INNER|LEFT|RIGHT|FULL|CROSS|ANY|ALL"
+    r"|GLOBAL|JOIN)\b|\s*$))")
 
 _ON_CONJUNCT_RE = re.compile(
     r"(?is)^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$")

@@ -344,6 +344,10 @@ class _JpegBitReader:
             self.pos += 1
         while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
             self.pos += 1
+        # skip 0xFF fill bytes (B.1.1.2) so the marker code is never
+        # read from a fill byte — same hazard as segment_end
+        while self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
         m = self.data[self.pos + 1]
         self.pos += 2
         return m
@@ -354,6 +358,12 @@ class _JpegBitReader:
         return control to the marker loop here."""
         p = self.pos + (1 if self.bit else 0)
         while not (self.data[p] == 0xFF and self.data[p + 1] != 0x00):
+            p += 1
+        # spec B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — return the offset of the LAST 0xFF, so
+        # the marker loop never reads a fill 0xFF as a marker code
+        # and misparses the following bytes as a length (ADVICE r11)
+        while self.data[p + 1] == 0xFF:
             p += 1
         return p
 
@@ -402,6 +412,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip the run so a fill byte is never read as
+        # the code itself (ADVICE r11)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
