@@ -421,7 +421,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and scanned:
-                h, w, comps = frame
+                h, w, comps = frame[:3]
                 return _jpeg_color_out(
                     _jpeg_idct_planes(coefs, comps, qt, h, w))
             raise ValueError("JPEG ended before a scan")
@@ -456,20 +456,42 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError(f"precision {prec} unsupported")
             comps = []
+            hmax = vmax = 1
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"illegal JPEG sampling factor {hs}x{vs} "
+                        "(spec allows 1-4)")
+                comps.append((cid, tq, hs, vs))
+                hmax, vmax = max(hmax, hs), max(vmax, vs)
+            if nc == 1:
+                # a single-component scan is non-interleaved by spec
+                # (A.2.2): the MCU is one data unit, sampling factors
+                # carry no meaning — normalize so the MCU loop and
+                # the dims check see the 1x1 geometry
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
+                hmax = vmax = 1
+            if progressive and (hmax, vmax) != (1, 1):
+                raise NotImplementedError(
+                    "chroma subsampling in PROGRESSIVE scans "
+                    "unsupported (baseline 4:2:0/4:2:2 is supported; "
+                    "progressive is 4:4:4 only)")
+            for cid, tq, hs, vs in comps:
+                if hmax % hs or vmax % vs:
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                        f"non-integer chroma upsampling ratio "
+                        f"({hmax}/{hs} x {vmax}/{vs}) unsupported")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG "
                                           "unsupported")
-            if h % 8 or w % 8:
+            if h % (8 * vmax) or w % (8 * hmax):
                 raise NotImplementedError(
-                    "image dims must be multiples of 8 (no "
-                    "partial-MCU padding)")
-            frame = (h, w, comps)
+                    f"image dims must be multiples of the MCU size "
+                    f"({8 * hmax}x{8 * vmax} here — no partial-MCU "
+                    "padding)")
+            frame = (h, w, comps, hmax, vmax)
             if progressive:
                 coefs = [np.zeros((h // 8 * (w // 8), 64),
                                   dtype=np.int64) for _ in comps]
@@ -512,45 +534,66 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         pos += seg_len
 
-    h, w, comps = frame
-    by, bx = h // 8, w // 8
+    h, w, comps, hmax, vmax = frame
+    # interleaved MCU geometry (A.2.3): each MCU carries hs x vs data
+    # units per component; a subsampled component's plane is smaller
+    # by (hmax/hs, vmax/vs) and is upsampled AFTER the scan
+    mcuy, mcux = h // (8 * vmax), w // (8 * hmax)
     reader = _JpegBitReader(payload, pos)
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    planes = [np.zeros((h * vs // vmax, w * hs // hmax),
+                       dtype=np.float64) for (_, _, hs, vs) in comps]
     pred = [0] * len(comps)
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 m = reader.align_to_marker()
                 if not 0xD0 <= m <= 0xD7:
                     raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
                 pred = [0] * len(comps)
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, tq, hs, vs) in enumerate(comps):
                 td, ta = scan_tables[cid]
-                t = reader.decode_huff(huff[(0, td)])
-                diff = _jpeg_extend(reader.read_bits(t), t)
-                pred[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_huff(huff[(1, ta)])
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.int64)
-                block[_JPEG_ZIGZAG] = zz
-                coef = block.reshape(8, 8) * qt[tq]
-                spat = _JPEG_DCT_A.T @ coef.astype(np.float64) @ _JPEG_DCT_A
-                planes[ci][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = spat
+                for dy in range(vs):
+                    for dx in range(hs):
+                        t = reader.decode_huff(huff[(0, td)])
+                        diff = _jpeg_extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_JPEG_ZIGZAG] = zz
+                        coef = block.reshape(8, 8) * qt[tq]
+                        spat = (_JPEG_DCT_A.T @ coef.astype(np.float64)
+                                @ _JPEG_DCT_A)
+                        yb, xb = my * vs + dy, mx * hs + dx
+                        planes[ci][yb * 8:yb * 8 + 8,
+                                   xb * 8:xb * 8 + 8] = spat
             mcu += 1
-    return _jpeg_color_out(planes)
+    # nearest-neighbor upsample (pixel replication — the exactly-
+    # specifiable choice, so text-derived oracles survive) before the
+    # shared color tail
+    full = []
+    for ci, (_, _, hs, vs) in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p)
+    return _jpeg_color_out(full)
 
 
 def _jpeg_color_out(planes: list) -> np.ndarray:
@@ -577,7 +620,7 @@ def _jpeg_idct_planes(coefs: list, comps: list, qt: dict, h: int,
     would be n_blocks× slower here)."""
     by, bx = h // 8, w // 8
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, tq, _hs, _vs) in enumerate(comps):
         blocks = np.zeros((by * bx, 64), dtype=np.int64)
         blocks[:, _JPEG_ZIGZAG] = coefs[ci]
         deq = (blocks.reshape(-1, 8, 8)
@@ -605,9 +648,9 @@ def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
     - AC refinement (Ss>0, Ah>0): correction bits for
       already-nonzero coefficients + newly-significant ±1<<Al.
     """
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     n_blocks = (h // 8) * (w // 8)  # 4:4:4 only: every comp full-res
-    ci_of = {cid: i for i, (cid, _) in enumerate(comps)}
+    ci_of = {cid: i for i, (cid, *_) in enumerate(comps)}
     if ss == 0:  # DC scan (spectral band 0..0)
         if se != 0:
             raise ValueError("progressive scan mixes DC and AC "
@@ -1562,6 +1605,105 @@ def render_progressive_jpeg_bytes(text: str, width: int = JPEG_W,
     for b in range(n_blocks):
         blocks[b, 0] = 8 * (tb[b % len(tb)] - 128)
     return encode_progressive_jpeg(blocks, width, height)
+
+
+def render_jpeg_subsampled_bytes(text: str, width: int = JPEG_W,
+                                 height: int = JPEG_H,
+                                 sampling: str = "420") -> bytes:
+    """A real chroma-subsampled COLOR baseline JPEG (the dominant
+    real-crawl encoding — cameras and CDNs default to 4:2:0) with the
+    same text-derivable contract as render_jpeg_bytes: Y-plane block
+    b (component raster order) is the CONSTANT ord(text[b mod len]),
+    Cb and Cr are the constant 128 (DC = 0, neutral chroma), so after
+    nearest upsample and BT.601 conversion every output pixel is
+    exactly (Y, Y, Y) — the SQL oracle is byte-identical to the
+    grayscale one while the decode exercises the full interleaved-MCU
+    path: per-component sampling factors, hs x vs data units per MCU,
+    three DC predictors, subsampled-plane upsample.
+
+    ``sampling``: '420' (Y 2x2 per MCU, chroma quarter-res) or
+    '422' (Y 2x1, chroma half-res horizontally)."""
+    try:
+        hs, vs = {"420": (2, 2), "422": (2, 1)}[sampling]
+    except KeyError:
+        raise ValueError(f"sampling must be '420' or '422', "
+                         f"got {sampling!r}") from None
+    tb = text.encode("utf-8")
+    if not tb or len(tb) != len(text):
+        raise ValueError(
+            "render_jpeg_subsampled_bytes requires non-empty ASCII "
+            "text: the external oracle indexes code points, the "
+            "renderer indexes UTF-8 bytes — they diverge on non-ASCII "
+            "input")
+    if width % (8 * hs) or height % (8 * vs):
+        raise ValueError(
+            f"dims must be multiples of the MCU ({8 * hs}x{8 * vs} "
+            f"for {sampling})")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob_code = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+    wtr = _JpegBitWriter()
+
+    def emit_block(dc: int, pred: int) -> int:
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        wtr.emit(*dc_codes[t])
+        if t:
+            wtr.emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.emit(*eob_code)
+        return dc
+
+    bx = width // 8  # Y-plane block grid width
+    pred_y = 0
+    for my in range(height // (8 * vs)):
+        for mx in range(width // (8 * hs)):
+            for dy in range(vs):
+                for dx in range(hs):
+                    b = (my * vs + dy) * bx + (mx * hs + dx)
+                    pred_y = emit_block(8 * (tb[b % len(tb)] - 128),
+                                        pred_y)
+            emit_block(0, 0)  # Cb: constant 128 -> DC 0, diff 0
+            emit_block(0, 0)  # Cr
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + (len(body) + 2).to_bytes(2, "big") + body)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00"
+               + b"\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes(64 * [1]))
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big")
+              + bytes([3,
+                       1, (hs << 4) | vs, 0,  # Y
+                       2, 0x11, 0,            # Cb (all share DQT 0)
+                       3, 0x11, 0]))          # Cr
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS)
+              + bytes([0x10]) + bytes(_JPEG_AC_BITS)
+              + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos
+            + bytes(wtr.out) + b"\xFF\xD9")
+
+
+def attach_jpeg_420(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sampling: str = "420") -> DataFrame:
+    """Multimodal table with REAL 4:2:0 (or 4:2:2) color-JPEG
+    payloads — same Arrow-batched mapInPandas shape as attach_jpeg."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [render_jpeg_subsampled_bytes(
+                    t, sampling=sampling) for t in pdf[text_col]],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, payload binary")
 
 
 def attach_progressive_jpeg(docs: DataFrame, id_col: str = "doc_id",

@@ -120,3 +120,249 @@ def test_any_join_on_subquery_values(spark):
     # ANY keeps one match per key — the lexicographically-greatest
     # full right row (documented deterministic deviation)
     assert [(r.k, r.v) for r in rows] == [(1, 99), (2, 20)]
+
+
+# ---------------------------- bench contended-run guard --
+
+
+def _load_bench_mod(name):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(os.path.dirname(__file__),
+                           os.pardir, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _R12Sink:
+    def __init__(self, secs):
+        self.secs = secs
+
+    def mode(self, m):
+        return self
+
+    def format(self, f):
+        return self
+
+    def save(self):
+        import time as _t
+        _t.sleep(self.secs)
+
+
+class _R12Query:
+    def __init__(self, secs):
+        self._sink = _R12Sink(secs)
+
+    def spark(self, spark, sf):
+        sink = self._sink
+
+        class _DF:
+            write = sink
+        return _DF()
+
+
+class _R12Spark:
+    class catalog:
+        @staticmethod
+        def clearCache():
+            pass
+
+
+def test_bench_contended_run_cannot_convict_real():
+    """VERDICT r11 item 3: the r11 driver pass ran at load 7.05 and
+    labeled 7 queries 'real'; the quiet same-tree run refuted every
+    one. A run that starts contended must cap reproduce-verdicts at
+    'contended' — steal and plan-changed (exculpatory) still ship."""
+    import gc as _gc
+
+    bench = _load_bench_mod("bench_mod_r12a")
+    best_known = ({"q": 0.4}, {"q": "BENCH_r04.json"},
+                  {"q": "sigA"}, {"q": ("sigA", "BENCH_r04.json")})
+    # in-suite wall 1.9s vs best 0.4s (same sig); isolated probe
+    # ~1.5s reproduces the slowdown — on a quiet box this is 'real',
+    # but the run is flagged contended so it cannot convict
+    out = bench._adjudicate({"q": _R12Query(1.5)}, _R12Spark(),
+                            {"q": 1.9}, {"q": "sigA"}, _gc,
+                            best_known=best_known, best_by_sig={},
+                            contended=True)
+    assert out["q"]["verdict"] == "contended"
+    assert out["q"]["probe"] > 0  # the probe still ships as context
+    # a FAST probe is exculpatory evidence — 'steal' survives the flag
+    out = bench._adjudicate({"q": _R12Query(0.05)}, _R12Spark(),
+                            {"q": 1.9}, {"q": "sigA"}, _gc,
+                            best_known=best_known, best_by_sig={},
+                            contended=True)
+    assert out["q"]["verdict"] == "steal"
+
+
+def test_bench_contended_constants_exist():
+    bench = _load_bench_mod("bench_mod_r12b")
+    assert bench.CONTENDED_LOAD_1M == 2.0
+    assert bench.DRAIN_WAIT_S >= 60
+
+
+# ------------------------- JPEG 4:2:0 / 4:2:2 decode --
+
+
+def test_jpeg_subsampled_matches_grayscale_reference():
+    """The 4:2:0/4:2:2 color render keeps chroma neutral (128), so
+    decoded RGB must equal the grayscale render of the same text —
+    across single- and multi-MCU geometries."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+        render_jpeg_bytes,
+        render_jpeg_subsampled_bytes,
+    )
+
+    for sampling in ("420", "422"):
+        for dims in ((16, 16), (32, 32), (48, 16)):
+            w, h = dims
+            sub = render_jpeg_subsampled_bytes("mcu order pin!", w, h,
+                                               sampling)
+            ref = render_jpeg_bytes("mcu order pin!", w, h)
+            np.testing.assert_array_equal(decode_jpeg(sub),
+                                          decode_jpeg(ref))
+
+
+def _encode_subsampled_dc(y_dc, c_dc_pairs, width, height, hs, vs):
+    """Hand-rolled interleaved-MCU entropy coder: per-block DC values
+    (y_dc: Y-plane block raster; c_dc_pairs: (cb, cr) per chroma
+    block raster), EOB after every block — an encoder INDEPENDENT of
+    render_jpeg_subsampled_bytes' (shared bit-writer only)."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_canonical_codes,
+        _JpegBitWriter,
+    )
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    eob = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00]
+    wtr = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def block(ci, dc):
+        dc = int(dc)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = abs(diff).bit_length()
+        wtr.emit(*dc_codes[t])
+        if t:
+            wtr.emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        wtr.emit(*eob)
+
+    bx = width // 8
+    cbx = width // (8 * hs)
+    for my in range(height // (8 * vs)):
+        for mx in range(width // (8 * hs)):
+            for dy in range(vs):
+                for dx in range(hs):
+                    block(0, y_dc[(my * vs + dy) * bx + mx * hs + dx])
+            cb, cr = c_dc_pairs[my * cbx + mx]
+            block(1, cb)
+            block(2, cr)
+    wtr.flush()
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + (len(body) + 2).to_bytes(2, "big") + body)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(64 * [1]))
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
+              + width.to_bytes(2, "big")
+              + bytes([3, 1, (hs << 4) | vs, 0, 2, 0x11, 0,
+                       3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS) + bytes([0x10])
+              + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + bytes(wtr.out)
+            + b"\xFF\xD9")
+
+
+def test_jpeg_420_nonneutral_chroma_against_numpy_reference():
+    """Varying chroma per chroma-block pins what neutral chroma
+    cannot: chroma-plane MCU placement, the independent per-component
+    DC predictors, the nearest upsample geometry, and the BT.601
+    conversion — all checked against a from-scratch numpy oracle."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w = h = 32
+    hs = vs = 2
+    rng = np.random.RandomState(12)
+    n_y, n_c = (w // 8) * (h // 8), (w // 16) * (h // 16)
+    y_vals = rng.randint(40, 216, size=n_y)
+    cb_vals = rng.randint(90, 166, size=n_c)
+    cr_vals = rng.randint(90, 166, size=n_c)
+    payload = _encode_subsampled_dc(
+        [8 * (v - 128) for v in y_vals],
+        [(8 * (cb - 128), 8 * (cr - 128))
+         for cb, cr in zip(cb_vals, cr_vals)], w, h, hs, vs)
+    got = decode_jpeg(payload)
+
+    # independent reference: constant blocks -> planes -> repeat -> BT.601
+    ypl = np.repeat(np.repeat(
+        y_vals.reshape(h // 8, w // 8), 8, 0), 8, 1).astype(np.float64)
+    cpl = [np.repeat(np.repeat(np.repeat(np.repeat(
+        v.reshape(h // 16, w // 16), 8, 0), 8, 1), vs, 0), hs, 1)
+        .astype(np.float64) for v in (cb_vals, cr_vals)]
+    cb, cr = cpl[0] - 128.0, cpl[1] - 128.0
+    exp = np.stack([
+        np.clip(np.round(ypl + 1.402 * cr), 0, 255),
+        np.clip(np.round(ypl - 0.344136 * cb - 0.714136 * cr), 0, 255),
+        np.clip(np.round(ypl + 1.772 * cb), 0, 255)],
+        axis=2).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_jpeg_422_nonneutral_chroma_against_numpy_reference():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w, h = 32, 16
+    rng = np.random.RandomState(34)
+    n_y, n_c = (w // 8) * (h // 8), (w // 16) * (h // 8)
+    y_vals = rng.randint(40, 216, size=n_y)
+    cb_vals = rng.randint(90, 166, size=n_c)
+    cr_vals = rng.randint(90, 166, size=n_c)
+    payload = _encode_subsampled_dc(
+        [8 * (v - 128) for v in y_vals],
+        [(8 * (cb - 128), 8 * (cr - 128))
+         for cb, cr in zip(cb_vals, cr_vals)], w, h, 2, 1)
+    got = decode_jpeg(payload)
+
+    ypl = np.repeat(np.repeat(
+        y_vals.reshape(h // 8, w // 8), 8, 0), 8, 1).astype(np.float64)
+    cpl = [np.repeat(np.repeat(np.repeat(
+        v.reshape(h // 8, w // 16), 8, 0), 8, 1), 2, 1)
+        .astype(np.float64) for v in (cb_vals, cr_vals)]
+    cb, cr = cpl[0] - 128.0, cpl[1] - 128.0
+    exp = np.stack([
+        np.clip(np.round(ypl + 1.402 * cr), 0, 255),
+        np.clip(np.round(ypl - 0.344136 * cb - 0.714136 * cr), 0, 255),
+        np.clip(np.round(ypl + 1.772 * cb), 0, 255)],
+        axis=2).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_jpeg_subsampled_renderer_refusals():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        render_jpeg_subsampled_bytes,
+    )
+
+    with pytest.raises(ValueError, match="ASCII"):
+        render_jpeg_subsampled_bytes("")
+    with pytest.raises(ValueError, match="ASCII"):
+        render_jpeg_subsampled_bytes("héllo")
+    with pytest.raises(ValueError, match="MCU"):
+        render_jpeg_subsampled_bytes("x", width=8, height=8)
+    with pytest.raises(ValueError, match="sampling"):
+        render_jpeg_subsampled_bytes("x", sampling="444")

@@ -662,10 +662,22 @@ def test_jpeg_rejections_are_loud():
     deep = good[:dqt + 4] + b"\x10" + good[dqt + 5:]
     with pytest.raises(NotImplementedError, match="quantization"):
         decode_jpeg(deep)
-    # 4:2:0 subsampling
+    # sampling factors on a SINGLE-component frame are meaningless by
+    # spec (A.2.2: non-interleaved, MCU = one data unit) — since r12
+    # they normalize to 1x1 instead of rejecting, and the decode is
+    # unchanged
     sub = good[:sof0 + 11] + b"\x22" + good[sof0 + 12:]
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        decode_jpeg(sub)
+    np.testing.assert_array_equal(decode_jpeg(sub), decode_jpeg(good))
+    # subsampling in a PROGRESSIVE frame stays loudly rejected (r12
+    # added baseline 4:2:0/4:2:2 only)
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        render_jpeg_subsampled_bytes,
+    )
+    sub420 = render_jpeg_subsampled_bytes("reject me")
+    sof420 = sub420.index(b"\xFF\xC0")
+    prog420 = sub420[:sof420 + 1] + b"\xC2" + sub420[sof420 + 2:]
+    with pytest.raises(NotImplementedError, match="PROGRESSIVE"):
+        decode_jpeg(prog420)
     # render refuses non-ASCII / empty (oracle indexes code points)
     with pytest.raises(ValueError, match="ASCII"):
         render_jpeg_bytes("héllo")
