@@ -38,17 +38,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: the windowFunnel strict-mode flags ClickHouse accepts
+_FUNNEL_MODES = frozenset(
+    {"strict_order", "strict_dedup", "strict_increase"})
+
+
 def window_funnel(events: DataFrame, conds: list[str], window_us: int,
                   user_col: str = "user_id", time_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
-    """(user, funnel_level): ClickHouse ``windowFunnel(window)(t, c1..cN)``.
+                  type_col: str = "event_type",
+                  modes: "str | tuple[str, ...]" = ()) -> DataFrame:
+    """(user, funnel_level): ClickHouse ``windowFunnel(window[,
+    modes])(t, c1..cN)``.
 
     ``conds`` are DISTINCT ``type_col`` values, one per funnel level
     (duplicate conditions would need per-event multi-level matching —
-    out of scope, as is ClickHouse's strict_* variants).
+    out of scope).
+
+    ``modes`` (VERDICT r11 item 5) is any subset of ClickHouse's
+    strict flags — the per-user pass is the EXACT single-slot fold
+    ClickHouse runs (one (chain_first_ts, level_event_ts) slot per
+    level, events in (ts, level) order):
+
+    - ``strict_order``: any event between chain steps interrupts —
+      non-matching events break the fold once a level-1 event was
+      seen, and a matching event whose predecessor level is still
+      empty terminates with the current progress;
+    - ``strict_dedup`` (alias ``strict_deduplication``): a second
+      event for an already-filled level >= 2 terminates the fold with
+      that event's level;
+    - ``strict_increase``: a chain step must be STRICTLY later than
+      the recorded previous-level event. NOTE: this is the ClickHouse
+      slot semantics, not "exists a strictly-increasing chain" — for
+      A@0 B@1 B@9 C@9 (window 10) the B@9 overwrite makes C fail and
+      the level is 2, though an increasing chain A@0,B@1,C@9 exists.
+      The oracle must fold, not EXISTS-join.
+
+    Without modes, the slot fold is provably the max-start DP the
+    original implementation ran (slot overwrites are monotone in
+    chain start), so plain-mode results are unchanged.
     """
     if len(set(conds)) != len(conds):
         raise ValueError("window_funnel conditions must be distinct")
+    if isinstance(modes, str):
+        modes = (modes,)
+    modes = frozenset("strict_dedup"
+                      if m == "strict_deduplication" else m
+                      for m in modes)
+    unknown = modes - _FUNNEL_MODES
+    if unknown:
+        raise ValueError(
+            f"unknown windowFunnel mode(s) {sorted(unknown)!r} — "
+            f"supported: {sorted(_FUNNEL_MODES)}")
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
     lvl_of = {c: i + 1 for i, c in enumerate(conds)}
     n_levels = len(conds)
 
@@ -57,36 +100,61 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
         def level(evs) -> int:
             if evs is None:  # user with no qualifying events (left join)
                 return 0
-            # evs: list of (ts_us, level), sorted by (ts, level) so an
-            # equal-timestamp lower level is consumable by a higher one
-            best = [None] * (n_levels + 1)  # max chain-START per level
+            # slots[k] = (chain_first_ts, level_event_ts) for level
+            # k+1 — the ClickHouse windowFunnel fold; overwrites only
+            # ever raise chain_first_ts, so one slot per level is
+            # exact (and equals the max-start DP when no mode is set)
+            slots = [None] * n_levels
+            first_event = False
+
+            def progress() -> int:
+                for k in range(n_levels, 0, -1):
+                    if slots[k - 1] is not None:
+                        return k
+                return 0
+
             for ts, lv in sorted((e["t"], e["lv"]) for e in evs):
+                if lv == 0:  # non-matching (stored under strict_order)
+                    if first_event:
+                        break
+                    continue
                 if lv == 1:
-                    best[1] = ts if best[1] is None else max(best[1], ts)
-                elif best[lv - 1] is not None \
-                        and ts - best[lv - 1] <= window_us:
-                    cand = best[lv - 1]
-                    best[lv] = cand if best[lv] is None \
-                        else max(best[lv], cand)
-            reached = 0
-            for k in range(1, n_levels + 1):
-                if best[k] is None:
-                    break
-                reached = k
-            return reached
+                    slots[0] = (ts, ts)
+                    first_event = True
+                elif strict_dedup and slots[lv - 1] is not None:
+                    return lv
+                elif strict_order and first_event \
+                        and slots[lv - 2] is None:
+                    return progress()
+                elif slots[lv - 2] is not None:
+                    first_ts, last_ts = slots[lv - 2]
+                    ok = ts - first_ts <= window_us
+                    if strict_increase:
+                        ok = ok and last_ts < ts
+                    if ok:
+                        slots[lv - 1] = (first_ts, ts)
+                        if lv == n_levels:
+                            return n_levels
+            return progress()
 
         return pairs.map(level).astype("int32")
 
     lvl_map = F.create_map(
         *[x for c, l in lvl_of.items() for x in (F.lit(c), F.lit(l))])
-    # one scan, one shuffle: collect_list SKIPS nulls, so users whose
-    # events all miss the conditions still get a row (empty list →
-    # level 0) — no second scan / distinct / join to restore them
-    pair = F.when(lvl_map[F.col(type_col)].isNotNull(),
-                  F.struct(
-                      F.unix_micros(F.col(time_col).cast("timestamp"))
-                       .alias("t"),
-                      lvl_map[F.col(type_col)].alias("lv")))
+    ts_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    if strict_order:
+        # non-matching events are part of the semantics (they break
+        # the chain): ship them as level 0, like ClickHouse's add()
+        pair = F.struct(
+            ts_us.alias("t"),
+            F.coalesce(lvl_map[F.col(type_col)], F.lit(0)).alias("lv"))
+    else:
+        # one scan, one shuffle: collect_list SKIPS nulls, so users
+        # whose events all miss the conditions still get a row (empty
+        # list → level 0) — no second scan / distinct / join
+        pair = F.when(lvl_map[F.col(type_col)].isNotNull(),
+                      F.struct(ts_us.alias("t"),
+                               lvl_map[F.col(type_col)].alias("lv")))
     return (events
             .groupBy(user_col)
             .agg(F.collect_list(pair).alias("evs"))

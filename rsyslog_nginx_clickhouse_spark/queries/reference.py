@@ -1855,6 +1855,155 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_strict_modes",
+    # FOLD oracle, not EXISTS-chain: the strict modes are defined by
+    # ClickHouse's single-pass slot algorithm, and strict_increase
+    # provably diverges from "exists a strictly-increasing chain"
+    # (A@0 B@1 B@9 C@9, window 10: the B@9 slot overwrite makes C
+    # fail, level 2, though the chain A@0,B@1,C@9 exists). So each
+    # mode's oracle SIMULATES the fold with a recursive CTE stepping
+    # per-user events in (ts, level) order, carrying the per-level
+    # (chain_first_ts[, level_event_ts]) slots and the early-return
+    # result; the per-user final state is the answer. Events that
+    # match no condition participate only in strict_order (level 0 —
+    # the ClickHouse add() storage rule).
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS lv
+      FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    ev_o AS (
+      SELECT user_id, t, lv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, lv) AS rn
+      FROM base),
+    sim_o AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS f2,
+             FALSE AS fe, CAST(NULL AS INT) AS res
+      FROM u
+      UNION ALL
+      SELECT s.user_id, e.rn,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.f1 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US}
+                  THEN s.f1 ELSE s.f2 END,
+             s.fe OR e.lv = 1,
+             CASE
+               WHEN e.lv = 0 AND s.fe THEN
+                    CASE WHEN s.f2 IS NOT NULL THEN 2
+                         WHEN s.f1 IS NOT NULL THEN 1 ELSE 0 END
+               WHEN e.lv = 3 AND s.fe AND s.f2 IS NULL THEN
+                    CASE WHEN s.f1 IS NOT NULL THEN 1 ELSE 0 END
+               WHEN e.lv = 3 AND s.f2 IS NOT NULL
+                    AND e.t - s.f2 <= {_FUNNEL_W_US} THEN 3
+               ELSE NULL END
+      FROM sim_o s JOIN ev_o e
+           ON e.user_id = s.user_id AND e.rn = s.rn + 1
+      WHERE s.res IS NULL),
+    fin_o AS (
+      SELECT user_id,
+             coalesce(res, CASE WHEN f2 IS NOT NULL THEN 2
+                                WHEN f1 IS NOT NULL THEN 1
+                                ELSE 0 END) AS lvl_order
+      FROM sim_o
+      QUALIFY rn = max(rn) OVER (PARTITION BY user_id)),
+    ev_m AS (
+      SELECT user_id, t, lv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, lv) AS rn
+      FROM base WHERE lv > 0),
+    sim_d AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS f2,
+             CAST(NULL AS INT) AS res
+      FROM u
+      UNION ALL
+      SELECT s.user_id, e.rn,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.f1 END,
+             CASE WHEN e.lv = 2 AND s.f2 IS NULL AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US}
+                  THEN s.f1 ELSE s.f2 END,
+             CASE
+               WHEN e.lv = 2 AND s.f2 IS NOT NULL THEN 2
+               WHEN e.lv = 3 AND s.f2 IS NOT NULL
+                    AND e.t - s.f2 <= {_FUNNEL_W_US} THEN 3
+               ELSE NULL END
+      FROM sim_d s JOIN ev_m e
+           ON e.user_id = s.user_id AND e.rn = s.rn + 1
+      WHERE s.res IS NULL),
+    fin_d AS (
+      SELECT user_id,
+             coalesce(res, CASE WHEN f2 IS NOT NULL THEN 2
+                                WHEN f1 IS NOT NULL THEN 1
+                                ELSE 0 END) AS lvl_dedup
+      FROM sim_d
+      QUALIFY rn = max(rn) OVER (PARTITION BY user_id)),
+    sim_i AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS l2,
+             CAST(NULL AS INT) AS res
+      FROM u
+      UNION ALL
+      SELECT s.user_id, e.rn,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.f1 END,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.l1 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US} AND s.l1 < e.t
+                  THEN s.f1 ELSE s.f2 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US} AND s.l1 < e.t
+                  THEN e.t ELSE s.l2 END,
+             CASE WHEN e.lv = 3 AND s.f2 IS NOT NULL
+                       AND e.t - s.f2 <= {_FUNNEL_W_US} AND s.l2 < e.t
+                  THEN 3 ELSE NULL END
+      FROM sim_i s JOIN ev_m e
+           ON e.user_id = s.user_id AND e.rn = s.rn + 1
+      WHERE s.res IS NULL),
+    fin_i AS (
+      SELECT user_id,
+             coalesce(res, CASE WHEN f2 IS NOT NULL THEN 2
+                                WHEN f1 IS NOT NULL THEN 1
+                                ELSE 0 END) AS lvl_increase
+      FROM sim_i
+      QUALIFY rn = max(rn) OVER (PARTITION BY user_id))
+    SELECT user_id, lvl_order, lvl_dedup, lvl_increase
+    FROM fin_o JOIN fin_d USING (user_id) JOIN fin_i USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="ClickHouse windowFunnel STRICT modes (VERDICT r11 item 5 — "
+        "the second thing a CH funnel user types): per-user levels "
+        "for strict_order (any intervening event breaks the chain), "
+        "strict_dedup (a repeat of a filled level terminates with "
+        "that level), and strict_increase (chain steps must be "
+        "strictly later than the recorded previous-level event), "
+        "side by side over view→click→purchase within 6 h. Each mode "
+        "is the exact ClickHouse single-slot fold "
+        "(operators/funnel.window_funnel modes=); three collect_list "
+        "shuffles on user_id + co-partitioned joins, Arrow-batched "
+        "linear DP per user — no O(n^levels) self-join at scale",
+)
+def funnel_strict_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import window_funnel
+
+    ev = load(spark, sf_dir, "events")
+    conds = ["view", "click", "purchase"]
+    o = window_funnel(ev, conds, _FUNNEL_W_US, modes="strict_order") \
+        .withColumnRenamed("funnel_level", "lvl_order")
+    d = window_funnel(ev, conds, _FUNNEL_W_US, modes="strict_dedup") \
+        .withColumnRenamed("funnel_level", "lvl_dedup")
+    i = window_funnel(ev, conds, _FUNNEL_W_US,
+                      modes="strict_increase") \
+        .withColumnRenamed("funnel_level", "lvl_increase")
+    return (o.join(d, "user_id").join(i, "user_id")
+             .orderBy("user_id"))
+
+
+@query(
     "sequence_match_funnel",
     # the oracle rebuilds the SAME per-user label sequence (one char
     # per event satisfying a condition, ordered by ts then label;

@@ -243,3 +243,81 @@ def test_sequence_count_non_overlapping_lazy(spark):
     got = {r["user_id"]: r["n_chains"] for r in
            sequence_count(df, conds, "(?1).*(?2)").collect()}
     assert got == {1: 2, 2: 1, 3: 1, 4: 0}
+
+
+# ----------------------------- strict modes (VERDICT r11 item 5) --
+
+
+def test_funnel_strict_increase_slot_semantics(spark):
+    """The ClickHouse SLOT semantics, not exists-chain: B@9
+    overwrites the level-2 slot (chain start still A@0), so C@9
+    fails last_ts < ts even though the increasing chain
+    A@0,B@1,C@9 exists. Plain mode reaches 3."""
+    ev = _ev(spark, [(1, 0, "view"), (1, 1, "click"),
+                     (1, 9, "click"), (1, 9, "purchase")])
+    conds = ["view", "click", "purchase"]
+    assert _levels(window_funnel(ev, conds, 10 * US)) == {1: 3}
+    assert _levels(window_funnel(
+        ev, conds, 10 * US, modes="strict_increase")) == {1: 2}
+
+
+def test_funnel_strict_increase_equal_ts_rejected(spark):
+    ev = _ev(spark, [(1, 100, "view"), (1, 100, "click"),
+                     (1, 200, "purchase")])
+    conds = ["view", "click", "purchase"]
+    assert _levels(window_funnel(ev, conds, 1000 * US)) == {1: 3}
+    assert _levels(window_funnel(
+        ev, conds, 1000 * US, modes="strict_increase")) == {1: 1}
+
+
+def test_funnel_strict_order_interloper_breaks(spark):
+    """A non-matching event between steps breaks the fold at the
+    current progress; one BEFORE the first level-1 event is ignored."""
+    ev = _ev(spark, [
+        # u1: error between view and click -> stops at 1
+        (1, 100, "view"), (1, 150, "error"), (1, 200, "click"),
+        # u2: error before anything -> full chain unaffected
+        (2, 50, "error"), (2, 100, "view"), (2, 150, "click"),
+        (2, 190, "purchase"),
+    ])
+    conds = ["view", "click", "purchase"]
+    got = _levels(window_funnel(ev, conds, 1000 * US,
+                                modes="strict_order"))
+    assert got == {1: 1, 2: 3}
+    # plain mode ignores the interloper
+    assert _levels(window_funnel(ev, conds, 1000 * US)) == {1: 2, 2: 3}
+
+
+def test_funnel_strict_order_out_of_order_step_terminates(spark):
+    """A matching event whose PREDECESSOR level is still empty
+    terminates the fold with the current progress (view then
+    purchase: purchase's level-2 slot is empty -> stop at 1),
+    even if the proper chain completes later."""
+    ev = _ev(spark, [(1, 100, "view"), (1, 120, "purchase"),
+                     (1, 150, "click"), (1, 180, "purchase")])
+    conds = ["view", "click", "purchase"]
+    assert _levels(window_funnel(
+        ev, conds, 1000 * US, modes="strict_order")) == {1: 1}
+    assert _levels(window_funnel(ev, conds, 1000 * US)) == {1: 3}
+
+
+def test_funnel_strict_dedup_repeat_terminates(spark):
+    """A second event for an already-filled level >= 2 returns that
+    event's level immediately — even when the chain could have gone
+    further."""
+    ev = _ev(spark, [(1, 100, "view"), (1, 120, "click"),
+                     (1, 140, "click"), (1, 160, "purchase"),
+                     # u2: repeat view (level 1) never terminates
+                     (2, 100, "view"), (2, 110, "view"),
+                     (2, 120, "click"), (2, 130, "purchase")])
+    conds = ["view", "click", "purchase"]
+    got = _levels(window_funnel(ev, conds, 1000 * US,
+                                modes=("strict_deduplication",)))
+    assert got == {1: 2, 2: 3}
+    assert _levels(window_funnel(ev, conds, 1000 * US)) == {1: 3, 2: 3}
+
+
+def test_funnel_unknown_mode_rejected(spark):
+    ev = _ev(spark, [(1, 100, "view")])
+    with pytest.raises(ValueError, match="unknown windowFunnel mode"):
+        window_funnel(ev, ["view"], US, modes="strictly_wrong")
