@@ -540,13 +540,54 @@ def rewrite_group_array(query: str) -> str:
     out = _STR_LIT.sub(_mask, query)
     if not re.search(r"\b(groupArray|deltaSum)", out):
         return query  # only string DATA mentions it — untouched
-    bad = re.search(r"\bdeltaSumTimestamp\s*\(", out)
-    if bad:
-        raise ValueError(
-            f"{bad.group(0).rstrip('( ')}: only deltaSum itself is "
-            "mapped (sorted-subquery idiom); deltaSumTimestamp's "
-            "merge-order semantics have no deterministic Spark "
-            "mapping")
+    # deltaSumTimestamp(x, ts) (VERDICT r11 item 6): SELF-ORDERING —
+    # CH orders the delta fold by the second argument (the aggregate
+    # exists so out-of-order part merges still fold in timestamp
+    # order), so unlike deltaSum no sorted subquery is needed: the
+    # rewrite sorts the collected (ts, value) structs by ts and runs
+    # the same positive-delta fold. Ties on ts order by value
+    # (sort_array on the struct) — deterministic where CH leaves the
+    # order unspecified; rows with a NULL value OR a NULL timestamp
+    # are skipped without breaking the prev chain (the CH aggregate
+    # NULL contract). Result is DOUBLE, like the deltaSum mapping.
+    pos0 = 0
+    pieces0: list[str] = []
+    while True:
+        dm = re.search(r"\bdeltaSumTimestamp\s*\(", out[pos0:])
+        if not dm:
+            pieces0.append(out[pos0:])
+            break
+        start = pos0 + dm.start()
+        opn = pos0 + dm.end() - 1
+        close = _scan_balanced(out, opn)
+        if close < 0:
+            raise ValueError("deltaSumTimestamp: unbalanced "
+                             "parentheses")
+        args = [a.strip()
+                for a in _split_top_level(out[opn + 1:close])]
+        if len(args) != 2:
+            raise ValueError(
+                f"deltaSumTimestamp takes exactly (value, timestamp)"
+                f", got {len(args)} argument(s)")
+        val, tskey = args
+        structs = (f"sort_array(collect_list(CASE WHEN ({val}) IS "
+                   f"NOT NULL AND ({tskey}) IS NOT NULL THEN "
+                   f"struct(({tskey}) AS __o0, ({val}) AS __v) "
+                   f"END))")
+        pieces0.append(out[pos0:start])
+        pieces0.append(
+            f"aggregate({structs}, "
+            f"struct(CAST(0 AS DOUBLE) AS __ds, "
+            f"CAST(NULL AS DOUBLE) AS __dp), "
+            f"(__da, __de) -> struct("
+            f"__da.__ds + CASE WHEN __da.__dp IS NOT NULL "
+            f"AND CAST(__de.__v AS DOUBLE) > __da.__dp "
+            f"THEN CAST(__de.__v AS DOUBLE) - __da.__dp "
+            f"ELSE CAST(0 AS DOUBLE) END AS __ds, "
+            f"CAST(__de.__v AS DOUBLE) AS __dp), "
+            f"__df -> __df.__ds)")
+        pos0 = close + 1
+    out = "".join(pieces0)
     # the ORDER-IMPOSING-WRAPPER composite (VERDICT r10 item 5):
     # arraySort(groupArray(x)) / arrayReverseSort(groupArray(x)) —
     # the wrapper canonicalizes the order CH never promised, so the
@@ -777,14 +818,15 @@ def _rewrite_topk(out: str) -> str:
     name into Spark's parser.
     """
     bad = re.search(
-        r"\btopK(?!\s*\()(?!If\s*\()(?!Weighted\s*\()\w*\s*\(", out)
+        r"\btopK(?!\s*\()(?!If\s*\()(?!Weighted\s*\()"
+        r"(?!WeightedIf\s*\()\w*\s*\(", out)
     if bad:
         raise ValueError(
             f"{bad.group(0).rstrip('( ')}: only topK/topKIf/"
-            "topKWeighted are rewritten — further combinators "
-            "(WeightedIf, Merge/State spellings) are not mapped; "
+            "topKWeighted/topKWeightedIf are rewritten — further "
+            "combinators (Merge/State spellings) are not mapped; "
             "use the rollup API in plans/agg_rollup.py for states")
-    rx = re.compile(r"\btopK(If|Weighted)?\s*\(")
+    rx = re.compile(r"\btopK(WeightedIf|Weighted|If)?\s*\(")
     pos = 0
     while True:
         m = rx.search(out, pos)
@@ -805,14 +847,21 @@ def _rewrite_topk(out: str) -> str:
         else:
             n, args, end = 10, first, after
         args = [a.strip() for a in args]
-        if kind == "Weighted":
-            if len(args) != 2:
-                raise ValueError("topKWeighted(n)(x, w): need "
-                                 f"exactly 2 arguments, got "
-                                 f"{len(args)}")
-            x, w = args
-            lst = (f"collect_list(CASE WHEN ({x}) IS NOT NULL AND "
-                   f"({w}) IS NOT NULL THEN "
+        if kind in ("Weighted", "WeightedIf"):
+            want = 2 if kind == "Weighted" else 3
+            if len(args) != want:
+                raise ValueError(
+                    f"topK{kind}(n)(x, w"
+                    f"{', cond' if kind == 'WeightedIf' else ''}): "
+                    f"need exactly {want} arguments, got {len(args)}")
+            x, w = args[0], args[1]
+            # WeightedIf (VERDICT r11 item 7): the -If condition
+            # joins the NULL-skip in the same CASE — a false row is
+            # skipped exactly like a NULL one (the CH -If contract)
+            cond = (f"({args[2]}) AND " if kind == "WeightedIf"
+                    else "")
+            lst = (f"collect_list(CASE WHEN {cond}({x}) IS NOT NULL "
+                   f"AND ({w}) IS NOT NULL THEN "
                    f"struct(({x}) AS v, CAST(({w}) AS DOUBLE) AS w) "
                    f"END)")
             repl = (

@@ -2993,7 +2993,8 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single-threaded (its own docs warn about parallel merge). "
         "Result is DOUBLE (cast at the SELECT for integer output — "
         "documented deviation from CH's type-preserving return); "
-        "deltaSumTimestamp refuses loudly. Per-group collect bounded "
+        "deltaSumTimestamp maps too (self-ordering — see "
+        "delta_sum_timestamp_sql). Per-group collect bounded "
         "by group size, one partial-aggregatable shuffle",
 )
 def delta_sum_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3006,6 +3007,64 @@ def delta_sum_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count() AS bigint) AS cnt
         FROM (SELECT event_type, value, ts, event_id
               FROM dsum_events ORDER BY ts, event_id)
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "delta_sum_timestamp_sql",
+    # lag-replay oracle in (ts, cents) order — the rewrite's struct
+    # sort breaks ts ties by the value, so the oracle's ORDER BY
+    # mirrors that; NULL cents filtered BEFORE lag (the skip-without-
+    # breaking-the-prev-chain contract); integer cents keep the fold
+    # exact in the double accumulator
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             ts
+      FROM events),
+    d AS (
+      SELECT event_type,
+             cents - lag(cents) OVER (PARTITION BY event_type
+                     ORDER BY ts, cents) AS dd
+      FROM s WHERE cents IS NOT NULL AND ts IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             COALESCE(SUM(CASE WHEN dd > 0 THEN dd ELSE 0 END),
+                      0)::BIGINT AS delta_cents
+      FROM d GROUP BY event_type),
+    n AS (SELECT event_type, count(*)::bigint AS cnt
+          FROM events GROUP BY event_type)
+    SELECT n.event_type, agg.delta_cents, n.cnt
+    FROM n JOIN agg USING (event_type) ORDER BY n.event_type
+    """,
+    doc="ClickHouse `deltaSumTimestamp(value, timestamp)` (VERDICT "
+        "r11 item 6 — previously a loud refusal): the counter "
+        "aggregate whose ORDER KEY is its own second argument (CH "
+        "built it so materialized-view part merges fold in timestamp "
+        "order regardless of arrival order). SELF-ORDERING, so "
+        "unlike deltaSum no sorted-subquery idiom is needed: the "
+        "rewrite collects (ts, value) structs, sort_array orders "
+        "them by timestamp (ties by value — deterministic where CH "
+        "leaves ties unspecified), and the same positive-delta "
+        "left-fold runs; rows with NULL value or NULL timestamp are "
+        "skipped before the collect without breaking the prev "
+        "chain. Result DOUBLE like the deltaSum mapping "
+        "(functions/macros.rewrite_group_array). One partial-"
+        "aggregatable shuffle, per-group collect bounded by group "
+        "size, no global sort anywhere",
+)
+def delta_sum_timestamp_sql(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "dsumts_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(deltaSumTimestamp(
+                        CAST(floor(value * 100) AS BIGINT), ts)
+                    AS BIGINT) AS delta_cents,
+               CAST(count() AS bigint) AS cnt
+        FROM dsumts_events
         GROUP BY event_type ORDER BY event_type
     """)
 
@@ -3059,6 +3118,62 @@ def if_combinators_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sumIf(value, value > 50), 2) AS hi_sum,
                CAST(countIf(value > 50) AS bigint) AS hi_cnt
         FROM ifc_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "topk_weighted_if_sql",
+    # the -If condition (value > 50) filters BOTH engines before the
+    # weighted rank; integer weights keep the sums exact; wsum ties
+    # break event_type-ASC on both sides; a day with no qualifying
+    # rows gives the empty array -> '' (Spark) and the LEFT-JOIN
+    # coalesce '' (oracle)
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+             (1 + user_id % 3)::int AS w, value
+      FROM events),
+    c1 AS (SELECT d, event_type, sum(w) AS wsum
+           FROM base WHERE value > 50 GROUP BY d, event_type),
+    r1 AS (SELECT d, event_type, row_number() OVER (
+             PARTITION BY d ORDER BY wsum DESC, event_type) AS rn
+           FROM c1),
+    t1 AS (SELECT d, array_to_string(list(event_type ORDER BY rn),
+                                     ',') AS top_hi
+           FROM r1 WHERE rn <= 2 GROUP BY d),
+    n AS (SELECT d,
+                 (count(*) FILTER (WHERE value > 50))::bigint
+                   AS hi_cnt
+          FROM base GROUP BY d)
+    SELECT n.d, coalesce(t1.top_hi, '') AS top_hi, n.hi_cnt
+    FROM n LEFT JOIN t1 USING (d) ORDER BY n.d
+    """,
+    doc="`topKWeightedIf(n)(x, w, cond)` (VERDICT r11 item 7 — the "
+        "last refused topK combinator): the -If condition joins the "
+        "NULL-skip in the same CASE the Weighted form already uses, "
+        "so a false row is skipped exactly like a NULL one (the CH "
+        "-If contract) and the exact-weighted-frequency rank runs "
+        "over the surviving (value, weight) structs — one partial-"
+        "aggregatable collect, codegen-side, ties value-ASC "
+        "(functions/macros._rewrite_topk). Like the other inline "
+        "topK forms this materializes the GROUP's qualifying rows "
+        "in the collect: deterministic and linear at bench scales, "
+        "but for adversarial-cardinality groups (one key with 1e8 "
+        "rows) use the bounded truncated-exact counters in "
+        "plans/agg_rollup.py instead — see DEPLOYMENT.md",
+)
+def topk_weighted_if_sql(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "twi_events")
+    return engine_sql(spark, """
+        SELECT toStartOfDay(ts) AS d,
+               arrayStringConcat(
+                 topKWeightedIf(2)(event_type,
+                                   CAST(1 + user_id % 3 AS INT),
+                                   value > 50), ',') AS top_hi,
+               CAST(countIf(value > 50) AS bigint) AS hi_cnt
+        FROM twi_events GROUP BY toStartOfDay(ts) ORDER BY d
     """)
 
 

@@ -111,7 +111,7 @@ def test_topk_refusals():
     with pytest.raises(ValueError, match="literal integer"):
         rewrite_aggregates("SELECT topK(n)(x) FROM t")
     # topKWeighted REWRITES since the weighted extension — only the
-    # WeightedIf combinator still refuses (test_weighted_refusals)
+    # WeightedIf maps since r12 (see test_weighted_refusals)
     out = rewrite_aggregates("SELECT topKWeighted(3)(x, w) FROM t")
     assert "aggregate(filter" in out and "topK" not in out
     with pytest.raises(ValueError, match="2 arguments"):
@@ -355,8 +355,11 @@ def test_delta_sum_rewrite_and_values(spark):
 def test_delta_sum_refusals():
     with pytest.raises(ValueError, match="order-dependent"):
         rewrite_group_array("SELECT deltaSum(x) FROM t GROUP BY g")
-    with pytest.raises(ValueError, match="deltaSumTimestamp"):
-        rewrite_group_array("SELECT deltaSumTimestamp(x, ts) FROM t")
+    # deltaSumTimestamp REWRITES since r12 (VERDICT r11 item 6):
+    # self-ordering, so no sorted subquery is required
+    out = rewrite_group_array("SELECT deltaSumTimestamp(x, ts) FROM t")
+    assert "sort_array(collect_list" in out \
+        and "deltaSumTimestamp" not in out
     # name-prefix safety: a user function sharing the prefix survives
     q = "SELECT deltaSummary(x) FROM t"
     assert rewrite_group_array(q) == q
@@ -487,8 +490,13 @@ def test_avg_weighted_null_contract(spark):
 
 
 def test_weighted_refusals():
-    with pytest.raises(ValueError, match="WeightedIf|combinators"):
-        rewrite_aggregates("SELECT topKWeightedIf(3)(x, w, c) FROM t")
+    # topKWeightedIf REWRITES since r12 (VERDICT r11 item 7) — the
+    # refusal now starts at the State/Merge spellings
+    out = rewrite_aggregates("SELECT topKWeightedIf(3)(x, w, c) FROM t")
+    assert "aggregate(filter" in out and "topK" not in out
+    with pytest.raises(ValueError, match="combinators"):
+        rewrite_aggregates(
+            "SELECT topKWeightedIfState(3)(x, w, c) FROM t")
     with pytest.raises(ValueError, match="exactly 2"):
         rewrite_aggregates("SELECT topKWeighted(3)(x) FROM t")
     with pytest.raises(ValueError, match="exactly 2"):

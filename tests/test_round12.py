@@ -366,3 +366,63 @@ def test_jpeg_subsampled_renderer_refusals():
         render_jpeg_subsampled_bytes("x", width=8, height=8)
     with pytest.raises(ValueError, match="sampling"):
         render_jpeg_subsampled_bytes("x", sampling="444")
+
+
+# ------------------- deltaSumTimestamp / topKWeightedIf --
+
+
+def test_delta_sum_timestamp_fold(spark):
+    """Self-ordering: the second argument is the order key — no
+    sorted subquery required; NULL value or NULL ts rows are skipped
+    without breaking the prev chain."""
+    spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, 3.0), (1, 30, 8.0),
+         (2, 30, 1.0), (2, 10, 4.0), (2, 20, 2.0),
+         (3, 10, 1.0), (3, 20, None), (3, 30, 5.0),
+         (4, None, 7.0), (4, 10, 3.0), (4, 20, 9.0)],
+        "k int, t int, v double").createOrReplaceTempView("r12_dst")
+    rows = sql(spark, "SELECT k, deltaSumTimestamp(v, t) AS ds "
+                      "FROM r12_dst GROUP BY k ORDER BY k").collect()
+    assert [(r.k, r.ds) for r in rows] == [
+        (1, 5.0), (2, 0.0), (3, 4.0), (4, 6.0)]
+
+
+def test_delta_sum_timestamp_arity_refused():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_group_array,
+    )
+
+    with pytest.raises(ValueError, match="exactly"):
+        rewrite_group_array("SELECT deltaSumTimestamp(v) FROM t")
+    with pytest.raises(ValueError, match="exactly"):
+        rewrite_group_array(
+            "SELECT deltaSumTimestamp(v, t, z) FROM t")
+
+
+def test_topk_weighted_if_values(spark):
+    spark.createDataFrame(
+        [(1, "a", 1.0, True), (1, "a", 5.0, False), (1, "b", 3.0, True),
+         (1, "c", 2.0, True), (1, "b", 1.0, True), (2, "x", 9.0, False)],
+        "k int, v string, w double, ok boolean") \
+        .createOrReplaceTempView("r12_twi")
+    rows = sql(spark, "SELECT k, topKWeightedIf(2)(v, w, ok) AS t "
+                      "FROM r12_twi GROUP BY k ORDER BY k").collect()
+    # k=1 qualifying weights: a=1, b=4, c=2 -> [b, c]; k=2: none
+    assert [(r.k, list(r.t)) for r in rows] == [(1, ["b", "c"]),
+                                                (2, [])]
+    # bare-k default (k=10) and a NULL weight skipped like false cond
+    rows = sql(spark, "SELECT k, topKWeightedIf(v, w, ok) AS t "
+                      "FROM r12_twi GROUP BY k ORDER BY k").collect()
+    assert [list(r.t) for r in rows] == [["b", "c", "a"], []]
+
+
+def test_topk_weighted_if_arity_refused():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="exactly 3"):
+        rewrite_aggregates("SELECT topKWeightedIf(2)(v, w) FROM t")
+    # unknown further combinators still refuse loudly
+    with pytest.raises(ValueError, match="topK"):
+        rewrite_aggregates("SELECT topKWeightedIfState(2)(v, w, c) FROM t")
