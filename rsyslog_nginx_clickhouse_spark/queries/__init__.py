@@ -212,6 +212,80 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: so the whole overdue cohort rotates; all 50 r8 rows remain the
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
+#: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
+#: rotation contract): the window leads with the round's 5 mandatory
+#: entries — 4 NEW (multimodal_decode_jpeg_420: real 4:2:0
+#: chroma-subsampled color JPEG decode through the interleaved-MCU
+#: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
+#: strict_increase as the exact CH single-slot fold under recursive-
+#: CTE fold oracles; delta_sum_timestamp_sql: the self-ordering
+#: deltaSumTimestamp counter aggregate; topk_weighted_if_sql: the
+#: topKWeightedIf combinator under a weighted-rank oracle) and 1
+#: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
+#: deltaSumTimestamp refuses) — then fills oldest-first: 45 of the
+#: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
+#: due) alphabetically. The 4 alphabetically-last r8 rows
+#: (top_users, train_test_split, value_histogram,
+#: with_fill_sql_histogram) are the price of the 5 mandatory slots —
+#: they stay the oldest outside the window and lead _FRONTLOAD_R13.
+#: rotationcheck enforces the result.
+_FRONTLOAD_R12 = [
+    # new this round — never driver-verified
+    "multimodal_decode_jpeg_420",  # NEW: 4:2:0 color JPEG decode
+    "funnel_strict_modes",         # NEW: windowFunnel strict modes
+    "delta_sum_timestamp_sql",     # NEW: deltaSumTimestamp
+    "topk_weighted_if_sql",        # NEW: topKWeightedIf combinator
+    # text-changed this round — doc no longer claims the refusal
+    "delta_sum_sql",
+    # 45 of the 49 r8 rows — oldest in the registry (due per the
+    # standing contract), alphabetical
+    "asof_join_sql",
+    "big_spender_customers",
+    "collapsing_state_roundtrip",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunk_tokens",
+    "doc_fingerprints",
+    "domain_mixture",
+    "events_in_sessions_rangejoin",
+    "final_collapsing_read",
+    "final_replacing_read",
+    "funnel_view_click_purchase",
+    "grafana_adhoc_filters",
+    "grafana_from_to_macros",
+    "grafana_natural_timeseries",
+    "grafana_timeseries",
+    "hard_negative_mining",
+    "image_hash_dedup",
+    "lang_detect",
+    "latency_quantiles",
+    "multimodal_decode_bmp",
+    "multimodal_decode_jpeg",
+    "multimodal_features",
+    "ngram_lm_perplexity_seeded",
+    "parts_above_brand_avg",
+    "pii_redaction",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "retention_cohort",
+    "semantic_dedup",
+    "sequence_count_chains",
+    "sequence_match_funnel",
+    "status_class_share",
+    "stratified_sample",
+    "streaming_semantic_dedup",
+    "temperature_mixture",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_bigrams",
+]
+
 _FRONTLOAD_R11 = [
     # new this round — never driver-verified
     "topk_sql",                   # NEW: topK(n)(x)/topKIf combinator
@@ -537,8 +611,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R11 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R12 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R11}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R12}
     ordered.update(REGISTRY)
     return ordered
