@@ -431,14 +431,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization precision unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"illegal DQT precision {pq}")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[_JPEG_ZIGZAG] = np.frombuffer(
-                    seg[i + 1:i + 65], dtype=np.uint8)
+                if pq:  # 16-bit entries (round 12), big-endian
+                    tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                        seg[i + 1:i + 129], dtype=">u2")
+                    i += 129
+                else:
+                    tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                        seg[i + 1:i + 65], dtype=np.uint8)
+                    i += 65
                 qt[tq] = tbl.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:  # DHT — possibly several tables
             i = 0
             while i < len(seg):
@@ -521,14 +525,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             # one progressive scan: decode its entropy data into the
             # coefficient store, then return to the marker loop (DHT
             # tables may be redefined between scans)
-            if dri:
-                raise NotImplementedError(
-                    "restart intervals in progressive scans "
-                    "unsupported")
             reader = _JpegBitReader(payload, pos)
             _jpeg_progressive_scan(
                 reader, coefs, huff, frame, scan_cids, scan_tables,
-                ss, se, ah, al)
+                ss, se, ah, al, dri)
             scanned = True
             pos = reader.segment_end()
             continue
@@ -636,7 +636,7 @@ def _jpeg_idct_planes(coefs: list, comps: list, qt: dict, h: int,
 def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
                            huff: dict, frame: tuple, scan_cids: list,
                            scan_tables: dict, ss: int, se: int,
-                           ah: int, al: int) -> None:
+                           ah: int, al: int, dri: int = 0) -> None:
     """Decode ONE progressive scan (spec G.1.2 / the classic
     libjpeg-structured algorithm) into the zigzag coefficient store:
 
@@ -647,10 +647,27 @@ def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
       EOB-run codes (EOBn spans whole blocks);
     - AC refinement (Ss>0, Ah>0): correction bits for
       already-nonzero coefficients + newly-significant ±1<<Al.
+
+    ``dri`` (round 12 — previously a loud reject): every ``dri``
+    MCUs the decoder byte-aligns to an RSTn marker and resets the
+    inter-MCU state (DC predictors / the EOB run — spec F.2.1.3.1:
+    neither survives a restart). In a 4:4:4 progressive scan the
+    MCU is one block position, so the MCU counter is the block
+    counter for every scan kind.
     """
     h, w, comps = frame[:3]
     n_blocks = (h // 8) * (w // 8)  # 4:4:4 only: every comp full-res
     ci_of = {cid: i for i, (cid, *_) in enumerate(comps)}
+
+    def _restart(blk: int) -> bool:
+        if not (dri and blk and blk % dri == 0):
+            return False
+        m = reader.align_to_marker()
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn in progressive scan, "
+                             f"got 0xFF{m:02X}")
+        return True
+
     if ss == 0:  # DC scan (spectral band 0..0)
         if se != 0:
             raise ValueError("progressive scan mixes DC and AC "
@@ -659,12 +676,15 @@ def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
         if ah == 0:
             pred = [0] * len(order)
             for blk in range(n_blocks):
+                if _restart(blk):
+                    pred = [0] * len(order)
                 for i, (ci, td) in enumerate(order):
                     t = reader.decode_huff(huff[(0, td)])
                     pred[i] += _jpeg_extend(reader.read_bits(t), t)
                     coefs[ci][blk, 0] = pred[i] << al
         else:
             for blk in range(n_blocks):
+                _restart(blk)
                 for ci, _ in order:
                     if reader.read_bit():
                         coefs[ci][blk, 0] |= 1 << al
@@ -678,6 +698,8 @@ def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
     eobrun = 0
     if ah == 0:  # AC first scan
         for blk in range(n_blocks):
+            if _restart(blk):
+                eobrun = 0
             if eobrun:
                 eobrun -= 1
                 continue
@@ -702,6 +724,8 @@ def _jpeg_progressive_scan(reader: "_JpegBitReader", coefs: list,
                 k += 1
         return
     for blk in range(n_blocks):  # AC refinement scan
+        if _restart(blk):
+            eobrun = 0
         eobrun = _jpeg_refine_ac(reader, coefs[ci][blk], table,
                                  ss, se, al, eobrun)
 
@@ -947,19 +971,44 @@ def decode_wav(payload: bytes) -> np.ndarray:
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or channels != 1 or bits != 16:
+    # round 12: stereo and 8-bit PCM accepted (both are common in
+    # real corpora — CD rips are 16-bit stereo, telephony 8-bit).
+    # Multi-channel frames DOWNMIX by integer-floor channel mean
+    # (exactly specifiable, so text-derived oracles survive); 8-bit
+    # WAV is UNSIGNED by spec and rescales to the int16 grid as
+    # (v - 128) * 256 — the same centering the renderer uses.
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
         raise NotImplementedError(
-            f"only 16-bit PCM mono WAV is supported (got format="
+            f"only 8/16-bit PCM WAV is supported (got format="
             f"{audio_format} channels={channels} bits={bits})")
-    return np.frombuffer(data, dtype="<i2").copy()
+    if bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8)
+                     .astype(np.int32) - 128) * 256
+    else:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if channels > 1:
+        n = len(samples) // channels
+        samples = (samples[:n * channels].reshape(n, channels)
+                   .sum(axis=1) // channels)
+    return samples.astype(np.int16)
 
 
 def render_wav_bytes(text: str, n_samples: int = WAV_SAMPLES,
-                     rate: int = WAV_RATE) -> bytes:
-    """A real 16-bit PCM mono WAV whose samples carry the text's
-    bytes: sample p = (ord(text[p mod len]) − 128)·256 — centered,
-    full int16 range, and exactly derivable from the text by the SQL
-    oracle. Same non-empty-ASCII contract as render_bmp_bytes."""
+                     rate: int = WAV_RATE, channels: int = 1,
+                     bits: int = 16) -> bytes:
+    """A real PCM WAV whose samples carry the text's bytes: sample
+    p = (ord(text[p mod len]) − 128)·256 on the int16 grid — centered,
+    full range, and exactly derivable from the text by the SQL
+    oracle. ``channels``/``bits`` (round 12) pick the wire format:
+    stereo duplicates each sample on every channel (the downmix mean
+    returns it exactly) and 8-bit stores the unsigned byte
+    ord(text[p]) (the decoder's (v−128)·256 rescale reproduces the
+    16-bit samples exactly) — so EVERY variant decodes to the same
+    array and the oracle is shared. Same non-empty-ASCII contract as
+    render_bmp_bytes."""
+    if bits not in (8, 16) or channels < 1:
+        raise ValueError("render_wav_bytes: bits must be 8 or 16, "
+                         "channels >= 1")
     tb = text.encode("utf-8")
     if not tb or len(tb) != len(text):
         raise ValueError(
@@ -967,12 +1016,17 @@ def render_wav_bytes(text: str, n_samples: int = WAV_SAMPLES,
             "indexes code points, renderer indexes UTF-8 bytes)")
     vals = np.frombuffer((tb * (n_samples // len(tb) + 1))[:n_samples],
                          dtype=np.uint8)
-    samples = ((vals.astype(np.int32) - 128) * 256).astype("<i2")
-    data = samples.tobytes()
-    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    if bits == 8:
+        mono = vals  # unsigned by spec; decoder recenters
+    else:
+        mono = ((vals.astype(np.int32) - 128) * 256).astype("<i2")
+    data = np.repeat(mono, channels).astype(mono.dtype).tobytes()
+    bytes_per = bits // 8
+    block = channels * bytes_per
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
            + rate.to_bytes(4, "little")
-           + (rate * 2).to_bytes(4, "little")
-           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
     body = (b"WAVE"
             + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
             + b"data" + len(data).to_bytes(4, "little") + data)
@@ -997,10 +1051,20 @@ Y4M_FRAMES = 4
 
 
 def decode_y4m(payload: bytes) -> np.ndarray:
-    """Dependency-free YUV4MPEG2 (y4m) decoder: uncompressed 4:4:4
-    planar frames → (n_frames, H, W, 3) uint8 YUV array. The one
-    VIDEO container simple enough to parse with no codec library —
-    stream header + per-frame FRAME markers + raw planes."""
+    """Dependency-free YUV4MPEG2 (y4m) decoder: uncompressed planar
+    frames → (n_frames, H, W, 3) uint8 YUV array. The one VIDEO
+    container simple enough to parse with no codec library — stream
+    header + per-frame FRAME markers + raw planes.
+
+    Colorspaces (round 12 — C420 is the format's DEFAULT and what
+    every real y4m in a crawl uses): C444 (full-res chroma), C422
+    (half-res horizontal), and C420 with its siting variants
+    (C420jpeg/C420mpeg2/C420paldv — these differ only in where the
+    chroma sample SITS relative to the luma grid, which matters to a
+    resampling filter but not to nearest/replication upsample, so
+    they decode identically here; documented deviation). Subsampled
+    chroma upsamples by pixel replication — exactly specifiable, so
+    text-derived oracles survive. C410/C411/mono reject loudly."""
     if not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
     nl = payload.index(b"\n")
@@ -1016,43 +1080,79 @@ def decode_y4m(payload: bytes) -> np.ndarray:
             colorspace = tok
     if not w or not h:
         raise ValueError("y4m header missing W/H")
-    if colorspace != "C444":
+    if colorspace == "C444":
+        cw, ch = w, h
+    elif colorspace == "C422":
+        cw, ch = w // 2, h
+    elif colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        cw, ch = w // 2, h // 2
+    else:
         raise NotImplementedError(
-            f"only 4:4:4 y4m is supported (got {colorspace})")
-    pos, plane, frames = nl + 1, w * h, []
+            f"unsupported y4m colorspace {colorspace} (supported: "
+            "C444, C422, C420[jpeg|mpeg2|paldv])")
+    if colorspace != "C444" and (w % 2 or (ch != h and h % 2)):
+        raise NotImplementedError(
+            f"{colorspace} y4m needs even dimensions "
+            f"(got {w}x{h}) — no half-sample chroma edge handling")
+    pos, yplane, cplane, frames = nl + 1, w * h, cw * ch, []
+    for_frame = yplane + 2 * cplane
     while pos < len(payload):
         fnl = payload.index(b"\n", pos)
         if payload[pos:pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at offset {pos}")
         pos = fnl + 1
-        if pos + 3 * plane > len(payload):
+        if pos + for_frame > len(payload):
             raise ValueError("truncated y4m frame")
-        yuv = np.frombuffer(payload, np.uint8, 3 * plane, pos)
-        frames.append(yuv.reshape(3, h, w).transpose(1, 2, 0))
-        pos += 3 * plane
+        y = np.frombuffer(payload, np.uint8, yplane, pos) \
+            .reshape(h, w)
+        u = np.frombuffer(payload, np.uint8, cplane, pos + yplane) \
+            .reshape(ch, cw)
+        v = np.frombuffer(payload, np.uint8, cplane,
+                          pos + yplane + cplane).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # replication upsample (exact factors)
+            ry, rx = h // ch, w // cw
+            u = np.repeat(np.repeat(u, ry, 0), rx, 1)
+            v = np.repeat(np.repeat(v, ry, 0), rx, 1)
+        frames.append(np.stack([y, u, v], axis=2))
+        pos += for_frame
     if not frames:
         raise ValueError("y4m stream holds no frames")
     return np.stack(frames)
 
 
 def render_y4m_bytes(text: str, width: int = Y4M_W, height: int = Y4M_H,
-                     n_frames: int = Y4M_FRAMES) -> bytes:
+                     n_frames: int = Y4M_FRAMES,
+                     colorspace: str = "C444") -> bytes:
     """A real y4m clip whose luma carries the text's bytes: frame f,
     pixel p (row-major) has Y = ord(text[(f·W·H + p) mod len]),
-    U = V = 128 (neutral chroma). Same non-empty-ASCII contract as
-    the other renderers."""
+    U = V = 128 (neutral chroma). ``colorspace`` picks the wire
+    format (C444, C422, C420 — round 12): neutral chroma survives
+    replication upsample exactly, so the decoded array is IDENTICAL
+    whichever sampling carried it and the text-derived oracle is
+    shared. Same non-empty-ASCII contract as the other renderers."""
     tb = text.encode("utf-8")
     if not tb or len(tb) != len(text):
         raise ValueError(
             "render_y4m_bytes requires non-empty ASCII text (oracle "
             "indexes code points, renderer indexes UTF-8 bytes)")
+    if colorspace == "C444":
+        cplane = width * height
+    elif colorspace == "C422":
+        cplane = (width // 2) * height
+    elif colorspace == "C420":
+        cplane = (width // 2) * (height // 2)
+    else:
+        raise ValueError(f"colorspace must be C444/C422/C420, "
+                         f"got {colorspace!r}")
+    if colorspace != "C444" and (width % 2 or height % 2):
+        raise ValueError(f"{colorspace} render needs even dims")
     plane = width * height
     total = n_frames * plane
     vals = np.frombuffer((tb * (total // len(tb) + 1))[:total],
                          dtype=np.uint8).reshape(n_frames, plane)
-    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n"
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 {colorspace}\n"
            .encode("ascii")]
-    chroma = b"\x80" * plane
+    chroma = b"\x80" * cplane
     for f in range(n_frames):
         out.append(b"FRAME\n")
         out.append(vals[f].tobytes())

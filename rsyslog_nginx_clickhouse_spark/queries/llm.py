@@ -1313,6 +1313,52 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_audio_stereo8",
+    # the 8-bit STEREO render duplicates each sample on both channels
+    # (the floor-mean downmix returns it exactly) and stores the
+    # unsigned byte (the (v-128)*256 rescale reproduces the 16-bit
+    # grid exactly), so the decoded samples — and this oracle — are
+    # byte-identical to multimodal_decode_audio's, pinning wire-
+    # format invariance (the JPEG-progressive precedent)
+    oracle="""
+    SELECT doc_id, (p.p // 8)::int AS chunk_idx,
+           avg((ascii(substr(text, (p.p % length(text)) + 1, 1)) - 128)
+               * 256.0) / 32768.0 AS level
+    FROM documents, unnest(generate_series(0, 63)) AS p(p)
+    GROUP BY doc_id, p.p // 8
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="REAL stereo 8-bit PCM WAV decode (round 12 — CD rips are "
+        "16-bit stereo, telephony 8-bit; both previously rejected): "
+        "the RIFF walker now accepts any channel count (integer "
+        "floor-mean downmix, exactly specifiable) and 8-bit unsigned "
+        "PCM (recentred to the int16 grid as (v-128)*256). The "
+        "render duplicates samples across channels and the decode "
+        "folds them back, so the text-derived oracle is shared with "
+        "the mono-16 row; asymmetric-channel downmix and the "
+        "8-bit recentring are pinned by pytest "
+        "(operators/multimodal.decode_wav)",
+)
+def multimodal_decode_audio_stereo8(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_payload,
+        extract_audio_features,
+        render_wav_bytes,
+    )
+
+    mm = attach_payload(
+        _docs(spark, sf_dir),
+        lambda t: render_wav_bytes(t, channels=2, bits=8))
+    feats = extract_audio_features(mm)
+    return (feats.select("doc_id", F.posexplode("features"))
+                 .select("doc_id",
+                         F.col("pos").cast("int").alias("chunk_idx"),
+                         F.col("col").alias("level"))
+                 .orderBy("doc_id", "chunk_idx"))
+
+
+@query(
     "multimodal_decode_video",
     # frame f, pixel p of the rendered y4m has Y = ord(text[(f·64 + p)
     # % len]); kept frames (stride 2 of 4) report luma mean / 255:
@@ -1349,6 +1395,54 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mm = attach_payload(_docs(spark, sf_dir), render_y4m_bytes)
+    stats = video_frame_stats(mm, stride=2)
+    return (stats.select("doc_id", "frame_idx",
+                         F.round("y_mean", 6).alias("y_mean"))
+                 .orderBy("doc_id", "frame_idx"))
+
+
+@query(
+    "multimodal_decode_video_420",
+    # same decoded array as multimodal_decode_video — the C420 render
+    # keeps chroma at the neutral 128 so the replication upsample
+    # reproduces it exactly and the luma plane is untouched by the
+    # wire format; the oracle is byte-identical to the C444 one,
+    # pinning colorspace invariance (the JPEG-progressive precedent)
+    oracle="""
+    SELECT doc_id, f.f::int AS frame_idx,
+           round(avg(ascii(substr(text,
+                     ((f.f * 64 + p.p) % length(text)) + 1, 1)))
+                 / 255.0, 6) AS y_mean
+    FROM documents,
+         unnest(generate_series(0, 3)) AS f(f),
+         unnest(generate_series(0, 63)) AS p(p)
+    WHERE f.f % 2 = 0
+    GROUP BY doc_id, f.f
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL 4:2:0 video decode (round 12 — C420 is y4m's DEFAULT "
+        "colorspace and what every real y4m in a crawl uses; it was "
+        "rejected until now): render each doc as a genuine C420 "
+        "YUV4MPEG2 clip (quarter-res chroma planes), decode through "
+        "the subsampled-plane path — per-colorspace plane geometry, "
+        "replication upsample — sample every 2nd frame, emit "
+        "per-frame luma means. Neutral chroma makes the decoded "
+        "array identical to the C444 form, so the text-derived "
+        "oracle is shared; non-neutral chroma geometry and the "
+        "C420jpeg/mpeg2/paldv siting variants are pinned by pytest "
+        "(operators/multimodal.decode_y4m)",
+)
+def multimodal_decode_video_420(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        attach_payload,
+        render_y4m_bytes,
+        video_frame_stats,
+    )
+
+    mm = attach_payload(
+        _docs(spark, sf_dir),
+        lambda t: render_y4m_bytes(t, colorspace="C420"))
     stats = video_frame_stats(mm, stride=2)
     return (stats.select("doc_id", "frame_idx",
                          F.round("y_mean", 6).alias("y_mean"))

@@ -426,3 +426,206 @@ def test_topk_weighted_if_arity_refused():
     # unknown further combinators still refuse loudly
     with pytest.raises(ValueError, match="topK"):
         rewrite_aggregates("SELECT topKWeightedIfState(2)(v, w, c) FROM t")
+
+
+# ------------------------------ y4m C420/C422 decode --
+
+
+def test_y4m_subsampled_matches_c444():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_y4m,
+        render_y4m_bytes,
+    )
+
+    ref = decode_y4m(render_y4m_bytes("y4m four twenty"))
+    for cs in ("C420", "C422"):
+        got = decode_y4m(render_y4m_bytes("y4m four twenty",
+                                          colorspace=cs))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_y4m_420_nonneutral_chroma_replication_geometry():
+    """Non-neutral chroma pins what the shared oracle cannot: plane
+    sizes, read offsets, and the replication upsample — including
+    the default-colorspace (no C token) and siting-variant paths."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    y = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    u = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    v = np.array([[50, 60], [70, 80]], dtype=np.uint8)
+    pay = (b"YUV4MPEG2 W4 H4 C420\nFRAME\n"
+           + y.tobytes() + u.tobytes() + v.tobytes())
+    got = decode_y4m(pay)
+    np.testing.assert_array_equal(got[0, :, :, 0], y)
+    np.testing.assert_array_equal(
+        got[0, :, :, 1], np.repeat(np.repeat(u, 2, 0), 2, 1))
+    np.testing.assert_array_equal(
+        got[0, :, :, 2], np.repeat(np.repeat(v, 2, 0), 2, 1))
+    # C420 is the default when the header carries no C token
+    np.testing.assert_array_equal(
+        decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n" + y.tobytes()
+                   + u.tobytes() + v.tobytes()), got)
+    # siting variants differ only for resampling filters — identical
+    # under replication upsample (documented deviation)
+    for cs in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        np.testing.assert_array_equal(
+            decode_y4m(pay.replace(b"C420\n", cs + b"\n")), got)
+
+
+def test_y4m_unsupported_colorspace_rejects():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    with pytest.raises(NotImplementedError, match="C411"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + bytes(24))
+    with pytest.raises(NotImplementedError, match="even"):
+        decode_y4m(b"YUV4MPEG2 W3 H3 C420\nFRAME\n" + bytes(12))
+
+
+# --------------------------- WAV stereo / 8-bit decode --
+
+
+def test_wav_stereo_and_8bit_match_mono16():
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_wav,
+        render_wav_bytes,
+    )
+
+    ref = decode_wav(render_wav_bytes("stereo eight bit"))
+    for kw in ({"channels": 2}, {"bits": 8},
+               {"channels": 2, "bits": 8}, {"channels": 3}):
+        np.testing.assert_array_equal(
+            decode_wav(render_wav_bytes("stereo eight bit", **kw)),
+            ref)
+
+
+def test_wav_asymmetric_stereo_floor_mean_downmix():
+    import struct
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    left = np.array([100, -101], dtype="<i2")
+    right = np.array([200, -100], dtype="<i2")
+    inter = np.empty(4, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + (8).to_bytes(4, "little") + inter.tobytes())
+    got = decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    # (100+200)//2 = 150; (-101-100)//2 floors to -101
+    assert got.tolist() == [150, -101]
+
+
+def test_wav_unsupported_forms_still_reject():
+    import struct
+
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    for afmt, bits in ((3, 32), (1, 24), (85, 16)):  # float/24-bit/mp3
+        fmt = struct.pack("<HHIIHH", afmt, 1, 8000, 16000, 2, bits)
+        body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little")
+                + fmt + b"data" + (0).to_bytes(4, "little"))
+        with pytest.raises(NotImplementedError, match="PCM"):
+            decode_wav(b"RIFF" + len(body).to_bytes(4, "little")
+                       + body)
+
+
+# ---------------- JPEG: progressive DRI + 16-bit DQT --
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI in a progressive stream (previously a loud reject): DC
+    predictors and EOB runs reset at each RSTn, entropy data
+    byte-aligns before the marker."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_PROG_AC_BITS,
+        _JPEG_PROG_AC_VALS,
+        _jpeg_canonical_codes,
+        _jpeg_headers,
+        _JpegBitWriter,
+        decode_jpeg,
+    )
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS,
+                                     _JPEG_PROG_AC_VALS)
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + (len(body) + 2).to_bytes(2, "big") + body)
+
+    def dc_interval(dcs):
+        w = _JpegBitWriter()
+        prev = 0
+        for dc in dcs:
+            diff, prev = dc - prev, dc
+            t = abs(diff).bit_length()
+            w.emit(*dc_codes[t])
+            if t:
+                w.emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        w.flush()
+        return bytes(w.out)
+
+    def eob_run(n):  # one EOBn code covering n all-zero blocks
+        w = _JpegBitWriter()
+        r = n.bit_length() - 1
+        w.emit(*ac_codes[r << 4])
+        if r:
+            w.emit(n - (1 << r), r)
+        w.flush()
+        return bytes(w.out)
+
+    vals = [65, 66, 67, 68]  # block constants (DC = 8*(v-128))
+    payload = bytearray(_jpeg_headers(16, 16, 0xC2,
+                                      _JPEG_PROG_AC_BITS,
+                                      _JPEG_PROG_AC_VALS))
+    payload += seg(0xDD, (2).to_bytes(2, "big"))  # DRI = 2 MCUs
+    # scan 1: DC first, two restart intervals of 2 blocks each
+    payload += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    payload += dc_interval([8 * (v - 128) for v in vals[:2]])
+    payload += b"\xFF\xD0"  # RST0
+    payload += dc_interval([8 * (v - 128) for v in vals[2:]])
+    # scan 2: AC first 1..63, all zero — EOB run split by the restart
+    payload += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    payload += eob_run(2)
+    payload += b"\xFF\xD1"  # RST1
+    payload += eob_run(2)
+    payload += b"\xFF\xD9"
+    img = decode_jpeg(bytes(payload))
+    exp = np.zeros((16, 16), dtype=np.uint8)
+    for b, v in enumerate(vals):
+        exp[(b // 2) * 8:(b // 2) * 8 + 8,
+            (b % 2) * 8:(b % 2) * 8 + 8] = v
+    np.testing.assert_array_equal(img, np.stack([exp] * 3, axis=2))
+
+
+def test_jpeg_16bit_dqt_precision():
+    """pq=1 DQT (2-byte big-endian entries, previously rejected):
+    an all-ones 16-bit table decodes identically to the 8-bit one."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+        render_jpeg_bytes,
+    )
+
+    good = render_jpeg_bytes("sixteen bit dqt")
+    dqt = good.index(b"\xFF\xDB")
+    # replace the 8-bit all-ones table (pq/tq byte 0x00 + 64 bytes)
+    # with the 16-bit form (0x10 + 128 bytes), fixing the length
+    body = b"\x10" + b"\x00\x01" * 64
+    patched = (good[:dqt + 2] + (len(body) + 2).to_bytes(2, "big")
+               + body + good[dqt + 4 + 65:])
+    np.testing.assert_array_equal(decode_jpeg(patched),
+                                  decode_jpeg(good))
+    # illegal precision nibble still rejects
+    bad = (good[:dqt + 4] + b"\x20" + good[dqt + 5:])
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bad)

@@ -657,10 +657,13 @@ def test_jpeg_rejections_are_loud():
     prog = good[:sof0 + 1] + b"\xC2" + good[sof0 + 2:]
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
-    # 16-bit quant precision
+    # 16-bit quant precision is SUPPORTED since r12 (the well-formed
+    # pq=1 path is pinned in test_round12); flipping only the nibble
+    # without doubling the table data is a malformed stream and must
+    # still fail loudly, never decode garbage
     dqt = good.index(b"\xFF\xDB")
     deep = good[:dqt + 4] + b"\x10" + good[dqt + 5:]
-    with pytest.raises(NotImplementedError, match="quantization"):
+    with pytest.raises(ValueError):
         decode_jpeg(deep)
     # sampling factors on a SINGLE-component frame are meaningless by
     # spec (A.2.2: non-interleaved, MCU = one data unit) — since r12
@@ -833,8 +836,13 @@ def test_y4m_render_decode_roundtrip_and_rejections():
     assert (v[..., 1] == 128).all() and (v[..., 2] == 128).all()
     with _pytest.raises(ValueError, match="YUV4MPEG2"):
         decode_y4m(b"RIFF nope")
-    with _pytest.raises(NotImplementedError, match="4:4:4"):
-        decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\nFRAME\n" + b"x" * 96)
+    # C420jpeg DECODES since r12 (96 bytes = exactly one 8x8 4:2:0
+    # frame); unsupported colorspaces still reject loudly
+    v420 = decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\nFRAME\n"
+                      + b"x" * 96)
+    assert v420.shape == (1, 8, 8, 3) and (v420 == ord("x")).all()
+    with _pytest.raises(NotImplementedError, match="C411"):
+        decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C411\nFRAME\n" + b"x" * 96)
     with _pytest.raises(ValueError, match="truncated"):
         decode_y4m(render_y4m_bytes(text)[:-10])
 
