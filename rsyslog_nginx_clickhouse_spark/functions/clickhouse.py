@@ -186,6 +186,20 @@ AGGREGATE_REWRITES: dict[str, str] = {
     # argument-safe here (unlike the If-combinators)
     "lagInFrame": "lag",
     "leadInFrame": "lead",
+    # statistical aggregates (round 12): same argument order, same
+    # population/sample contracts — pure renames. CH corr is NOT
+    # listed: Spark's corr has the same name and semantics already.
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    # bitwise aggregates (round 12): Spark's bit_and/or/xor share the
+    # fold semantics exactly (integer types, NULLs skipped)
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
 }
 
 #: xxxIf combinators: ``aggIf(value, cond)`` → ``agg(if(cond, value,

@@ -753,6 +753,28 @@ def rewrite_aggregates(out: str) -> str:
     # refused there rather than silently de-determinizing.
     out = re.sub(rf"\bgroupUniqArray\(({nested2})\)",
                  r"sort_array(collect_set(\1))", out)
+    # uniqUpTo(N)(x) (round 12): EXACT semantics by definition —
+    # "count distinct values; if more than N, return N+1" — which is
+    # precisely least(count(DISTINCT x), N+1). Literal N only (the
+    # topK policy); the bare form is refused below rather than
+    # guessing CH's default.
+    out = re.sub(
+        rf"\buniqUpTo\((\d+)\)\(({nested2})\)",
+        lambda m: (f"least(count(DISTINCT {m.group(2)}), "
+                   f"{int(m.group(1)) + 1})"), out)
+    if re.search(r"\buniqUpTo\s*\(", out):
+        raise ValueError(
+            "uniqUpTo needs the parametric literal form "
+            "uniqUpTo(N)(x) — the bare form's default N is a CH "
+            "implementation detail this engine will not guess")
+    # sumCount(x) (round 12): CH returns the (sum, count) tuple in
+    # one state — Spark's struct of the two aggregates is the same
+    # one-pass plan (both partial-aggregate map-side)
+    out = re.sub(
+        rf"\bsumCount\(({nested2})\)",
+        r"struct(sum(\1) AS s, count(\1) AS c)", out)
+    out = _rewrite_map_aggs(out)
+    out = _rewrite_array_scalars(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -782,6 +804,104 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_multi_if(out)
     out = _rewrite_array_lambdas(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
+
+
+#: the Map-combinator aggregates (round 12) and their per-key folds
+_MAP_AGG_FOLDS = {
+    "sumMap": ("CAST(0 AS DOUBLE)", "__ma + __me.v"),
+    "minMap": ("CAST(NULL AS DOUBLE)",
+               "CASE WHEN __ma IS NULL OR __me.v < __ma "
+               "THEN __me.v ELSE __ma END"),
+    "maxMap": ("CAST(NULL AS DOUBLE)",
+               "CASE WHEN __ma IS NULL OR __me.v > __ma "
+               "THEN __me.v ELSE __ma END"),
+}
+
+
+def _rewrite_map_aggs(out: str) -> str:
+    """ClickHouse ``sumMap(k, v)`` / ``minMap`` / ``maxMap`` (round
+    12) — per-distinct-key aggregation returning the key-sorted
+    (keys, values) pair — as one ``collect_list`` of (k, v) structs
+    with a per-distinct-key higher-order fold in the projection:
+
+        transform(sort_array(array_distinct(keys)),
+                  kk -> struct(kk AS k, fold(...) AS v))
+
+    Returns array<struct<k, v>> (CH returns a tuple of two parallel
+    arrays — the struct array is the same information one field
+    access apart; serialize with arrayStringConcat for flat output).
+    Rows where k or v is NULL are skipped (the CH aggregate NULL
+    contract); values fold as DOUBLE (the deltaSum/topKWeighted
+    policy — cast at the SELECT for integer output). Same hot-group
+    bound as the inline topK family (DEPLOYMENT.md): one
+    partial-aggregatable shuffle, O(distinct × group) projection.
+    """
+    rx = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError(f"{m.group(1)}(k, v): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        k, v = (a.strip() for a in args)
+        init, step = _MAP_AGG_FOLDS[m.group(1)]
+        lst = (f"collect_list(CASE WHEN ({k}) IS NOT NULL AND "
+               f"({v}) IS NOT NULL THEN "
+               f"struct(({k}) AS k, CAST(({v}) AS DOUBLE) AS v) END)")
+        repl = (
+            f"transform(sort_array(array_distinct(transform({lst}, "
+            f"__mk -> __mk.k))), __mm -> struct(__mm AS k, "
+            f"aggregate(filter({lst}, __me -> __me.k <=> __mm), "
+            f"{init}, (__ma, __me) -> {step}) AS v))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_array_scalars(out: str) -> str:
+    """ClickHouse array arithmetic scalars (round 12), rewritten as
+    Spark higher-order expressions:
+
+    - ``arrayDifference(a)`` → per-element ``a[i] - a[i-1]`` with 0
+      first (the CH contract), via transform's index lambda — O(n),
+      codegen-resident;
+    - ``arrayCumSum(a)`` → running prefix sums via transform + an
+      aggregate over the slice up to each index — O(n²) in the array
+      length, fine for the row-level arrays the surface feeds it
+      (document-token / per-user lists), NOT for corpus-sized arrays.
+      INTEGER arrays only (the fold accumulates BIGINT; a double
+      array fails analysis loudly rather than silently changing the
+      result type).
+
+    The argument is duplicated into the lambda body; Catalyst dedups
+    aggregate subexpressions, so ``arrayCumSum(collect_list(x))``
+    still evaluates the collect once.
+    """
+    for name, tmpl in (
+        ("arrayDifference",
+         "transform({a}, (__adx, __adi) -> CASE WHEN __adi = 0 "
+         "THEN 0 ELSE __adx - element_at({a}, __adi) END)"),
+        ("arrayCumSum",
+         "transform({a}, (__csx, __csi) -> aggregate(slice({a}, 1, "
+         "__csi + 1), CAST(0 AS BIGINT), "
+         "(__csa, __csy) -> __csa + __csy))"),
+    ):
+        rx = re.compile(rf"\b{name}\s*\(")
+        pos = 0
+        while True:
+            m = rx.search(out, pos)
+            if not m:
+                break
+            args, end = _take_call_args(out, m.end() - 1)
+            if len(args) != 1:
+                raise ValueError(f"{name}(a): need exactly 1 "
+                                 f"argument, got {len(args)}")
+            repl = tmpl.format(a=args[0].strip())
+            out = out[:m.start()] + repl + out[end:]
+            pos = m.start() + len(repl)
+    return out
 
 
 def _rewrite_topk(out: str) -> str:

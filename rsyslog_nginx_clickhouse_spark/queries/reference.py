@@ -3178,6 +3178,195 @@ def topk_weighted_if_sql(spark: SparkSession,
 
 
 @query(
+    "stat_agg_sql",
+    # single-pass co-moment aggregates in both engines; inputs are
+    # O(100) so the 1e-12 relative reordering error sits far below
+    # round(,6) — the non-terminating-value rounding tier
+    # (functions/rounding.py)
+    oracle="""
+    SELECT event_type,
+           round(covar_pop(value, user_id), 6) AS cov_p,
+           round(covar_samp(value, user_id), 6) AS cov_s,
+           round(corr(value, user_id), 6) AS corr_vu,
+           round(stddev_pop(value), 6) AS sd_p,
+           round(var_samp(value), 6) AS var_s
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="the statistical aggregate family a CH dashboard types for "
+        "anomaly panels (round 12): covarPop/covarSamp/corr/"
+        "stddevPop/stddevSamp/varPop/varSamp — pure token renames "
+        "onto Spark's builtins (same argument order, same "
+        "population/sample contracts, NULL pairs skipped on both "
+        "engines; CH corr already IS Spark corr so it maps "
+        "untouched). One partial-aggregatable shuffle, whole-stage "
+        "codegen (functions/clickhouse.AGGREGATE_REWRITES)",
+)
+def stat_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "sta_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               round(covarPop(value, user_id), 6) AS cov_p,
+               round(covarSamp(value, user_id), 6) AS cov_s,
+               round(corr(value, user_id), 6) AS corr_vu,
+               round(stddevPop(value), 6) AS sd_p,
+               round(varSamp(value), 6) AS var_s
+        FROM sta_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "bit_uniq_upto_sql",
+    # bitwise folds over exact integers; uniqUpTo is exact by
+    # definition (least(count distinct, N+1)); sumCount's sum runs
+    # over integer cents
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id)::bigint AS band,
+           bit_or(event_id)::bigint AS bor,
+           bit_xor(event_id)::bigint AS bxor,
+           least(count(DISTINCT user_id), 4)::bigint AS upto3,
+           sum(CAST(floor(value * 100) AS BIGINT))::bigint AS sc_sum,
+           count(CAST(floor(value * 100) AS BIGINT))::bigint AS sc_cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="groupBitAnd/groupBitOr/groupBitXor (token renames onto "
+        "Spark's bit_and/bit_or/bit_xor — same fold, NULLs skipped), "
+        "uniqUpTo(N)(x) (EXACT by definition: 'distinct count, N+1 "
+        "if more' == least(count(DISTINCT x), N+1) — literal N only, "
+        "the topK policy), and sumCount(x) (the (sum, count) tuple "
+        "state -> a struct of the two aggregates, still one "
+        "partial-agg pass) — round 12 "
+        "(functions/macros.rewrite_aggregates). All exact integer "
+        "values, no rounding tier needed",
+)
+def bit_uniq_upto_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "buu_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(groupBitAnd(event_id) AS BIGINT) AS band,
+               CAST(groupBitOr(event_id) AS BIGINT) AS bor,
+               CAST(groupBitXor(event_id) AS BIGINT) AS bxor,
+               CAST(uniqUpTo(3)(user_id) AS BIGINT) AS upto3,
+               CAST(sumCount(CAST(floor(value * 100) AS BIGINT)).s
+                    AS BIGINT) AS sc_sum,
+               CAST(sumCount(CAST(floor(value * 100) AS BIGINT)).c
+                    AS BIGINT) AS sc_cnt
+        FROM buu_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "sum_map_sql",
+    # integer cents fold exactly in the double accumulator; keys sort
+    # ascending on both engines; serialized k:v pairs keep the
+    # canonicalizer scalar (the ArrayType discipline)
+    oracle="""
+    WITH base AS (
+      SELECT event_type, (user_id % 5)::bigint AS k,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    per_key AS (
+      SELECT event_type, k, sum(v) AS sv, min(v) AS mnv, max(v) AS mxv
+      FROM base GROUP BY event_type, k)
+    SELECT event_type,
+           string_agg(k || ':' || sv::bigint, ',' ORDER BY k) AS sm,
+           string_agg(k || ':' || mnv::bigint, ',' ORDER BY k) AS mn,
+           string_agg(k || ':' || mxv::bigint, ',' ORDER BY k) AS mx
+    FROM per_key GROUP BY event_type ORDER BY event_type
+    """,
+    doc="the Map-combinator aggregates sumMap/minMap/maxMap(k, v) "
+        "(round 12): per-distinct-key aggregation returning the "
+        "key-sorted pairs — one collect_list of (k, v) structs with "
+        "a per-distinct-key higher-order fold in the projection, the "
+        "exact-deterministic stand-in for CH's hash-map states "
+        "(functions/macros._rewrite_map_aggs; CH's tuple-of-arrays "
+        "return is the same information as the struct array, "
+        "serialized here via arrayStringConcat). NULL k or v rows "
+        "skip per the CH aggregate contract; one partial-"
+        "aggregatable shuffle; same hot-group bound as inline topK "
+        "(DEPLOYMENT.md)",
+)
+def sum_map_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "smap_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               arrayStringConcat(transform(
+                 sumMap(user_id % 5, CAST(floor(value * 100)
+                                          AS BIGINT)),
+                 s -> concat(s.k, ':', CAST(s.v AS BIGINT))), ',')
+                 AS sm,
+               arrayStringConcat(transform(
+                 minMap(user_id % 5, CAST(floor(value * 100)
+                                          AS BIGINT)),
+                 s -> concat(s.k, ':', CAST(s.v AS BIGINT))), ',')
+                 AS mn,
+               arrayStringConcat(transform(
+                 maxMap(user_id % 5, CAST(floor(value * 100)
+                                          AS BIGINT)),
+                 s -> concat(s.k, ':', CAST(s.v AS BIGINT))), ',')
+                 AS mx
+        FROM smap_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "array_diff_cumsum_sql",
+    # window replay in the same (cents) order the sorted array
+    # imposes: ties contribute identical values so any tie order
+    # gives the same diffs and prefix sums; integer arithmetic
+    # throughout
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    o AS (
+      SELECT event_type, user_id, cents,
+             row_number() OVER w AS rn,
+             cents - coalesce(lag(cents) OVER w, cents) AS d,
+             sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY cents))
+    SELECT event_type, user_id,
+           string_agg(d::bigint, ',' ORDER BY rn) AS diffs,
+           string_agg(cum::bigint, ',' ORDER BY rn) AS cums
+    FROM o GROUP BY event_type, user_id
+    ORDER BY event_type, user_id
+    """,
+    doc="arrayDifference + arrayCumSum (round 12) over the "
+        "arraySort(groupArray(x)) composite: arrayDifference maps to "
+        "transform's index lambda (a[i]-a[i-1], 0 first — O(n), "
+        "codegen); arrayCumSum to a prefix-sum fold per index (O(n²) "
+        "in the ARRAY length — row-level arrays only, integer "
+        "accumulate, a double array fails analysis loudly). Group = "
+        "(event_type, user_id) so array length stays bounded by "
+        "per-user activity at any corpus size "
+        "(functions/macros._rewrite_array_scalars)",
+)
+def array_diff_cumsum_sql(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "adc_events")
+    return engine_sql(spark, """
+        SELECT event_type, user_id,
+               arrayStringConcat(transform(
+                 arrayDifference(arraySort(groupArray(cents))),
+                 x -> CAST(x AS STRING)), ',') AS diffs,
+               arrayStringConcat(transform(
+                 arrayCumSum(arraySort(groupArray(cents))),
+                 x -> CAST(x AS STRING)), ',') AS cums
+        FROM (SELECT event_type, user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM adc_events WHERE value IS NOT NULL)
+        GROUP BY event_type, user_id
+        ORDER BY event_type, user_id
+    """)
+
+
+@query(
     "weighted_agg_sql",
     # weighted frequency sums are exact (small-int weights), so the
     # rank replay is deterministic; avgWeighted runs over integer

@@ -629,3 +629,86 @@ def test_jpeg_16bit_dqt_precision():
     bad = (good[:dqt + 4] + b"\x20" + good[dqt + 5:])
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(bad)
+
+
+# ------------------ round-12 SQL-surface breadth package --
+
+
+def test_uniq_upto_rewrite_and_refusal():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    out = rewrite_aggregates("SELECT uniqUpTo(3)(u) FROM t")
+    assert "least(count(DISTINCT u), 4)" in out
+    with pytest.raises(ValueError, match="uniqUpTo"):
+        rewrite_aggregates("SELECT uniqUpTo(u) FROM t")
+
+
+def test_stat_and_bit_renames():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    out = rewrite_aggregates(
+        "SELECT covarPop(a, b), stddevSamp(a), varPop(a), "
+        "groupBitAnd(x), groupBitXor(x) FROM t")
+    for got in ("covar_pop(", "stddev_samp(", "var_pop(",
+                "bit_and(", "bit_xor("):
+        assert got in out, out
+    # CH corr == Spark corr: untouched
+    q = "SELECT corr(a, b) FROM t"
+    assert rewrite_aggregates(q) == q
+
+
+def test_sum_map_values(spark):
+    spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (1, "b", 5.0), (2, "c", 1.0),
+         (1, None, 9.0), (1, "d", None)],
+        "g int, k string, v double").createOrReplaceTempView("r12_sm")
+    rows = sql(spark, """
+      SELECT g,
+             arrayStringConcat(transform(sumMap(k, v),
+                 s -> concat(s.k, ':', CAST(s.v AS INT))), ',') AS sm,
+             arrayStringConcat(transform(minMap(k, v),
+                 s -> concat(s.k, ':', CAST(s.v AS INT))), ',') AS mn,
+             arrayStringConcat(transform(maxMap(k, v),
+                 s -> concat(s.k, ':', CAST(s.v AS INT))), ',') AS mx
+      FROM r12_sm GROUP BY g ORDER BY g""").collect()
+    # NULL k and NULL v rows skipped (CH aggregate contract)
+    assert [(r.g, r.sm) for r in rows] == [(1, "a:5,b:5"), (2, "c:1")]
+    assert rows[0].mn == "a:2,b:5" and rows[0].mx == "a:3,b:5"
+
+
+def test_sum_map_arity_refused():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        rewrite_aggregates("SELECT sumMap(k) FROM t")
+
+
+def test_array_difference_and_cumsum_values(spark):
+    rows = sql(spark, """
+      SELECT arrayStringConcat(transform(
+               arrayDifference(array(5, 9, 2)),
+               x -> CAST(x AS STRING)), ',') AS d,
+             arrayStringConcat(transform(
+               arrayCumSum(array(5, 9, 2)),
+               x -> CAST(x AS STRING)), ',') AS c""").collect()
+    assert rows[0].d == "0,4,-7" and rows[0].c == "5,14,16"
+    # empty array passes through
+    rows = sql(spark, "SELECT size(arrayCumSum(array())) AS n") \
+        .collect()
+    assert rows[0].n == 0
+
+
+def test_sum_count_struct(spark):
+    spark.createDataFrame([(1, 2.0), (1, 3.0), (1, None)],
+                          "g int, v double") \
+        .createOrReplaceTempView("r12_sc")
+    rows = sql(spark, "SELECT g, sumCount(v).s AS s, sumCount(v).c "
+                      "AS c FROM r12_sc GROUP BY g").collect()
+    # NULLs skipped by BOTH halves (the CH Nullable contract)
+    assert (rows[0].s, rows[0].c) == (5.0, 2)
