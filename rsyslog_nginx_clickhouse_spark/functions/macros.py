@@ -604,7 +604,7 @@ def rewrite_group_array(query: str) -> str:
         rf"\barrayReverseSort\s*\(\s*groupArray\s*\(({nested2})\)"
         rf"\s*\)",
         r"sort_array(collect_list(\1), false)", out)
-    if not re.search(r"\b(groupArray|deltaSum)\s*\(", out):
+    if not re.search(r"\b(groupArray(?:MovingSum|MovingAvg)?|deltaSum)\s*\(", out):
         return re.sub(r"\x00(\d+)\x00",
                       lambda m: lits[int(m.group(1))], out)
     # collect the ORDER BY key lists of all immediate FROM/JOIN (…)
@@ -658,7 +658,8 @@ def rewrite_group_array(query: str) -> str:
     pieces: list[str] = []
     pos = 0
     while True:
-        cm = re.search(r"\b(groupArray|deltaSum)\s*\(", out[pos:])
+        cm = re.search(r"\b(groupArrayMovingSum|groupArrayMovingAvg"
+                       r"|groupArray|deltaSum)\s*\(", out[pos:])
         if not cm:
             pieces.append(out[pos:])
             break
@@ -668,6 +669,20 @@ def rewrite_group_array(query: str) -> str:
         if close < 0:
             raise ValueError(f"{cm.group(1)}: unbalanced parentheses")
         arg = out[opn + 1:close].strip()
+        win = None  # moving forms: optional literal window parameter
+        if cm.group(1).startswith("groupArrayMoving"):
+            if out[close + 1:].lstrip().startswith("("):
+                if not re.fullmatch(r"\d+", arg):
+                    raise ValueError(
+                        f"{cm.group(1)}: the window parameter must "
+                        f"be a single literal integer (got {arg!r})")
+                win = int(arg)
+                opn2 = out.index("(", close + 1)
+                close = _scan_balanced(out, opn2)
+                if close < 0:
+                    raise ValueError(f"{cm.group(1)}: unbalanced "
+                                     "parentheses")
+                arg = out[opn2 + 1:close].strip()
         fields = ", ".join(f"{k} AS __o{i}" for i, k in enumerate(keys))
         sorted_structs = (f"sort_array(collect_list(struct({fields}, "
                           f"({arg}) AS __v)))")
@@ -675,6 +690,32 @@ def rewrite_group_array(query: str) -> str:
         if cm.group(1) == "groupArray":
             pieces.append(
                 f"transform({sorted_structs}, s -> s.__v)")
+        elif cm.group(1).startswith("groupArrayMoving"):
+            # groupArrayMovingSum/Avg[(n)](x) (round 12): element i =
+            # the sum (avg) of the last n values up to i in key
+            # order; unparameterized, the window is the WHOLE prefix
+            # (sum) / the divisor is the TOTAL row count (avg — the
+            # CH-documented quirk: early elements divide by N, not by
+            # the elements they cover; parametric avg divides by n
+            # the same way). NULL values are skipped before the fold
+            # (CH aggregate contract); values fold as DOUBLE (the
+            # deltaSum policy; CH's type-preserving integer division
+            # is a documented deviation — floor() the result to
+            # recover it). O(window · group) in the projection —
+            # same hot-group bound as inline topK (DEPLOYMENT.md).
+            vals = (f"filter(transform({sorted_structs}, "
+                    f"s -> CAST(s.__v AS DOUBLE)), "
+                    f"__gv -> __gv IS NOT NULL)")
+            lo = "1" if win is None else f"greatest(1, __gi + 2 - {win})"
+            ln = "__gi + 1" if win is None else f"least(__gi + 1, {win})"
+            body = (f"aggregate(slice(__ga, {lo}, {ln}), "
+                    f"CAST(0 AS DOUBLE), (__gs, __gy) -> __gs + __gy)")
+            if cm.group(1) == "groupArrayMovingAvg":
+                div = "size(__ga)" if win is None else str(win)
+                body = f"({body}) / {div}"
+            pieces.append(
+                f"transform({vals}, (__gx, __gi) -> {body})"
+                .replace("__ga", vals))
         else:
             # deltaSum(x): CH's counter aggregate — the sum of the
             # POSITIVE deltas between CONSECUTIVE values in key

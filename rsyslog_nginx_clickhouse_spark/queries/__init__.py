@@ -213,8 +213,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 #: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 11 mandatory
-#: entries — 10 NEW (multimodal_decode_jpeg_420: real 4:2:0
+#: rotation contract): the window leads with the round's 12 mandatory
+#: entries — 11 NEW (multimodal_decode_jpeg_420: real 4:2:0
 #: chroma-subsampled color JPEG decode through the interleaved-MCU
 #: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
 #: strict_increase as the exact CH single-slot fold under recursive-
@@ -228,17 +228,18 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: bit_uniq_upto_sql: groupBit* + uniqUpTo(N) + sumCount;
 #: sum_map_sql: sumMap/minMap/maxMap per-key folds;
 #: array_diff_cumsum_sql: arrayDifference/arrayCumSum over the
-#: sorted-groupArray composite) and 1
+#: sorted-groupArray composite; group_array_moving_sql:
+#: groupArrayMovingSum/Avg in the sorted-subquery idiom) and 1
 #: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
-#: deltaSumTimestamp refuses) — then fills oldest-first: 39 of the
+#: deltaSumTimestamp refuses) — then fills oldest-first: 38 of the
 #: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
-#: due) alphabetically. The 10 alphabetically-last r8 rows
-#: (stratified_sample, streaming_semantic_dedup, temperature_mixture,
-#: tfidf_top_terms, token_counts, top_bigrams, top_users,
-#: train_test_split, value_histogram, with_fill_sql_histogram) are
-#: the price of the 11 mandatory slots — they stay the oldest outside
-#: the window and lead _FRONTLOAD_R13. rotationcheck enforces the
-#: result.
+#: due) alphabetically. The 11 alphabetically-last r8 rows
+#: (status_class_share, stratified_sample, streaming_semantic_dedup,
+#: temperature_mixture, tfidf_top_terms, token_counts, top_bigrams,
+#: top_users, train_test_split, value_histogram,
+#: with_fill_sql_histogram) are the price of the 12 mandatory slots —
+#: they stay the oldest outside the window and lead _FRONTLOAD_R13.
+#: rotationcheck enforces the result.
 _FRONTLOAD_R12 = [
     # new this round — never driver-verified
     "multimodal_decode_jpeg_420",  # NEW: 4:2:0 color JPEG decode
@@ -251,9 +252,10 @@ _FRONTLOAD_R12 = [
     "bit_uniq_upto_sql",           # NEW: groupBit*/uniqUpTo/sumCount
     "sum_map_sql",                 # NEW: sumMap/minMap/maxMap
     "array_diff_cumsum_sql",       # NEW: arrayDifference/CumSum
+    "group_array_moving_sql",      # NEW: groupArrayMovingSum/Avg
     # text-changed this round — doc no longer claims the refusal
     "delta_sum_sql",
-    # 39 of the 49 r8 rows — oldest in the registry (due per the
+    # 38 of the 49 r8 rows — oldest in the registry (due per the
     # standing contract), alphabetical
     "asof_join_sql",
     "big_spender_customers",
@@ -293,7 +295,6 @@ _FRONTLOAD_R12 = [
     "semantic_dedup",
     "sequence_count_chains",
     "sequence_match_funnel",
-    "status_class_share",
 ]
 
 _FRONTLOAD_R11 = [

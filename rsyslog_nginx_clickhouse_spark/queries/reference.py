@@ -3367,6 +3367,70 @@ def array_diff_cumsum_sql(spark: SparkSession,
 
 
 @query(
+    "group_array_moving_sql",
+    # window replay with ROWS BETWEEN 2 PRECEDING: identical (ts,
+    # event_id) order (event_id unique -> no tie ambiguity); the avg
+    # divides the SAME 3-row sum by the constant 3 (the CH quirk:
+    # early elements divide by n, not by the rows they cover) — n/3
+    # has no 6-decimal tie (terminating only when exact), so round(6)
+    # is cross-engine safe; NULL cents rows drop before the window on
+    # both sides
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    o AS (
+      SELECT event_type, user_id,
+             (row_number() OVER w - 1)::int AS idx,
+             (sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                               AND CURRENT ROW))::bigint AS ms3,
+             round((sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                                     AND CURRENT ROW)) / 3.0, 6)
+               AS ma3
+      FROM s WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY ts, event_id))
+    SELECT event_type, user_id, idx, ms3, ma3
+    FROM o ORDER BY event_type, user_id, idx
+    """,
+    doc="groupArrayMovingSum(n)(x) / groupArrayMovingAvg(n)(x) "
+        "(round 12) in the sorted-subquery idiom: element i = the "
+        "sum (avg) of the last n values up to i in key order — the "
+        "same one-sorted-collect machinery as groupArray/deltaSum, "
+        "with a per-index slice fold in the projection (O(n·group), "
+        "the inline-topK hot-group bound). The avg keeps CH's "
+        "documented quirk (divide by n even for the first elements; "
+        "the unparameterized avg divides by the TOTAL count); values "
+        "fold as DOUBLE (CH's type-preserving integer division is a "
+        "documented deviation — floor() recovers it). Arrays "
+        "posexplode to typed rows for the value gate "
+        "(functions/macros.rewrite_group_array)",
+)
+def group_array_moving_sql(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "gmov_events")
+    engine_sql(spark, """
+        SELECT event_type, user_id,
+               groupArrayMovingSum(3)(cents) AS ms,
+               groupArrayMovingAvg(3)(cents) AS ma
+        FROM (SELECT event_type, user_id, ts, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM gmov_events WHERE value IS NOT NULL
+              ORDER BY ts, event_id)
+        GROUP BY event_type, user_id
+    """).createOrReplaceTempView("gmov_arrays")
+    return spark.sql("""
+        SELECT event_type, user_id, CAST(pos AS INT) AS idx,
+               CAST(msv AS BIGINT) AS ms3,
+               round(element_at(ma, pos + 1), 6) AS ma3
+        FROM gmov_arrays
+        LATERAL VIEW posexplode(ms) AS pos, msv
+        ORDER BY event_type, user_id, idx
+    """)
+
+
+@query(
     "weighted_agg_sql",
     # weighted frequency sums are exact (small-int weights), so the
     # rank replay is deterministic; avgWeighted runs over integer

@@ -712,3 +712,48 @@ def test_sum_count_struct(spark):
                       "AS c FROM r12_sc GROUP BY g").collect()
     # NULLs skipped by BOTH halves (the CH Nullable contract)
     assert (rows[0].s, rows[0].c) == (5.0, 2)
+
+
+def test_group_array_moving_forms(spark):
+    spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 3.0), (1, 3, 8.0), (1, 4, None),
+         (2, 1, 2.0)],
+        "g int, o int, v double").createOrReplaceTempView("r12_gma")
+    rows = sql(spark, """
+      SELECT g,
+             arrayStringConcat(transform(groupArrayMovingSum(v),
+                 x -> CAST(CAST(x AS INT) AS STRING)), ',') AS ms,
+             arrayStringConcat(transform(groupArrayMovingSum(2)(v),
+                 x -> CAST(CAST(x AS INT) AS STRING)), ',') AS ms2,
+             arrayStringConcat(transform(groupArrayMovingAvg(2)(v),
+                 x -> CAST(x AS STRING)), ',') AS ma2
+      FROM (SELECT g, o, v FROM r12_gma ORDER BY o)
+      GROUP BY g ORDER BY g""").collect()
+    # g=1 values in o order, NULL skipped: [5,3,8]
+    assert rows[0].ms == "5,8,16"       # unbounded prefix sums
+    assert rows[0].ms2 == "5,8,11"      # window 2
+    assert rows[0].ma2 == "2.5,4.0,5.5"  # divide by n=2 ALWAYS (CH)
+    assert rows[1].ms == "2"
+    # unbounded avg divides by the TOTAL count (the CH quirk)
+    rows = sql(spark, """
+      SELECT arrayStringConcat(transform(groupArrayMovingAvg(v),
+                 x -> CAST(round(x, 4) AS STRING)), ',') AS ma
+      FROM (SELECT g, o, v FROM r12_gma WHERE g = 1 ORDER BY o)
+      GROUP BY g""").collect()
+    assert rows[0].ma == "1.6667,2.6667,5.3333"
+
+
+def test_group_array_moving_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_group_array,
+    )
+
+    # order-dependent: the sorted-subquery idiom is still required
+    with pytest.raises(ValueError, match="order-dependent"):
+        rewrite_group_array(
+            "SELECT groupArrayMovingSum(v) FROM t GROUP BY g")
+    # expression-valued window parameter refused (the topK policy)
+    with pytest.raises(ValueError, match="literal integer"):
+        rewrite_group_array(
+            "SELECT groupArrayMovingSum(n)(v) "
+            "FROM (SELECT v, o FROM t ORDER BY o) GROUP BY g")
