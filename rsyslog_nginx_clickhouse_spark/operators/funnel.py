@@ -203,6 +203,134 @@ def translate_sequence_pattern(pattern: str) -> str:
     return "".join(out)
 
 
+#: time-constraint comparators ClickHouse's (?t op N) accepts
+_TIME_OPS = {
+    ">": lambda d, v: d > v,
+    "<": lambda d, v: d < v,
+    ">=": lambda d, v: d >= v,
+    "<=": lambda d, v: d <= v,
+    "==": lambda d, v: d == v,
+}
+
+
+def parse_sequence_pattern(pattern: str) -> list[tuple]:
+    """ClickHouse sequenceMatch pattern → token list (round 12 —
+    previously time constraints were refused outright):
+
+    - ``(?N)``   → ('cond', 'N', tc) where tc is the pending time
+      constraint (op, seconds) or None;
+    - ``.*``     → ('star',); ``.`` → ('any',);
+    - ``(?t op N)`` → attaches to the FOLLOWING condition atom and is
+      checked against the event matched by the PRECEDING one. CH
+      defines the constraint between the two events matched by
+      adjacent condition atoms, so it is accepted ONLY directly
+      between two ``(?N)`` atoms — anything else ((?t) at the start,
+      after ``.*``/``.``, trailing, doubled) is refused loudly.
+    """
+    import re
+
+    toks: list[tuple] = []
+    pending: "tuple | None" = None
+    pos = 0
+    for m in re.finditer(
+            r"\(\?(\d)\)|\(\?t\s*(>=|<=|==|>|<)\s*(\d+)\)|\.\*|\.",
+            pattern):
+        if m.start() != pos:
+            raise ValueError(f"unsupported sequenceMatch pattern "
+                             f"fragment {pattern[pos:m.start()]!r}")
+        pos = m.end()
+        if m.group(2):  # (?t op N)
+            if pending is not None:
+                raise ValueError(
+                    "sequenceMatch: doubled time constraint")
+            if not toks or toks[-1][0] != "cond":
+                raise ValueError(
+                    "sequenceMatch: (?t op N) must sit directly "
+                    "between two (?N) condition atoms — it "
+                    "constrains the two events those atoms match")
+            pending = (m.group(2), int(m.group(3)))
+        elif m.group(1):
+            toks.append(("cond", m.group(1), pending))
+            pending = None
+        else:
+            if pending is not None:
+                raise ValueError(
+                    "sequenceMatch: (?t op N) must sit directly "
+                    "between two (?N) condition atoms — it "
+                    "constrains the two events those atoms match")
+            toks.append(("star",) if m.group(0) == ".*" else ("any",))
+    if pos != len(pattern):
+        raise ValueError(f"unsupported sequenceMatch pattern tail "
+                         f"{pattern[pos:]!r}")
+    if pending is not None:
+        raise ValueError("sequenceMatch: trailing time constraint")
+    return toks
+
+
+def _seq_match_end(labs: str, ts: list, toks: list,
+                   start: int) -> "int | None":
+    """Minimal event index just past a match of ``toks`` that starts
+    consuming at ``start`` (None if no match from there) — the lazy
+    end a regex engine's non-greedy scan would take, with the time
+    constraints checked between adjacent condition atoms. Memoized DP
+    over (event index, token index): O(events × tokens)."""
+    n = len(labs)
+    memo: dict[tuple[int, int], "int | None"] = {}
+
+    def go(i: int, k: int) -> "int | None":
+        if k == len(toks):
+            return i
+        key = (i, k)
+        if key in memo:
+            return memo[key]
+        memo[key] = None  # cycle guard (star self-recursion)
+        t = toks[k]
+        best: "int | None" = None
+        if t[0] == "star":
+            a = go(i, k + 1)
+            b = go(i + 1, k) if i < n else None
+            best = a if b is None else (b if a is None else min(a, b))
+        elif t[0] == "any":
+            if i < n:
+                best = go(i + 1, k + 1)
+        else:  # cond
+            _, c, tc = t
+            if i < n and labs[i] == c and (
+                    tc is None
+                    or (i > 0 and _TIME_OPS[tc[0]](
+                        ts[i] - ts[i - 1], tc[1] * 1_000_000))):
+                best = go(i + 1, k + 1)
+        memo[key] = best
+        return best
+
+    return go(start, 0)
+
+
+def _seq_matches(labs: str, ts: list, toks: list) -> bool:
+    """Unanchored existence: does any start yield a match?"""
+    return any(_seq_match_end(labs, ts, toks, s) is not None
+               for s in range(len(labs) + 1))
+
+
+def _seq_count(labs: str, ts: list, toks: list) -> int:
+    """Non-overlapping leftmost-lazy count — scan starts left to
+    right, take the FIRST matching start's minimal end, resume there
+    (the regex findall discipline the no-time path uses, and CH's
+    resume-after-chain)."""
+    count, pos, n = 0, 0, len(labs)
+    while pos <= n:
+        end = None
+        for s in range(pos, n + 1):
+            end = _seq_match_end(labs, ts, toks, s)
+            if end is not None:
+                break
+        if end is None:
+            break
+        count += 1
+        pos = end if end > pos else pos + 1  # empty match advances
+    return count
+
+
 def sequence_label(conds: list[Column]) -> Column:
     """Per-event condition label: '1'..'N' for the FIRST matching
     condition, '0' for none — '0' events are DROPPED from the
@@ -247,12 +375,55 @@ def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
     bounded label string — at 100 TB the shuffle carries one char per
     event, nothing quadratic.
     """
+    toks = parse_sequence_pattern(pattern)
+    if any(t[0] == "cond" and t[2] for t in toks):
+        # time-constrained pattern (round 12): the label string cannot
+        # carry timestamps, so the match runs as an Arrow-batched DP
+        # over the per-user (ts, label) pairs — same single shuffle,
+        # O(events × tokens) per user, unanchored like rlike
+        toks = [("star",)] + toks
+
+        @F.pandas_udf(T.BooleanType())
+        def matcher(pairs: pd.Series) -> pd.Series:
+            def run(evs) -> bool:
+                labs, ts = _seq_pairs(evs)
+                return _seq_match_end(labs, ts, toks, 0) is not None
+
+            return pairs.map(run)
+
+        per_user = _per_user_label_pairs(events, conds, user_col,
+                                         time_col)
+        return per_user.select(
+            F.col(user_col), matcher(F.col("evs")).alias("matched"))
     regex = translate_sequence_pattern(pattern)
     per_user = _per_user_label_sequence(events, conds, user_col,
                                         time_col)
     return per_user.select(
         F.col(user_col),
         F.col("seq").rlike(regex).alias("matched"))
+
+
+def _seq_pairs(evs) -> tuple[str, list]:
+    """Sorted (ts, label) structs → (label string, ts_us list)."""
+    if evs is None or len(evs) == 0:
+        return "", []
+    pairs = sorted((e["t"], e["lab"]) for e in evs)
+    return "".join(p[1] for p in pairs), [p[0] for p in pairs]
+
+
+def _per_user_label_pairs(events: DataFrame, conds: list[Column],
+                          user_col: str, time_col: str) -> DataFrame:
+    """(user, evs): per-user (ts_us, label) structs for the
+    time-constrained matcher — the pair-carrying twin of
+    _per_user_label_sequence (same storage rule: non-matching events
+    dropped inside the aggregate, every user keeps a row)."""
+    lab = sequence_label(conds)
+    ts_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    pair = F.when(lab != F.lit("0"),
+                  F.struct(ts_us.alias("t"), lab.alias("lab")))
+    return (events
+            .groupBy(user_col)
+            .agg(F.collect_list(pair).alias("evs")))
 
 
 def _per_user_label_sequence(events: DataFrame, conds: list[Column],
@@ -305,6 +476,24 @@ def sequence_count(events: DataFrame, conds: list[Column], pattern: str,
     user-shuffle plan as sequence_match; the count is one
     regexp_extract_all size, no UDF.
     """
+    toks = parse_sequence_pattern(pattern)
+    if any(t[0] == "cond" and t[2] for t in toks):
+        # time-constrained count (round 12): leftmost-lazy
+        # non-overlapping scan in the Arrow DP — the same findall
+        # discipline the regex path uses
+
+        @F.pandas_udf(T.LongType())
+        def counter(pairs: pd.Series) -> pd.Series:
+            def run(evs) -> int:
+                labs, ts = _seq_pairs(evs)
+                return _seq_count(labs, ts, toks)
+
+            return pairs.map(run).astype("int64")
+
+        per_user = _per_user_label_pairs(events, conds, user_col,
+                                         time_col)
+        return per_user.select(
+            F.col(user_col), counter(F.col("evs")).alias("n_chains"))
     regex = translate_sequence_pattern(pattern).replace(".*", ".*?")
     per_user = _per_user_label_sequence(events, conds, user_col,
                                         time_col)

@@ -213,8 +213,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 #: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 12 mandatory
-#: entries — 11 NEW (multimodal_decode_jpeg_420: real 4:2:0
+#: rotation contract): the window leads with the round's 13 mandatory
+#: entries — 12 NEW (multimodal_decode_jpeg_420: real 4:2:0
 #: chroma-subsampled color JPEG decode through the interleaved-MCU
 #: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
 #: strict_increase as the exact CH single-slot fold under recursive-
@@ -229,15 +229,18 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: sum_map_sql: sumMap/minMap/maxMap per-key folds;
 #: array_diff_cumsum_sql: arrayDifference/arrayCumSum over the
 #: sorted-groupArray composite; group_array_moving_sql:
-#: groupArrayMovingSum/Avg in the sorted-subquery idiom) and 1
+#: groupArrayMovingSum/Avg in the sorted-subquery idiom;
+#: sequence_match_timed: sequenceMatch (?t op N) time constraints
+#: via the Arrow DP matcher) and 1
 #: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
-#: deltaSumTimestamp refuses) — then fills oldest-first: 38 of the
+#: deltaSumTimestamp refuses) — then fills oldest-first: 37 of the
 #: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
-#: due) alphabetically. The 11 alphabetically-last r8 rows
-#: (status_class_share, stratified_sample, streaming_semantic_dedup,
+#: due) alphabetically. The 12 alphabetically-last r8 rows
+#: (sequence_match_funnel, status_class_share, stratified_sample,
+#: streaming_semantic_dedup,
 #: temperature_mixture, tfidf_top_terms, token_counts, top_bigrams,
 #: top_users, train_test_split, value_histogram,
-#: with_fill_sql_histogram) are the price of the 12 mandatory slots —
+#: with_fill_sql_histogram) are the price of the 13 mandatory slots —
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R12 = [
@@ -253,9 +256,10 @@ _FRONTLOAD_R12 = [
     "sum_map_sql",                 # NEW: sumMap/minMap/maxMap
     "array_diff_cumsum_sql",       # NEW: arrayDifference/CumSum
     "group_array_moving_sql",      # NEW: groupArrayMovingSum/Avg
+    "sequence_match_timed",        # NEW: sequenceMatch (?t op N)
     # text-changed this round — doc no longer claims the refusal
     "delta_sum_sql",
-    # 38 of the 49 r8 rows — oldest in the registry (due per the
+    # 37 of the 49 r8 rows — oldest in the registry (due per the
     # standing contract), alphabetical
     "asof_join_sql",
     "big_spender_customers",
@@ -294,7 +298,6 @@ _FRONTLOAD_R12 = [
     "retention_cohort",
     "semantic_dedup",
     "sequence_count_chains",
-    "sequence_match_funnel",
 ]
 
 _FRONTLOAD_R11 = [

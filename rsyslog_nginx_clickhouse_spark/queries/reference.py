@@ -2060,6 +2060,68 @@ def sequence_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_match_timed",
+    # adjacency in the STORED sequence (non-matching events dropped —
+    # the CH storage rule) is consecutive rn over the per-user
+    # (ts, lab)-ordered numbering; the (?t<=21600) constraint is the
+    # epoch gap between the two adjacent condition events; matching
+    # is existential, so DISTINCT user over the adjacent-pair join is
+    # exactly the matcher's answer
+    oracle=f"""
+    WITH lab AS (
+      SELECT user_id, ts, epoch_us(ts) AS t,
+             CASE event_type WHEN 'view' THEN '1'
+                  WHEN 'click' THEN '2' ELSE '0' END AS lab
+      FROM events),
+    seqd AS (
+      SELECT user_id, t, lab,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, lab) AS rn
+      FROM lab WHERE lab <> '0'),
+    m AS (
+      SELECT DISTINCT a.user_id
+      FROM seqd a JOIN seqd b
+           ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      WHERE a.lab = '1' AND b.lab = '2'
+        AND b.t - a.t <= 21600::bigint * 1000000),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT count(*)::bigint AS n_users,
+           count(m.user_id)::bigint AS n_matched,
+           {int_ratio_round_sql("count(m.user_id)", "count(*)", 6)}
+             AS matched_share
+    FROM u LEFT JOIN m USING (user_id)
+    """,
+    doc="ClickHouse sequenceMatch TIME CONSTRAINTS (round 12 — "
+        "previously refused): '(?1)(?t<=21600)(?2)' matches a view "
+        "followed by an ADJACENT click (in the stored sequence) at "
+        "most 6 h later. The label string cannot carry timestamps, "
+        "so time-constrained patterns run an Arrow-batched memoized "
+        "DP over per-user (ts, label) pairs — O(events x tokens) per "
+        "user, unanchored like the rlike path, same single shuffle; "
+        "the constraint binds the two events the adjacent condition "
+        "atoms match (the CH contract; (?t) anywhere else is refused "
+        "loudly). Patterns without (?t) keep the pure-codegen regex "
+        "path (operators/funnel.parse_sequence_pattern, "
+        "_seq_match_end)",
+)
+def sequence_match_timed(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t for t in ("view", "click")]
+    per_user = sequence_match(ev, conds, "(?1)(?t<=21600)(?2)")
+    hit = F.when(F.col("matched"), 1).otherwise(0)
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(hit).cast("bigint").alias("n_matched"),
+        int_ratio_round(F.sum(hit).cast("bigint"), F.count("*"), 6)
+        .alias("matched_share"))
+
+
+@query(
     "sequence_count_chains",
     # the oracle rebuilds the identical label string, then counts
     # non-overlapping LAZY matches — both engines resume at match-end

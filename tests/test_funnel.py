@@ -321,3 +321,95 @@ def test_funnel_unknown_mode_rejected(spark):
     ev = _ev(spark, [(1, 100, "view")])
     with pytest.raises(ValueError, match="unknown windowFunnel mode"):
         window_funnel(ev, ["view"], US, modes="strictly_wrong")
+
+
+# ---------------- sequenceMatch/Count time constraints (round 12) --
+
+
+def _seq(spark, rows):
+    return _ev(spark, rows)
+
+
+def test_sequence_match_time_constraint(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    ev = _seq(spark, [
+        # u1: view->click 50s apart (within 100s)
+        (1, 100, "view"), (1, 150, "click"),
+        # u2: view->click 500s apart (outside)
+        (2, 100, "view"), (2, 600, "click"),
+        # u3: two views; only the SECOND is within 100s of the click —
+        # existential semantics must find it
+        (3, 100, "view"), (3, 550, "view"), (3, 600, "click"),
+        # u4: right gap, wrong adjacency: a purchase sits between
+        # (stored sequence adjacency — the CH storage rule)
+        (4, 100, "view"), (4, 120, "purchase"), (4, 150, "click"),
+    ])
+    conds = [F.col("event_type") == "view",
+             F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    got = {r.user_id: r.matched for r in sequence_match(
+        ev, conds, "(?1)(?t<=100)(?2)").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
+    # with .* between: adjacency relaxed, but (?t) still binds the
+    # two condition events -> u4's view->click gap is 50s... the
+    # constraint sits between (?1) and (?2) so .* CANNOT intervene —
+    # instead check the unconstrained-with-gap form still matches u4
+    got = {r.user_id: r.matched for r in sequence_match(
+        ev, conds, "(?1).*(?2)").collect()}
+    assert got[4] is True
+
+
+def test_sequence_match_time_ops(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+
+    ev = _seq(spark, [(1, 100, "view"), (1, 200, "click")])
+    conds = [F.col("event_type") == "view",
+             F.col("event_type") == "click"]
+    for pat, want in [("(?1)(?t>50)(?2)", True),
+                      ("(?1)(?t>100)(?2)", False),
+                      ("(?1)(?t>=100)(?2)", True),
+                      ("(?1)(?t==100)(?2)", True),
+                      ("(?1)(?t<100)(?2)", False),
+                      ("(?1)(?t<=100)(?2)", True)]:
+        got = sequence_match(ev, conds, pat).collect()[0].matched
+        assert got is want, (pat, got)
+
+
+def test_sequence_count_time_constraint_nonoverlapping(spark):
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_count,
+    )
+
+    # pairs at gaps 10 (ok), 500 (no), 20 (ok) -> 2 chains
+    ev = _seq(spark, [
+        (1, 100, "view"), (1, 110, "click"),
+        (1, 200, "view"), (1, 700, "click"),
+        (1, 800, "view"), (1, 820, "click"),
+    ])
+    conds = [F.col("event_type") == "view",
+             F.col("event_type") == "click"]
+    got = sequence_count(ev, conds, "(?1)(?t<=100)(?2)").collect()
+    assert got[0].n_chains == 2
+    # unconstrained count over the same events: 3 chains
+    got = sequence_count(ev, conds, "(?1).*(?2)").collect()
+    assert got[0].n_chains == 3
+
+
+def test_sequence_pattern_time_placement_refusals():
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        parse_sequence_pattern,
+    )
+
+    for bad in ["(?t>5)(?1)", "(?1).*(?t>5)(?2)", "(?1)(?t>5)",
+                "(?1)(?t>5)(?t<9)(?2)", "(?1)(?t>5).*(?2)"]:
+        with pytest.raises(ValueError):
+            parse_sequence_pattern(bad)
+    # the no-time grammar is unchanged
+    toks = parse_sequence_pattern("(?1).*(?2).(?3)")
+    assert [t[0] for t in toks] == ["cond", "star", "cond", "any",
+                                    "cond"]
