@@ -413,3 +413,19 @@ def test_sequence_pattern_time_placement_refusals():
     toks = parse_sequence_pattern("(?1).*(?2).(?3)")
     assert [t[0] for t in toks] == ["cond", "star", "cond", "any",
                                     "cond"]
+
+
+def test_funnel_mode_combinations(spark):
+    """Modes compose (CH accepts several): strict_dedup +
+    strict_increase — the repeat click terminates at 2 for u1; u2's
+    clean strictly-increasing chain still reaches 3."""
+    ev = _ev(spark, [
+        (1, 100, "view"), (1, 120, "click"), (1, 140, "click"),
+        (1, 160, "purchase"),
+        (2, 100, "view"), (2, 120, "click"), (2, 140, "purchase"),
+    ])
+    conds = ["view", "click", "purchase"]
+    got = _levels(window_funnel(
+        ev, conds, 1000 * US,
+        modes=("strict_dedup", "strict_increase")))
+    assert got == {1: 2, 2: 3}

@@ -757,3 +757,37 @@ def test_group_array_moving_refusals():
         rewrite_group_array(
             "SELECT groupArrayMovingSum(n)(v) "
             "FROM (SELECT v, o FROM t ORDER BY o) GROUP BY g")
+
+
+def test_jpeg_411_generic_sampling_factors():
+    """The decoder accepts ANY integer-ratio factor combo — 4:1:1
+    (hs=4, MCU 32x8) pins the generic geometry beyond the rendered
+    420/422 forms."""
+    from rsyslog_nginx_clickhouse_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w, h = 32, 8
+    rng = np.random.RandomState(56)
+    n_y, n_c = (w // 8) * (h // 8), (w // 32) * (h // 8)
+    y_vals = rng.randint(40, 216, size=n_y)
+    cb = rng.randint(90, 166, size=n_c)
+    cr = rng.randint(90, 166, size=n_c)
+    payload = _encode_subsampled_dc(
+        [8 * (v - 128) for v in y_vals],
+        [(8 * (a - 128), 8 * (b - 128)) for a, b in zip(cb, cr)],
+        w, h, 4, 1)
+    got = decode_jpeg(payload)
+    ypl = np.repeat(np.repeat(
+        y_vals.reshape(h // 8, w // 8), 8, 0), 8, 1).astype(np.float64)
+    cpl = [np.repeat(np.repeat(np.repeat(
+        v.reshape(h // 8, w // 32), 8, 0), 8, 1), 4, 1)
+        .astype(np.float64) for v in (cb, cr)]
+    cbp, crp = cpl[0] - 128.0, cpl[1] - 128.0
+    exp = np.stack([
+        np.clip(np.round(ypl + 1.402 * crp), 0, 255),
+        np.clip(np.round(ypl - 0.344136 * cbp - 0.714136 * crp),
+                0, 255),
+        np.clip(np.round(ypl + 1.772 * cbp), 0, 255)],
+        axis=2).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
