@@ -816,6 +816,7 @@ def rewrite_aggregates(out: str) -> str:
         r"struct(sum(\1) AS s, count(\1) AS c)", out)
     out = _rewrite_map_aggs(out)
     out = _rewrite_array_scalars(out)
+    out = _rewrite_quantile_weighted(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -845,6 +846,70 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_multi_if(out)
     out = _rewrite_array_lambdas(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
+
+
+def _rewrite_quantile_weighted(out: str) -> str:
+    """ClickHouse ``quantileExactWeighted[(p)](x, w)`` and
+    ``medianExactWeighted(x, w)`` (round 12) — the exact DISCRETE
+    weighted quantile: sort the distinct-free (value, weight) pairs
+    by value and return the first value whose cumulative weight
+    reaches the threshold. The rewrite is one sorted collect + two
+    higher-order folds (total weight, then the crossing scan):
+
+        threshold = greatest(floor(p * total_weight), 1)
+        return first v (value order) with cum_weight >= threshold
+
+    — the ClickHouse integer-threshold discipline (it truncates
+    level*sum_weight to UInt64 and scans to the crossing element);
+    ties at exact integer thresholds therefore match CH. NULL value
+    or weight rows are skipped; the result is DOUBLE (the deltaSum
+    policy); an empty group yields NULL. One partial-aggregatable
+    shuffle; literal p only (the topK policy); default p = 0.5.
+    """
+    rx = re.compile(r"\b(quantileExactWeighted|medianExactWeighted)"
+                    r"\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        first, after = _take_call_args(out, m.end() - 1)
+        if m.group(1) == "quantileExactWeighted" \
+                and out[after:].lstrip().startswith("("):
+            p = first[0].strip()
+            if len(first) != 1 or not re.fullmatch(
+                    r"0?\.\d+|0|1|1\.0", p):
+                raise ValueError(
+                    f"{m.group(1)}: the level must be a single "
+                    f"literal fraction (got {','.join(first)!r})")
+            args, end = _take_call_args(out, out.index("(", after))
+        else:
+            p, args, end = "0.5", first, after
+        if len(args) != 2:
+            raise ValueError(f"{m.group(1)}(x, w): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, w = (a.strip() for a in args)
+        arr = (f"sort_array(collect_list(CASE WHEN ({x}) IS NOT NULL "
+               f"AND ({w}) IS NOT NULL THEN "
+               f"struct(CAST(({x}) AS DOUBLE) AS v, "
+               f"CAST(({w}) AS DOUBLE) AS w) END))")
+        tot = (f"aggregate({arr}, CAST(0 AS DOUBLE), "
+               f"(__qa, __qe) -> __qa + __qe.w)")
+        # the threshold is HOISTED through a one-element transform:
+        # inlining it in the crossing lambda would re-run the
+        # total-weight fold per element (O(n²) per group)
+        thr = f"greatest(floor(({p}) * {tot}), 1)"
+        repl = (
+            f"element_at(transform(array({thr}), __qt -> "
+            f"aggregate({arr}, "
+            f"struct(CAST(0 AS DOUBLE) AS r, "
+            f"CAST(NULL AS DOUBLE) AS res), "
+            f"(__qa, __qe) -> CASE WHEN __qa.res IS NOT NULL THEN "
+            f"__qa ELSE struct(__qa.r + __qe.w AS r, "
+            f"CASE WHEN __qa.r + __qe.w >= __qt THEN __qe.v END "
+            f"AS res) END, __qf -> __qf.res)), 1)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
 
 
 #: the Map-combinator aggregates (round 12) and their per-key folds

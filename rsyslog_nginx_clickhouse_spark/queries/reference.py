@@ -3493,6 +3493,59 @@ def group_array_moving_sql(spark: SparkSession,
 
 
 @query(
+    "quantile_exact_weighted_sql",
+    # window replay of the integer-threshold crossing scan: cum
+    # weight in cents order, first cents with cum >= greatest(
+    # floor(p*total), 1); ties in cents return the same cents
+    # whichever tie order the window picks, so min(CASE...) is exact
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             (1 + user_id % 3)::int AS w
+      FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT event_type, sum(w)::double AS tw
+            FROM s GROUP BY event_type),
+    o AS (
+      SELECT event_type, cents,
+             sum(w) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM s)
+    SELECT o.event_type,
+           min(CASE WHEN o.cw >= greatest(floor(0.5 * t.tw), 1)
+                    THEN o.cents END)::double AS q50,
+           min(CASE WHEN o.cw >= greatest(floor(0.9 * t.tw), 1)
+                    THEN o.cents END)::double AS q90
+    FROM o JOIN tot t USING (event_type)
+    GROUP BY o.event_type ORDER BY o.event_type
+    """,
+    doc="`quantileExactWeighted[(p)](x, w)` / `medianExactWeighted` "
+        "(round 12 — the weighted half of the exact-quantile family): "
+        "the exact discrete weighted quantile as one sorted collect "
+        "+ two higher-order folds — total weight, then the crossing "
+        "scan returning the first value whose cumulative weight "
+        "reaches greatest(floor(p*total), 1), ClickHouse's integer-"
+        "threshold discipline, so exact-tie thresholds match CH. "
+        "NULL value/weight rows skip; result DOUBLE; literal p only "
+        "(functions/macros._rewrite_quantile_weighted). One partial-"
+        "aggregatable shuffle, same hot-group bound as inline topK",
+)
+def quantile_exact_weighted_sql(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "qew_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               quantileExactWeighted(0.5)(
+                   CAST(floor(value * 100) AS BIGINT),
+                   CAST(1 + user_id % 3 AS INT)) AS q50,
+               quantileExactWeighted(0.9)(
+                   CAST(floor(value * 100) AS BIGINT),
+                   CAST(1 + user_id % 3 AS INT)) AS q90
+        FROM qew_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "weighted_agg_sql",
     # weighted frequency sums are exact (small-int weights), so the
     # rank replay is deterministic; avgWeighted runs over integer

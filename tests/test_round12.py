@@ -791,3 +791,35 @@ def test_jpeg_411_generic_sampling_factors():
         np.clip(np.round(ypl + 1.772 * cbp), 0, 255)],
         axis=2).astype(np.uint8)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_quantile_exact_weighted(spark):
+    spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 2), (1, 30.0, 4),
+         (2, 5.0, 1), (2, None, 9), (2, 7.0, None)],
+        "g int, x double, w int").createOrReplaceTempView("r12_qew")
+    rows = sql(spark, """
+      SELECT g, quantileExactWeighted(0.5)(x, w) AS q,
+             medianExactWeighted(x, w) AS m,
+             quantileExactWeighted(x, w) AS qd,
+             quantileExactWeighted(0.9)(x, w) AS q9
+      FROM r12_qew GROUP BY g ORDER BY g""").collect()
+    # g=1: total 7, thr floor(3.5)=3 -> cum 1,3,7 crosses at 20;
+    # p=0.9: thr floor(6.3)=6 -> crosses at 30
+    assert (rows[0].q, rows[0].m, rows[0].qd, rows[0].q9) == \
+        (20.0, 20.0, 20.0, 30.0)
+    # NULL x / NULL w rows skipped -> only (5, 1) remains
+    assert rows[1].q == 5.0
+
+
+def test_quantile_exact_weighted_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="literal fraction"):
+        rewrite_aggregates(
+            "SELECT quantileExactWeighted(p)(x, w) FROM t")
+    with pytest.raises(ValueError, match="exactly 2"):
+        rewrite_aggregates(
+            "SELECT quantileExactWeighted(0.5)(x) FROM t")
