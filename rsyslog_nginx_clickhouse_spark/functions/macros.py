@@ -817,6 +817,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_map_aggs(out)
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
+    out = _rewrite_retention(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -846,6 +847,38 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_multi_if(out)
     out = _rewrite_array_lambdas(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
+
+
+def _rewrite_retention(out: str) -> str:
+    """ClickHouse ``retention(cond1, …, condN)`` (round 12) — the
+    cohort-retention aggregate: an Array(UInt8) where element 1 is
+    "some row in the group met cond1" and element i is "some row met
+    cond1 AND some row met cond_i" (conditions are group-existential,
+    NOT row-wise — the CH state is a per-row OR of condition bits).
+    Pure expression aggregation:
+
+        array(max(if(c1)), max(if(c1))*max(if(c2)), …)
+
+    — one partial-aggregatable shuffle, zero Python (the operator
+    form is operators/funnel.retention; this is its SQL spelling).
+    2-32 conditions like CH."""
+    rx = re.compile(r"\bretention\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        args, end = _take_call_args(out, m.end() - 1)
+        if not 2 <= len(args) <= 32:
+            raise ValueError(f"retention takes 2-32 conditions, "
+                             f"got {len(args)}")
+        flags = [f"max(CASE WHEN ({a.strip()}) THEN 1 ELSE 0 END)"
+                 for a in args]
+        elems = [f"CAST({flags[0]} AS INT)"] + [
+            f"CAST({flags[0]} * {f} AS INT)" for f in flags[1:]]
+        repl = f"array({', '.join(elems)})"
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_quantile_weighted(out: str) -> str:
@@ -993,6 +1026,16 @@ def _rewrite_array_scalars(out: str) -> str:
          "transform({a}, (__csx, __csi) -> aggregate(slice({a}, 1, "
          "__csi + 1), CAST(0 AS BIGINT), "
          "(__csa, __csy) -> __csa + __csy))"),
+        # arrayCompact: drop CONSECUTIVE duplicates (keep an element
+        # when it differs from its predecessor; <=> keeps NULL runs
+        # collapsing like CH)
+        ("arrayCompact",
+         "filter({a}, (__acx, __aci) -> __aci = 0 OR "
+         "NOT (__acx <=> element_at({a}, __aci)))"),
+        # arrayEnumerate: [1, 2, …, size(a)]
+        ("arrayEnumerate",
+         "CASE WHEN size({a}) > 0 THEN sequence(1, size({a})) "
+         "ELSE array() END"),
     ):
         rx = re.compile(rf"\b{name}\s*\(")
         pos = 0

@@ -3493,6 +3493,46 @@ def group_array_moving_sql(spark: SparkSession,
 
 
 @query(
+    "retention_sql",
+    # group-existential semantics (CH's per-row OR state): r1 =
+    # any view, r_i = any view AND any cond_i — per-user max flags
+    # replayed directly
+    oracle="""
+    SELECT user_id,
+           (max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            || ',' ||
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            || ',' ||
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END)) AS r
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ClickHouse `retention(cond1, …, condN)` SQL spelling "
+        "(round 12 — the operator form is operators/funnel.retention, "
+        "green since r4 as retention_cohort): element 1 = some row "
+        "met cond1, element i = some row met cond1 AND some row met "
+        "cond_i (group-existential, NOT row-wise — the CH per-row "
+        "OR-bitmask state), as a pure array-of-max-flags expression "
+        "— one partial-aggregatable shuffle, zero Python, 2-32 "
+        "conditions (functions/macros._rewrite_retention)",
+)
+def retention_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ret_events")
+    return engine_sql(spark, """
+        SELECT user_id,
+               arrayStringConcat(transform(
+                 retention(event_type = 'view',
+                           event_type = 'click',
+                           event_type = 'purchase'),
+                 x -> CAST(x AS STRING)), ',') AS r
+        FROM ret_events GROUP BY user_id ORDER BY user_id
+    """)
+
+
+@query(
     "quantile_exact_weighted_sql",
     # window replay of the integer-threshold crossing scan: cum
     # weight in cents order, first cents with cum >= greatest(

@@ -823,3 +823,39 @@ def test_quantile_exact_weighted_refusals():
     with pytest.raises(ValueError, match="exactly 2"):
         rewrite_aggregates(
             "SELECT quantileExactWeighted(0.5)(x) FROM t")
+
+
+def test_retention_sql_rewrite(spark):
+    spark.createDataFrame(
+        [(1, "view"), (1, "click"), (2, "view"), (3, "click"),
+         (3, "purchase")],
+        "u int, t string").createOrReplaceTempView("r12_ret")
+    rows = sql(spark, """
+      SELECT u, arrayStringConcat(transform(
+               retention(t = 'view', t = 'click', t = 'purchase'),
+               x -> CAST(x AS STRING)), ',') AS r
+      FROM r12_ret GROUP BY u ORDER BY u""").collect()
+    # group-existential: u3 has click+purchase but NO view -> all 0
+    assert [(r.u, r.r) for r in rows] == [
+        (1, "1,1,0"), (2, "1,0,0"), (3, "0,0,0")]
+
+
+def test_retention_arity_refused():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="2-32"):
+        rewrite_aggregates("SELECT retention(c1) FROM t")
+
+
+def test_array_compact_and_enumerate(spark):
+    rows = sql(spark, """
+      SELECT arrayStringConcat(transform(
+               arrayCompact(array(1,1,2,2,1,3,3)),
+               x -> CAST(x AS STRING)), ',') AS c,
+             arrayStringConcat(transform(arrayEnumerate(array(9,8,7)),
+               x -> CAST(x AS STRING)), ',') AS e,
+             size(arrayEnumerate(array())) AS z""").collect()
+    assert rows[0].c == "1,2,1,3"
+    assert rows[0].e == "1,2,3" and rows[0].z == 0
