@@ -43,6 +43,49 @@ _FUNNEL_MODES = frozenset(
     {"strict_order", "strict_dedup", "strict_increase"})
 
 
+def funnel_level(pairs, n_levels: int, window_us: int,
+                 strict_order: bool = False,
+                 strict_dedup: bool = False,
+                 strict_increase: bool = False) -> int:
+    """The ClickHouse windowFunnel fold over SORTED (ts, level)
+    pairs — slots[k] = (chain_first_ts, level_event_ts) for level
+    k+1; overwrites only ever raise chain_first_ts, so one slot per
+    level is exact (and equals the max-start DP when no mode is
+    set). Module-level so the batch pandas_udf and the streaming
+    applyInPandasWithState operator run the IDENTICAL fold."""
+    slots = [None] * n_levels
+    first_event = False
+
+    def progress() -> int:
+        for k in range(n_levels, 0, -1):
+            if slots[k - 1] is not None:
+                return k
+        return 0
+
+    for ts, lv in pairs:
+        if lv == 0:  # non-matching (stored under strict_order)
+            if first_event:
+                break
+            continue
+        if lv == 1:
+            slots[0] = (ts, ts)
+            first_event = True
+        elif strict_dedup and slots[lv - 1] is not None:
+            return lv
+        elif strict_order and first_event and slots[lv - 2] is None:
+            return progress()
+        elif slots[lv - 2] is not None:
+            first_ts, last_ts = slots[lv - 2]
+            ok = ts - first_ts <= window_us
+            if strict_increase:
+                ok = ok and last_ts < ts
+            if ok:
+                slots[lv - 1] = (first_ts, ts)
+                if lv == n_levels:
+                    return n_levels
+    return progress()
+
+
 def window_funnel(events: DataFrame, conds: list[str], window_us: int,
                   user_col: str = "user_id", time_col: str = "ts",
                   type_col: str = "event_type",
@@ -100,42 +143,10 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
         def level(evs) -> int:
             if evs is None:  # user with no qualifying events (left join)
                 return 0
-            # slots[k] = (chain_first_ts, level_event_ts) for level
-            # k+1 — the ClickHouse windowFunnel fold; overwrites only
-            # ever raise chain_first_ts, so one slot per level is
-            # exact (and equals the max-start DP when no mode is set)
-            slots = [None] * n_levels
-            first_event = False
-
-            def progress() -> int:
-                for k in range(n_levels, 0, -1):
-                    if slots[k - 1] is not None:
-                        return k
-                return 0
-
-            for ts, lv in sorted((e["t"], e["lv"]) for e in evs):
-                if lv == 0:  # non-matching (stored under strict_order)
-                    if first_event:
-                        break
-                    continue
-                if lv == 1:
-                    slots[0] = (ts, ts)
-                    first_event = True
-                elif strict_dedup and slots[lv - 1] is not None:
-                    return lv
-                elif strict_order and first_event \
-                        and slots[lv - 2] is None:
-                    return progress()
-                elif slots[lv - 2] is not None:
-                    first_ts, last_ts = slots[lv - 2]
-                    ok = ts - first_ts <= window_us
-                    if strict_increase:
-                        ok = ok and last_ts < ts
-                    if ok:
-                        slots[lv - 1] = (first_ts, ts)
-                        if lv == n_levels:
-                            return n_levels
-            return progress()
+            return funnel_level(
+                sorted((e["t"], e["lv"]) for e in evs), n_levels,
+                window_us, strict_order, strict_dedup,
+                strict_increase)
 
         return pairs.map(level).astype("int32")
 

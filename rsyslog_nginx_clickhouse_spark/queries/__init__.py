@@ -213,8 +213,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 #: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 15 mandatory
-#: entries — 14 NEW (multimodal_decode_jpeg_420: real 4:2:0
+#: rotation contract): the window leads with the round's 16 mandatory
+#: entries — 15 NEW (multimodal_decode_jpeg_420: real 4:2:0
 #: chroma-subsampled color JPEG decode through the interleaved-MCU
 #: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
 #: strict_increase as the exact CH single-slot fold under recursive-
@@ -235,14 +235,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: quantileExactWeighted/medianExactWeighted crossing-scan folds)
 #: and 1
 #: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
-#: deltaSumTimestamp refuses) — then fills oldest-first: 35 of the
+#: deltaSumTimestamp refuses) — then fills oldest-first: 34 of the
 #: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
-#: due) alphabetically. The 14 alphabetically-last r8 rows
-#: (semantic_dedup, sequence_count_chains, sequence_match_funnel,
+#: due) alphabetically. The 15 alphabetically-last r8 rows
+#: (retention_cohort, semantic_dedup, sequence_count_chains,
+#: sequence_match_funnel,
 #: status_class_share, stratified_sample, streaming_semantic_dedup,
 #: temperature_mixture, tfidf_top_terms, token_counts, top_bigrams,
 #: top_users, train_test_split, value_histogram,
-#: with_fill_sql_histogram) are the price of the 15 mandatory slots —
+#: with_fill_sql_histogram) are the price of the 16 mandatory slots —
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R12 = [
@@ -261,9 +262,10 @@ _FRONTLOAD_R12 = [
     "sequence_match_timed",        # NEW: sequenceMatch (?t op N)
     "quantile_exact_weighted_sql",  # NEW: quantileExactWeighted
     "retention_sql",               # NEW: retention() SQL spelling
+    "streaming_window_funnel",     # NEW: stateful streaming funnel
     # text-changed this round — doc no longer claims the refusal
     "delta_sum_sql",
-    # 35 of the 49 r8 rows — oldest in the registry (due per the
+    # 34 of the 49 r8 rows — oldest in the registry (due per the
     # standing contract), alphabetical
     "asof_join_sql",
     "big_spender_customers",
@@ -299,7 +301,6 @@ _FRONTLOAD_R12 = [
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
-    "retention_cohort",
 ]
 
 _FRONTLOAD_R11 = [

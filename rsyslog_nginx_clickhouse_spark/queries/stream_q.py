@@ -247,6 +247,99 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_window_funnel",
+    # the batch funnel's EXISTS-chain oracle verbatim — the streaming
+    # state IS ClickHouse's windowFunnel aggregation state (the
+    # (ts, level) event list, sorted at finalization), so the final
+    # emitted level must equal the batch fold over the same events
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t >= a.t AND b.t - a.t <= 21600000000),
+    l3 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id) JOIN e c USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND c.t >= b.t
+        AND c.t - a.t <= 21600000000)
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+           LEFT JOIN l3 USING (user_id)
+    """,
+    doc="STREAMING windowFunnel (round 12): a custom stateful "
+        "operator via applyInPandasWithState whose per-user "
+        "GroupState is EXACTLY ClickHouse's windowFunnel aggregation "
+        "state — the (ts, level) list of condition-matching events "
+        "(CH sorts and folds it at finalization; each epoch here "
+        "re-folds via the same operators/funnel.funnel_level the "
+        "batch UDF runs, so batch and streaming can never diverge). "
+        "State is bounded by the user's condition events; "
+        "out-of-order arrivals across epochs are handled by "
+        "construction (the fold re-sorts the accumulated list — "
+        "merge-order independence, the property CH's state merge "
+        "needs too). Update mode emits the running level; the final "
+        "epoch's row (max event count) is the answer",
+)
+def streaming_window_funnel(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        funnel_level,
+    )
+
+    window_us = 6 * 3600 * 1_000_000
+    lv_of = {"view": 1, "click": 2, "purchase": 3}
+
+    def update(key, pdfs, state: GroupState):
+        ts_l, lv_l = ([list(a) for a in state.get]
+                      if state.exists else ([], []))
+        for pdf in pdfs:
+            lv = pdf["event_type"].map(lv_of)
+            keep = lv.notna()
+            ts_l.extend(int(t) for t in pdf["t"][keep])
+            lv_l.extend(int(v) for v in lv[keep])
+        state.update((ts_l, lv_l))
+        level = funnel_level(sorted(zip(ts_l, lv_l)), 3, window_us)
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_seen": [len(ts_l)],
+                            "funnel_level": [level]})
+
+    src = (_events_stream(spark, sf_dir)
+           .select("user_id", F.unix_micros(F.col("ts")).alias("t"),
+                   "event_type"))
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_seen long, "
+                         "funnel_level int",
+        stateStructType="ts array<long>, lv array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    tbl = _run_to_memory_table(spark, out, "update")
+    # update mode appends one row per key per epoch; the final level
+    # is the row with the most accumulated events (strict modes can
+    # lower the level as events arrive, so max(level) would be wrong)
+    return (tbl.groupBy("user_id")
+               .agg(F.max_by("funnel_level", "n_seen")
+                     .alias("funnel_level"))
+               .orderBy("user_id"))
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id

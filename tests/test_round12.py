@@ -859,3 +859,77 @@ def test_array_compact_and_enumerate(spark):
              size(arrayEnumerate(array())) AS z""").collect()
     assert rows[0].c == "1,2,1,3"
     assert rows[0].e == "1,2,3" and rows[0].z == 0
+
+
+# ------------------------- streaming windowFunnel state --
+
+
+def test_streaming_funnel_state_across_epochs_out_of_order(
+        spark, tmp_path):
+    """Multi-epoch state: the second file delivers an EARLIER view
+    that completes u2's chain — the state list re-sorts at every
+    fold (merge-order independence, the property CH's state merge
+    relies on), so the final level reflects the full history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        funnel_level,
+    )
+
+    US = 1_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    # epoch 1: u1 full chain; u2 click+purchase only (level 0)
+    pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "t": [100 * US, 150 * US, 190 * US, 150 * US, 190 * US],
+        "event_type": ["view", "click", "purchase", "click",
+                       "purchase"],
+    }).to_parquet(d / "a.parquet")
+    # epoch 2: u2's view arrives LATE but timestamped EARLIEST
+    pd.DataFrame({
+        "user_id": [2], "t": [100 * US], "event_type": ["view"],
+    }).to_parquet(d / "b.parquet")
+
+    lv_of = {"view": 1, "click": 2, "purchase": 3}
+
+    def update(key, pdfs, state: GroupState):
+        ts_l, lv_l = ([list(a) for a in state.get]
+                      if state.exists else ([], []))
+        for pdf in pdfs:
+            lv = pdf["event_type"].map(lv_of)
+            keep = lv.notna()
+            ts_l.extend(int(t) for t in pdf["t"][keep])
+            lv_l.extend(int(v) for v in lv[keep])
+        state.update((ts_l, lv_l))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_seen": [len(ts_l)],
+            "funnel_level": [funnel_level(
+                sorted(zip(ts_l, lv_l)), 3, 1000 * US)]})
+
+    src = (spark.readStream
+           .schema("user_id long, t long, event_type string")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(d)))
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_seen long, "
+                         "funnel_level int",
+        stateStructType="ts array<long>, lv array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    q = (out.writeStream.format("memory").queryName("sfun")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max_by(funnel_level, n_seen) AS lvl "
+        "FROM sfun GROUP BY user_id ORDER BY user_id").collect()
+    assert [(r.user_id, r.lvl) for r in rows] == [(1, 3), (2, 3)]
+    # and u2's FIRST epoch (2 events) must have been level 0
+    first = spark.sql("SELECT funnel_level FROM sfun WHERE "
+                      "user_id = 2 AND n_seen = 2").collect()
+    assert [r.funnel_level for r in first] == [0]
