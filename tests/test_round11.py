@@ -592,12 +592,16 @@ def test_progressive_rejects_stay_loud():
     arith = good[:sof2 + 1] + b"\xCA" + good[sof2 + 2:]
     with pytest.raises(NotImplementedError, match="0xFFCA"):
         decode_jpeg(arith)
-    # a DRI segment before a progressive scan refuses loudly
+    # DRI in progressive scans is SUPPORTED since r12 — an interval
+    # (8) larger than the block count never fires, so this stream
+    # must now decode identically to the unmodified one (streams
+    # WITH live RSTn markers are pinned in test_round12)
+    import numpy as np
     dri = b"\xFF\xDD\x00\x04\x00\x08"
     sos = good.index(b"\xFF\xDA")
     with_dri = good[:sos] + dri + good[sos:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(with_dri)
+    np.testing.assert_array_equal(decode_jpeg(with_dri),
+                                  decode_jpeg(good))
     # truncating entropy data mid-scan surfaces as ValueError
     with pytest.raises(ValueError, match="truncated or corrupt"):
         decode_jpeg(good[:sos + 12] + b"\xFF\xD9")
