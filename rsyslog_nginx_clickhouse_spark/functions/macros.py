@@ -818,6 +818,21 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
     out = _rewrite_retention(out)
+    # the per-user stateful behavioral aggregates have NO inline SQL
+    # spelling (a per-group sequential fold over sorted events) —
+    # point at the operator API instead of leaking the CH name into
+    # Spark's parser as an unknown-function error far from the cause
+    seq = re.search(r"\b(windowFunnel|sequenceMatch|sequenceCount)"
+                    r"\s*\(", out)
+    if seq:
+        raise ValueError(
+            f"{seq.group(1)}: the per-user stateful behavioral "
+            "aggregates have no inline Spark-SQL spelling — use the "
+            "operator API (operators/funnel.window_funnel with "
+            "modes=, sequence_match / sequence_count with (?t op N) "
+            "time constraints, retention maps inline as SQL); the "
+            "streaming form is queries/stream_q."
+            "streaming_window_funnel")
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)

@@ -933,3 +933,17 @@ def test_streaming_funnel_state_across_epochs_out_of_order(
     first = spark.sql("SELECT funnel_level FROM sfun WHERE "
                       "user_id = 2 AND n_seen = 2").collect()
     assert [r.funnel_level for r in first] == [0]
+
+
+def test_behavioral_aggregates_point_at_operator_api():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    for name in ("windowFunnel", "sequenceMatch", "sequenceCount"):
+        with pytest.raises(ValueError, match="operator API"):
+            rewrite_aggregates(
+                f"SELECT {name}(3600)(ts, a, b) FROM t GROUP BY u")
+    # string DATA mentioning them stays byte-identical
+    q = "SELECT 'windowFunnel(1)(t, c)' AS s FROM t"
+    assert rewrite_aggregates(q) == q
