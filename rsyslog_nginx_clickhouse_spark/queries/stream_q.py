@@ -163,10 +163,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     return normalize_ts(
-        spark.readStream.schema(raw_schema)
-             .option("pathGlobFilter", "events.parquet")
-             .parquet(sf_dir),
+        _stream_table(spark, sf_dir, "events.parquet", raw_schema),
         "events")
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, table: str,
+                  schema):
+    """File-stream source over a testdata table, whatever its shape:
+    the driver writes single FILES (sf0.01/events.parquet), Spark
+    itself writes DIRECTORIES (the sf1 probe dir). The stream source
+    refuses a bare file path ('basePath must be a directory'), and a
+    pathGlobFilter over sf_dir matches FILE names only — so a
+    directory table under the glob silently yielded an EMPTY stream
+    (round 12). Pick per shape."""
+    import os
+
+    path = os.path.join(sf_dir, table)
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", table).parquet(sf_dir)
 
 
 @query(
@@ -574,9 +590,8 @@ def streaming_semantic_dedup(spark: SparkSession,
                           for row in order])
 
     raw_schema = spark.read.parquet(src).schema
-    arrivals = (spark.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "embeddings.parquet")
-                .parquet(sf_dir)
+    arrivals = (_stream_table(spark, sf_dir, "embeddings.parquet",
+                              raw_schema)
                 .where(F.col("vec_id") % 10 == 0)
                 .select(F.col("vec_id").alias("qid"),
                         F.col("embedding").alias("qv"),
