@@ -311,3 +311,67 @@ def test_sample_rowcount_inversion_matches_duckdb_ieee(n, total):
         f" 1.0 / ({n} / {total})").fetchone()
     assert hi_py == hi_db
     assert factor_py == factor_db
+
+
+# ---------------- round-12 rewrite folds vs Python references --
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 50),            # ts
+              st.one_of(st.none(), st.integers(-100, 100))),  # value
+    min_size=0, max_size=25))
+def test_delta_sum_timestamp_matches_reference(spark, rows):
+    """deltaSumTimestamp == the positive-delta fold over (ts, value)
+    sorted pairs (ties break by value — the struct sort), NULLs
+    skipped without breaking the prev chain."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    df = spark.createDataFrame(
+        [(1, t, float(v) if v is not None else None)
+         for t, v in rows] or [(1, None, None)],
+        "g int, t int, v double")
+    df.createOrReplaceTempView("prop_dst")
+    got = sql(spark, "SELECT deltaSumTimestamp(v, t) AS ds "
+                     "FROM prop_dst GROUP BY g").collect()[0].ds
+
+    kept = sorted((t, v) for t, v in rows if v is not None
+                  and t is not None)
+    exp, prev = 0.0, None
+    for _, v in kept:
+        if prev is not None and v > prev:
+            exp += v - prev
+        prev = float(v)
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(-50, 50),          # value
+              st.integers(1, 9)),            # weight
+    min_size=1, max_size=25),
+    p=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]))
+def test_quantile_exact_weighted_matches_reference(spark, rows, p):
+    """quantileExactWeighted == first value (ascending) whose
+    cumulative weight reaches greatest(floor(p * total), 1)."""
+    import math
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    df = spark.createDataFrame(
+        [(1, float(v), w) for v, w in rows], "g int, v double, w int")
+    df.createOrReplaceTempView("prop_qew")
+    got = sql(spark, f"SELECT quantileExactWeighted({p})(v, w) AS q "
+                     "FROM prop_qew GROUP BY g").collect()[0].q
+
+    pairs = sorted((float(v), float(w)) for v, w in rows)
+    thr = max(math.floor(p * sum(w for _, w in pairs)), 1)
+    cum, exp = 0.0, None
+    for v, w in pairs:
+        cum += w
+        if cum >= thr:
+            exp = v
+            break
+    assert got == exp
