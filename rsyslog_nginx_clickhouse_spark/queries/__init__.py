@@ -213,7 +213,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 #: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 16 mandatory
+#: rotation contract): the window leads with the round's 17 mandatory
 #: entries — 15 NEW (multimodal_decode_jpeg_420: real 4:2:0
 #: chroma-subsampled color JPEG decode through the interleaved-MCU
 #: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
@@ -237,13 +237,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
 #: deltaSumTimestamp refuses) — then fills oldest-first: 34 of the
 #: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
-#: due) alphabetically. The 15 alphabetically-last r8 rows
-#: (retention_cohort, semantic_dedup, sequence_count_chains,
-#: sequence_match_funnel,
+#: due) alphabetically. The 16 remaining r8 rows
+#: (q2_min_cost_supplier, retention_cohort, semantic_dedup,
+#: sequence_count_chains, sequence_match_funnel,
 #: status_class_share, stratified_sample, streaming_semantic_dedup,
 #: temperature_mixture, tfidf_top_terms, token_counts, top_bigrams,
 #: top_users, train_test_split, value_histogram,
-#: with_fill_sql_histogram) are the price of the 16 mandatory slots —
+#: with_fill_sql_histogram, minus streaming_semantic_dedup which is
+#: text-changed and therefore IN the window) are the price of the 17
+#: mandatory slots —
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 _FRONTLOAD_R12 = [
@@ -263,9 +265,11 @@ _FRONTLOAD_R12 = [
     "quantile_exact_weighted_sql",  # NEW: quantileExactWeighted
     "retention_sql",               # NEW: retention() SQL spelling
     "streaming_window_funnel",     # NEW: stateful streaming funnel
-    # text-changed this round — doc no longer claims the refusal
+    # text-changed this round — doc no longer claims the refusal /
+    # the inline embeddings stream reads via _stream_table
     "delta_sum_sql",
-    # 34 of the 49 r8 rows — oldest in the registry (due per the
+    "streaming_semantic_dedup",
+    # 33 of the 49 r8 rows — oldest in the registry (due per the
     # standing contract), alphabetical
     "asof_join_sql",
     "big_spender_customers",
@@ -300,7 +304,6 @@ _FRONTLOAD_R12 = [
     "q11_important_parts",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
 ]
 
 _FRONTLOAD_R11 = [
