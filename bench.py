@@ -54,9 +54,23 @@ ADJ_ABS_SLACK_S = 0.6
 #: start 1.57, after pass 1: 7.08), so mid-run loads diagnose, never
 #: convict.
 CONTENDED_LOAD_1M = 2.0
-#: bounded drain-wait at start: give a transient spike this long to
-#: clear before declaring the run contended
-DRAIN_WAIT_S = 180
+#: ... and the 5-min load catches what the 1-min gate misses: a box
+#: whose previous tenant just left reads 1-min ~0 while the 5-min
+#: average still carries the heat (the r12 "quiet" run started at
+#: 1-min 0.05 / 5-min 3.91 and its probes then ran at load 2.3-10.3 —
+#: VERDICT r12 item 2). The 5-min average decays with a ~5-min time
+#: constant, so the drain-wait below is long enough for genuine
+#: suite-heat to clear; a 5-min load that persists past it is a
+#: co-tenant, not an echo.
+CONTENDED_LOAD_5M = 2.5
+#: bounded drain-wait at start: give a transient spike (or the 5-min
+#: average's decay) this long to clear before declaring the run
+#: contended
+DRAIN_WAIT_S = 450
+#: a probe sampled at-or-above this 1-min load is not a clean sample:
+#: its verdict caps at 'contended' and it may not seed a BENCH_BEST
+#: re-baseline
+PROBE_LOAD_CEILING = 3.0
 
 
 def _plan_sig(df) -> str:
@@ -157,13 +171,30 @@ def _update_best_by_sig(timings: dict, plan_sigs: dict,
         if sig is None or t <= 0:
             continue
         # an isolated re-probe is a cleaner sample than the in-suite
-        # wall — use the smaller of the two
-        probe = adjudications.get(name, {}).get("probe")
-        wall = min(t, probe) if probe else t
+        # wall — use the smaller of the two, but only when the probe
+        # itself ran under the load ceiling
+        adj = adjudications.get(name, {})
+        probe = adj.get("probe")
+        clean_probe = (probe is not None
+                       and adj.get("probe_load", 99.0)
+                       < PROBE_LOAD_CEILING)
+        wall = min(t, probe) if clean_probe else t
         cur = best.get(name)
         if cur and cur.get("sig") == sig:
             cur["best"] = min(cur["best"], round(wall, 3))
-        else:
+        elif cur is None or clean_probe or name not in adjudications:
+            # RESETTING an existing entry to a new signature discards
+            # its baseline, so the new number must be a sample worth
+            # baselining against: either a solo probe taken under the
+            # load ceiling, or an in-suite wall the adjudicator never
+            # flagged (i.e. within noise of the all-time best — it
+            # cannot be badly suite-inflated). An adjudicated wall
+            # with no clean probe keeps the OLD entry: r12's
+            # plan-changed branch wrote q2_min_cost_supplier 5.539s
+            # (prior best 1.292s) and curation_pipeline 9.504s from
+            # in-suite walls — VERDICT r12 item 1. A fresh entry
+            # (cur is None) seeds from whatever we have; it can only
+            # ratchet downward later.
             best[name] = {"sig": sig, "best": round(wall, 3)}
     with open(BEST_PATH, "w") as f:
         json.dump(dict(sorted(best.items())), f, indent=1)
@@ -187,6 +218,40 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
     if best_by_sig is None:
         best_by_sig = _load_best_by_sig()
     out = {}
+
+    def _solo_probe(name, entry):
+        """Isolated re-run (min of 2) with a bounded drain-wait; the
+        sample and its start load ship in the entry."""
+        # the probe's whole point is a contention-free sample, but
+        # straight after the suite the 1-min load is still 10+ and
+        # the probe itself reads 2x its settled wall (observed:
+        # embedding_neardup_exact probe 1.76 s at load 12.8 vs
+        # 1.04 s settled — a 'real' verdict on a ghost). Wait,
+        # bounded, for the box to drain before sampling.
+        # no drain-wait on a contended run: the start-of-run wait
+        # already failed, and the verdict is capped anyway — don't
+        # burn 90 s per adjudication confirming the box is busy
+        for _ in range(0 if contended else 18):
+            if os.getloadavg()[0] < PROBE_LOAD_CEILING:
+                break
+            _time.sleep(5)
+        start_load = os.getloadavg()[0]
+        probe = None
+        for _ in range(2):
+            t0 = _time.time()
+            registry[name].spark(spark, SF_DIR) \
+                .write.mode("overwrite").format("noop").save()
+            dt = _time.time() - t0
+            probe = dt if probe is None else min(probe, dt)
+            spark.catalog.clearCache()
+            gc.collect()
+        entry["probe"] = round(probe, 3)
+        # the ratchet gate: a probe at-or-above the ceiling at START
+        # is not a clean sample (recorded from the start load, not
+        # the after-load, so the probe's own work can't convict it)
+        entry["probe_load"] = round(start_load, 2)
+        return probe, start_load
+
     for name, t in timings.items():
         b = best.get(name)
         if b is None or t <= 0 or t / b < ADJ_RATIO \
@@ -225,36 +290,21 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
                   and same.get("sig") == plan_sigs.get(name) else None)
         if base_sig is not None and base_sig != plan_sigs.get(name):
             entry["verdict"] = "plan-changed"
+            # a changed signature will RESET this query's BENCH_BEST
+            # entry, and an in-suite wall is suite-inflated (r12 wrote
+            # q2_min_cost_supplier 5.539s / curation_pipeline 9.504s
+            # this way — VERDICT r12 item 1): take the solo probe so
+            # the re-baseline comes from a clean sample. Skipped on a
+            # contended run (no ratchet happens anyway) and when the
+            # stored same-sig baseline already exists (no reset).
+            if not contended and b_same is None and registry is not None:
+                _solo_probe(name, entry)
         elif b_same is not None and (t / b_same < ADJ_RATIO
                                      or t - b_same < ADJ_ABS_SLACK_S):
             entry["best_same_plan"] = b_same
             entry["verdict"] = "plan-changed"
         else:
-            # the probe's whole point is a contention-free sample, but
-            # straight after the suite the 1-min load is still 10+ and
-            # the probe itself reads 2x its settled wall (observed:
-            # embedding_neardup_exact probe 1.76 s at load 12.8 vs
-            # 1.04 s settled — a 'real' verdict on a ghost). Wait,
-            # bounded, for the box to drain before sampling.
-            # no drain-wait on a contended run: the start-of-run wait
-            # already failed, and the verdict is capped anyway — don't
-            # burn 90 s per adjudication confirming the box is busy
-            for _ in range(0 if contended else 18):
-                if os.getloadavg()[0] < 3.0:
-                    break
-                _time.sleep(5)
-            probe_start_load = os.getloadavg()[0]
-            probe = None
-            for _ in range(2):
-                t0 = _time.time()
-                registry[name].spark(spark, SF_DIR) \
-                    .write.mode("overwrite").format("noop").save()
-                dt = _time.time() - t0
-                probe = dt if probe is None else min(probe, dt)
-                spark.catalog.clearCache()
-                gc.collect()
-            entry["probe"] = round(probe, 3)
-            entry["probe_load"] = round(os.getloadavg()[0], 2)
+            probe, probe_start_load = _solo_probe(name, entry)
             ref = b_same if b_same is not None else b
             if b_same is not None:
                 entry["best_same_plan"] = b_same
@@ -268,7 +318,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             elif probe / ref < ADJ_RATIO \
                     or probe - ref < ADJ_ABS_SLACK_S:
                 entry["verdict"] = "steal"
-            elif contended or probe_start_load >= 3.0:
+            elif contended or probe_start_load >= PROBE_LOAD_CEILING:
                 # a loaded box cannot convict: the suite sample AND
                 # the solo re-probe both ran under external load, so
                 # "it reproduces" proves nothing (VERDICT r11: the
@@ -288,15 +338,25 @@ def main() -> None:
     # whole run contended (recorded in the artifact, blocks 'real'
     # verdicts and the BENCH_BEST ratchet)
     waited = 0
-    while os.getloadavg()[0] >= CONTENDED_LOAD_1M \
-            and waited < DRAIN_WAIT_S:
+    while waited < DRAIN_WAIT_S:
+        l1, l5, _ = os.getloadavg()
+        if l1 < CONTENDED_LOAD_1M and l5 < CONTENDED_LOAD_5M:
+            break
         time.sleep(5)
         waited += 5
-    load_start = round(os.getloadavg()[0], 2)
-    contended = load_start >= CONTENDED_LOAD_1M
+    l1, l5, _ = os.getloadavg()
+    load_start = round(l1, 2)
+    load_start_5m = round(l5, 2)
+    # gate on BOTH averages: a just-vacated box reads 1-min ~0 while
+    # the 5-min average still carries the previous tenant's heat, and
+    # probes launched into that tail run at load 2-10 (the r12 "quiet"
+    # run: 1-min 0.05, 5-min 3.91 — VERDICT r12 item 2)
+    contended = (load_start >= CONTENDED_LOAD_1M
+                 or load_start_5m >= CONTENDED_LOAD_5M)
     if contended:
-        print(f"# bench contended: 1-min load {load_start} >= "
-              f"{CONTENDED_LOAD_1M} after {waited}s drain-wait — "
+        print(f"# bench contended: load {load_start} (1m) / "
+              f"{load_start_5m} (5m) vs gates {CONTENDED_LOAD_1M}/"
+              f"{CONTENDED_LOAD_5M} after {waited}s drain-wait — "
               "verdicts capped at 'contended', no ratchet",
               file=sys.stderr)
     registry = load_all()
@@ -398,6 +458,7 @@ def main() -> None:
         "sf": sf_val,
         "iters": iters,
         "load_avg": loads,
+        "load_5m_start": load_start_5m,
         "plan_sig": plan_sigs,
     }
     if contended:

@@ -54,6 +54,7 @@ def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
         # ticker off stdout so bench.py's JSON line stays parseable
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.maxMetadataStringLength", "10000")
     )
     spark = builder.getOrCreate()
     # getOrCreate IGNORES builder confs when a session already exists
@@ -62,7 +63,16 @@ def get_spark(app_name: str = "rsyslog-nginx-clickhouse-spark",
     for k, v in (("spark.sql.session.timeZone", "UTC"),
                  ("spark.sql.shuffle.partitions", cpus),
                  ("spark.sql.adaptive.enabled", "true"),
-                 ("spark.sql.execution.arrow.pyspark.enabled", "true")):
+                 ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+                 # plan-text metadata (DataFilters/PushedFilters/...)
+                 # truncates at this many chars; with the 100-char
+                 # default the cut point depends on the DIGIT WIDTH of
+                 # expression ids, so bench._plan_sig's id-normalized
+                 # signature flip-flopped between identical plans
+                 # (q2_min_cost_supplier's r12 "instability" was
+                 # exactly this — VERDICT r12 item 1). Untruncated
+                 # metadata is id-invariant after normalization.
+                 ("spark.sql.maxMetadataStringLength", "10000")):
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -328,13 +328,37 @@ def test_bench_update_best_by_sig(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "BEST_PATH", str(tmp_path / "best.json"))
 
     bench._update_best_by_sig({"q": 1.0}, {"q": "sigA"}, {})
-    bench._update_best_by_sig(  # probe cleaner than wall → probe wins
-        {"q": 0.9}, {"q": "sigA"}, {"q": {"probe": 0.7}})
+    bench._update_best_by_sig(  # clean probe beats wall → probe wins
+        {"q": 0.9}, {"q": "sigA"},
+        {"q": {"probe": 0.7, "probe_load": 0.4}})
     got = _json.load(open(bench.BEST_PATH))
     assert got["q"] == {"sig": "sigA", "best": 0.7}
-    bench._update_best_by_sig({"q": 2.0}, {"q": "sigB"}, {})  # reset
+    bench._update_best_by_sig(  # probe at-load is not a clean sample
+        {"q": 0.65}, {"q": "sigA"},
+        {"q": {"probe": 0.3, "probe_load": 8.2}})
+    got = _json.load(open(bench.BEST_PATH))
+    assert got["q"] == {"sig": "sigA", "best": 0.65}
+    # sig change on an UNFLAGGED wall (not in adjudications → within
+    # noise of the all-time best) may reset
+    bench._update_best_by_sig({"q": 2.0}, {"q": "sigB"}, {})
     got = _json.load(open(bench.BEST_PATH))
     assert got["q"] == {"sig": "sigB", "best": 2.0}
+    # sig change on an ADJUDICATED wall with no clean probe must NOT
+    # reset — r12 wrote q2_min_cost_supplier's 5.539s suite wall over
+    # a 1.292s baseline exactly this way (VERDICT r12 item 1)
+    bench._update_best_by_sig(
+        {"q": 5.5}, {"q": "sigC"},
+        {"q": {"verdict": "plan-changed"}})
+    got = _json.load(open(bench.BEST_PATH))
+    assert got["q"] == {"sig": "sigB", "best": 2.0}
+    # ... but with a clean solo probe the reset proceeds, from the
+    # probe (the cleaner sample), not the suite wall
+    bench._update_best_by_sig(
+        {"q": 5.5}, {"q": "sigC"},
+        {"q": {"verdict": "plan-changed",
+               "probe": 1.8, "probe_load": 0.3}})
+    got = _json.load(open(bench.BEST_PATH))
+    assert got["q"] == {"sig": "sigC", "best": 1.8}
 
 
 def test_bench_adjudicate_probe_invalid_when_slower_than_suite():
