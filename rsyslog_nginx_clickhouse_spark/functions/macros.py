@@ -818,21 +818,16 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
     out = _rewrite_retention(out)
-    # the per-user stateful behavioral aggregates have NO inline SQL
-    # spelling (a per-group sequential fold over sorted events) —
-    # point at the operator API instead of leaking the CH name into
-    # Spark's parser as an unknown-function error far from the cause
-    seq = re.search(r"\b(windowFunnel|sequenceMatch|sequenceCount)"
-                    r"\s*\(", out)
-    if seq:
-        raise ValueError(
-            f"{seq.group(1)}: the per-user stateful behavioral "
-            "aggregates have no inline Spark-SQL spelling — use the "
-            "operator API (operators/funnel.window_funnel with "
-            "modes=, sequence_match / sequence_count with (?t op N) "
-            "time constraints, retention maps inline as SQL); the "
-            "streaming form is queries/stream_q."
-            "streaming_window_funnel")
+    # the behavioral aggregates' verbatim CH spellings (VERDICT r12
+    # item 3 — previously a pointer-refusal): windowFunnel folds the
+    # sorted per-user (ts, level) structs through the exact CH
+    # single-slot algorithm as one aggregate() expression;
+    # sequenceMatch/Count rebuild the label string inline (regex
+    # path) or unroll the pattern's NFA into the fold (time
+    # constraints). All higher-order codegen expressions — one
+    # shuffle, no UDF.
+    out = _rewrite_window_funnel(out, lits)
+    out = _rewrite_sequence_calls(out, lits)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -956,6 +951,303 @@ def _rewrite_quantile_weighted(out: str) -> str:
             f"__qa ELSE struct(__qa.r + __qe.w AS r, "
             f"CASE WHEN __qa.r + __qe.w >= __qt THEN __qe.v END "
             f"AS res) END, __qf -> __qf.res)), 1)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _unmask_literal(tok: str, lits: list[str], what: str) -> str:
+    """A masked string-literal token back to its unquoted text (the
+    behavioral rewrites run on masked SQL, so parameters like funnel
+    modes and sequence patterns arrive as \\x00k\\x00 markers)."""
+    m = re.fullmatch(r"\x00(\d+)\x00", tok.strip())
+    if not m:
+        raise ValueError(f"{what} must be a string literal, "
+                         f"got {tok.strip()!r}")
+    return lits[int(m.group(1))][1:-1]
+
+
+def _rewrite_window_funnel(out: str, lits: list[str]) -> str:
+    """ClickHouse ``windowFunnel(window[, 'mode'…])(ts, c1, …, cN)``
+    (round 13 — the verbatim dashboard spelling, previously a
+    pointer-refusal): per-group funnel level as ONE ``aggregate()``
+    fold over the sorted (ts, level) structs — the IDENTICAL
+    single-slot algorithm ``operators/funnel.funnel_level`` runs
+    (one (chain_first_ts, level_event_ts) slot per level, early
+    termination carried as a done/res pair), so the SQL spelling and
+    the operator API cannot diverge. All codegen-able higher-order
+    expressions: one partial-aggregatable collect per call, no UDF,
+    per-user state bounded by matching events.
+
+    Contract notes: the window is a literal integer in SECONDS (the
+    CH DateTime semantics; timestamps compare at microseconds like
+    the operator). Conditions label events by FIRST match — CH
+    evaluates conditions independently, so like the operator API this
+    spelling assumes mutually exclusive conditions (the event_type
+    equality predicates every funnel here uses). Ties on ts order by
+    level (sort_array on the struct) — the operator's exact order.
+    """
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        _FUNNEL_MODES,
+    )
+
+    rx = re.compile(r"\bwindowFunnel\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        params, after = _take_call_args(out, m.end() - 1)
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError(
+                "windowFunnel needs the parametric form "
+                "windowFunnel(window[, 'mode'…])(ts, cond1, …)")
+        if not params or not re.fullmatch(r"\d+", params[0].strip()):
+            raise ValueError(
+                "windowFunnel: the window must be a literal integer "
+                "(seconds — the CH DateTime semantics)")
+        w_us = int(params[0]) * 1_000_000
+        modes = set()
+        for p in params[1:]:
+            mode = _unmask_literal(p, lits, "windowFunnel mode")
+            mode = "strict_dedup" if mode == "strict_deduplication" \
+                else mode
+            if mode not in _FUNNEL_MODES:
+                raise ValueError(
+                    f"unknown windowFunnel mode {mode!r} — "
+                    f"supported: {sorted(_FUNNEL_MODES)}")
+            modes.add(mode)
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) < 3:
+            raise ValueError(
+                "windowFunnel(…)(timestamp, cond1, cond2, …): need "
+                f"a timestamp and at least 2 conditions, got "
+                f"{len(args)} argument(s)")
+        if len(args) - 1 > 32:
+            raise ValueError("windowFunnel supports at most 32 "
+                             "conditions (the CH limit)")
+        repl = _funnel_fold_sql(args[0].strip(),
+                                [a.strip() for a in args[1:]],
+                                w_us, modes)
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _funnel_fold_sql(tsx: str, conds: list[str], w_us: int,
+                     modes: set) -> str:
+    """The windowFunnel fold as a Spark SQL expression — branch per
+    branch the ``operators/funnel.funnel_level`` algorithm, with the
+    accumulator struct(done, res, fe, s[]) carrying the early-return
+    result, the strict_order first-event flag, and the per-level
+    (f=chain_first_ts, l=level_event_ts) slots."""
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
+    n = len(conds)
+    lab = ("CASE "
+           + " ".join(f"WHEN ({c}) THEN {i}"
+                      for i, c in enumerate(conds, 1))
+           + " ELSE 0 END")
+    pair = (f"named_struct('t', unix_micros(CAST(({tsx}) AS "
+            f"TIMESTAMP)), 'lv', {lab})")
+    if strict_order:
+        # non-matching events are part of the semantics (they break
+        # the chain once a level-1 event was seen): keep level 0
+        arr = f"sort_array(collect_list({pair}))"
+    else:
+        arr = (f"sort_array(collect_list("
+               f"CASE WHEN {lab} != 0 THEN {pair} END))")
+    init = (f"named_struct('done', false, 'res', 0, 'fe', false, "
+            f"'s', array_repeat("
+            f"CAST(NULL AS STRUCT<f: BIGINT, l: BIGINT>), {n}))")
+
+    def prog(s: str) -> str:
+        # highest filled level (the funnel_level progress() scan)
+        return (f"array_max(transform(sequence(1, {n}), __pk -> "
+                f"IF({s}[__pk - 1] IS NOT NULL, __pk, 0)))")
+
+    def keep(done: str, res: str) -> str:
+        return (f"named_struct('done', {done}, 'res', {res}, "
+                f"'fe', __fa.fe, 's', __fa.s)")
+
+    def advance(idx: str, f_v: str, l_v: str, done: str = "false",
+                res: str = "__fa.res", fe: str = "__fa.fe") -> str:
+        slots = (f"transform(__fa.s, (__sx, __si) -> IF(__si = {idx},"
+                 f" named_struct('f', CAST({f_v} AS BIGINT), "
+                 f"'l', CAST({l_v} AS BIGINT)), __sx))")
+        return (f"named_struct('done', {done}, 'res', {res}, "
+                f"'fe', {fe}, 's', {slots})")
+
+    branches = ["WHEN __fa.done THEN __fa"]
+    if strict_order:
+        branches.append(
+            f"WHEN __fe.lv = 0 THEN IF(__fa.fe, "
+            f"{keep('true', prog('__fa.s'))}, __fa)")
+    branches.append("WHEN __fe.lv = 1 THEN "
+                    + advance("0", "__fe.t", "__fe.t", fe="true"))
+    if strict_dedup:
+        branches.append(f"WHEN __fa.s[__fe.lv - 1] IS NOT NULL THEN "
+                        f"{keep('true', '__fe.lv')}")
+    if strict_order:
+        branches.append(
+            f"WHEN __fa.fe AND __fa.s[__fe.lv - 2] IS NULL THEN "
+            f"{keep('true', prog('__fa.s'))}")
+    adv_ok = (f"__fa.s[__fe.lv - 2] IS NOT NULL AND __fe.t - "
+              f"__fa.s[__fe.lv - 2].f <= CAST({w_us} AS BIGINT)")
+    if strict_increase:
+        adv_ok += " AND __fa.s[__fe.lv - 2].l < __fe.t"
+    branches.append(
+        "WHEN " + adv_ok + " THEN "
+        + advance("__fe.lv - 1", "__fa.s[__fe.lv - 2].f", "__fe.t",
+                  done=f"__fe.lv = {n}",
+                  res=f"IF(__fe.lv = {n}, {n}, __fa.res)"))
+    step = "CASE " + " ".join(branches) + " ELSE __fa END"
+    return (f"aggregate({arr}, {init}, (__fa, __fe) -> {step}, "
+            f"__ff -> IF(__ff.done, __ff.res, {prog('__ff.s')}))")
+
+
+def _sequence_string_sql(tsx: str, conds: list[str]) -> str:
+    """The per-group condition-label string as an inline expression —
+    the SQL spelling of ``operators/funnel._per_user_label_sequence``
+    (same storage rule: '0' events dropped INSIDE the aggregate, ties
+    on ts order by label)."""
+    lab = ("CASE "
+           + " ".join(f"WHEN ({c}) THEN '{i}'"
+                      for i, c in enumerate(conds, 1))
+           + " ELSE '0' END")
+    pair = (f"named_struct('ts', CAST(({tsx}) AS TIMESTAMP), "
+            f"'lab', {lab})")
+    return (f"array_join(transform(filter(sort_array("
+            f"collect_list({pair})), __sx -> __sx.lab != '0'), "
+            f"__sx -> __sx.lab), '')")
+
+
+def _sequence_nfa_sql(tsx: str, conds: list[str],
+                      toks: list[tuple]) -> str:
+    """Time-constrained sequenceMatch as one ``aggregate()`` fold:
+    the pattern's NFA, UNROLLED at rewrite time into per-position
+    boolean fields (pattern tokens are literals, so the transition
+    and epsilon-closure structure is static). State = one boolean per
+    pattern position + the previous stored event's timestamp (a
+    ``(?t op N)`` constraint binds the two events adjacent condition
+    atoms match, which in the stored sequence are CONSECUTIVE events
+    — the DP in ``operators/funnel._seq_match_end`` checks
+    ``ts[i] - ts[i-1]`` the same way). Existence tracking over all
+    paths makes the NFA exact vs the memoized DP; the accept position
+    is sticky so a completed match survives later events."""
+    toks = [("star",)] + list(toks)  # unanchored, like the DP
+    mlen = len(toks)
+    lab = ("CASE "
+           + " ".join(f"WHEN ({c}) THEN '{i}'"
+                      for i, c in enumerate(conds, 1))
+           + " ELSE '0' END")
+    pair = (f"named_struct('t', unix_micros(CAST(({tsx}) AS "
+            f"TIMESTAMP)), 'lab', {lab})")
+    arr = (f"sort_array(collect_list("
+           f"CASE WHEN {lab} != '0' THEN {pair} END))")
+    # initial state: epsilon closure of {position 0}
+    init_flags = [False] * (mlen + 1)
+    init_flags[0] = True
+    for j in range(mlen):
+        if toks[j][0] == "star" and init_flags[j]:
+            init_flags[j + 1] = True
+    init = ("named_struct('pt', CAST(NULL AS BIGINT), "
+            + ", ".join(f"'p{j}', {str(f).lower()}"
+                        for j, f in enumerate(init_flags)) + ")")
+
+    def match_sql(tok: tuple) -> str:
+        if tok[0] == "any":
+            return "true"
+        _, d, tc = tok
+        cond = f"__ne.lab = '{d}'"
+        if tc:
+            op = "=" if tc[0] == "==" else tc[0]
+            cond += (f" AND __na.pt IS NOT NULL AND __ne.t - __na.pt "
+                     f"{op} CAST({tc[1] * 1_000_000} AS BIGINT)")
+        return cond
+
+    # consume one stored event ('0' labels never reach the fold, so
+    # star/any match unconditionally), then close over star epsilons
+    new = ["false"] * (mlen + 1)
+    for j, tok in enumerate(toks):
+        if tok[0] == "star":
+            new[j] = f"({new[j]} OR __na.p{j})"  # consume, stay
+        else:
+            new[j + 1] = (f"({new[j + 1]} OR (__na.p{j} AND "
+                          f"{match_sql(tok)}))")
+    for j in range(mlen):
+        if toks[j][0] == "star":
+            new[j + 1] = f"({new[j + 1]} OR {new[j]})"
+    new[mlen] = f"({new[mlen]} OR __na.p{mlen})"  # sticky accept
+    step = ("named_struct('pt', __ne.t, "
+            + ", ".join(f"'p{j}', {e}" for j, e in enumerate(new))
+            + ")")
+    return (f"aggregate({arr}, {init}, (__na, __ne) -> {step}, "
+            f"__nf -> __nf.p{mlen})")
+
+
+def _rewrite_sequence_calls(out: str, lits: list[str]) -> str:
+    """ClickHouse ``sequenceMatch('pat')(ts, c1, …)`` /
+    ``sequenceCount('pat')(ts, c1, …)`` (round 13 — the verbatim
+    spellings): patterns WITHOUT time constraints rebuild the label
+    string inline and run one RLIKE / regexp_extract_all (the
+    codegen path the operator API uses); a time-constrained
+    sequenceMatch unrolls the pattern NFA into an ``aggregate()``
+    fold (see _sequence_nfa_sql). Time-constrained sequenceCount is
+    refused loudly: its leftmost-lazy non-overlapping scan is a
+    backtracking restart discipline, not a single forward fold — use
+    operators/funnel.sequence_count."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        parse_sequence_pattern,
+        translate_sequence_pattern,
+    )
+
+    rx = re.compile(r"\b(sequenceMatch|sequenceCount)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        fn = m.group(1)
+        params, after = _take_call_args(out, m.end() - 1)
+        if len(params) != 1:
+            raise ValueError(f"{fn} takes exactly one pattern "
+                             f"parameter, got {len(params)}")
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError(f"{fn} needs the parametric form "
+                             f"{fn}('pattern')(ts, cond1, …)")
+        pattern = _unmask_literal(params[0], lits, f"{fn} pattern")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) < 2:
+            raise ValueError(f"{fn}(…)(timestamp, cond1, …): need a "
+                             f"timestamp and at least 1 condition")
+        if len(args) - 1 > 9:
+            raise ValueError(
+                f"{fn} supports at most 9 conditions (one char per "
+                f"label — condition 10 would encode as '10' and its "
+                f"'1' would falsely match condition 1)")
+        tsx = args[0].strip()
+        conds = [a.strip() for a in args[1:]]
+        toks = parse_sequence_pattern(pattern)
+        timed = any(t[0] == "cond" and t[2] for t in toks)
+        if timed and fn == "sequenceCount":
+            raise ValueError(
+                "sequenceCount with (?t op N) has no inline SQL "
+                "spelling (the leftmost-lazy non-overlapping scan "
+                "restarts mid-sequence — not a single forward fold): "
+                "use operators/funnel.sequence_count")
+        if timed:
+            repl = f"({_sequence_nfa_sql(tsx, conds, toks)})"
+        else:
+            regex = translate_sequence_pattern(pattern)
+            seq = _sequence_string_sql(tsx, conds)
+            if fn == "sequenceCount":
+                # lazy quantifiers = CH's minimal-chain resume
+                # discipline (operators/funnel.sequence_count doc)
+                regex = regex.replace(".*", ".*?")
+                repl = (f"CAST(size(regexp_extract_all({seq}, "
+                        f"'{regex}', 0)) AS BIGINT)")
+            else:
+                repl = f"({seq} RLIKE '{regex}')"
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
 

