@@ -2540,80 +2540,183 @@ def rewrite_asof_join(spark: SparkSession, query: str) -> str:
 #: writes the column type's default (0 / ''); wrap with coalesce for
 #: CH-exact output.
 _WITH_FILL_RE = re.compile(
-    r"(?is)\bORDER\s+BY\s+(?P<col>\w+)\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(?P<frm>[\w.'-]+))?"
-    r"(?:\s+TO\s+(?P<to>[\w.'-]+))?"
-    r"(?:\s+STEP\s+(?P<step>INTERVAL\s+\d+\s+\w+|[\d.]+))?"
-    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^()]*)\))?"
+    r"(?is)\bORDER\s+BY\s+(?P<col>\w+)(?:\s+(?P<desc>DESC))?"
+    r"\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(?P<frm>-?[\w.'-]+))?"
+    r"(?:\s+TO\s+(?P<to>-?[\w.'-]+))?"
+    r"(?:\s+STEP\s+(?P<step>INTERVAL\s+-?\d+\s+\w+|-?[\d.]+))?"
+    r"(?:\s+INTERPOLATE\s*\("
+    r"(?P<interp>(?:[^()]|\([^()]*\))*)\))?"
     r"(?P<tail>\s+LIMIT\s+\d+)?\s*$")
 
 
 def rewrite_with_fill(query: str) -> str:
-    """``<q> ORDER BY c WITH FILL ...`` → spine LEFT JOIN over the
-    original query: ``WITH __fill_src AS (<q>) SELECT * FROM
+    """``<q> ORDER BY c [DESC] WITH FILL ...`` → spine LEFT JOIN over
+    the original query: ``WITH __fill_src AS (<q>) SELECT * FROM
     (sequence spine) LEFT JOIN __fill_src USING (c) ORDER BY c`` —
     the spine is an in-stage explode (no shuffle beyond the join),
     bounds are literals or scalar subqueries, and an empty source
     yields an empty (not NULL-keyed) result because sequence(NULL, …)
-    explodes to zero rows."""
+    explodes to zero rows.
+
+    DESC (round 13 — VERDICT r12 item 5): the spine is the REVERSED
+    sequence (Spark's sequence() takes negative steps natively);
+    following ClickHouse, a descending fill needs FROM > TO and a
+    negative STEP, TO stays exclusive (now a lower bound), and the
+    INTERPOLATE carry direction follows the output order.
+
+    INTERPOLATE (round 13 — general ``c AS expr``, previously
+    LOCF-only): ClickHouse evaluates the expression over the PREVIOUS
+    OUTPUT ROW, repeatedly across consecutive filled rows (chained —
+    ``cnt AS cnt * 0.5`` halves per filled step). The carry-forward
+    identity stays a last_value-ignore-nulls window; a general
+    expression becomes one sequential ``aggregate()`` fold over the
+    collected GRID rows (never the fact table — grid size is the
+    dashboard's axis). Fold contract: the expression may reference
+    only expression-interpolated columns (their previous computed
+    values — anything else fails analysis loudly inside the lambda);
+    values compute as DOUBLE; filled rows before the first source row
+    interpolate from a NULL previous row and stay NULL where
+    ClickHouse would substitute the column's type default
+    (documented deviation — an engine that fabricates zeros on
+    leading rows silently corrupts dashboards)."""
     m = _WITH_FILL_RE.search(query)
     if m is None:
         if re.search(r"(?is)\bWITH\s+FILL\b", query):
             raise ValueError(
                 "unsupported WITH FILL form — needs 'ORDER BY <col> "
-                "WITH FILL [FROM a] [TO b] STEP <n | INTERVAL n "
-                "unit>' as the query's final clause (single key; "
+                "[DESC] WITH FILL [FROM a] [TO b] STEP <n | INTERVAL "
+                "n unit>' as the query's final clause (single key; "
                 "optional trailing LIMIT)")
         return query
     col = m.group("col")
+    desc = m.group("desc") is not None
     step = m.group("step")
     if step is None:
         raise ValueError(
             "WITH FILL needs an explicit STEP (ClickHouse defaults "
             "to 1, which silently explodes dense grids over wide "
             "ranges — state the step)")
+    neg_step = step.strip().startswith("-") \
+        or re.match(r"(?is)INTERVAL\s+-", step.strip()) is not None
+    if desc != neg_step:
+        raise ValueError(
+            "WITH FILL direction mismatch: a DESC fill needs a "
+            "negative STEP (and FROM > TO), an ascending fill a "
+            "positive one — the ClickHouse contract")
     src = query[:m.start()].rstrip()
-    frm = m.group("frm") or f"(SELECT min({col}) FROM __fill_src)"
+    agg0 = "max" if desc else "min"
+    agg1 = "min" if desc else "max"
+    frm = m.group("frm") or f"(SELECT {agg0}({col}) FROM __fill_src)"
     to = m.group("to")
     # CH: TO is exclusive; Spark sequence() is stop-inclusive, so an
-    # explicit TO adds a strict upper-bound filter INSIDE the spine
-    stop = to if to else f"(SELECT max({col}) FROM __fill_src)"
+    # explicit TO adds a strict bound filter INSIDE the spine (upper
+    # for ascending fills, lower for descending)
+    stop = to if to else f"(SELECT {agg1}({col}) FROM __fill_src)"
     spine = f"SELECT explode(sequence({frm}, {stop}, {step})) AS {col}"
     if to:
-        spine = f"SELECT {col} FROM ({spine}) WHERE {col} < {to}"
+        cmp_op = ">" if desc else "<"
+        spine = (f"SELECT {col} FROM ({spine}) "
+                 f"WHERE {col} {cmp_op} {to}")
     tail = m.group("tail") or ""
-    # INTERPOLATE (c [AS c], …): ClickHouse carries the previous
-    # row's value forward over filled rows (the `c AS expr` general
-    # form evaluates expr against the PREVIOUS row — only the
-    # carry-forward identity is implemented; anything else is refused
-    # rather than silently miscomputed). The relational spelling is
-    # last_value-ignore-nulls over the densified result — a window on
-    # the (grid-sized) output, never the fact table.
-    names: list[str] = []
+    order_dir = " DESC" if desc else ""
+    locf_names: list[str] = []
+    expr_items: list[tuple[str, str]] = []
     if m.group("interp"):
-        for it in m.group("interp").split(","):
+        for it in _split_top_level(m.group("interp")):
             im = re.match(r"(?is)^\s*(?P<c>\w+)"
                           r"(?:\s+AS\s+(?P<e>.+\S))?\s*$", it)
-            if not im or (im.group("e")
-                          and im.group("e").strip() != im.group("c")):
+            if not im:
                 raise ValueError(
                     f"unsupported INTERPOLATE item {it.strip()!r} — "
-                    f"only the carry-forward form (bare column or "
-                    f"'c AS c') is implemented; general previous-row "
-                    f"expressions are refused")
-            names.append(im.group("c"))
-    filled = (f"SELECT * FROM ({spine}) "
+                    f"need a bare column (carry-forward) or "
+                    f"'col AS expr'")
+            c, e = im.group("c"), im.group("e")
+            if e is None or e.strip() == c:
+                locf_names.append(c)
+            else:
+                expr_items.append((c, e.strip()))
+    joined = (f"SELECT * FROM ({spine}) "
+              f"LEFT JOIN __fill_marked USING ({col})"
+              if expr_items else
+              f"SELECT * FROM ({spine}) "
               f"LEFT JOIN __fill_src USING ({col})")
-    if names:
-        locf = ", ".join(
-            f"last_value({c}, true) OVER (ORDER BY {col} ROWS "
-            f"BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
-            for c in names)
-        filled = (f"SELECT * EXCEPT ({', '.join(names)}), {locf} "
-                  f"FROM ({filled})")
-    return (f"WITH __fill_src AS ({src}) "
+    drop = list(locf_names)
+    select_extra: list[str] = []
+    if locf_names:
+        select_extra += [
+            f"last_value({c}, true) OVER (ORDER BY {col}{order_dir} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS {c}" for c in locf_names]
+    ctes = [f"__fill_src AS ({src})"]
+    final_from = f"({joined})"
+    if expr_items:
+        drop += [c for c, _ in expr_items] + ["__row_present"]
+        # the chained previous-row evaluation: one fold over the
+        # sorted grid-sized struct array (sorted in OUTPUT order so
+        # the carry direction matches), exploded back to rows and
+        # joined to the grid on the fill key
+        ctes.append("__fill_marked AS (SELECT *, true AS "
+                    "__row_present FROM __fill_src)")
+
+        def subst(e: str) -> str:
+            for cc, _ in expr_items:
+                e = re.sub(rf"\b{cc}\b", f"__fa.fp.{cc}", e)
+            return e
+
+        fields_orig = ", ".join(
+            f"'{c}', CAST(__fr.{c} AS DOUBLE)" for c, _ in expr_items)
+        fields_expr = ", ".join(
+            f"'{c}', CAST(({subst(e)}) AS DOUBLE)"
+            for c, e in expr_items)
+        cur = (f"IF(__fr.pr, named_struct({fields_orig}), "
+               f"named_struct({fields_expr}))")
+        row_struct = ("named_struct('k', __fr.k, " + ", ".join(
+            f"'{c}', __fc.{c}" for c, _ in expr_items) + ")")
+        collect = ("sort_array(collect_list(named_struct("
+                   f"'k', {col}, 'pr', __row_present IS NOT NULL, "
+                   + ", ".join(f"'{c}', CAST({c} AS DOUBLE)"
+                               for c, _ in expr_items)
+                   + f")){', false' if desc else ''})")
+        empty_out = ("slice(transform(rs, __fr -> named_struct("
+                     "'k', __fr.k, "
+                     + ", ".join(f"'{c}', CAST(__fr.{c} AS DOUBLE)"
+                                 for c, _ in expr_items)
+                     + ")), 1, 0)")
+        struct_ty = ("STRUCT<" + ", ".join(
+            f"{c}: DOUBLE" for c, _ in expr_items) + ">")
+        fold = (
+            f"aggregate(rs, "
+            f"named_struct('fp', CAST(NULL AS {struct_ty}), "
+            f"'out', {empty_out}), "
+            f"(__fa, __fr) -> named_struct("
+            f"'fp', {cur}, "
+            f"'out', concat(__fa.out, array(transform(array({cur}), "
+            f"__fc -> {row_struct})[0]))), "
+            f"__ff -> __ff.out)")
+        ctes.append(f"__fill_rows AS (SELECT {collect} AS rs "
+                    f"FROM ({joined}))")
+        ctes.append(f"__fill_folded AS (SELECT explode({fold}) "
+                    f"AS __fo FROM __fill_rows)")
+        ctes.append(
+            "__fill_interp AS (SELECT __fo.k AS " + col + ", "
+            + ", ".join(f"__fo.{c} AS __i_{c}" for c, _ in expr_items)
+            + " FROM __fill_folded)")
+        select_extra += [f"__i_{c} AS {c}" for c, _ in expr_items]
+        final_from = (f"({joined}) JOIN __fill_interp "
+                      f"USING ({col})")
+    if drop:
+        filled = (f"SELECT * EXCEPT ({', '.join(drop)}"
+                  + (", " + ", ".join(f"__i_{c}"
+                                      for c, _ in expr_items)
+                     if expr_items else "")
+                  + f"), {', '.join(select_extra)} "
+                  f"FROM {final_from}")
+    else:
+        filled = f"SELECT * FROM {final_from}"
+    return (f"WITH {', '.join(ctes)} "
             f"{filled} "
-            f"ORDER BY {col}{tail}")
+            f"ORDER BY {col}{order_dir}{tail}")
 
 
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:

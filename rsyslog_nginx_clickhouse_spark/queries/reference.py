@@ -1234,6 +1234,79 @@ def with_fill_sql_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "with_fill_desc_interpolate",
+    # the oracle replays the chained previous-row evaluation in
+    # closed form: over the DESC grid, a filled row's cnt is
+    # last_real_cnt * 0.5^steps_since_real — multiplication by 0.5
+    # is an exact binary operation, so the closed form and Spark's
+    # per-step fold are bit-identical; mu carries forward LOCF
+    # (IGNORE NULLS in output order); rows above the first real vb
+    # stay NULL (the engine's documented leading-row deviation)
+    oracle="""
+    WITH src AS (
+      SELECT CAST(floor(value) AS INT) AS vb,
+             count(*)::double AS cnt,
+             max(user_id)::bigint AS mu
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 97 = 0
+        AND value < 120
+      GROUP BY 1),
+    grid AS (SELECT unnest(range(119, -1, -1)) AS vb),
+    j AS (
+      SELECT g.vb::int AS vb, src.cnt, src.mu,
+             CASE WHEN src.vb IS NOT NULL THEN 1 ELSE 0 END AS pr
+      FROM grid g LEFT JOIN src ON g.vb = src.vb),
+    w AS (
+      SELECT vb, pr, cnt,
+             last_value(mu IGNORE NULLS) OVER
+               (ORDER BY vb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS mu_f,
+             last_value(CASE WHEN pr = 1 THEN cnt END IGNORE NULLS)
+               OVER (ORDER BY vb DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS last_cnt,
+             last_value(CASE WHEN pr = 1 THEN vb END IGNORE NULLS)
+               OVER (ORDER BY vb DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS last_vb
+      FROM j)
+    SELECT vb,
+           CASE WHEN pr = 1 THEN cnt
+                WHEN last_cnt IS NOT NULL
+                THEN last_cnt * power(0.5, last_vb - vb)
+                ELSE NULL END AS cnt,
+           mu_f AS mu
+    FROM w ORDER BY vb DESC
+    """,
+    doc="ClickHouse `ORDER BY ... DESC WITH FILL ... INTERPOLATE "
+        "(col, col AS expr)` (round 13 — VERDICT r12 item 5, both "
+        "halves previously refused): a descending sparse histogram "
+        "densified over the reversed sequence spine (negative STEP, "
+        "FROM > TO, TO exclusive as a lower bound), with one "
+        "carry-forward column (mu) and one GENERAL previous-row "
+        "expression (cnt AS cnt * 0.5 — evaluated repeatedly across "
+        "consecutive filled rows, the CH chaining contract). LOCF "
+        "stays a window on the grid-sized result; the general "
+        "expression is one sequential aggregate() fold over the "
+        "collected grid rows — never the fact table "
+        "(functions/macros.rewrite_with_fill)",
+)
+def with_fill_desc_interpolate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wfdi_events")
+    return engine_sql(spark, """
+        SELECT CAST(floor(value) AS INT) AS vb,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(max(user_id) AS BIGINT) AS mu
+        FROM wfdi_events
+        WHERE event_type = 'purchase' AND user_id % 97 = 0
+          AND value < 120
+        GROUP BY vb
+        ORDER BY vb DESC WITH FILL FROM 119 TO -1 STEP -1
+        INTERPOLATE (mu, cnt AS cnt * 0.5)
+    """).select(F.col("vb").cast("int").alias("vb"), "cnt", "mu")
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

@@ -206,9 +206,18 @@ def test_with_fill_sql_rewrite_and_execution(spark):
     assert out2.rstrip().endswith("LIMIT 3")
     with pytest.raises(ValueError, match="explicit STEP"):
         rewrite_with_fill("SELECT a FROM t ORDER BY a WITH FILL")
-    with pytest.raises(ValueError, match="unsupported WITH FILL"):
+    # DESC fills are SUPPORTED since round 13 (VERDICT r12 item 5) —
+    # but the step sign must match the direction (the CH contract)
+    with pytest.raises(ValueError, match="direction mismatch"):
         rewrite_with_fill("SELECT a FROM t ORDER BY a DESC "
                           "WITH FILL STEP 2")
+    with pytest.raises(ValueError, match="direction mismatch"):
+        rewrite_with_fill("SELECT a FROM t ORDER BY a "
+                          "WITH FILL STEP -2")
+    out3 = rewrite_with_fill("SELECT a FROM t ORDER BY a DESC "
+                             "WITH FILL FROM 9 TO 1 STEP -2")
+    assert "sequence(9, 1, -2)" in out3 and "WHERE a > 1" in out3
+    assert out3.rstrip().endswith("ORDER BY a DESC")
     q = "SELECT a FROM t ORDER BY a"
     assert rewrite_with_fill(q) == q
 

@@ -259,3 +259,54 @@ def test_sequence_match_sql_empty_and_nonmatching_users(spark):
          "FROM se13 GROUP BY user_id ORDER BY user_id")
     got = [(r.user_id, r.m) for r in sql(spark, q).collect()]
     assert got == [(1, False), (2, True)]
+
+
+# --------------- WITH FILL DESC + general INTERPOLATE (item 5) --
+
+def test_with_fill_desc_chained_interpolate(spark):
+    """DESC spine (reversed sequence, TO exclusive as lower bound),
+    LOCF column, and a general previous-row expression evaluated
+    REPEATEDLY across consecutive filled rows (cnt halves per step,
+    resetting at each real row) — the CH chaining contract."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame(
+        [(9, 8.0, 100), (6, 4.0, 200), (3, 2.0, 300)],
+        "k int, v double, u int").createOrReplaceTempView("fill13")
+    q = ("SELECT k, v, u FROM fill13 "
+         "ORDER BY k DESC WITH FILL FROM 9 TO 1 STEP -1 "
+         "INTERPOLATE (u, v AS v * 0.5)")
+    got = [(r.k, r.v, r.u) for r in sql(spark, q).collect()]
+    assert got == [(9, 8.0, 100), (8, 4.0, 100), (7, 2.0, 100),
+                   (6, 4.0, 200), (5, 2.0, 200), (4, 1.0, 200),
+                   (3, 2.0, 300), (2, 1.0, 300)]
+
+
+def test_with_fill_interpolate_expr_leading_rows_stay_null(spark):
+    """Filled rows BEFORE the first source row have no previous row:
+    the expression evaluates over NULL and stays NULL (documented
+    deviation from CH's type-default fill)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(2, 10.0)], "k int, v double") \
+        .createOrReplaceTempView("fill13b")
+    q = ("SELECT k, v FROM fill13b "
+         "ORDER BY k WITH FILL FROM 0 TO 5 STEP 1 "
+         "INTERPOLATE (v AS v + 1)")
+    got = [(r.k, r.v) for r in sql(spark, q).collect()]
+    assert got == [(0, None), (1, None), (2, 10.0), (3, 11.0),
+                   (4, 12.0)]
+
+
+def test_with_fill_interpolate_expr_with_function_call(spark):
+    """INTERPOLATE items may contain one level of calls (the old
+    regex choked on parens inside the item list)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(0, -8.0)], "k int, v double") \
+        .createOrReplaceTempView("fill13c")
+    q = ("SELECT k, v FROM fill13c "
+         "ORDER BY k WITH FILL FROM 0 TO 3 STEP 1 "
+         "INTERPOLATE (v AS abs(v) * 0.5)")
+    got = [(r.k, r.v) for r in sql(spark, q).collect()]
+    assert got == [(0, -8.0), (1, 4.0), (2, 2.0)]
