@@ -831,6 +831,10 @@ def rewrite_aggregates(out: str) -> str:
     # shuffle, no UDF.
     out = _rewrite_window_funnel(out, lits)
     out = _rewrite_sequence_calls(out, lits)
+    # the -State/-Merge materialized-view idiom (round 13) — before
+    # the token renames so 'uniq'/'quantile' prefixes can't partially
+    # match these names
+    out = _rewrite_state_merge(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -1253,6 +1257,128 @@ def _rewrite_sequence_calls(out: str, lits: list[str]) -> str:
                 repl = f"({seq} RLIKE '{regex}')"
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
+
+
+#: KMV sketch size for the uniqState/uniqMerge SQL spelling — MUST
+#: equal queries/reference._KMV_K (the rollup rows' sketch), so a
+#: merged read here is bit-equal to the rollup oracles (tested)
+_STATE_KMV_K = 1024
+
+
+def _rewrite_state_merge(out: str) -> str:
+    """ClickHouse ``uniqState(x)`` / ``uniqMerge(st)`` and
+    ``quantileState[(p)](x)`` / ``quantileMerge(p)(st)`` (round 13 —
+    VERDICT r12 item 6): the materialized-view idiom users type in
+    CREATE MATERIALIZED VIEW bodies and their serving reads. The
+    states are the SAME representations plans/agg_rollup.py persists,
+    as inline expressions:
+
+    - uniqState(x) → the deterministic KMV bottom-k state: the sorted
+      bottom-1024 distinct 32-bit hashes of x
+      (conv(substr(md5(x),1,8),16,10) — the approx_daily_users hash).
+      uniqMerge re-unions the arrays, re-takes the global bottom-k and
+      evaluates exact-below-k / (k-1)·2^32/h_k. Merge is EXACT for
+      bottom-k states, so uniqMerge over uniqState parts is
+      bit-identical to the direct single-pass sketch (the property
+      kmv_rollup_users' oracle proves).
+    - quantileState(x) → the exact (value, count) histogram state (a
+      sorted struct array — sumMap(x, 1) in shape). quantileMerge(p)
+      flattens the parts' histograms and takes the 1-based lower
+      discrete quantile at rank ceil(p·n) — the explicit rank rule
+      read_quantile_merged states, result DOUBLE. quantileState takes
+      no level (CH stores one state serving any level; the level
+      belongs to the Merge side) — a parametric quantileState(p)(x)
+      is refused to match.
+
+    Hot-group bound like the inline topK/sumMap family (the
+    collect/array work materializes per group before truncation);
+    the bounded-ingest path remains plans/agg_rollup.py
+    (DEPLOYMENT.md).
+    """
+    k = _STATE_KMV_K
+    nested2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+    hash32 = ("CAST(conv(substring(md5(CAST(({x}) AS STRING)), 1, 8),"
+              " 16, 10) AS BIGINT)")
+    out = re.sub(
+        rf"\buniqState\(({nested2})\)",
+        lambda m: (f"slice(array_sort(collect_set("
+                   f"{hash32.format(x=m.group(1))})), 1, {k})"), out)
+    est = (f"transform(array(slice(array_sort(array_distinct("
+           f"flatten(collect_list({{st}})))), 1, {k})), __ua -> "
+           f"CAST(CASE WHEN size(__ua) < {k} THEN size(__ua) "
+           f"ELSE floor({float(k - 1)} * 4294967296.0 "
+           f"/ element_at(__ua, {k})) END AS BIGINT))[0]")
+    out = re.sub(
+        rf"\buniqMerge\(({nested2})\)",
+        lambda m: est.format(st=m.group(1)), out)
+    if re.search(r"\buniqState\s*\(|\buniqMerge\s*\(", out):
+        raise ValueError(
+            "uniqState/uniqMerge: argument nests more than two call "
+            "levels deep — alias the inner expression in a subquery")
+    # quantileState(x): refuse the parametric (p)(x) form loudly (the
+    # level belongs to quantileMerge, like CH)
+    rx = re.compile(r"\bquantileState\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if out[end:].lstrip().startswith("("):
+            raise ValueError(
+                "quantileState takes no level — the state serves any "
+                "level; pass it to quantileMerge(p)(state)")
+        if len(args) != 1:
+            raise ValueError(f"quantileState(x): need exactly 1 "
+                             f"argument, got {len(args)}")
+        x = args[0].strip()
+        vals = f"collect_list(CAST(({x}) AS DOUBLE))"
+        repl = (f"transform(array_sort(array_distinct({vals})), "
+                f"__qv -> named_struct('v', __qv, 'c', "
+                f"CAST(size(filter({vals}, __qe -> __qe = __qv)) "
+                f"AS BIGINT)))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    rx = re.compile(r"\bquantileMerge\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        first, after = _take_call_args(out, m.end() - 1)
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError(
+                "quantileMerge needs the parametric form "
+                "quantileMerge(p)(state)")
+        p = first[0].strip()
+        if len(first) != 1 or not re.fullmatch(r"0?\.\d+|0|1|1\.0", p):
+            raise ValueError(
+                f"quantileMerge: the level must be a single literal "
+                f"fraction (got {','.join(first)!r})")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) != 1:
+            raise ValueError(f"quantileMerge(p)(state): need exactly "
+                             f"1 state argument, got {len(args)}")
+        st = args[0].strip()
+        pairs = f"sort_array(flatten(collect_list({st})))"
+        tot = (f"aggregate({pairs}, CAST(0 AS BIGINT), "
+               f"(__qa, __qe) -> __qa + __qe.c)")
+        # threshold hoisted through a one-element transform (the
+        # quantileExactWeighted discipline — inlining re-runs the
+        # total fold per element)
+        thr = f"ceil(({p}) * {tot})"
+        repl = (
+            f"element_at(transform(array({thr}), __qt -> "
+            f"aggregate({pairs}, "
+            f"named_struct('r', CAST(0 AS BIGINT), "
+            f"'res', CAST(NULL AS DOUBLE)), "
+            f"(__qa, __qe) -> CASE WHEN __qa.res IS NOT NULL THEN "
+            f"__qa ELSE named_struct('r', __qa.r + __qe.c, "
+            f"'res', CASE WHEN __qa.r + __qe.c >= __qt "
+            f"THEN __qe.v END) END, __qf -> __qf.res)), 1)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
 
 
 #: the Map-combinator aggregates (round 12) and their per-key folds

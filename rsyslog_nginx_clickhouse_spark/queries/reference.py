@@ -696,6 +696,74 @@ def kmv_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "state_merge_sql",
+    # the oracle computes BOTH aggregates directly from raw data with
+    # the rollup rows' exact conventions (the KMV hash/estimator of
+    # kmv_rollup_users, the ceil-rank discrete quantile of
+    # quantile_rollup_latency) — equality proves the SQL-spelled
+    # State parts + Merge read equal the direct pass, the same
+    # exactness property the rollup oracles pin
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+               AS h
+      FROM events),
+    bk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM hashed),
+    uq AS (
+      SELECT event_type,
+             cast(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                       ELSE floor({_KMV_K - 1} * 4294967296.0
+                                  / max(h))
+                  END AS bigint) AS approx_users
+      FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type),
+    s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    qt AS (
+      SELECT event_type,
+             min(CASE WHEN rn >= ceil(0.9 * n) THEN value END) AS p90
+      FROM s GROUP BY event_type)
+    SELECT event_type, approx_users, p90
+    FROM uq JOIN qt USING (event_type) ORDER BY event_type
+    """,
+    doc="ClickHouse -State/-Merge SQL SPELLINGS (round 13 — VERDICT "
+        "r12 item 6, the CREATE MATERIALIZED VIEW idiom): per-day "
+        "uniqState(user_id) + quantileState(value) states built in "
+        "the inner SELECT, merged across days by uniqMerge / "
+        "quantileMerge(0.9) in the outer read — the verbatim text a "
+        "CH materialized-view user types, rewritten to the SAME "
+        "state representations plans/agg_rollup.py persists (KMV "
+        "bottom-1024 hash array; exact (value,count) histogram). "
+        "Merge is exact for both (bottom-k and histogram-sum), so "
+        "the merged read is bit-equal to the direct single-pass "
+        "aggregates — which is what the oracle computes "
+        "(functions/macros._rewrite_state_merge; bounded-ingest "
+        "path: plans/agg_rollup.py, DEPLOYMENT.md)",
+)
+def state_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "smrg_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               uniqMerge(us) AS approx_users,
+               quantileMerge(0.9)(qs) AS p90
+        FROM (SELECT event_type, toYYYYMMDD(ts) AS d,
+                     uniqState(user_id) AS us,
+                     quantileState(value) AS qs
+              FROM smrg_events GROUP BY event_type, toYYYYMMDD(ts))
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

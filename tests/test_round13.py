@@ -310,3 +310,55 @@ def test_with_fill_interpolate_expr_with_function_call(spark):
          "INTERPOLATE (v AS abs(v) * 0.5)")
     got = [(r.k, r.v) for r in sql(spark, q).collect()]
     assert got == [(0, -8.0), (1, 4.0), (2, 2.0)]
+
+
+# --------------------- -State/-Merge SQL spellings (item 6) --
+
+def test_state_merge_kmv_k_matches_rollup():
+    """The SQL spelling's sketch size must equal the rollup rows'
+    (_KMV_K) or merged reads stop being bit-equal to their oracles."""
+    from rsyslog_nginx_clickhouse_spark.functions import macros
+    from rsyslog_nginx_clickhouse_spark.queries import reference
+
+    assert macros._STATE_KMV_K == reference._KMV_K
+
+
+def test_state_merge_roundtrip_equals_direct(spark):
+    """uniqMerge over per-part uniqState == direct KMV; quantileMerge
+    over per-part quantileState == direct ceil-rank discrete
+    quantile — merge exactness, the AggregatingMergeTree property."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(i % 3, float(i % 7), i) for i in range(200)]
+    spark.createDataFrame(rows, "g int, v double, u int") \
+        .createOrReplaceTempView("st13")
+    merged = sql(spark, """
+        SELECT g, uniqMerge(us) AS uq, quantileMerge(0.5)(qs) AS med
+        FROM (SELECT g, u % 4 AS part, uniqState(u) AS us,
+                     quantileState(v) AS qs
+              FROM st13 GROUP BY g, u % 4)
+        GROUP BY g ORDER BY g""").collect()
+    direct = sql(spark, """
+        SELECT g, uniqMerge(us) AS uq, quantileMerge(0.5)(qs) AS med
+        FROM (SELECT g, uniqState(u) AS us, quantileState(v) AS qs
+              FROM st13 GROUP BY g)
+        GROUP BY g ORDER BY g""").collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+    # below k the estimate is EXACT: 200 users across 3 groups
+    for r in merged:
+        assert r.uq == len({u for g, v, u in rows if g == r.g})
+
+
+def test_state_merge_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="takes no level"):
+        rewrite_aggregates("SELECT quantileState(0.9)(v) FROM t")
+    with pytest.raises(ValueError, match="parametric form"):
+        rewrite_aggregates("SELECT quantileMerge(qs) FROM t")
+    with pytest.raises(ValueError, match="literal fraction"):
+        rewrite_aggregates("SELECT quantileMerge(p)(qs) FROM t")
+    with pytest.raises(ValueError, match="nests more than two"):
+        rewrite_aggregates("SELECT uniqState(f(g(h(x)))) FROM t")
