@@ -835,6 +835,7 @@ def rewrite_aggregates(out: str) -> str:
     # the token renames so 'uniq'/'quantile' prefixes can't partially
     # match these names
     out = _rewrite_state_merge(out)
+    out = _rewrite_histogram(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
     out = _rewrite_quantile_if(out)
@@ -1379,6 +1380,61 @@ def _rewrite_state_merge(out: str) -> str:
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out
+
+
+def _rewrite_histogram(out: str) -> str:
+    """ClickHouse ``histogram(N)(x)`` (round 13 — VERDICT r12 item
+    7, the next CH dashboard aggregate after quantiles): an array of
+    (lo, hi, height) bin structs.
+
+    DOCUMENTED DEVIATION (the groupArray policy): ClickHouse's
+    histogram is ADAPTIVE — a streaming bin-merge whose boundaries
+    (and even bin count, ≤ N) depend on arrival order, so no
+    partition-count-independent engine can replay it. This maps the
+    deterministic form instead: exactly N equal-width bins over
+    [min(x), max(x)] (the last bin right-inclusive; a constant group
+    puts everything in bin 0), integer counts as DOUBLE heights (CH's
+    height type). The bin edges are ``mn + i * ((mx - mn) / N)`` —
+    stated as the exact IEEE op sequence so an oracle can replay it
+    bit-for-bit. One collect per group, O(N × group) projection (the
+    sumMap hot-group bound); N is a literal 1-256.
+    """
+    rx = re.compile(r"\bhistogram\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        first, after = _take_call_args(out, m.end() - 1)
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError("histogram needs the parametric form "
+                             "histogram(N)(x)")
+        if len(first) != 1 or not re.fullmatch(r"\d+",
+                                               first[0].strip()):
+            raise ValueError("histogram: N must be a single literal "
+                             "integer")
+        n = int(first[0])
+        if not 1 <= n <= 256:
+            raise ValueError(f"histogram: N must be 1-256, got {n}")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) != 1:
+            raise ValueError(f"histogram(N)(x): need exactly 1 "
+                             f"argument, got {len(args)}")
+        x = args[0].strip()
+        mn = f"min(CAST(({x}) AS DOUBLE))"
+        mx = f"max(CAST(({x}) AS DOUBLE))"
+        lst = f"collect_list(CAST(({x}) AS DOUBLE))"
+        width = f"(({mx} - {mn}) / {n})"
+        bin_of = (f"IF({mx} = {mn}, 0, least(CAST(floor((__hv - {mn})"
+                  f" / {width}) AS INT), {n - 1}))")
+        repl = (f"transform(sequence(0, {n - 1}), __hi -> "
+                f"named_struct("
+                f"'lo', {mn} + __hi * {width}, "
+                f"'hi', {mn} + (__hi + 1) * {width}, "
+                f"'h', CAST(size(filter({lst}, "
+                f"__hv -> {bin_of} = __hi)) AS DOUBLE)))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
 
 
 #: the Map-combinator aggregates (round 12) and their per-key folds

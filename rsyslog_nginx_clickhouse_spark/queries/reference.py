@@ -764,6 +764,67 @@ def state_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_sql",
+    # bin-replay oracle: the SAME stated IEEE op sequence for edges
+    # (mn + i * ((mx - mn) / 10)) and bin assignment
+    # (floor((v - mn) / ((mx - mn) / 10)) clamped to the last bin),
+    # so boundary-sitting values land identically; empty bins carry
+    # height 0 in both engines
+    oracle="""
+    WITH b AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least(CAST(floor((e.value - b.mn)
+                             / ((b.mx - b.mn) / 10)) AS INT), 9)
+             END AS bin
+      FROM events e JOIN b USING (event_type)
+      WHERE e.value IS NOT NULL),
+    counts AS (
+      SELECT event_type, bin, count(*)::double AS h
+      FROM binned GROUP BY event_type, bin),
+    grid AS (
+      SELECT b.event_type, g.bin, b.mn, b.mx
+      FROM b CROSS JOIN
+           (SELECT unnest(range(0, 10)) AS bin) g)
+    SELECT grid.event_type, grid.bin::int AS bin,
+           grid.mn + grid.bin * ((grid.mx - grid.mn) / 10) AS lo,
+           grid.mn + (grid.bin + 1) * ((grid.mx - grid.mn) / 10)
+             AS hi,
+           coalesce(counts.h, 0) AS h
+    FROM grid LEFT JOIN counts USING (event_type, bin)
+    ORDER BY event_type, bin
+    """,
+    doc="ClickHouse `histogram(10)(value)` (round 13 — VERDICT r12 "
+        "item 7): per-event-type value histograms as (lo, hi, "
+        "height) bins, exploded to rows for the scalar-output "
+        "contract. DOCUMENTED DEVIATION: CH's histogram is adaptive "
+        "(boundaries and bin count depend on arrival order — "
+        "unreplayable by any partition-independent engine); this "
+        "maps exactly N equal-width bins over [min, max] with the "
+        "edge formula stated as an exact IEEE op sequence the oracle "
+        "replays bit-for-bit (functions/macros._rewrite_histogram). "
+        "One collect per group, O(N x group) projection, one "
+        "partial-aggregatable shuffle",
+)
+def histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "hist_events")
+    return engine_sql(spark, """
+        SELECT event_type, CAST(bin AS INT) AS bin,
+               s.lo AS lo, s.hi AS hi, s.h AS h
+        FROM (SELECT event_type,
+                     posexplode(histogram(10)(value)) AS (bin, s)
+              FROM (SELECT event_type, value FROM hist_events
+                    WHERE value IS NOT NULL)
+              GROUP BY event_type)
+        ORDER BY event_type, bin
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

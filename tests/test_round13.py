@@ -362,3 +362,38 @@ def test_state_merge_refusals():
         rewrite_aggregates("SELECT quantileMerge(p)(qs) FROM t")
     with pytest.raises(ValueError, match="nests more than two"):
         rewrite_aggregates("SELECT uniqState(f(g(h(x)))) FROM t")
+
+
+# ------------------------------- histogram(N)(x) (item 7) --
+
+def test_histogram_sql_bins(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(float(v),) for v in range(10)], "v double") \
+        .createOrReplaceTempView("h13")
+    got = sql(spark, "SELECT histogram(3)(v) AS h FROM h13") \
+        .collect()[0].h
+    # [0,9] in 3 bins of width 3: [0,3)->3, [3,6)->3, [6,9]->4
+    # (last bin right-inclusive — the max value lands in it)
+    assert [(b.lo, b.hi, b.h) for b in got] == [
+        (0.0, 3.0, 3.0), (3.0, 6.0, 3.0), (6.0, 9.0, 4.0)]
+    # constant group: everything in bin 0, degenerate edges
+    spark.createDataFrame([(5.0,), (5.0,)], "v double") \
+        .createOrReplaceTempView("h13c")
+    got = sql(spark, "SELECT histogram(2)(v) AS h FROM h13c") \
+        .collect()[0].h
+    assert [(b.lo, b.hi, b.h) for b in got] == [
+        (5.0, 5.0, 2.0), (5.0, 5.0, 0.0)]
+
+
+def test_histogram_sql_refusals():
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="parametric form"):
+        rewrite_aggregates("SELECT histogram(v) FROM t")
+    with pytest.raises(ValueError, match="literal integer"):
+        rewrite_aggregates("SELECT histogram(n)(v) FROM t")
+    with pytest.raises(ValueError, match="1-256"):
+        rewrite_aggregates("SELECT histogram(0)(v) FROM t")
