@@ -213,7 +213,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: oldest outside the window and lead _FRONTLOAD_R12.
 #: rotationcheck enforces the result.
 #: Round-12 ordering (VERDICT r11 items 1, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 17 mandatory
+#: rotation contract): the window led with the round's 17 mandatory
 #: entries — 15 NEW (multimodal_decode_jpeg_420: real 4:2:0
 #: chroma-subsampled color JPEG decode through the interleaved-MCU
 #: path; funnel_strict_modes: windowFunnel strict_order/strict_dedup/
@@ -233,11 +233,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: sequence_match_timed: sequenceMatch (?t op N) time constraints
 #: via the Arrow DP matcher; quantile_exact_weighted_sql:
 #: quantileExactWeighted/medianExactWeighted crossing-scan folds)
-#: and 1
+#: and 2
 #: TEXT-CHANGED (delta_sum_sql: its doc no longer claims
-#: deltaSumTimestamp refuses) — then fills oldest-first: 34 of the
+#: deltaSumTimestamp refuses; streaming_semantic_dedup: the inline
+#: embeddings stream reads via the shape-agnostic _stream_table) —
+#: then fills oldest-first: 33 of the
 #: 49 r8 rows (the _FRONTLOAD_R12 cohort VERDICT r11 item 2 called
-#: due) alphabetically. The 16 remaining r8 rows
+#: due) alphabetically (ADVICE r12 fixed this header's arithmetic:
+#: 15 + 2 mandatory, 33 fills). The 16 remaining r8 rows
 #: (q2_min_cost_supplier, retention_cohort, semantic_dedup,
 #: sequence_count_chains, sequence_match_funnel,
 #: status_class_share, stratified_sample, streaming_semantic_dedup,
@@ -248,6 +251,83 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: mandatory slots —
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
+#: Round-13 ordering (VERDICT r12 items 2, 3, 5, 6, 7 + the standing
+#: rotation contract): the window leads with the round's 7 mandatory
+#: entries — 5 NEW (window_funnel_sql: the verbatim
+#: windowFunnel(W[, mode])(ts, c1..cN) spelling as one aggregate()
+#: slot fold; sequence_match_count_sql: verbatim sequenceMatch /
+#: sequenceCount incl. the (?t<=N) NFA fold; with_fill_desc_interpolate:
+#: ORDER BY ... DESC WITH FILL + general INTERPOLATE (col AS expr)
+#: chained previous-row evaluation; state_merge_sql: the
+#: uniqState/uniqMerge + quantileState/quantileMerge
+#: materialized-view idiom; histogram_sql: histogram(N)(x) as
+#: deterministic equal-width bins) and 2 TEXT-CHANGED
+#: (delta_sum_timestamp_sql + sum_map_sql: docs reworded per ADVICE
+#: r12 — the deltaSumTimestamp determinization claim and the sumMap
+#: zero-drop deviation) — then fills oldest-first: ALL 15 r8 rows
+#: still outside the window (the _FRONTLOAD_R13 cohort VERDICT r12
+#: item 2 named: q2_min_cost_supplier .. with_fill_sql_histogram)
+#: and 28 r9 rows alphabetically. 22 r9 rows remain the oldest
+#: outside the window and lead _FRONTLOAD_R14 — the price of 7
+#: mandatory slots. rotationcheck enforces the result.
+_FRONTLOAD_R13 = [
+    # new this round — never driver-verified
+    "window_funnel_sql",           # NEW: windowFunnel SQL spelling
+    "sequence_match_count_sql",    # NEW: sequenceMatch/Count SQL
+    "with_fill_desc_interpolate",  # NEW: DESC fill + expr interp
+    "state_merge_sql",             # NEW: -State/-Merge spellings
+    "histogram_sql",               # NEW: histogram(N)(x)
+    # text-changed this round — ADVICE r12 doc rewordings
+    "delta_sum_timestamp_sql",
+    "sum_map_sql",
+    # the 15 r8 rows still outside the window — oldest in the
+    # registry (the standing-contract cohort), alphabetical
+    "q2_min_cost_supplier",
+    "retention_cohort",
+    "semantic_dedup",
+    "sequence_count_chains",
+    "sequence_match_funnel",
+    "status_class_share",
+    "stratified_sample",
+    "temperature_mixture",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_bigrams",
+    "top_users",
+    "train_test_split",
+    "value_histogram",
+    "with_fill_sql_histogram",
+    # r9 rows, alphabetical fill (28 of 50)
+    "approx_daily_users",
+    "approx_latency_quantiles",
+    "bm25_top_docs",
+    "bot_traffic_share",
+    "corpus_selection",
+    "csvwithnames_roundtrip",
+    "cube_sql_status",
+    "curriculum_schedule",
+    "customers_without_orders",
+    "dict_get_enrichment",
+    "final_summing_read",
+    "hybrid_retrieval",
+    "jsoneachrow_roundtrip",
+    "limit_with_ties_sql",
+    "mutation_delete_roundtrip",
+    "mutation_update_roundtrip",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+]
+
 _FRONTLOAD_R12 = [
     # new this round — never driver-verified
     "multimodal_decode_jpeg_420",  # NEW: 4:2:0 color JPEG decode
@@ -631,8 +711,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R12 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R13 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R12}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R13}
     ordered.update(REGISTRY)
     return ordered
