@@ -252,8 +252,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 #: Round-13 ordering (VERDICT r12 items 2, 3, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 7 mandatory
-#: entries — 5 NEW (window_funnel_sql: the verbatim
+#: rotation contract): the window leads with the round's 8 mandatory
+#: entries — 6 NEW (window_funnel_sql: the verbatim
 #: windowFunnel(W[, mode])(ts, c1..cN) spelling as one aggregate()
 #: slot fold; sequence_match_count_sql: verbatim sequenceMatch /
 #: sequenceCount incl. the (?t<=N) NFA fold; with_fill_desc_interpolate:
@@ -261,14 +261,17 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: chained previous-row evaluation; state_merge_sql: the
 #: uniqState/uniqMerge + quantileState/quantileMerge
 #: materialized-view idiom; histogram_sql: histogram(N)(x) as
-#: deterministic equal-width bins) and 2 TEXT-CHANGED
+#: deterministic equal-width bins; streaming_window_funnel_sql: the
+#: same verbatim text over a STREAMING view — the rewrite's
+#: collect_list state is a standard streaming aggregation) and 2
+#: TEXT-CHANGED
 #: (delta_sum_timestamp_sql + sum_map_sql: docs reworded per ADVICE
 #: r12 — the deltaSumTimestamp determinization claim and the sumMap
 #: zero-drop deviation) — then fills oldest-first: ALL 15 r8 rows
 #: still outside the window (the _FRONTLOAD_R13 cohort VERDICT r12
 #: item 2 named: q2_min_cost_supplier .. with_fill_sql_histogram)
-#: and 28 r9 rows alphabetically. 22 r9 rows remain the oldest
-#: outside the window and lead _FRONTLOAD_R14 — the price of 7
+#: and 27 r9 rows alphabetically. 23 r9 rows remain the oldest
+#: outside the window and lead _FRONTLOAD_R14 — the price of 8
 #: mandatory slots. rotationcheck enforces the result.
 _FRONTLOAD_R13 = [
     # new this round — never driver-verified
@@ -277,6 +280,7 @@ _FRONTLOAD_R13 = [
     "with_fill_desc_interpolate",  # NEW: DESC fill + expr interp
     "state_merge_sql",             # NEW: -State/-Merge spellings
     "histogram_sql",               # NEW: histogram(N)(x)
+    "streaming_window_funnel_sql",  # NEW: streaming funnel SQL text
     # text-changed this round — ADVICE r12 doc rewordings
     "delta_sum_timestamp_sql",
     "sum_map_sql",
@@ -297,7 +301,7 @@ _FRONTLOAD_R13 = [
     "train_test_split",
     "value_histogram",
     "with_fill_sql_histogram",
-    # r9 rows, alphabetical fill (28 of 50)
+    # r9 rows, alphabetical fill (27 of 50)
     "approx_daily_users",
     "approx_latency_quantiles",
     "bm25_top_docs",
@@ -325,7 +329,6 @@ _FRONTLOAD_R13 = [
     "q22_idle_customers",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_regional_revenue",
 ]
 
 _FRONTLOAD_R12 = [

@@ -356,6 +356,67 @@ def streaming_window_funnel(spark: SparkSession,
 
 
 @query(
+    "streaming_window_funnel_sql",
+    # plain-mode windowFunnel: the slot fold provably equals the
+    # EXISTS-chain semantic (operators/funnel.py docstring), so the
+    # oracle is streaming_window_funnel's chain oracle verbatim
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND b.t >= a.t AND b.t - a.t <= 21600000000),
+    l3 AS (
+      SELECT DISTINCT a.user_id
+      FROM e a JOIN e b USING (user_id) JOIN e c USING (user_id)
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND c.t >= b.t
+        AND c.t - a.t <= 21600000000)
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+           LEFT JOIN l3 USING (user_id)
+    """,
+    doc="STREAMING windowFunnel SQL SPELLING (round 13 — VERDICT r12 "
+        "item 8 stretch): the SAME verbatim windowFunnel(21600)(ts, "
+        "view, click, purchase) text of window_funnel_sql, run over a "
+        "STREAMING view — the rewrite's collect_list state + "
+        "projection fold IS a standard Structured Streaming "
+        "aggregation (Catalyst keeps the collect as the incremental "
+        "aggregation state — exactly ClickHouse's windowFunnel "
+        "aggregation state — and evaluates the slot fold at emission "
+        "per epoch), so one rewrite drives batch and streaming and "
+        "they cannot diverge. Complete mode; per-user state bounded "
+        "by condition events like the applyInPandasWithState twin "
+        "(queries/stream_q.streaming_window_funnel)",
+)
+def streaming_window_funnel_sql(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+
+    _events_stream(spark, sf_dir).createOrReplaceTempView(
+        "swfsql_stream")
+    out = engine_sql(spark, """
+        SELECT user_id, windowFunnel(21600)(ts,
+            event_type = 'view', event_type = 'click',
+            event_type = 'purchase') AS funnel_level
+        FROM swfsql_stream GROUP BY user_id
+    """)
+    tbl = _run_to_memory_table(spark, out, "complete")
+    return tbl.orderBy("user_id")
+
+
+@query(
     "streaming_view_purchase_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id
