@@ -1291,6 +1291,12 @@ def _rewrite_state_merge(out: str) -> str:
       belongs to the Merge side) — a parametric quantileState(p)(x)
       is refused to match.
 
+    The ADDITIVE family (sum/count/min/max/avgState + Merge — the
+    SummingMergeTree MV spellings) maps too: those states are their
+    own partial values, so State is the plain aggregate and Merge its
+    combiner (avg carries the (sum, count) pair, result Float64 like
+    CH's avg).
+
     Hot-group bound like the inline topK/sumMap family (the
     collect/array work materializes per group before truncation);
     the bounded-ingest path remains plans/agg_rollup.py
@@ -1316,6 +1322,36 @@ def _rewrite_state_merge(out: str) -> str:
         raise ValueError(
             "uniqState/uniqMerge: argument nests more than two call "
             "levels deep — alias the inner expression in a subquery")
+    # the ADDITIVE -State/-Merge family (sum/count/min/max/avg —
+    # the SummingMergeTree MV spellings): these states ARE their
+    # partial values (CH stores the running accumulator), so State
+    # maps to the plain aggregate and Merge to its combiner —
+    # type-preserving for sum/min/max, BIGINT for count, and avg
+    # carries the (sum, count) pair like CH's AvgState (result
+    # Float64, the CH avg contract). Exact merges, zero extra state.
+    out = re.sub(rf"\bsumState\(({nested2})\)", r"sum(\1)", out)
+    out = re.sub(rf"\bsumMerge\(({nested2})\)", r"sum(\1)", out)
+    out = re.sub(rf"\bcountState\(({nested2})\)", r"count(\1)", out)
+    out = re.sub(rf"\bcountMerge\(({nested2})\)",
+                 r"CAST(sum(\1) AS BIGINT)", out)
+    out = re.sub(rf"\bminState\(({nested2})\)", r"min(\1)", out)
+    out = re.sub(rf"\bminMerge\(({nested2})\)", r"min(\1)", out)
+    out = re.sub(rf"\bmaxState\(({nested2})\)", r"max(\1)", out)
+    out = re.sub(rf"\bmaxMerge\(({nested2})\)", r"max(\1)", out)
+    out = re.sub(
+        rf"\bavgState\(({nested2})\)",
+        r"named_struct('s', sum(CAST((\1) AS DOUBLE)), "
+        r"'c', count(\1))", out)
+    out = re.sub(
+        rf"\bavgMerge\(({nested2})\)",
+        r"(sum((\1).s) / nullif(sum((\1).c), 0))", out)
+    leak = re.search(
+        r"\b(sum|count|min|max|avg)(State|Merge)\s*\(", out)
+    if leak:
+        raise ValueError(
+            f"{leak.group(1)}{leak.group(2)}: argument nests more "
+            f"than two call levels deep — alias the inner expression "
+            f"in a subquery")
     # quantileState(x): refuse the parametric (p)(x) form loudly (the
     # level belongs to quantileMerge, like CH)
     rx = re.compile(r"\bquantileState\s*\(")

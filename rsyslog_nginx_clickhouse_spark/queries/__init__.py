@@ -252,8 +252,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 #: Round-13 ordering (VERDICT r12 items 2, 3, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 8 mandatory
-#: entries — 6 NEW (window_funnel_sql: the verbatim
+#: rotation contract): the window leads with the round's 9 mandatory
+#: entries — 7 NEW (window_funnel_sql: the verbatim
 #: windowFunnel(W[, mode])(ts, c1..cN) spelling as one aggregate()
 #: slot fold; sequence_match_count_sql: verbatim sequenceMatch /
 #: sequenceCount incl. the (?t<=N) NFA fold; with_fill_desc_interpolate:
@@ -263,15 +263,17 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: materialized-view idiom; histogram_sql: histogram(N)(x) as
 #: deterministic equal-width bins; streaming_window_funnel_sql: the
 #: same verbatim text over a STREAMING view — the rewrite's
-#: collect_list state is a standard streaming aggregation) and 2
+#: collect_list state is a standard streaming aggregation;
+#: additive_state_merge_sql: sum/count/min/max/avgState + Merge, the
+#: SummingMergeTree MV idiom) and 2
 #: TEXT-CHANGED
 #: (delta_sum_timestamp_sql + sum_map_sql: docs reworded per ADVICE
 #: r12 — the deltaSumTimestamp determinization claim and the sumMap
 #: zero-drop deviation) — then fills oldest-first: ALL 15 r8 rows
 #: still outside the window (the _FRONTLOAD_R13 cohort VERDICT r12
 #: item 2 named: q2_min_cost_supplier .. with_fill_sql_histogram)
-#: and 27 r9 rows alphabetically. 23 r9 rows remain the oldest
-#: outside the window and lead _FRONTLOAD_R14 — the price of 8
+#: and 26 r9 rows alphabetically. 24 r9 rows remain the oldest
+#: outside the window and lead _FRONTLOAD_R14 — the price of 9
 #: mandatory slots. rotationcheck enforces the result.
 _FRONTLOAD_R13 = [
     # new this round — never driver-verified
@@ -281,6 +283,7 @@ _FRONTLOAD_R13 = [
     "state_merge_sql",             # NEW: -State/-Merge spellings
     "histogram_sql",               # NEW: histogram(N)(x)
     "streaming_window_funnel_sql",  # NEW: streaming funnel SQL text
+    "additive_state_merge_sql",    # NEW: sum/count/avg State+Merge
     # text-changed this round — ADVICE r12 doc rewordings
     "delta_sum_timestamp_sql",
     "sum_map_sql",
@@ -301,7 +304,7 @@ _FRONTLOAD_R13 = [
     "train_test_split",
     "value_histogram",
     "with_fill_sql_histogram",
-    # r9 rows, alphabetical fill (27 of 50)
+    # r9 rows, alphabetical fill (26 of 50)
     "approx_daily_users",
     "approx_latency_quantiles",
     "bm25_top_docs",
@@ -328,7 +331,6 @@ _FRONTLOAD_R13 = [
     "q20_promo_suppliers",
     "q22_idle_customers",
     "q3_shipping_priority",
-    "q4_order_priority",
 ]
 
 _FRONTLOAD_R12 = [

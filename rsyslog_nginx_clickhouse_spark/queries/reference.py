@@ -825,6 +825,64 @@ def histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "additive_state_merge_sql",
+    # direct-computation oracle (additive merges are exact by
+    # definition); integer cents keep every sum exact in the double
+    # accumulator; the avg is a ratio of exact integers rounded with
+    # the tie-exact floor sequence on both engines
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           count(value)::bigint AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           floor((sum(cents)::double / count(cents)) * 1000000
+                 + 0.5) / 1000000 AS avg_cents
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    doc="the ADDITIVE -State/-Merge SQL spellings (round 13 — "
+        "completing state_merge_sql's family): per-day "
+        "sum/count/min/max/avgState states merged across days by "
+        "the -Merge reads — the SummingMergeTree materialized-view "
+        "idiom. These states ARE their partial values, so State maps "
+        "to the plain aggregate and Merge to its combiner; avg "
+        "carries the (sum, count) pair like CH's AvgState and "
+        "returns Float64 (the CH avg contract). Merges are exact, "
+        "so the oracle is the direct single-pass computation "
+        "(functions/macros._rewrite_state_merge)",
+)
+def additive_state_merge_sql(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "adsm_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(sumMerge(ss) AS BIGINT) AS total_cents,
+               countMerge(cs) AS n,
+               minMerge(ms) AS min_cents,
+               maxMerge(xs) AS max_cents,
+               floor(avgMerge(av) * 1000000 + 0.5) / 1000000
+                   AS avg_cents
+        FROM (SELECT event_type, toYYYYMMDD(ts) AS d,
+                     sumState(CAST(floor(value * 100) AS BIGINT))
+                         AS ss,
+                     countState(value) AS cs,
+                     minState(CAST(floor(value * 100) AS BIGINT))
+                         AS ms,
+                     maxState(CAST(floor(value * 100) AS BIGINT))
+                         AS xs,
+                     avgState(CAST(floor(value * 100) AS BIGINT))
+                         AS av
+              FROM adsm_events GROUP BY event_type, toYYYYMMDD(ts))
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

@@ -397,3 +397,27 @@ def test_histogram_sql_refusals():
         rewrite_aggregates("SELECT histogram(n)(v) FROM t")
     with pytest.raises(ValueError, match="1-256"):
         rewrite_aggregates("SELECT histogram(0)(v) FROM t")
+
+
+def test_additive_state_merge_equals_direct(spark):
+    """sum/count/min/max/avg State+Merge over parts == the direct
+    aggregates (additive merges are exact by definition)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(i % 3, i % 4, float(i)) for i in range(100)]
+    spark.createDataFrame(rows, "g int, part int, v double") \
+        .createOrReplaceTempView("ad13")
+    merged = sql(spark, """
+        SELECT g, sumMerge(ss) AS s, countMerge(cs) AS c,
+               minMerge(ms) AS mn, maxMerge(xs) AS mx,
+               avgMerge(av) AS a
+        FROM (SELECT g, part, sumState(v) AS ss, countState(v) AS cs,
+                     minState(v) AS ms, maxState(v) AS xs,
+                     avgState(v) AS av
+              FROM ad13 GROUP BY g, part)
+        GROUP BY g ORDER BY g""").collect()
+    direct = sql(spark, """
+        SELECT g, sum(v) AS s, count(v) AS c, min(v) AS mn,
+               max(v) AS mx, avg(v) AS a
+        FROM ad13 GROUP BY g ORDER BY g""").collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
