@@ -1118,8 +1118,13 @@ def _sequence_string_sql(tsx: str, conds: list[str]) -> str:
     the SQL spelling of ``operators/funnel._per_user_label_sequence``
     (same storage rule: '0' events dropped INSIDE the aggregate, ties
     on ts order by label)."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        seq_alphabet,
+    )
+
+    alphabet = seq_alphabet(len(conds))
     lab = ("CASE "
-           + " ".join(f"WHEN ({c}) THEN '{i}'"
+           + " ".join(f"WHEN ({c}) THEN '{alphabet[i - 1]}'"
                       for i, c in enumerate(conds, 1))
            + " ELSE '0' END")
     pair = (f"named_struct('ts', CAST(({tsx}) AS TIMESTAMP), "
@@ -1142,10 +1147,15 @@ def _sequence_nfa_sql(tsx: str, conds: list[str],
     ``ts[i] - ts[i-1]`` the same way). Existence tracking over all
     paths makes the NFA exact vs the memoized DP; the accept position
     is sticky so a completed match survives later events."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        seq_alphabet,
+    )
+
     toks = [("star",)] + list(toks)  # unanchored, like the DP
     mlen = len(toks)
+    alphabet = seq_alphabet(len(conds))
     lab = ("CASE "
-           + " ".join(f"WHEN ({c}) THEN '{i}'"
+           + " ".join(f"WHEN ({c}) THEN '{alphabet[i - 1]}'"
                       for i, c in enumerate(conds, 1))
            + " ELSE '0' END")
     pair = (f"named_struct('t', unix_micros(CAST(({tsx}) AS "
@@ -1228,14 +1238,13 @@ def _rewrite_sequence_calls(out: str, lits: list[str]) -> str:
         if len(args) < 2:
             raise ValueError(f"{fn}(…)(timestamp, cond1, …): need a "
                              f"timestamp and at least 1 condition")
-        if len(args) - 1 > 9:
+        if len(args) - 1 > 32:
             raise ValueError(
-                f"{fn} supports at most 9 conditions (one char per "
-                f"label — condition 10 would encode as '10' and its "
-                f"'1' would falsely match condition 1)")
+                f"{fn} supports at most 32 conditions (the "
+                f"ClickHouse limit)")
         tsx = args[0].strip()
         conds = [a.strip() for a in args[1:]]
-        toks = parse_sequence_pattern(pattern)
+        toks = parse_sequence_pattern(pattern, len(conds))
         timed = any(t[0] == "cond" and t[2] for t in toks)
         if timed and fn == "sequenceCount":
             raise ValueError(
@@ -1246,7 +1255,7 @@ def _rewrite_sequence_calls(out: str, lits: list[str]) -> str:
         if timed:
             repl = f"({_sequence_nfa_sql(tsx, conds, toks)})"
         else:
-            regex = translate_sequence_pattern(pattern)
+            regex = translate_sequence_pattern(pattern, len(conds))
             seq = _sequence_string_sql(tsx, conds)
             if fn == "sequenceCount":
                 # lazy quantifiers = CH's minimal-chain resume

@@ -192,20 +192,57 @@ def retention(events: DataFrame, conds: list[Column],
     return per_user.agg(*r)
 
 
-def translate_sequence_pattern(pattern: str) -> str:
+#: condition-label alphabets: single digits for <= 9 conditions (the
+#: historical encoding — every existing oracle's label strings stay
+#: byte-identical), a 32-char letter alphabet for 10-32 (the CH
+#: condition limit). '0' stays the non-match marker in both.
+_SEQ_ALPHABET = "123456789"
+_SEQ_ALPHABET_WIDE = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdef"
+
+
+def seq_alphabet(n_conds: int) -> str:
+    """The label alphabet for ``n_conds`` conditions (round 13 —
+    previously >9 was refused outright; CH's own limit is 32)."""
+    if n_conds <= 9:
+        return _SEQ_ALPHABET
+    if n_conds <= 32:
+        return _SEQ_ALPHABET_WIDE
+    raise ValueError(
+        f"sequence match supports at most 32 conditions (the "
+        f"ClickHouse limit); got {n_conds}")
+
+
+def _cond_char(num: str, n_conds: "int | None") -> str:
+    """Pattern atom number → its label char under the alphabet for
+    ``n_conds`` (None = the historical digit encoding, <= 9 only)."""
+    n = int(num)
+    alphabet = _SEQ_ALPHABET if n_conds is None \
+        else seq_alphabet(n_conds)
+    if not 1 <= n <= len(alphabet) or (n_conds is not None
+                                       and n > n_conds):
+        raise ValueError(f"sequenceMatch pattern references "
+                         f"condition {n} but only "
+                         f"{n_conds if n_conds is not None else 9} "
+                         f"condition(s) are available")
+    return alphabet[n - 1]
+
+
+def translate_sequence_pattern(pattern: str,
+                               n_conds: "int | None" = None) -> str:
     """ClickHouse sequenceMatch pattern → plain regex over the per-event
-    condition-label string: ``(?N)`` → the digit N, ``.*`` kept, ``.``
-    (exactly one event of any kind) kept. Time constraints
-    (``(?t>3600)``) are not supported — raise rather than silently
-    drop a constraint that changes semantics."""
+    condition-label string: ``(?N)`` → condition N's label char,
+    ``.*`` kept, ``.`` (exactly one event of any kind) kept. Time
+    constraints (``(?t>3600)``) are not supported — raise rather than
+    silently drop a constraint that changes semantics."""
     import re
 
     out, pos = [], 0
-    for m in re.finditer(r"\(\?(\d)\)|\.\*|\.", pattern):
+    for m in re.finditer(r"\(\?(\d{1,2})\)|\.\*|\.", pattern):
         if m.start() != pos:
             raise ValueError(f"unsupported sequenceMatch pattern "
                              f"fragment {pattern[pos:m.start()]!r}")
-        out.append(m.group(1) if m.group(1) else m.group(0))
+        out.append(_cond_char(m.group(1), n_conds)
+                   if m.group(1) else m.group(0))
         pos = m.end()
     if pos != len(pattern):
         raise ValueError(f"unsupported sequenceMatch pattern tail "
@@ -224,12 +261,16 @@ _TIME_OPS = {
 }
 
 
-def parse_sequence_pattern(pattern: str) -> list[tuple]:
+def parse_sequence_pattern(pattern: str,
+                           n_conds: "int | None" = None) -> list[tuple]:
     """ClickHouse sequenceMatch pattern → token list (round 12 —
     previously time constraints were refused outright):
 
-    - ``(?N)``   → ('cond', 'N', tc) where tc is the pending time
-      constraint (op, seconds) or None;
+    - ``(?N)``   → ('cond', <label char>, tc) where the char is N's
+      label under the alphabet for ``n_conds`` (digits for <= 9,
+      letters for 10-32 — round 13 lifted the 9-condition limit to
+      the CH 32) and tc is the pending time constraint
+      (op, seconds) or None;
     - ``.*``     → ('star',); ``.`` → ('any',);
     - ``(?t op N)`` → attaches to the FOLLOWING condition atom and is
       checked against the event matched by the PRECEDING one. CH
@@ -244,7 +285,8 @@ def parse_sequence_pattern(pattern: str) -> list[tuple]:
     pending: "tuple | None" = None
     pos = 0
     for m in re.finditer(
-            r"\(\?(\d)\)|\(\?t\s*(>=|<=|==|>|<)\s*(\d+)\)|\.\*|\.",
+            r"\(\?(\d{1,2})\)|\(\?t\s*(>=|<=|==|>|<)\s*(\d+)\)"
+            r"|\.\*|\.",
             pattern):
         if m.start() != pos:
             raise ValueError(f"unsupported sequenceMatch pattern "
@@ -261,7 +303,8 @@ def parse_sequence_pattern(pattern: str) -> list[tuple]:
                     "constrains the two events those atoms match")
             pending = (m.group(2), int(m.group(3)))
         elif m.group(1):
-            toks.append(("cond", m.group(1), pending))
+            toks.append(("cond", _cond_char(m.group(1), n_conds),
+                         pending))
             pending = None
         else:
             if pending is not None:
@@ -356,17 +399,15 @@ def sequence_label(conds: list[Column]) -> Column:
     are mutually exclusive — the event_type-equality conditions every
     query here uses — and that restriction keeps the whole aggregate
     a pure-expression string build both engines replay identically.
-    One char per label is a hard encoding limit: with 10+ conditions
-    str(10) would emit '10', whose '1' falsely matches condition 1
-    in the regex — refuse loudly (ADVICE r7)."""
-    if len(conds) > 9:
-        raise ValueError(
-            f"sequence match supports at most 9 conditions (one char "
-            f"per label — condition 10 would encode as '10' and its "
-            f"'1' would falsely match condition 1); got {len(conds)}")
+    One char per label is a hard encoding requirement (str(10)'s '1'
+    would falsely match condition 1 in the regex — ADVICE r7), so
+    10-32 conditions switch to a letter alphabet (round 13; 32 is
+    ClickHouse's own condition limit, seq_alphabet)."""
+    alphabet = seq_alphabet(len(conds))
     lab = F.lit("0")
     for i in range(len(conds), 0, -1):
-        lab = F.when(conds[i - 1], F.lit(str(i))).otherwise(lab)
+        lab = F.when(conds[i - 1], F.lit(alphabet[i - 1])) \
+            .otherwise(lab)
     return lab
 
 
@@ -389,7 +430,7 @@ def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
     bounded label string — at 100 TB the shuffle carries one char per
     event, nothing quadratic.
     """
-    toks = parse_sequence_pattern(pattern)
+    toks = parse_sequence_pattern(pattern, len(conds))
     if any(t[0] == "cond" and t[2] for t in toks):
         # time-constrained pattern (round 12): the label string cannot
         # carry timestamps, so the match runs as an Arrow-batched DP
@@ -409,7 +450,7 @@ def sequence_match(events: DataFrame, conds: list[Column], pattern: str,
                                          time_col)
         return per_user.select(
             F.col(user_col), matcher(F.col("evs")).alias("matched"))
-    regex = translate_sequence_pattern(pattern)
+    regex = translate_sequence_pattern(pattern, len(conds))
     per_user = _per_user_label_sequence(events, conds, user_col,
                                         time_col)
     return per_user.select(
@@ -490,7 +531,7 @@ def sequence_count(events: DataFrame, conds: list[Column], pattern: str,
     user-shuffle plan as sequence_match; the count is one
     regexp_extract_all size, no UDF.
     """
-    toks = parse_sequence_pattern(pattern)
+    toks = parse_sequence_pattern(pattern, len(conds))
     if any(t[0] == "cond" and t[2] for t in toks):
         # time-constrained count (round 12): leftmost-lazy
         # non-overlapping scan in the Arrow DP — the same findall
@@ -508,7 +549,8 @@ def sequence_count(events: DataFrame, conds: list[Column], pattern: str,
                                          time_col)
         return per_user.select(
             F.col(user_col), counter(F.col("evs")).alias("n_chains"))
-    regex = translate_sequence_pattern(pattern).replace(".*", ".*?")
+    regex = translate_sequence_pattern(
+        pattern, len(conds)).replace(".*", ".*?")
     per_user = _per_user_label_sequence(events, conds, user_col,
                                         time_col)
     return per_user.select(

@@ -198,9 +198,10 @@ def test_sequence_match_dot_and_adjacency_skip_unmatched(spark):
     assert set(dot) == {1, 2, 3, 4}
 
 
-def test_sequence_label_rejects_ten_conditions(spark):
-    """>9 conditions would encode condition 10 as the two-char '10',
-    whose '1' falsely matches condition 1 (ADVICE r7 low) — refuse."""
+def test_sequence_label_rejects_thirty_three_conditions(spark):
+    """Round 13 lifted the 9-condition limit to ClickHouse's 32 via a
+    letter alphabet (one char per label stays a hard requirement —
+    ADVICE r7); 33 still refuses."""
     from rsyslog_nginx_clickhouse_spark.operators.funnel import (
         sequence_match,
     )
@@ -210,8 +211,10 @@ def test_sequence_label_rejects_ten_conditions(spark):
         "user_id long, ts string, event_type string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     conds = [F.col("event_type") == f"t{i}" for i in range(10)]
-    with pytest.raises(ValueError, match="at most 9 conditions"):
-        sequence_match(df, conds, "(?1).*(?2)")
+    assert sequence_match(df, conds, "(?1).*(?2)").count() == 1
+    conds33 = [F.col("event_type") == f"t{i}" for i in range(33)]
+    with pytest.raises(ValueError, match="at most 32"):
+        sequence_match(df, conds33, "(?1).*(?2)")
 
 
 def test_sequence_count_non_overlapping_lazy(spark):

@@ -421,3 +421,54 @@ def test_additive_state_merge_equals_direct(spark):
                max(v) AS mx, avg(v) AS a
         FROM ad13 GROUP BY g ORDER BY g""").collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+
+
+# ------------- sequence conditions beyond 9 (missing item 5) --
+
+def test_sequence_match_twelve_conditions(spark):
+    """Round 13 lifts the 9-condition one-char-label limit to CH's 32
+    via a letter alphabet for 10+; digit labels for <= 9 stay
+    byte-identical (every existing oracle unchanged)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        sequence_match,
+    )
+    from pyspark.sql import functions as F
+
+    types = [f"t{i}" for i in range(1, 13)]
+    rows = [(1, _ts(i), f"t{i}") for i in range(1, 13)]     # full chain
+    rows += [(2, _ts(1), "t1"), (2, _ts(2), "t12")]         # 1 then 12
+    rows += [(3, _ts(1), "t12"), (3, _ts(2), "t1")]         # wrong order
+    _funnel_df(spark, rows).createOrReplaceTempView("sq13w")
+    conds_sql = ", ".join(f"event_type = 't{i}'"
+                          for i in range(1, 13))
+    q = (f"SELECT user_id, sequenceMatch('(?1).*(?12)')"
+         f"(ts, {conds_sql}) AS m "
+         f"FROM sq13w GROUP BY user_id ORDER BY user_id")
+    got = [(r.user_id, r.m) for r in sql(spark, q).collect()]
+    assert got == [(1, True), (2, True), (3, False)]
+    # operator API agrees
+    conds = [F.col("event_type") == t for t in types]
+    ev = spark.table("sq13w")
+    want = {r.user_id: r.matched for r in sequence_match(
+        ev, conds, "(?1).*(?12)", time_col="ts").collect()}
+    assert want == {1: True, 2: True, 3: False}
+    # a pattern referencing a condition beyond the list still refuses
+    with pytest.raises(ValueError, match="condition 13"):
+        sql(spark, f"SELECT sequenceMatch('(?13)')(ts, {conds_sql}) "
+                   f"FROM sq13w GROUP BY user_id")
+
+
+def test_sequence_labels_unchanged_for_nine_or_fewer():
+    """The <= 9 digit encoding is frozen: oracles string-match it."""
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        seq_alphabet,
+        translate_sequence_pattern,
+    )
+
+    assert seq_alphabet(9) == "123456789"
+    assert len(seq_alphabet(32)) == 32
+    assert translate_sequence_pattern("(?1).*(?2)", 2) == "1.*2"
+    assert translate_sequence_pattern("(?1).*(?12)", 12) == "A.*L"
+    with pytest.raises(ValueError, match="at most 32"):
+        seq_alphabet(33)
