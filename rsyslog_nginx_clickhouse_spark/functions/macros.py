@@ -2767,7 +2767,8 @@ def rewrite_asof_join(spark: SparkSession, query: str) -> str:
 #: writes the column type's default (0 / ''); wrap with coalesce for
 #: CH-exact output.
 _WITH_FILL_RE = re.compile(
-    r"(?is)\bORDER\s+BY\s+(?P<col>\w+)(?:\s+(?P<desc>DESC))?"
+    r"(?is)\bORDER\s+BY\s+(?P<pre>(?:\w+\s*,\s*)*)"
+    r"(?P<col>\w+)(?:\s+(?P<desc>DESC))?"
     r"\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(?P<frm>-?[\w.'-]+))?"
     r"(?:\s+TO\s+(?P<to>-?[\w.'-]+))?"
@@ -2811,12 +2812,23 @@ def rewrite_with_fill(query: str) -> str:
     if m is None:
         if re.search(r"(?is)\bWITH\s+FILL\b", query):
             raise ValueError(
-                "unsupported WITH FILL form — needs 'ORDER BY <col> "
-                "[DESC] WITH FILL [FROM a] [TO b] STEP <n | INTERVAL "
-                "n unit>' as the query's final clause (single key; "
-                "optional trailing LIMIT)")
+                "unsupported WITH FILL form — needs 'ORDER BY "
+                "[k1, k2, …,] <col> [DESC] WITH FILL [FROM a] [TO b] "
+                "STEP <n | INTERVAL n unit>' as the query's final "
+                "clause (bare ascending prefix keys; the LAST key "
+                "fills; optional trailing LIMIT)")
         return query
     col = m.group("col")
+    # multi-key (round 13): ``ORDER BY series, t WITH FILL`` — the
+    # ClickHouse per-series dashboard fill. Prefix keys group the
+    # fill: the grid regenerates PER distinct prefix (CH restarts its
+    # fill when a preceding sort column changes), carry-forward
+    # windows partition by the prefix, and derived FROM/TO bounds are
+    # per-group min/max (CH fills between each group's own observed
+    # values when bounds are omitted).
+    prefix = [p.strip()
+              for p in (m.group("pre") or "").rstrip(", \t\n").split(",")
+              if p.strip()]
     desc = m.group("desc") is not None
     step = m.group("step")
     if step is None:
@@ -2834,19 +2846,37 @@ def rewrite_with_fill(query: str) -> str:
     src = query[:m.start()].rstrip()
     agg0 = "max" if desc else "min"
     agg1 = "min" if desc else "max"
-    frm = m.group("frm") or f"(SELECT {agg0}({col}) FROM __fill_src)"
     to = m.group("to")
+    pre_cols = ", ".join(prefix)
+    if prefix:
+        # per-group spine: one sequence per distinct prefix, bounds
+        # either the shared literals or the group's own min/max
+        frm = m.group("frm") or f"{agg0}({col})"
+        stop = to if to else f"{agg1}({col})"
+        spine = (f"SELECT {pre_cols}, explode(sequence(__f0, __f1, "
+                 f"{step})) AS {col} FROM "
+                 f"(SELECT {pre_cols}, {frm} AS __f0, {stop} AS __f1 "
+                 f"FROM __fill_src GROUP BY {pre_cols})")
+    else:
+        frm = m.group("frm") \
+            or f"(SELECT {agg0}({col}) FROM __fill_src)"
+        stop = to if to else f"(SELECT {agg1}({col}) FROM __fill_src)"
+        spine = (f"SELECT explode(sequence({frm}, {stop}, {step})) "
+                 f"AS {col}")
     # CH: TO is exclusive; Spark sequence() is stop-inclusive, so an
     # explicit TO adds a strict bound filter INSIDE the spine (upper
     # for ascending fills, lower for descending)
-    stop = to if to else f"(SELECT {agg1}({col}) FROM __fill_src)"
-    spine = f"SELECT explode(sequence({frm}, {stop}, {step})) AS {col}"
     if to:
         cmp_op = ">" if desc else "<"
-        spine = (f"SELECT {col} FROM ({spine}) "
+        keep = f"{pre_cols}, {col}" if prefix else col
+        spine = (f"SELECT {keep} FROM ({spine}) "
                  f"WHERE {col} {cmp_op} {to}")
     tail = m.group("tail") or ""
     order_dir = " DESC" if desc else ""
+    join_keys = ", ".join([*prefix, col])
+    order_keys = (f"{pre_cols}, {col}{order_dir}" if prefix
+                  else f"{col}{order_dir}")
+    part_by = f"PARTITION BY {pre_cols} " if prefix else ""
     locf_names: list[str] = []
     expr_items: list[tuple[str, str]] = []
     if m.group("interp"):
@@ -2864,15 +2894,16 @@ def rewrite_with_fill(query: str) -> str:
             else:
                 expr_items.append((c, e.strip()))
     joined = (f"SELECT * FROM ({spine}) "
-              f"LEFT JOIN __fill_marked USING ({col})"
+              f"LEFT JOIN __fill_marked USING ({join_keys})"
               if expr_items else
               f"SELECT * FROM ({spine}) "
-              f"LEFT JOIN __fill_src USING ({col})")
+              f"LEFT JOIN __fill_src USING ({join_keys})")
     drop = list(locf_names)
     select_extra: list[str] = []
     if locf_names:
         select_extra += [
-            f"last_value({c}, true) OVER (ORDER BY {col}{order_dir} "
+            f"last_value({c}, true) OVER ({part_by}"
+            f"ORDER BY {col}{order_dir} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             f"AS {c}" for c in locf_names]
     ctes = [f"__fill_src AS ({src})"]
@@ -2921,17 +2952,22 @@ def rewrite_with_fill(query: str) -> str:
             f"'out', concat(__fa.out, array(transform(array({cur}), "
             f"__fc -> {row_struct})[0]))), "
             f"__ff -> __ff.out)")
-        ctes.append(f"__fill_rows AS (SELECT {collect} AS rs "
-                    f"FROM ({joined}))")
-        ctes.append(f"__fill_folded AS (SELECT explode({fold}) "
+        grp = f"SELECT {pre_cols}, {collect} AS rs " \
+              f"FROM ({joined}) GROUP BY {pre_cols}" if prefix \
+            else f"SELECT {collect} AS rs FROM ({joined})"
+        keep_pre = f"{pre_cols}, " if prefix else ""
+        ctes.append(f"__fill_rows AS ({grp})")
+        ctes.append(f"__fill_folded AS (SELECT {keep_pre}"
+                    f"explode({fold}) "
                     f"AS __fo FROM __fill_rows)")
         ctes.append(
-            "__fill_interp AS (SELECT __fo.k AS " + col + ", "
+            f"__fill_interp AS (SELECT {keep_pre}__fo.k AS " + col
+            + ", "
             + ", ".join(f"__fo.{c} AS __i_{c}" for c, _ in expr_items)
             + " FROM __fill_folded)")
         select_extra += [f"__i_{c} AS {c}" for c, _ in expr_items]
         final_from = (f"({joined}) JOIN __fill_interp "
-                      f"USING ({col})")
+                      f"USING ({join_keys})")
     if drop:
         filled = (f"SELECT * EXCEPT ({', '.join(drop)}"
                   + (", " + ", ".join(f"__i_{c}"
@@ -2943,7 +2979,7 @@ def rewrite_with_fill(query: str) -> str:
         filled = f"SELECT * FROM {final_from}"
     return (f"WITH {', '.join(ctes)} "
             f"{filled} "
-            f"ORDER BY {col}{order_dir}{tail}")
+            f"ORDER BY {order_keys}{tail}")
 
 
 def sql(spark: SparkSession, query: str, **macro_kwargs) -> DataFrame:

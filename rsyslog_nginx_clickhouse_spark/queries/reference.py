@@ -1494,6 +1494,79 @@ def with_fill_desc_interpolate(spark: SparkSession,
 
 
 @query(
+    "with_fill_multikey",
+    # per-group chained replay, ascending twin of the DESC row's
+    # closed form: a filled row's cnt = last_real_cnt * 0.5^steps
+    # (exact binary halvings), mu carries LOCF — both PARTITIONED by
+    # the prefix key; rows before a group's first real bin stay NULL
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(floor(value / 10) AS INT) AS vb,
+             count(*)::double AS cnt, max(user_id)::bigint AS mu
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value < 100
+        AND user_id % 211 = 0
+      GROUP BY event_type, vb),
+    grid AS (
+      SELECT t.event_type, g.vb
+      FROM (SELECT DISTINCT event_type FROM src) t
+      CROSS JOIN (SELECT unnest(range(0, 12)) AS vb) g),
+    j AS (
+      SELECT grid.event_type, grid.vb::int AS vb, src.cnt, src.mu,
+             CASE WHEN src.vb IS NOT NULL THEN 1 ELSE 0 END AS pr
+      FROM grid LEFT JOIN src
+           ON grid.event_type = src.event_type AND grid.vb = src.vb),
+    w AS (
+      SELECT event_type, vb, pr, cnt,
+             last_value(mu IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY vb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mu_f,
+             last_value(CASE WHEN pr = 1 THEN cnt END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY vb ROWS
+                     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_cnt,
+             last_value(CASE WHEN pr = 1 THEN vb END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY vb ROWS
+                     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_vb
+      FROM j)
+    SELECT event_type, vb,
+           CASE WHEN pr = 1 THEN cnt
+                WHEN last_cnt IS NOT NULL
+                THEN last_cnt * power(0.5, vb - last_vb)
+                ELSE NULL END AS cnt,
+           mu_f AS mu
+    FROM w ORDER BY event_type, vb
+    """,
+    doc="MULTI-KEY `ORDER BY series, t WITH FILL` (round 13): the "
+        "per-series dashboard fill — the grid regenerates PER "
+        "distinct prefix key (CH restarts its fill when a preceding "
+        "sort column changes), carry-forward and chained-expression "
+        "interpolation both partition by the prefix, and derived "
+        "bounds would be per-group min/max (explicit FROM/TO here). "
+        "Sparse per-type value histograms densified over 2 x 12 "
+        "bins with one LOCF column and one chained halving "
+        "(functions/macros.rewrite_with_fill)",
+)
+def with_fill_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "wfmk_events")
+    return engine_sql(spark, """
+        SELECT event_type, CAST(floor(value / 10) AS INT) AS vb,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(max(user_id) AS BIGINT) AS mu
+        FROM wfmk_events
+        WHERE event_type IN ('view', 'purchase') AND value < 100
+          AND user_id % 211 = 0
+        GROUP BY event_type, vb
+        ORDER BY event_type, vb WITH FILL FROM 0 TO 12 STEP 1
+        INTERPOLATE (mu, cnt AS cnt * 0.5)
+    """).select("event_type", F.col("vb").cast("int").alias("vb"),
+                "cnt", "mu")
+
+
+@query(
     "status_class_share",
     oracle="""
     WITH t AS (

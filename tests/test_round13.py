@@ -472,3 +472,28 @@ def test_sequence_labels_unchanged_for_nine_or_fewer():
     assert translate_sequence_pattern("(?1).*(?12)", 12) == "A.*L"
     with pytest.raises(ValueError, match="at most 32"):
         seq_alphabet(33)
+
+
+def test_with_fill_multikey_per_group_grids(spark):
+    """ORDER BY series, t WITH FILL: the grid regenerates per prefix
+    key, LOCF and chained expressions partition by it, and derived
+    bounds are each group's own min/max."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 5.0), ("b", 3, 7.0)],
+        "s string, k int, v double").createOrReplaceTempView("mk13t")
+    got = [tuple(r) for r in sql(
+        spark, "SELECT s, k, v FROM mk13t ORDER BY s, k "
+               "WITH FILL STEP 1 INTERPOLATE (v)").collect()]
+    assert got == [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0),
+                   ("a", 4, 40.0), ("b", 2, 5.0), ("b", 3, 7.0)]
+    # chained expr restarts per group; leading rows stay NULL
+    got = [tuple(r) for r in sql(
+        spark, "SELECT s, k, v FROM mk13t ORDER BY s, k "
+               "WITH FILL FROM 1 TO 5 STEP 1 "
+               "INTERPOLATE (v AS v + 1)").collect()]
+    assert got == [("a", 1, 10.0), ("a", 2, 11.0), ("a", 3, 12.0),
+                   ("a", 4, 40.0),
+                   ("b", 1, None), ("b", 2, 5.0), ("b", 3, 7.0),
+                   ("b", 4, 8.0)]
