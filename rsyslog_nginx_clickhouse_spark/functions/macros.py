@@ -817,6 +817,22 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(
         rf"\bsumCount\(({nested2})\)",
         r"struct(sum(\1) AS s, count(\1) AS c)", out)
+
+    # simpleLinearRegression(x, y) (round 13): CH returns the (k, b)
+    # tuple of y ≈ k·x + b — Spark's regr_slope/regr_intercept take
+    # (y, x), so the arguments swap; same one-pass partial-agg plan
+    def _linreg(m: re.Match) -> str:
+        args = _split_top_level(m.group(1))
+        if len(args) != 2:
+            raise ValueError(
+                f"simpleLinearRegression(x, y): need exactly 2 "
+                f"arguments, got {len(args)}")
+        x, y = (a.strip() for a in args)
+        return (f"named_struct('k', regr_slope({y}, {x}), "
+                f"'b', regr_intercept({y}, {x}))")
+
+    out = re.sub(rf"\bsimpleLinearRegression\(({nested2})\)",
+                 _linreg, out)
     out = _rewrite_map_aggs(out)
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
@@ -1354,8 +1370,27 @@ def _rewrite_state_merge(out: str) -> str:
     out = re.sub(
         rf"\bavgMerge\(({nested2})\)",
         r"(sum((\1).s) / nullif(sum((\1).c), 0))", out)
+    # argMax/argMin State+Merge: the state is the lexicographic
+    # max/min of struct(ord, payload) — including the payload in the
+    # comparison makes ties total, so the state is deterministic and
+    # its merge exact (the plans/agg_rollup._ord_struct discipline).
+    # Merge re-maxes the states and projects the payload.
+    def _arg_state(m: re.Match) -> str:
+        args = _split_top_level(m.group(2))
+        if len(args) != 2:
+            raise ValueError(f"{m.group(1)}State(payload, ord): need "
+                             f"exactly 2 arguments, got {len(args)}")
+        p, o = (a.strip() for a in args)
+        fn = "max" if m.group(1) == "argMax" else "min"
+        return (f"{fn}(named_struct('o', ({o}), 'p', ({p})))")
+
+    out = re.sub(rf"\b(argMax|argMin)State\(({nested2})\)",
+                 _arg_state, out)
+    out = re.sub(rf"\bargMaxMerge\(({nested2})\)", r"max(\1).p", out)
+    out = re.sub(rf"\bargMinMerge\(({nested2})\)", r"min(\1).p", out)
     leak = re.search(
-        r"\b(sum|count|min|max|avg)(State|Merge)\s*\(", out)
+        r"\b(sum|count|min|max|avg|argMax|argMin)(State|Merge)"
+        r"\s*\(", out)
     if leak:
         raise ValueError(
             f"{leak.group(1)}{leak.group(2)}: argument nests more "

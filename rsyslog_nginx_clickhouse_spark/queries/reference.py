@@ -883,6 +883,77 @@ def additive_state_merge_sql(spark: SparkSession,
 
 
 @query(
+    "argmax_state_linreg_sql",
+    # argMax/argMin states are lexicographic struct extrema (ties
+    # broken by the payload — total order, so merge is exact and
+    # deterministic); the oracle picks the same row via ranked
+    # windows. simpleLinearRegression replays as regr_slope/
+    # regr_intercept (ratios of order-dependent double sums →
+    # round(6), the irrational-value discipline)
+    oracle="""
+    WITH latest AS (
+      SELECT event_type, user_id AS latest_user FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, user_id DESC)
+                 AS rn
+        FROM events) WHERE rn = 1),
+    earliest AS (
+      SELECT event_type, user_id AS earliest_user FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts ASC, user_id ASC)
+                 AS rn
+        FROM events) WHERE rn = 1),
+    reg AS (
+      SELECT event_type,
+             round(regr_slope(value, user_id % 100), 6) AS slope,
+             round(regr_intercept(value, user_id % 100), 6)
+               AS intercept
+      FROM events GROUP BY event_type)
+    SELECT event_type, latest_user, earliest_user, slope, intercept
+    FROM latest JOIN earliest USING (event_type)
+    JOIN reg USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="argMaxState/argMaxMerge + argMinState/argMinMerge SQL "
+        "spellings (round 13 — the latest-value-per-key "
+        "AggregatingMergeTree idiom, completing the -State/-Merge "
+        "family) beside ClickHouse's simpleLinearRegression(x, y): "
+        "per-day argmax states merged across days (the state is the "
+        "lexicographic max of struct(ord, payload) — ties total via "
+        "the payload, the plans/agg_rollup._ord_struct discipline, "
+        "so merge is exact), and the regression tuple maps to "
+        "Spark's regr_slope/regr_intercept with the argument swap "
+        "(CH takes (x, y), Spark (y, x))",
+)
+def argmax_state_linreg_sql(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "axl_events")
+    return engine_sql(spark, """
+        WITH merged AS (
+          SELECT event_type,
+                 argMaxMerge(amx) AS latest_user,
+                 argMinMerge(amn) AS earliest_user
+          FROM (SELECT event_type, toYYYYMMDD(ts) AS d,
+                       argMaxState(user_id, ts) AS amx,
+                       argMinState(user_id, ts) AS amn
+                FROM axl_events GROUP BY event_type, toYYYYMMDD(ts))
+          GROUP BY event_type),
+        reg AS (
+          SELECT event_type,
+                 simpleLinearRegression(user_id % 100, value) AS lr
+          FROM axl_events GROUP BY event_type)
+        SELECT merged.event_type, latest_user, earliest_user,
+               round(reg.lr.k, 6) AS slope,
+               round(reg.lr.b, 6) AS intercept
+        FROM merged JOIN reg ON merged.event_type = reg.event_type
+        ORDER BY merged.event_type
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

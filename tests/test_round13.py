@@ -497,3 +497,26 @@ def test_with_fill_multikey_per_group_grids(spark):
                    ("a", 4, 40.0),
                    ("b", 1, None), ("b", 2, 5.0), ("b", 3, 7.0),
                    ("b", 4, 8.0)]
+
+
+def test_argmax_state_merge_and_linreg(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, 1.0, 10), (1, 2.0, 30), (1, 3.0, 20),
+            (2, 1.0, 5), (2, 9.0, 7)]
+    spark.createDataFrame(rows, "g int, o double, p int") \
+        .createOrReplaceTempView("ax13")
+    got = [tuple(r) for r in sql(spark, """
+        SELECT g, argMaxMerge(sx) AS latest, argMinMerge(sn) AS first
+        FROM (SELECT g, p % 2 AS part, argMaxState(p, o) AS sx,
+                     argMinState(p, o) AS sn
+              FROM ax13 GROUP BY g, p % 2)
+        GROUP BY g ORDER BY g""").collect()]
+    assert got == [(1, 20, 10), (2, 7, 5)]
+    # simpleLinearRegression: y = 2x + 1 exactly
+    spark.createDataFrame([(float(x), 2.0 * x + 1) for x in range(5)],
+                          "x double, y double") \
+        .createOrReplaceTempView("lr13")
+    r = sql(spark, "SELECT simpleLinearRegression(x, y) AS lr "
+                   "FROM lr13").collect()[0].lr
+    assert (round(r.k, 9), round(r.b, 9)) == (2.0, 1.0)
