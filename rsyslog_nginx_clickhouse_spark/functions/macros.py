@@ -1396,6 +1396,64 @@ def _rewrite_state_merge(out: str) -> str:
             f"{leak.group(1)}{leak.group(2)}: argument nests more "
             f"than two call levels deep — alias the inner expression "
             f"in a subquery")
+    # topKState(N)(x) / topKMerge(N)(st): the state is this group's
+    # EXACT (value, count) pairs truncated to the top-N by
+    # (count DESC, value ASC) — the deterministic Space-Saving
+    # cousin plans/agg_rollup.append_topk_partial persists; the merge
+    # re-sums surviving pairs and re-ranks. The standard Space-Saving
+    # guarantee carries over (overprovision N >> k for heavy-hitter
+    # exactness; with N >= distinct per part truncation never fires
+    # and merged == exact top-k).
+    def _topk_hist(x: str) -> str:
+        lst = f"collect_list(({x}))"
+        return (f"transform(array_sort(array_distinct({lst})), "
+                f"__tv -> named_struct('v', __tv, 'c', "
+                f"CAST(size(filter({lst}, __tq -> __tq = __tv)) "
+                f"AS BIGINT)))")
+
+    def _topk_rank(pairs: str, n: int, emit: str) -> str:
+        ranked = (f"slice(sort_array(transform({pairs}, __te -> "
+                  f"named_struct('nc', -__te.c, 'v', __te.v))), "
+                  f"1, {n})")
+        return f"transform({ranked}, __ts -> {emit})"
+
+    for name in ("topKState", "topKMerge"):
+        rx = re.compile(rf"\b{name}\s*\(")
+        pos = 0
+        while True:
+            m = rx.search(out, pos)
+            if not m:
+                break
+            first, after = _take_call_args(out, m.end() - 1)
+            if not out[after:].lstrip().startswith("(") \
+                    or len(first) != 1 \
+                    or not re.fullmatch(r"\d+", first[0].strip()):
+                raise ValueError(f"{name} needs the parametric form "
+                                 f"{name}(N)(x) with a literal N")
+            n = int(first[0])
+            args, end = _take_call_args(out, out.index("(", after))
+            if len(args) != 1:
+                raise ValueError(f"{name}(N)(x): need exactly 1 "
+                                 f"argument, got {len(args)}")
+            x = args[0].strip()
+            if name == "topKState":
+                repl = _topk_rank(
+                    _topk_hist(x), n,
+                    "named_struct('v', __ts.v, "
+                    "'c', CAST(-__ts.nc AS BIGINT))")
+            else:
+                pairs = f"flatten(collect_list(({x})))"
+                resummed = (
+                    f"transform(array_sort(array_distinct("
+                    f"transform({pairs}, __tp -> __tp.v))), "
+                    f"__tv -> named_struct('v', __tv, 'c', "
+                    f"aggregate(filter({pairs}, "
+                    f"__tp -> __tp.v = __tv), CAST(0 AS BIGINT), "
+                    f"(__ta, __tp) -> __ta + __tp.c)))")
+                repl = _topk_rank(resummed, n, "__ts.v")
+            out = out[:m.start()] + repl + out[end:]
+            pos = m.start() + len(repl)
+
     # quantileState(x): refuse the parametric (p)(x) form loudly (the
     # level belongs to quantileMerge, like CH)
     rx = re.compile(r"\bquantileState\s*\(")

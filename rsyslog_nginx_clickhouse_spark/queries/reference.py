@@ -954,6 +954,62 @@ def argmax_state_linreg_sql(spark: SparkSession,
 
 
 @query(
+    "topk_state_merge_sql",
+    # the oracle REPLAYS the truncated-merge algorithm exactly (per
+    # part: exact counts ranked (c DESC, v ASC) keep 5; union; re-sum;
+    # re-rank keep 5) — truncation DOES fire here (50 distinct values
+    # per part vs capacity 5), so direct top-k would be the wrong
+    # oracle; replay is the faithful one
+    oracle="""
+    WITH per_part AS (
+      SELECT event_type, cast(ts AS date) AS d,
+             (user_id % 50) AS v, count(*)::bigint AS c
+      FROM events GROUP BY event_type, d, v),
+    kept AS (
+      SELECT event_type, d, v, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, d
+                     ORDER BY c DESC, v ASC) AS rn
+        FROM per_part) WHERE rn <= 5),
+    merged AS (
+      SELECT event_type, v, sum(c)::bigint AS c
+      FROM kept GROUP BY event_type, v),
+    ranked AS (
+      SELECT event_type, v, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, v ASC) AS rn
+      FROM merged)
+    SELECT event_type,
+           string_agg(v::varchar, ',' ORDER BY rn) AS top5
+    FROM ranked WHERE rn <= 5
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="topKState(N)(x) / topKMerge(N)(st) SQL spellings (round 13 "
+        "— the heavy-hitters materialized-view idiom, completing the "
+        "-State/-Merge family): per-day exact (value, count) pairs "
+        "truncated to the top-5 by (count DESC, value ASC) — the "
+        "deterministic Space-Saving cousin of "
+        "plans/agg_rollup.append_topk_partial — merged by re-summing "
+        "surviving pairs and re-ranking. Truncation fires here (50 "
+        "distinct per part, capacity 5), so the oracle replays the "
+        "algorithm rather than the direct top-k "
+        "(functions/macros._rewrite_state_merge)",
+)
+def topk_state_merge_sql(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "tks_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               array_join(transform(topKMerge(5)(tk),
+                          __v -> CAST(__v AS STRING)), ',') AS top5
+        FROM (SELECT event_type, toYYYYMMDD(ts) AS d,
+                     topKState(5)(user_id % 50) AS tk
+              FROM tks_events GROUP BY event_type, toYYYYMMDD(ts))
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

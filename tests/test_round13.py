@@ -520,3 +520,25 @@ def test_argmax_state_merge_and_linreg(spark):
     r = sql(spark, "SELECT simpleLinearRegression(x, y) AS lr "
                    "FROM lr13").collect()[0].lr
     assert (round(r.k, 9), round(r.b, 9)) == (2.0, 1.0)
+
+
+def test_topk_state_merge_truncation_semantics(spark):
+    """With capacity >= distinct per part, merged == exact top-k;
+    with a tight capacity the truncated-merge algorithm is replayed
+    (an item missing from every part's kept set cannot surface)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    # part 0: a x3, b x2, c x1; part 1: c x3, d x2, a x1
+    rows = ([("a", 0)] * 3 + [("b", 0)] * 2 + [("c", 0)]
+            + [("c", 1)] * 3 + [("d", 1)] * 2 + [("a", 1)])
+    spark.createDataFrame(rows, "v string, part int") \
+        .createOrReplaceTempView("tk13")
+    got = sql(spark, """
+        SELECT array_join(topKMerge(2)(tk), ',') AS top
+        FROM (SELECT part, topKState(2)(v) AS tk
+              FROM tk13 GROUP BY part)""").collect()[0].top
+    # states keep (a:3, b:2) and (c:3, d:2); merged a:3(+? a's 1 was
+    # truncated from part 1) -> a:3, c:3, b:2, d:2 -> top2 = a,c
+    assert got == "a,c"
+    with pytest.raises(ValueError, match="parametric form"):
+        sql(spark, "SELECT topKState(v) FROM tk13 GROUP BY part")
