@@ -69,10 +69,17 @@ def test_with_fill_interpolate_rewrite_and_refusal():
         "SELECT vb, cnt FROM t ORDER BY vb WITH FILL STEP 5 "
         "INTERPOLATE (cnt AS cnt)")
     assert "last_value(cnt, true)" in out2
+    # general previous-row expressions are SUPPORTED since round 13
+    # (VERDICT r12 item 5): they fold, not window
+    out3 = rewrite_with_fill(
+        "SELECT vb, cnt FROM t ORDER BY vb WITH FILL STEP 5 "
+        "INTERPOLATE (cnt AS cnt + 1)")
+    assert "aggregate(" in out3 and "__fill_folded" in out3
+    # ... and the refusal narrows to genuinely malformed items
     with pytest.raises(ValueError, match="unsupported INTERPOLATE"):
         rewrite_with_fill(
             "SELECT vb, cnt FROM t ORDER BY vb WITH FILL STEP 5 "
-            "INTERPOLATE (cnt AS cnt + 1)")
+            "INTERPOLATE (cnt + 1)")
     # the plain form is byte-identical to the pre-INTERPOLATE rewrite
     plain = rewrite_with_fill(
         "SELECT vb, cnt FROM t ORDER BY vb WITH FILL FROM 0 TO 60 "
