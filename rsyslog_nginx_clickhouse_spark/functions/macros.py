@@ -833,6 +833,7 @@ def rewrite_aggregates(out: str) -> str:
 
     out = re.sub(rf"\bsimpleLinearRegression\(({nested2})\)",
                  _linreg, out)
+    out = _rewrite_array_reduce(out, lits)
     out = _rewrite_map_aggs(out)
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
@@ -975,6 +976,60 @@ def _rewrite_quantile_weighted(out: str) -> str:
             f"__qa ELSE struct(__qa.r + __qe.w AS r, "
             f"CASE WHEN __qa.r + __qe.w >= __qt THEN __qe.v END "
             f"AS res) END, __qf -> __qf.res)), 1)")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+#: arrayReduce aggregate names with deterministic, NULL-skipping
+#: folds (the CH aggregate NULL contract); each maps to a pure array
+#: expression — no shuffle, applicable in any projection
+_ARRAY_REDUCE = {
+    "min": "array_min({a})",
+    "max": "array_max({a})",
+    "count": "CAST(size(filter({a}, __ar -> __ar IS NOT NULL)) "
+             "AS BIGINT)",
+    "sum": "aggregate({a}, CAST(0 AS DOUBLE), (__aa, __ar) -> "
+           "__aa + coalesce(CAST(__ar AS DOUBLE), 0.0))",
+    "uniqExact": "CAST(size(array_distinct(filter({a}, "
+                 "__ar -> __ar IS NOT NULL))) AS BIGINT)",
+    "avg": "(aggregate({a}, CAST(0 AS DOUBLE), (__aa, __ar) -> "
+           "__aa + coalesce(CAST(__ar AS DOUBLE), 0.0)) "
+           "/ nullif(size(filter({a}, __ar -> __ar IS NOT NULL)), "
+           "0))",
+}
+
+
+def _rewrite_array_reduce(out: str, lits: list[str]) -> str:
+    """ClickHouse ``arrayReduce('agg', arr)`` (round 13): apply an
+    aggregate function to array elements as a SCALAR expression. Only
+    the deterministic NULL-skipping folds map (min/max/sum/avg/count/
+    uniqExact — sum/avg as DOUBLE, the deltaSum policy); order- or
+    implementation-dependent aggregates (any, groupArray, uniq's HLL
+    estimate) are refused loudly. Multi-array and -If forms are out
+    of scope — refused by the single-argument check."""
+    rx = re.compile(r"\barrayReduce\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError(
+                f"arrayReduce('agg', arr): need exactly 2 arguments, "
+                f"got {len(args)} (multi-array forms are not "
+                f"implemented)")
+        name = _unmask_literal(args[0], lits,
+                               "arrayReduce aggregate name")
+        tmpl = _ARRAY_REDUCE.get(name)
+        if tmpl is None:
+            raise ValueError(
+                f"arrayReduce: unsupported aggregate {name!r} — "
+                f"supported deterministic folds: "
+                f"{sorted(_ARRAY_REDUCE)} (order-dependent or "
+                f"estimator aggregates cannot be replayed "
+                f"value-exactly)")
+        repl = "(" + tmpl.format(a=f"({args[1].strip()})") + ")"
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
 

@@ -1010,6 +1010,51 @@ def topk_state_merge_sql(spark: SparkSession,
 
 
 @query(
+    "array_reduce_sql",
+    # the oracle aggregates the same DISTINCT set directly (the array
+    # is groupUniqArray's sorted distinct set, so sum/max/uniqExact/
+    # avg over it equal the distinct-aggregates); avg is a ratio of
+    # exact integers -> the tie-exact floor sequence on both engines
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, (user_id % 100) AS v FROM events)
+    SELECT event_type,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS u,
+           CAST(max(v) AS BIGINT) AS mx,
+           floor((sum(v)::double / count(*)) * 1000000 + 0.5)
+             / 1000000 AS av
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse `arrayReduce('agg', arr)` (round 13): aggregate "
+        "functions applied to array elements as scalar expressions — "
+        "sum/uniqExact/max/avg over the per-type groupUniqArray "
+        "distinct set. Only deterministic NULL-skipping folds map "
+        "(min/max/sum/avg/count/uniqExact; sum/avg DOUBLE per the "
+        "deltaSum policy); order-dependent or estimator aggregates "
+        "refuse loudly (functions/macros._rewrite_array_reduce). "
+        "Pure array expressions in the projection — no extra "
+        "shuffle beyond the distinct-set aggregate",
+)
+def array_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "are_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(arrayReduce('sum', groupUniqArray(user_id % 100))
+                    AS BIGINT) AS s,
+               arrayReduce('uniqExact',
+                           groupUniqArray(user_id % 100)) AS u,
+               CAST(arrayReduce('max', groupUniqArray(user_id % 100))
+                    AS BIGINT) AS mx,
+               floor(arrayReduce('avg',
+                                 groupUniqArray(user_id % 100))
+                     * 1000000 + 0.5) / 1000000 AS av
+        FROM are_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

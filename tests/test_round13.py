@@ -542,3 +542,26 @@ def test_topk_state_merge_truncation_semantics(spark):
     assert got == "a,c"
     with pytest.raises(ValueError, match="parametric form"):
         sql(spark, "SELECT topKState(v) FROM tk13 GROUP BY part")
+
+
+def test_array_reduce_folds_and_refusals(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(1,)], "x int") \
+        .createOrReplaceTempView("ar13")
+    r = sql(spark, """
+        SELECT arrayReduce('sum', array(1, 2, NULL, 3)) AS s,
+               arrayReduce('count', array(1, 2, NULL, 3)) AS c,
+               arrayReduce('uniqExact', array(1, 1, 2, NULL)) AS u,
+               arrayReduce('avg', array(2, 4)) AS a,
+               arrayReduce('min', array(3, 1)) AS mn,
+               arrayReduce('max', array(3, 1)) AS mx
+        FROM ar13""").collect()[0]
+    assert (r.s, r.c, r.u, r.a, r.mn, r.mx) == (6.0, 3, 2, 3.0, 1, 3)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        sql(spark, "SELECT arrayReduce('any', array(1)) FROM ar13")
+    with pytest.raises(ValueError, match="exactly 2 arguments"):
+        sql(spark, "SELECT arrayReduce('sum', array(1), array(2)) "
+                   "FROM ar13")
+    with pytest.raises(ValueError, match="string literal"):
+        sql(spark, "SELECT arrayReduce(f, array(1)) FROM ar13")
