@@ -834,6 +834,8 @@ def rewrite_aggregates(out: str) -> str:
     out = re.sub(rf"\bsimpleLinearRegression\(({nested2})\)",
                  _linreg, out)
     out = _rewrite_array_reduce(out, lits)
+    out = _rewrite_entropy_intervals(out)
+    out = _rewrite_shape_stats(out)
     out = _rewrite_map_aggs(out)
     out = _rewrite_array_scalars(out)
     out = _rewrite_quantile_weighted(out)
@@ -1032,6 +1034,116 @@ def _rewrite_array_reduce(out: str, lits: list[str]) -> str:
         repl = "(" + tmpl.format(a=f"({args[1].strip()})") + ")"
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
+
+
+def _rewrite_entropy_intervals(out: str) -> str:
+    """ClickHouse ``entropy(x)`` and ``intervalLengthSum(s, e)``
+    (round 13):
+
+    - entropy: Shannon entropy (log2, like CH) of the group's value
+      distribution — −Σ (c/n)·log2(c/n) over the exact run-length
+      histogram (_runlength_hist), one sorted collect per group. The
+      count total and the histogram are hoisted through one-element
+      transforms (the quantileExactWeighted discipline).
+    - intervalLengthSum: total length of the UNION of [s, e]
+      segments — the classic sweep as one fold over the (s, e)
+      structs sorted by (s, e): a segment starting past the running
+      end closes the current island, otherwise it extends it.
+      Overlaps count once, touching islands merge (a shared point has
+      zero measure either way). Values compute as DOUBLE; rows with
+      NULL or inverted bounds (e < s) are skipped like CH.
+    """
+    rx = re.compile(r"\bentropy\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 1:
+            raise ValueError(f"entropy(x): need exactly 1 argument, "
+                             f"got {len(args)}")
+        x = args[0].strip()
+        # no value cast: entropy is over the DISTRIBUTION, so any
+        # orderable type works (CH accepts strings, ints, dates)
+        hist = _runlength_hist(f"sort_array(collect_list(({x})))")
+        repl = (
+            f"transform(array({hist}), __eh -> "
+            f"transform(array(CAST(aggregate(__eh, "
+            f"CAST(0 AS BIGINT), (__ca, __ce) -> __ca + __ce.c) "
+            f"AS DOUBLE)), __en -> "
+            f"0.0 - aggregate(__eh, CAST(0 AS DOUBLE), "
+            f"(__ea, __ee) -> __ea + (__ee.c / __en) "
+            f"* log2(__ee.c / __en)))[0])[0]")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    rx = re.compile(r"\bintervalLengthSum\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError(f"intervalLengthSum(start, end): need "
+                             f"exactly 2 arguments, got {len(args)}")
+        s, e = (a.strip() for a in args)
+        ivs = (f"sort_array(collect_list(CASE WHEN ({s}) IS NOT NULL"
+               f" AND ({e}) IS NOT NULL AND CAST(({e}) AS DOUBLE) >="
+               f" CAST(({s}) AS DOUBLE) THEN "
+               f"named_struct('s', CAST(({s}) AS DOUBLE), "
+               f"'e', CAST(({e}) AS DOUBLE)) END))")
+        # fold state: t = total covered so far, (st, en) = the open
+        # island's bounds (NULL before the first segment)
+        step = (
+            "CASE WHEN __ia.st IS NULL THEN "
+            "named_struct('t', __ia.t, 'st', __ie.s, 'en', __ie.e) "
+            "WHEN __ie.s > __ia.en THEN "
+            "named_struct('t', __ia.t + (__ia.en - __ia.st), "
+            "'st', __ie.s, 'en', __ie.e) "
+            "ELSE named_struct('t', __ia.t, 'st', __ia.st, "
+            "'en', greatest(__ia.en, __ie.e)) END")
+        repl = (
+            f"aggregate({ivs}, "
+            f"named_struct('t', CAST(0 AS DOUBLE), "
+            f"'st', CAST(NULL AS DOUBLE), "
+            f"'en', CAST(NULL AS DOUBLE)), "
+            f"(__ia, __ie) -> {step}, "
+            f"__if -> __if.t + coalesce(__if.en - __if.st, "
+            f"CAST(0 AS DOUBLE)))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_shape_stats(out: str) -> str:
+    """ClickHouse ``skewPop``/``kurtPop``/``skewSamp``/``kurtSamp``
+    (round 13). Spark's skewness/kurtosis are the POPULATION g1 and
+    EXCESS population kurtosis, so:
+
+    - skewPop(x)  → skewness(x)                  (identical)
+    - kurtPop(x)  → kurtosis(x) + 3              (CH is non-excess)
+    - skewSamp(x) → skewness(x) · sqrt((n−1)/n)  (CH divides central
+      sums by n−1: m3_samp/varSamp^1.5 = g1·√((n−1)/n))
+    - kurtSamp(x) → (kurtosis(x)+3) · (n−1)/n    (same /(n−1) moments)
+
+    The Samp forms state the exact formula (central-moment sums over
+    n−1 — CH's estimator; NOT the n²/((n−1)(n−2)) textbook
+    correction) so the oracle replays them bit-for-bit from raw
+    moments. n = count(x), NULLs skipped by every factor alike.
+    """
+    nested2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+    out = re.sub(rf"\bskewPop\(({nested2})\)", r"skewness(\1)", out)
+    out = re.sub(rf"\bkurtPop\(({nested2})\)",
+                 r"(kurtosis(\1) + 3.0D)", out)
+    out = re.sub(
+        rf"\bskewSamp\(({nested2})\)",
+        r"(skewness(\1) * sqrt((count(\1) - 1) / "
+        r"CAST(count(\1) AS DOUBLE)))", out)
+    out = re.sub(
+        rf"\bkurtSamp\(({nested2})\)",
+        r"((kurtosis(\1) + 3.0D) * (count(\1) - 1) / "
+        r"CAST(count(\1) AS DOUBLE))", out)
+    return out
 
 
 def _unmask_literal(tok: str, lits: list[str], what: str) -> str:

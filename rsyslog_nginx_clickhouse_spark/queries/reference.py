@@ -1055,6 +1055,116 @@ def array_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "entropy_shape_stats_sql",
+    # entropy: DuckDB's entropy() is log2-based like CH's; the shape
+    # moments replay as explicit two-pass central moments (Spark's
+    # online-moment internals agree to ~1e-12 relative — round(6),
+    # the irrational-value discipline). The Samp forms state the
+    # /(n-1) central-moment estimator explicitly (see
+    # functions/macros._rewrite_shape_stats)
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, avg(value) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    mom AS (
+      SELECT e.event_type,
+             avg(pow(e.value - mu.m, 2)) AS m2,
+             avg(pow(e.value - mu.m, 3)) AS m3,
+             avg(pow(e.value - mu.m, 4)) AS m4,
+             count(e.value)::double AS n
+      FROM events e JOIN mu USING (event_type)
+      WHERE e.value IS NOT NULL GROUP BY e.event_type),
+    ent AS (
+      SELECT event_type, round(entropy(user_id % 10), 6) AS h
+      FROM events GROUP BY event_type)
+    SELECT mom.event_type, ent.h,
+           round(m3 / pow(m2, 1.5), 6) AS sp,
+           round(m4 / (m2 * m2), 6) AS kp,
+           round(m3 / pow(m2, 1.5) * sqrt((n - 1) / n), 6) AS ss,
+           round(m4 / (m2 * m2) * (n - 1) / n, 6) AS ks
+    FROM mom JOIN ent USING (event_type) ORDER BY mom.event_type
+    """,
+    doc="ClickHouse `entropy(x)` + the shape-statistic family "
+        "skewPop/kurtPop/skewSamp/kurtSamp (round 13): Shannon "
+        "entropy (log2, any orderable type) folds over the exact "
+        "run-length histogram of one sorted collect; skewPop is "
+        "Spark's skewness verbatim, kurtPop adds back the 3 Spark's "
+        "excess kurtosis subtracts, and the Samp forms apply the "
+        "exact (n-1)-moment factors (sqrt((n-1)/n) and (n-1)/n) — "
+        "formulas stated so the oracle replays them from raw "
+        "moments. All single-scan partial-agg shapes",
+)
+def entropy_shape_stats_sql(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "est_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               round(entropy(user_id % 10), 6) AS h,
+               round(skewPop(value), 6) AS sp,
+               round(kurtPop(value), 6) AS kp,
+               round(skewSamp(value), 6) AS ss,
+               round(kurtSamp(value), 6) AS ks
+        FROM est_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "interval_length_sum_sql",
+    # the oracle runs the textbook gaps-and-islands sweep (running
+    # max of interval ends over the (s, e) sort; a start past it
+    # opens a new island; union length = sum of per-island
+    # max(e) - min(s)) — the same islands the fold closes, so the
+    # lengths agree; round(6) absorbs the engines' different
+    # island-summation order
+    oracle="""
+    WITH iv AS (
+      SELECT (user_id % 50) AS ug,
+             epoch_us(ts) / 1000000.0 AS s,
+             epoch_us(ts) / 1000000.0 + value AS e
+      FROM events WHERE value IS NOT NULL AND value >= 0),
+    mk AS (
+      SELECT ug, s, e,
+             max(e) OVER (PARTITION BY ug ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT ug, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0
+                 END) OVER (PARTITION BY ug ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM mk)
+    SELECT ug, round(sum(len), 6) AS covered
+    FROM (SELECT ug, island, max(e) - min(s) AS len
+          FROM isl GROUP BY ug, island)
+    GROUP BY ug ORDER BY ug
+    """,
+    doc="ClickHouse `intervalLengthSum(start, end)` (round 13): the "
+        "total length of the UNION of [s, e] segments — per user "
+        "bucket, sessions [event time, event time + value seconds] "
+        "with overlaps counted once. One sorted collect per group + "
+        "one sweep fold (a segment starting past the running end "
+        "closes the island); NULL or inverted bounds skipped like "
+        "CH. The classic coverage/uptime aggregate "
+        "(functions/macros._rewrite_entropy_intervals)",
+)
+def interval_length_sum_sql(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ils_events")
+    return engine_sql(spark, """
+        SELECT user_id % 50 AS ug,
+               round(intervalLengthSum(
+                   unix_micros(ts) / 1000000.0,
+                   unix_micros(ts) / 1000000.0 + value), 6)
+                 AS covered
+        FROM ils_events WHERE value IS NOT NULL AND value >= 0
+        GROUP BY user_id % 50 ORDER BY ug
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

@@ -565,3 +565,43 @@ def test_array_reduce_folds_and_refusals(spark):
                    "FROM ar13")
     with pytest.raises(ValueError, match="string literal"):
         sql(spark, "SELECT arrayReduce(f, array(1)) FROM ar13")
+
+
+def test_entropy_interval_and_shape_stats(spark):
+    import math
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame(
+        [(1, 1.0, 3.0), (1, 2.0, 5.0), (1, 7.0, 8.0),
+         (2, 0.0, 1.0)],
+        "g int, s double, e double").createOrReplaceTempView("iv13t")
+    got = [tuple(r) for r in sql(
+        spark, "SELECT g, intervalLengthSum(s, e) AS L FROM iv13t "
+               "GROUP BY g ORDER BY g").collect()]
+    assert got == [(1, 5.0), (2, 1.0)]  # [1,5] u [7,8]; [0,1]
+    # inverted bounds skipped
+    spark.createDataFrame([(1, 5.0, 3.0)], "g int, s double, e double") \
+        .createOrReplaceTempView("iv13b")
+    assert sql(spark, "SELECT intervalLengthSum(s, e) AS L "
+                      "FROM iv13b GROUP BY g").collect()[0].L == 0.0
+    spark.createDataFrame([("a",), ("a",), ("b",), ("c",)],
+                          "v string").createOrReplaceTempView("en13t")
+    h = sql(spark, "SELECT round(entropy(v), 6) AS h "
+                   "FROM en13t").collect()[0].h
+    assert h == round(-(0.5 * math.log2(0.5)
+                        + 2 * 0.25 * math.log2(0.25)), 6) == 1.5
+    xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+    spark.createDataFrame([(x,) for x in xs], "x double") \
+        .createOrReplaceTempView("sk13t")
+    r = sql(spark, "SELECT round(skewPop(x),6) sp, "
+                   "round(kurtPop(x),6) kp, round(skewSamp(x),6) ss, "
+                   "round(kurtSamp(x),6) ks FROM sk13t").collect()[0]
+    n = len(xs); mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    assert (r.sp, r.kp, r.ss, r.ks) == (
+        round(m3 / m2 ** 1.5, 6), round(m4 / m2 ** 2, 6),
+        round(m3 / m2 ** 1.5 * math.sqrt((n - 1) / n), 6),
+        round(m4 / m2 ** 2 * (n - 1) / n, 6))
