@@ -850,6 +850,7 @@ def rewrite_aggregates(out: str) -> str:
     # shuffle, no UDF.
     out = _rewrite_window_funnel(out, lits)
     out = _rewrite_sequence_calls(out, lits)
+    out = _rewrite_sequence_next_node(out, lits)
     # the -State/-Merge materialized-view idiom (round 13) — before
     # the token renames so 'uniq'/'quantile' prefixes can't partially
     # match these names
@@ -1111,6 +1112,95 @@ def _rewrite_entropy_intervals(out: str) -> str:
             f"(__ia, __ie) -> {step}, "
             f"__if -> __if.t + coalesce(__if.en - __if.st, "
             f"CAST(0 AS DOUBLE)))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_sequence_next_node(out: str, lits: list[str]) -> str:
+    """ClickHouse ``sequenceNextNode(direction, base)(ts, value,
+    base_cond, cond1, …, condN)`` (round 13) — the next-page
+    attribution aggregate: the value of the event FOLLOWING a chain
+    of CONSECUTIVE events matching cond1..condN (consecutive in the
+    stored order — sequenceNextNode matches adjacent events, unlike
+    sequenceMatch's subsequences).
+
+    Implemented contract (a deterministic refinement of CH, stated
+    for the oracle): events sort by (ts, value) — CH leaves equal-ts
+    order unspecified; ``forward`` scans ascending, ``backward``
+    descending; the chain start must satisfy ``base_cond`` AND sit at
+    position 0 for base ``head``/``tail`` (head names the first event
+    forward, tail the last event backward — each is just position 0
+    of its scan order), at the SMALLEST matching start for
+    ``first_match``, the LARGEST for ``last_match``; the result is
+    the value at start+N in scan order, NULL when no chain has a
+    following event. One sorted collect per group, O(events × N)
+    index scan — all codegen expressions."""
+    rx = re.compile(r"\bsequenceNextNode\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        params, after = _take_call_args(out, m.end() - 1)
+        if len(params) != 2 \
+                or not out[after:].lstrip().startswith("("):
+            raise ValueError(
+                "sequenceNextNode needs the parametric form "
+                "sequenceNextNode(direction, base)(ts, value, "
+                "base_cond, cond1, …)")
+        def _p(tok: str) -> str:
+            t = tok.strip()  # CH accepts bare keywords; quoted forms
+            mm = re.fullmatch(r"\x00(\d+)\x00", t)  # arrive masked
+            return lits[int(mm.group(1))][1:-1] if mm else t
+
+        direction, base = _p(params[0]), _p(params[1])
+        if direction not in ("forward", "backward"):
+            raise ValueError(f"sequenceNextNode direction must be "
+                             f"forward or backward, got {direction!r}")
+        if base not in ("head", "tail", "first_match", "last_match"):
+            raise ValueError(f"sequenceNextNode base must be head, "
+                             f"tail, first_match or last_match, "
+                             f"got {base!r}")
+        if (direction, base) in (("forward", "tail"),
+                                 ("backward", "head")):
+            raise ValueError(
+                f"sequenceNextNode({direction}, {base}) is invalid — "
+                f"head anchors a forward scan, tail a backward one "
+                f"(the CH pairing)")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) < 4:
+            raise ValueError(
+                "sequenceNextNode(…)(ts, value, base_cond, cond1, …):"
+                f" need a timestamp, a value, the base condition and "
+                f"at least 1 chain condition, got {len(args)}")
+        tsx, val, base_cond = (a.strip() for a in args[:3])
+        conds = [a.strip() for a in args[3:]]
+        n = len(conds)
+        # per-event struct: sort key (t, v), the base flag, one flag
+        # per chain condition (conditions evaluate at collect time —
+        # they may reference any row column)
+        flags = ", ".join(
+            [f"'b', ({base_cond})"]
+            + [f"'c{k}', ({c})" for k, c in enumerate(conds)])
+        desc = direction == "backward"
+        arr = (f"sort_array(collect_list(named_struct("
+               f"'t', unix_micros(CAST(({tsx}) AS TIMESTAMP)), "
+               f"'v', ({val}), {flags}))"
+               f"{', false' if desc else ''})")
+        chain = " AND ".join(
+            f"__sa[__si + {k}].c{k}" for k in range(n))
+        starts = (f"filter(sequence(0, size(__sa) - {n + 1}), "
+                  f"__si -> __sa[__si].b AND {chain})")
+        if base in ("head", "tail"):
+            starts = f"filter({starts}, __si -> __si = 0)"
+        pick = ("array_max" if base == "last_match"
+                else "array_min")
+        repl = (
+            f"transform(array({arr}), __sa -> "
+            f"CASE WHEN size(__sa) >= {n + 1} THEN "
+            f"transform(array({pick}({starts})), __sp -> "
+            f"CASE WHEN __sp IS NOT NULL "
+            f"THEN __sa[__sp + {n}].v END)[0] END)[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
 

@@ -252,8 +252,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: they stay the oldest outside the window and lead _FRONTLOAD_R13.
 #: rotationcheck enforces the result.
 #: Round-13 ordering (VERDICT r12 items 2, 3, 5, 6, 7 + the standing
-#: rotation contract): the window leads with the round's 15 mandatory
-#: entries — 13 NEW (window_funnel_sql: the verbatim
+#: rotation contract): the window leads with the round's 16 mandatory
+#: entries — 14 NEW (window_funnel_sql: the verbatim
 #: windowFunnel(W[, mode])(ts, c1..cN) spelling as one aggregate()
 #: slot fold; sequence_match_count_sql: verbatim sequenceMatch /
 #: sequenceCount incl. the (?t<=N) NFA fold; with_fill_desc_interpolate:
@@ -272,15 +272,16 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: heavy-hitters states, replay-oracled; array_reduce_sql:
 #: arrayReduce('agg', arr) deterministic folds;
 #: entropy_shape_stats_sql: entropy + skew/kurt Pop/Samp;
-#: interval_length_sum_sql: union-of-segments coverage) and 2
+#: interval_length_sum_sql: union-of-segments coverage;
+#: sequence_next_node_sql: next-event attribution) and 2
 #: TEXT-CHANGED
 #: (delta_sum_timestamp_sql + sum_map_sql: docs reworded per ADVICE
 #: r12 — the deltaSumTimestamp determinization claim and the sumMap
 #: zero-drop deviation) — then fills oldest-first: ALL 15 r8 rows
 #: still outside the window (the _FRONTLOAD_R13 cohort VERDICT r12
 #: item 2 named: q2_min_cost_supplier .. with_fill_sql_histogram)
-#: and 20 r9 rows alphabetically. 30 r9 rows remain the oldest
-#: outside the window and lead _FRONTLOAD_R14 — the price of 15
+#: and 19 r9 rows alphabetically. 31 r9 rows remain the oldest
+#: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
 _FRONTLOAD_R13 = [
     # new this round — never driver-verified
@@ -297,6 +298,7 @@ _FRONTLOAD_R13 = [
     "array_reduce_sql",            # NEW: arrayReduce folds
     "entropy_shape_stats_sql",     # NEW: entropy + skew/kurt
     "interval_length_sum_sql",     # NEW: union-of-segments
+    "sequence_next_node_sql",      # NEW: next-event attribution
     # text-changed this round — ADVICE r12 doc rewordings
     "delta_sum_timestamp_sql",
     "sum_map_sql",
@@ -317,7 +319,7 @@ _FRONTLOAD_R13 = [
     "train_test_split",
     "value_histogram",
     "with_fill_sql_histogram",
-    # r9 rows, alphabetical fill (20 of 50)
+    # r9 rows, alphabetical fill (19 of 50)
     "approx_daily_users",
     "approx_latency_quantiles",
     "bm25_top_docs",
@@ -337,7 +339,6 @@ _FRONTLOAD_R13 = [
     "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
 ]
 
 _FRONTLOAD_R12 = [

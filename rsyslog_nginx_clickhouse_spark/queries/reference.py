@@ -1165,6 +1165,62 @@ def interval_length_sum_sql(spark: SparkSession,
 
 
 @query(
+    "sequence_next_node_sql",
+    # replay oracle over the same deterministic (ts, value) ordering:
+    # chain starts are adjacent-rn pairs (consecutive stored events —
+    # sequenceNextNode matches ADJACENT events, unlike sequenceMatch
+    # subsequences), first_match = min start, the result is the row
+    # at start+2; users without a chain (or without a next event)
+    # land in the NULL bucket
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS rn
+      FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    starts AS (
+      SELECT a.user_id, min(a.rn) AS s
+      FROM e a JOIN e b
+           ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+      GROUP BY a.user_id),
+    nxt AS (
+      SELECT u.user_id, n.event_type AS nx
+      FROM u LEFT JOIN starts s ON u.user_id = s.user_id
+      LEFT JOIN e n ON n.user_id = s.user_id AND n.rn = s.s + 2)
+    SELECT nx, count(*)::bigint AS n_users
+    FROM nxt GROUP BY nx ORDER BY nx NULLS FIRST
+    """,
+    doc="ClickHouse `sequenceNextNode(forward, first_match)(ts, "
+        "event_type, base_cond, cond1, cond2)` (round 13) — the "
+        "next-page attribution aggregate: what users do right after "
+        "their first ADJACENT view->click pair, rolled up to a "
+        "distribution (NULL bucket = no chain or no following "
+        "event). Deterministic refinement documented in the rewrite: "
+        "events order by (ts, value) where CH leaves ties "
+        "unspecified; head/tail anchor position 0 of the scan, "
+        "first/last_match take the min/max start "
+        "(functions/macros._rewrite_sequence_next_node). One sorted "
+        "collect per user, O(events x chain) index scan, no UDF",
+)
+def sequence_next_node_sql(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "snn_events")
+    return engine_sql(spark, """
+        SELECT nx, CAST(count(*) AS BIGINT) AS n_users
+        FROM (SELECT user_id,
+                     sequenceNextNode(forward, first_match)(ts,
+                         event_type, event_type = 'view',
+                         event_type = 'view', event_type = 'click')
+                         AS nx
+              FROM snn_events GROUP BY user_id)
+        GROUP BY nx ORDER BY nx NULLS FIRST
+    """)
+
+
+@query(
     "quantile_rollup_latency",
     # the oracle computes the DIRECT quantile from raw events with the
     # SAME explicit rank rule the merged read uses (smallest value at

@@ -605,3 +605,44 @@ def test_entropy_interval_and_shape_stats(spark):
         round(m3 / m2 ** 1.5, 6), round(m4 / m2 ** 2, 6),
         round(m3 / m2 ** 1.5 * math.sqrt((n - 1) / n), 6),
         round(m4 / m2 ** 2 * (n - 1) / n, 6))
+
+
+def test_sequence_next_node_modes(spark):
+    """CH doc semantics: ADJACENT chain matching, base anchoring,
+    first/last_match picks, NULL when no following event."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(2), "C"),
+            (1, _ts(3), "D"),
+            (2, _ts(0), "X"), (2, _ts(1), "A"), (2, _ts(2), "B"),
+            (2, _ts(3), "C"),
+            (3, _ts(0), "A"), (3, _ts(1), "B"),
+            (4, _ts(0), "A"), (4, _ts(1), "B"), (4, _ts(2), "C"),
+            (4, _ts(3), "A"), (4, _ts(4), "B"), (4, _ts(5), "D")]
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp, page string") \
+        .createOrReplaceTempView("snn13t")
+    chain = "page, page = 'A', page = 'A', page = 'B'"
+    for base, expect in [("head", {1: "C", 2: None, 3: None, 4: "C"}),
+                         ("first_match",
+                          {1: "C", 2: "C", 3: None, 4: "C"}),
+                         ("last_match",
+                          {1: "C", 2: "C", 3: None, 4: "D"})]:
+        got = {r.user_id: r.nx for r in sql(
+            spark, f"SELECT user_id, sequenceNextNode(forward, "
+                   f"{base})(ts, {chain}) AS nx FROM snn13t "
+                   f"GROUP BY user_id").collect()}
+        assert got == expect, base
+    got = {r.user_id: r.nx for r in sql(
+        spark, "SELECT user_id, sequenceNextNode(backward, tail)"
+               "(ts, page, page = 'D', page = 'D', page = 'C') AS nx"
+               " FROM snn13t GROUP BY user_id").collect()}
+    assert got == {1: "B", 2: None, 3: None, 4: None}
+    with pytest.raises(ValueError, match="invalid"):
+        sql(spark, "SELECT sequenceNextNode(forward, tail)"
+                   "(ts, page, true, page = 'A') FROM snn13t "
+                   "GROUP BY user_id")
+    with pytest.raises(ValueError, match="direction must be"):
+        sql(spark, "SELECT sequenceNextNode(sideways, head)"
+                   "(ts, page, true, page = 'A') FROM snn13t "
+                   "GROUP BY user_id")
