@@ -1078,6 +1078,47 @@ def _rewrite_entropy_intervals(out: str) -> str:
             f"* log2(__ee.c / __en)))[0])[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
+    # maxIntersections / maxIntersectionsPosition (round 13): the
+    # peak number of simultaneously-open [s, e) intervals, and the
+    # position where that peak is FIRST reached. The sweep sorts
+    # (pos, delta) events with ends (-1) before starts (+1) at equal
+    # positions — CH's ordering, which makes touching intervals
+    # non-overlapping (half-open semantics) — then folds a running
+    # sum tracking (max, argmax-first).
+    rx = re.compile(r"\bmaxIntersections(Position)?\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        want_pos = m.group(1) is not None
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError(
+                f"maxIntersections{m.group(1) or ''}(start, end): "
+                f"need exactly 2 arguments, got {len(args)}")
+        s, e = (a.strip() for a in args)
+        evs = (f"sort_array(flatten(collect_list("
+               f"CASE WHEN ({s}) IS NOT NULL AND ({e}) IS NOT NULL "
+               f"AND CAST(({e}) AS DOUBLE) >= CAST(({s}) AS DOUBLE) "
+               f"THEN array("
+               f"named_struct('p', CAST(({s}) AS DOUBLE), 'd', 1), "
+               f"named_struct('p', CAST(({e}) AS DOUBLE), 'd', -1)) "
+               f"END)))")
+        # struct sort is (p, d) ascending: d=-1 ends sort before d=1
+        # starts at equal positions — the CH tie rule
+        step = ("named_struct('c', __ma.c + __me.d, "
+                "'mx', greatest(__ma.mx, __ma.c + __me.d), "
+                "'mp', CASE WHEN __ma.c + __me.d > __ma.mx "
+                "THEN __me.p ELSE __ma.mp END)")
+        fold = (f"aggregate({evs}, "
+                f"named_struct('c', 0, 'mx', 0, "
+                f"'mp', CAST(NULL AS DOUBLE)), "
+                f"(__ma, __me) -> {step}, "
+                f"__mf -> {'__mf.mp' if want_pos else '__mf.mx'})")
+        repl = fold if want_pos else f"CAST({fold} AS BIGINT)"
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
     rx = re.compile(r"\bintervalLengthSum\s*\(")
     pos = 0
     while True:

@@ -1134,19 +1134,39 @@ def entropy_shape_stats_sql(spark: SparkSession,
              sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0
                  END) OVER (PARTITION BY ug ORDER BY s, e
                             ROWS UNBOUNDED PRECEDING) AS island
-      FROM mk)
-    SELECT ug, round(sum(len), 6) AS covered
-    FROM (SELECT ug, island, max(e) - min(s) AS len
-          FROM isl GROUP BY ug, island)
-    GROUP BY ug ORDER BY ug
+      FROM mk),
+    cov AS (
+      SELECT ug, round(sum(len), 6) AS covered
+      FROM (SELECT ug, island, max(e) - min(s) AS len
+            FROM isl GROUP BY ug, island)
+      GROUP BY ug),
+    ev AS (
+      SELECT ug, s AS p, 1 AS d FROM iv
+      UNION ALL SELECT ug, e AS p, -1 AS d FROM iv),
+    run AS (
+      SELECT ug, p, d,
+             sum(d) OVER (PARTITION BY ug ORDER BY p, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM ev),
+    mx AS (SELECT ug, max(c)::bigint AS peak FROM run GROUP BY ug),
+    mp AS (
+      SELECT run.ug, round(min(run.p), 6) AS peak_at
+      FROM run JOIN mx ON run.ug = mx.ug AND run.c = mx.peak
+      GROUP BY run.ug)
+    SELECT cov.ug, cov.covered, mx.peak, mp.peak_at
+    FROM cov JOIN mx ON cov.ug = mx.ug JOIN mp ON cov.ug = mp.ug
+    ORDER BY cov.ug
     """,
-    doc="ClickHouse `intervalLengthSum(start, end)` (round 13): the "
-        "total length of the UNION of [s, e] segments — per user "
-        "bucket, sessions [event time, event time + value seconds] "
-        "with overlaps counted once. One sorted collect per group + "
-        "one sweep fold (a segment starting past the running end "
-        "closes the island); NULL or inverted bounds skipped like "
-        "CH. The classic coverage/uptime aggregate "
+    doc="ClickHouse `intervalLengthSum(start, end)` + "
+        "`maxIntersections[Position]` (round 13): per user bucket, "
+        "sessions [event time, event time + value seconds] — union "
+        "coverage (overlaps once), the peak number of simultaneously "
+        "open sessions, and where that peak is first reached. "
+        "Sweep folds over one sorted collect per group; "
+        "maxIntersections sorts ends before starts at equal "
+        "positions (the CH tie rule — touching intervals don't "
+        "overlap, half-open semantics); NULL or inverted bounds "
+        "skipped like CH "
         "(functions/macros._rewrite_entropy_intervals)",
 )
 def interval_length_sum_sql(spark: SparkSession,
@@ -1158,7 +1178,14 @@ def interval_length_sum_sql(spark: SparkSession,
                round(intervalLengthSum(
                    unix_micros(ts) / 1000000.0,
                    unix_micros(ts) / 1000000.0 + value), 6)
-                 AS covered
+                 AS covered,
+               maxIntersections(
+                   unix_micros(ts) / 1000000.0,
+                   unix_micros(ts) / 1000000.0 + value) AS peak,
+               round(maxIntersectionsPosition(
+                   unix_micros(ts) / 1000000.0,
+                   unix_micros(ts) / 1000000.0 + value), 6)
+                 AS peak_at
         FROM ils_events WHERE value IS NOT NULL AND value >= 0
         GROUP BY user_id % 50 ORDER BY ug
     """)

@@ -646,3 +646,24 @@ def test_sequence_next_node_modes(spark):
         sql(spark, "SELECT sequenceNextNode(sideways, head)"
                    "(ts, page, true, page = 'A') FROM snn13t "
                    "GROUP BY user_id")
+
+
+def test_max_intersections_and_position(spark):
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    # [0,10] [2,5] [3,4] overlap 3 deep first at p=3; [20,21] later
+    rows = [(1, 0.0, 10.0), (1, 2.0, 5.0), (1, 3.0, 4.0),
+            (1, 20.0, 21.0)]
+    spark.createDataFrame(rows, "g int, s double, e double") \
+        .createOrReplaceTempView("mi13")
+    r = sql(spark, "SELECT maxIntersections(s, e) AS p, "
+                   "maxIntersectionsPosition(s, e) AS pp "
+                   "FROM mi13 GROUP BY g").collect()[0]
+    assert (r.p, r.pp) == (3, 3.0)
+    # touching intervals do NOT overlap (ends sort before starts)
+    spark.createDataFrame([(1, 0.0, 2.0), (1, 2.0, 4.0)],
+                          "g int, s double, e double") \
+        .createOrReplaceTempView("mi13b")
+    r = sql(spark, "SELECT maxIntersections(s, e) AS p FROM mi13b "
+                   "GROUP BY g").collect()[0]
+    assert r.p == 1
