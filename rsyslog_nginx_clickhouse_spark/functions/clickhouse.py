@@ -169,9 +169,15 @@ AGGREGATE_REWRITES: dict[str, str] = {
     "uniqCombined": "approx_count_distinct",
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
     "quantile": "percentile_approx",
     "quantileExact": "percentile",
     "median": "median",
+    # medianExact is quantileExact(0.5); Spark's median IS the exact
+    # 0.5 percentile. medianTDigest renames to the approx family and
+    # the bare-call pass appends the 0.5 fraction.
+    "medianExact": "median",
+    "medianTDigest": "percentile_approx",
     # NOTE: ClickHouse any() is deliberately NOT rewritten to first() —
     # Spark SQL has its own any() (boolean aggregate) and a blind token
     # rename would silently corrupt valid Spark queries.

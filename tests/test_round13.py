@@ -667,3 +667,19 @@ def test_max_intersections_and_position(spark):
     r = sql(spark, "SELECT maxIntersections(s, e) AS p FROM mi13b "
                    "GROUP BY g").collect()[0]
     assert r.p == 1
+
+
+def test_estimator_and_median_aliases():
+    """uniqTheta / medianExact / medianTDigest previously passed
+    through to Spark's parser as unknown functions — they rename into
+    the families whose contracts they share."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    assert rewrite_aggregates("SELECT uniqTheta(x) FROM t") \
+        == "SELECT approx_count_distinct(x) FROM t"
+    assert rewrite_aggregates("SELECT medianExact(x) FROM t") \
+        == "SELECT median(x) FROM t"
+    assert rewrite_aggregates("SELECT medianTDigest(x) FROM t") \
+        == "SELECT percentile_approx(x, 0.5) FROM t"
