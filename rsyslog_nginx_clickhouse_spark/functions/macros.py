@@ -672,6 +672,19 @@ def rewrite_group_array(query: str) -> str:
         if close < 0:
             raise ValueError(f"{cm.group(1)}: unbalanced parentheses")
         arg = out[opn + 1:close].strip()
+        max_size = None  # groupArray(N)(x): CH's bounded max_size form
+        if cm.group(1) == "groupArray" \
+                and out[close + 1:].lstrip().startswith("("):
+            if not re.fullmatch(r"\d+", arg):
+                raise ValueError(
+                    f"groupArray(N)(x): the max_size parameter must "
+                    f"be a single literal integer (got {arg!r})")
+            max_size = int(arg)
+            opn2 = out.index("(", close + 1)
+            close = _scan_balanced(out, opn2)
+            if close < 0:
+                raise ValueError("groupArray: unbalanced parentheses")
+            arg = out[opn2 + 1:close].strip()
         win = None  # moving forms: optional literal window parameter
         if cm.group(1).startswith("groupArrayMoving"):
             if out[close + 1:].lstrip().startswith("("):
@@ -691,8 +704,11 @@ def rewrite_group_array(query: str) -> str:
                           f"({arg}) AS __v)))")
         pieces.append(out[pos:start])
         if cm.group(1) == "groupArray":
-            pieces.append(
-                f"transform({sorted_structs}, s -> s.__v)")
+            lifted = f"transform({sorted_structs}, s -> s.__v)"
+            # groupArray(N)(x): CH keeps the FIRST max_size elements
+            # in order — slice after the order-imposing lift
+            pieces.append(lifted if max_size is None
+                          else f"slice({lifted}, 1, {max_size})")
         elif cm.group(1).startswith("groupArrayMoving"):
             # groupArrayMovingSum/Avg[(n)](x) (round 12): element i =
             # the sum (avg) of the last n values up to i in key

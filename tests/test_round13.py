@@ -683,3 +683,25 @@ def test_estimator_and_median_aliases():
         == "SELECT median(x) FROM t"
     assert rewrite_aggregates("SELECT medianTDigest(x) FROM t") \
         == "SELECT percentile_approx(x, 0.5) FROM t"
+
+
+def test_group_array_bounded_max_size(spark):
+    """groupArray(N)(x) — CH's bounded form keeps the FIRST N in key
+    order; previously the parametric call emitted garbage (the
+    literal N collected as the value)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_group_array,
+        sql,
+    )
+
+    spark.createDataFrame([(1, i, 10 - i) for i in range(6)],
+                          "g int, k int, x int") \
+        .createOrReplaceTempView("gab13")
+    got = sql(spark, "SELECT g, arrayStringConcat(groupArray(3)(x), "
+                     "',') AS a FROM (SELECT g, k, x FROM gab13 "
+                     "ORDER BY k) GROUP BY g").collect()[0].a
+    assert got == "10,9,8"
+    with pytest.raises(ValueError, match="literal integer"):
+        rewrite_group_array(
+            "SELECT groupArray(n)(x) FROM (SELECT n, x, k FROM t "
+            "ORDER BY k) GROUP BY g")
