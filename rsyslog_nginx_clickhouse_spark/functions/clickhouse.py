@@ -178,6 +178,15 @@ AGGREGATE_REWRITES: dict[str, str] = {
     # the bare-call pass appends the 0.5 fraction.
     "medianExact": "median",
     "medianTDigest": "percentile_approx",
+    # quantileTiming/medianTiming (round 14, VERDICT r13 item 3): CH's
+    # timing-tuned approximate quantile — the same estimator contract
+    # as the TDigest family (approximate quantile of non-negative
+    # timings), so it renames into percentile_approx the same way;
+    # the parametric (p)(x) collapse and the bare-call 0.5 default
+    # apply post-rename. quantilesTiming (plural) collapses with the
+    # quantiles family in rewrite_aggregates.
+    "quantileTiming": "percentile_approx",
+    "medianTiming": "percentile_approx",
     # NOTE: ClickHouse any() is deliberately NOT rewritten to first() —
     # Spark SQL has its own any() (boolean aggregate) and a blind token
     # rename would silently corrupt valid Spark queries.

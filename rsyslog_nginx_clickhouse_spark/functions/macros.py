@@ -528,8 +528,16 @@ def rewrite_group_array(query: str) -> str:
     REFUSED loudly — a silently nondeterministic array is worse than
     an error (VERDICT r9 item 3; reference SELECT-surface requirement
     README.md:49).
+
+    The same sorted-subquery contract carries ``anyLast(x)`` /
+    ``anyIf(x, cond)`` / ``anyLastIf(x, cond)`` (round 14, VERDICT
+    r13 item 3): the last/first non-NULL value in key order, lifted
+    through the identical sorted collect. Bare/unsorted forms are
+    refused the same way; CH ``any()`` itself stays unmapped (Spark
+    name collision — functions/clickhouse.py).
     """
-    if not re.search(r"\b(groupArray|deltaSum)", query):
+    if not re.search(r"\b(groupArray|deltaSum|any(?:Last)?If\s*\(|"
+                     r"anyLast\s*\()", query):
         return query
     lits: list[str] = []
 
@@ -538,7 +546,8 @@ def rewrite_group_array(query: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     out = _STR_LIT.sub(_mask, query)
-    if not re.search(r"\b(groupArray|deltaSum)", out):
+    if not re.search(r"\b(groupArray|deltaSum|any(?:Last)?If\s*\(|"
+                     r"anyLast\s*\()", out):
         return query  # only string DATA mentions it — untouched
     # deltaSumTimestamp(x, ts) (VERDICT r11 item 6): SELF-ORDERING
     # here by construction — CH itself folds rows in processing order
@@ -607,7 +616,8 @@ def rewrite_group_array(query: str) -> str:
         rf"\barrayReverseSort\s*\(\s*groupArray\s*\(({nested2})\)"
         rf"\s*\)",
         r"sort_array(collect_list(\1), false)", out)
-    if not re.search(r"\b(groupArray(?:MovingSum|MovingAvg)?|deltaSum)\s*\(", out):
+    if not re.search(r"\b(groupArray(?:MovingSum|MovingAvg)?|deltaSum"
+                     r"|anyLast(?:If)?|anyIf)\s*\(", out):
         return re.sub(r"\x00(\d+)\x00",
                       lambda m: lits[int(m.group(1))], out)
     # collect the ORDER BY key lists of all immediate FROM/JOIN (…)
@@ -637,7 +647,8 @@ def rewrite_group_array(query: str) -> str:
             key_sets.add(())  # unsorted subquery → ambiguity below
     if len(key_sets) != 1 or key_sets == {()}:
         raise ValueError(
-            "groupArray(x)/deltaSum(x) are order-dependent and map "
+            "groupArray(x)/deltaSum(x)/anyLast(x)/anyIf(x, cond)/"
+            "anyLastIf(x, cond) are order-dependent and map "
             "only when "
             "every immediate subquery of the query is of the form "
             "FROM (SELECT … ORDER BY <bare asc columns>) with one "
@@ -662,7 +673,8 @@ def rewrite_group_array(query: str) -> str:
     pos = 0
     while True:
         cm = re.search(r"\b(groupArrayMovingSum|groupArrayMovingAvg"
-                       r"|groupArray|deltaSum)\s*\(", out[pos:])
+                       r"|groupArray|deltaSum|anyLastIf|anyLast"
+                       r"|anyIf)\s*\(", out[pos:])
         if not cm:
             pieces.append(out[pos:])
             break
@@ -700,6 +712,45 @@ def rewrite_group_array(query: str) -> str:
                                      "parentheses")
                 arg = out[opn2 + 1:close].strip()
         fields = ", ".join(f"{k} AS __o{i}" for i, k in enumerate(keys))
+        if cm.group(1) in ("anyLast", "anyIf", "anyLastIf"):
+            # anyLast(x) / anyIf(x, cond) / anyLastIf(x, cond)
+            # (round 14, VERDICT r13 item 3 — the ReplacingMergeTree
+            # idiom aggregates): CH picks the last/first encountered
+            # NON-NULL value in processing order; in the sorted-
+            # subquery idiom that order is the declared key order, so
+            # the deterministic mapping is the last/first non-NULL
+            # value of the lifted sorted collect. The If forms fold
+            # the condition into the value (NULL-skip makes
+            # aggIf(x, c) ≡ agg(IF(c, x, NULL)) exactly). Bare CH
+            # any() stays unmapped — Spark's own any() is the boolean
+            # aggregate and a token rename would corrupt valid Spark
+            # queries (functions/clickhouse.py NOTE). One partial-
+            # aggregatable collect bounded by per-group non-NULL
+            # rows; empty groups yield NULL.
+            parts = [a.strip() for a in _split_top_level(arg)]
+            if cm.group(1) == "anyLast":
+                if len(parts) != 1:
+                    raise ValueError(
+                        f"anyLast takes exactly one argument, got "
+                        f"{len(parts)}")
+                val = parts[0]
+            else:
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"{cm.group(1)}(value, cond): need exactly 2 "
+                        f"arguments, got {len(parts)}")
+                val = f"IF(({parts[1]}), ({parts[0]}), NULL)"
+            structs = (f"sort_array(collect_list(CASE WHEN ({val}) "
+                       f"IS NOT NULL THEN struct({fields}, "
+                       f"({val}) AS __v) END))")
+            idx = "0" if cm.group(1) == "anyIf" else "size(__aa) - 1"
+            pieces.append(out[pos:start])
+            pieces.append(
+                f"transform(array({structs}), __aa -> "
+                f"CASE WHEN size(__aa) > 0 "
+                f"THEN __aa[{idx}].__v END)[0]")
+            pos = close + 1
+            continue
         sorted_structs = (f"sort_array(collect_list(struct({fields}, "
                           f"({arg}) AS __v)))")
         pieces.append(out[pos:start])
@@ -802,7 +853,8 @@ def rewrite_aggregates(out: str) -> str:
         rf"\bquantilesExact\(({nested2})\)\(({nested2})\)",
         r"percentile(\2, array(\1))", out)
     out = re.sub(
-        rf"\bquantiles(?:TDigest)?\(({nested2})\)\(({nested2})\)",
+        rf"\bquantiles(?:TDigest|Timing)?\(({nested2})\)"
+        rf"\(({nested2})\)",
         r"percentile_approx(\2, array(\1))", out)
     # groupUniqArray(x) → sorted distinct array. DOCUMENTED
     # deviation: ClickHouse returns the distinct elements in
@@ -880,8 +932,8 @@ def rewrite_aggregates(out: str) -> str:
     # Spark as an unknown function far from the cause — refuse HERE
     # with the actual limitation named (literals are still masked, so
     # string data cannot trip this)
-    leak = re.search(r"\b(quantiles(?:Exact|TDigest)?|groupUniqArray)"
-                     r"\s*\(", out)
+    leak = re.search(r"\b(quantiles(?:Exact|TDigest|Timing)?"
+                     r"|groupUniqArray)\s*\(", out)
     if leak:
         raise ValueError(
             f"{leak.group(1)}: argument nests more than two call "
@@ -1188,8 +1240,11 @@ def _rewrite_sequence_next_node(out: str, lits: list[str]) -> str:
     position 0 for base ``head``/``tail`` (head names the first event
     forward, tail the last event backward — each is just position 0
     of its scan order), at the SMALLEST matching start for
-    ``first_match``, the LARGEST for ``last_match``; the result is
-    the value at start+N in scan order, NULL when no chain has a
+    ``first_match``, the LARGEST for ``last_match`` (including a
+    tail chain whose last event is the final event — the anchor is
+    the actual last chain, and the result is NULL when it has no
+    follower, per CH; ADVICE r13); the result is the value at
+    start+N in scan order, NULL when the anchored chain has no
     following event. One sorted collect per group, O(events × N)
     index scan — all codegen expressions."""
     rx = re.compile(r"\bsequenceNextNode\s*\(")
@@ -1246,17 +1301,27 @@ def _rewrite_sequence_next_node(out: str, lits: list[str]) -> str:
                f"{', false' if desc else ''})")
         chain = " AND ".join(
             f"__sa[__si + {k}].c{k}" for k in range(n))
-        starts = (f"filter(sequence(0, size(__sa) - {n + 1}), "
+        # last_match anchors on the ACTUAL last matching chain — the
+        # candidate set must include the tail chain (start + N - 1 =
+        # last event, no follower) and yield NULL when the anchor has
+        # no next event (ADVICE r13: excluding tail starts silently
+        # fell back to an earlier chain). The other bases keep the
+        # follower-required bound: first_match can only anchor the
+        # tail chain when it is the sole chain (NULL either way), and
+        # head/tail pin position 0.
+        last = base == "last_match"
+        starts = (f"filter(sequence(0, size(__sa) - "
+                  f"{n if last else n + 1}), "
                   f"__si -> __sa[__si].b AND {chain})")
         if base in ("head", "tail"):
             starts = f"filter({starts}, __si -> __si = 0)"
-        pick = ("array_max" if base == "last_match"
-                else "array_min")
+        pick = "array_max" if last else "array_min"
         repl = (
             f"transform(array({arr}), __sa -> "
             f"CASE WHEN size(__sa) >= {n + 1} THEN "
             f"transform(array({pick}({starts})), __sp -> "
             f"CASE WHEN __sp IS NOT NULL "
+            f"AND __sp + {n} < size(__sa) "
             f"THEN __sa[__sp + {n}].v END)[0] END)[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
@@ -1269,14 +1334,19 @@ def _rewrite_shape_stats(out: str) -> str:
 
     - skewPop(x)  → skewness(x)                  (identical)
     - kurtPop(x)  → kurtosis(x) + 3              (CH is non-excess)
-    - skewSamp(x) → skewness(x) · sqrt((n−1)/n)  (CH divides central
-      sums by n−1: m3_samp/varSamp^1.5 = g1·√((n−1)/n))
-    - kurtSamp(x) → (kurtosis(x)+3) · (n−1)/n    (same /(n−1) moments)
+    - skewSamp(x) → skewness(x) · ((n−1)/n)^1.5
+    - kurtSamp(x) → (kurtosis(x)+3) · ((n−1)/n)²
 
-    The Samp forms state the exact formula (central-moment sums over
-    n−1 — CH's estimator; NOT the n²/((n−1)(n−2)) textbook
-    correction) so the oracle replays them bit-for-bit from raw
-    moments. n = count(x), NULLs skipped by every factor alike.
+    CH's Moments keeps the 3rd/4th CENTRAL moments divided by n
+    (getMoment3/getMoment4) and only the variance by n−1
+    (getSample), so skewSamp = (m3/n)/varSamp^1.5 =
+    skewPop·(varPop/varSamp)^1.5 = skewPop·((n−1)/n)^1.5, and
+    kurtSamp = (m4/n)/varSamp² = kurtPop·((n−1)/n)². (Round 14 —
+    ADVICE r13: the first shipped factors assumed /(n−1) moments
+    and applied the ^0.5/^1 powers.) NOT the n²/((n−1)(n−2))
+    textbook correction. n = count(x), NULLs skipped by every
+    factor alike; the oracle replays the same formula from raw
+    moments.
     """
     nested2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
     out = re.sub(rf"\bskewPop\(({nested2})\)", r"skewness(\1)", out)
@@ -1284,12 +1354,12 @@ def _rewrite_shape_stats(out: str) -> str:
                  r"(kurtosis(\1) + 3.0D)", out)
     out = re.sub(
         rf"\bskewSamp\(({nested2})\)",
-        r"(skewness(\1) * sqrt((count(\1) - 1) / "
-        r"CAST(count(\1) AS DOUBLE)))", out)
+        r"(skewness(\1) * pow((count(\1) - 1) / "
+        r"CAST(count(\1) AS DOUBLE), 1.5D))", out)
     out = re.sub(
         rf"\bkurtSamp\(({nested2})\)",
-        r"((kurtosis(\1) + 3.0D) * (count(\1) - 1) / "
-        r"CAST(count(\1) AS DOUBLE))", out)
+        r"((kurtosis(\1) + 3.0D) * pow((count(\1) - 1) / "
+        r"CAST(count(\1) AS DOUBLE), 2.0D))", out)
     return out
 
 
@@ -1302,6 +1372,37 @@ def _unmask_literal(tok: str, lits: list[str], what: str) -> str:
         raise ValueError(f"{what} must be a string literal, "
                          f"got {tok.strip()!r}")
     return lits[int(m.group(1))][1:-1]
+
+
+def _require_exclusive_conds(fn: str, conds: list[str]) -> None:
+    """The windowFunnel/sequenceMatch/sequenceCount SQL spellings
+    label each event by its FIRST matching condition; ClickHouse
+    evaluates every condition independently, so the spellings are
+    only equivalent when the conditions are mutually exclusive (the
+    event_type equality predicates every funnel here uses). Refuse
+    the one case that is provably NOT exclusive — two textually
+    identical condition expressions — and state the assumption in
+    the user-facing error (ADVICE r13: the assumption previously
+    lived only in a rewrite docstring). Semantically-overlapping but
+    textually-distinct conditions remain the user's contract;
+    operators/funnel evaluates conditions independently."""
+    seen: dict = {}
+    for i, c in enumerate(conds, 1):
+        # string literals are masked (\x00k\x00) when the rewrites
+        # run, so whitespace-insensitive comparison is safe
+        key = re.sub(r"\s+", "", c)
+        if key in seen:
+            raise ValueError(
+                f"{fn}: conditions {seen[key]} and {i} are "
+                f"identical ({key!r}) — this SQL spelling labels "
+                f"each event by its FIRST matching condition and "
+                f"assumes mutually exclusive conditions, so a "
+                f"duplicated condition can never fire at the later "
+                f"position (ClickHouse evaluates conditions "
+                f"independently). Use distinct predicates, or the "
+                f"operator API (operators/funnel) which evaluates "
+                f"conditions independently")
+        seen[key] = i
 
 
 def _rewrite_window_funnel(out: str, lits: list[str]) -> str:
@@ -1319,10 +1420,13 @@ def _rewrite_window_funnel(out: str, lits: list[str]) -> str:
     Contract notes: the window is a literal integer in SECONDS (the
     CH DateTime semantics; timestamps compare at microseconds like
     the operator). Conditions label events by FIRST match — CH
-    evaluates conditions independently, so like the operator API this
-    spelling assumes mutually exclusive conditions (the event_type
-    equality predicates every funnel here uses). Ties on ts order by
-    level (sort_array on the struct) — the operator's exact order.
+    evaluates conditions independently, so this spelling assumes
+    mutually exclusive conditions (the event_type equality
+    predicates every funnel here uses); textually identical
+    duplicate conditions are REFUSED loudly with the assumption
+    stated (_require_exclusive_conds, ADVICE r13). Ties on ts order
+    by level (sort_array on the struct) — the operator's exact
+    order.
     """
     from rsyslog_nginx_clickhouse_spark.operators.funnel import (
         _FUNNEL_MODES,
@@ -1363,6 +1467,8 @@ def _rewrite_window_funnel(out: str, lits: list[str]) -> str:
         if len(args) - 1 > 32:
             raise ValueError("windowFunnel supports at most 32 "
                              "conditions (the CH limit)")
+        _require_exclusive_conds("windowFunnel",
+                                 [a.strip() for a in args[1:]])
         repl = _funnel_fold_sql(args[0].strip(),
                                 [a.strip() for a in args[1:]],
                                 w_us, modes)
@@ -1574,6 +1680,7 @@ def _rewrite_sequence_calls(out: str, lits: list[str]) -> str:
                 f"ClickHouse limit)")
         tsx = args[0].strip()
         conds = [a.strip() for a in args[1:]]
+        _require_exclusive_conds(fn, conds)
         toks = parse_sequence_pattern(pattern, len(conds))
         timed = any(t[0] == "cond" and t[2] for t in toks)
         if timed and fn == "sequenceCount":

@@ -1059,9 +1059,9 @@ def array_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entropy: DuckDB's entropy() is log2-based like CH's; the shape
     # moments replay as explicit two-pass central moments (Spark's
     # online-moment internals agree to ~1e-12 relative — round(6),
-    # the irrational-value discipline). The Samp forms state the
-    # /(n-1) central-moment estimator explicitly (see
-    # functions/macros._rewrite_shape_stats)
+    # the irrational-value discipline). The Samp forms replay CH's
+    # Moments.h estimator: /n central moments over the /(n-1)
+    # variance (see functions/macros._rewrite_shape_stats)
     oracle="""
     WITH mu AS (
       SELECT event_type, avg(value) AS m
@@ -1080,8 +1080,8 @@ def array_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT mom.event_type, ent.h,
            round(m3 / pow(m2, 1.5), 6) AS sp,
            round(m4 / (m2 * m2), 6) AS kp,
-           round(m3 / pow(m2, 1.5) * sqrt((n - 1) / n), 6) AS ss,
-           round(m4 / (m2 * m2) * (n - 1) / n, 6) AS ks
+           round(m3 / pow(m2, 1.5) * pow((n - 1) / n, 1.5), 6) AS ss,
+           round(m4 / (m2 * m2) * pow((n - 1) / n, 2), 6) AS ks
     FROM mom JOIN ent USING (event_type) ORDER BY mom.event_type
     """,
     doc="ClickHouse `entropy(x)` + the shape-statistic family "
@@ -1089,10 +1089,12 @@ def array_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy (log2, any orderable type) folds over the exact "
         "run-length histogram of one sorted collect; skewPop is "
         "Spark's skewness verbatim, kurtPop adds back the 3 Spark's "
-        "excess kurtosis subtracts, and the Samp forms apply the "
-        "exact (n-1)-moment factors (sqrt((n-1)/n) and (n-1)/n) — "
-        "formulas stated so the oracle replays them from raw "
-        "moments. All single-scan partial-agg shapes",
+        "excess kurtosis subtracts, and the Samp forms apply CH's "
+        "Moments.h factors ((n-1)/n)^1.5 and ((n-1)/n)^2 — central "
+        "moments stay /n, only the variance is /(n-1) (corrected "
+        "round 14 per ADVICE r13; the first shipped factors assumed "
+        "/(n-1) moments). Formulas stated so the oracle replays "
+        "them from raw moments. All single-scan partial-agg shapes",
 )
 def entropy_shape_stats_sql(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1227,7 +1229,10 @@ def interval_length_sum_sql(spark: SparkSession,
         "event). Deterministic refinement documented in the rewrite: "
         "events order by (ts, value) where CH leaves ties "
         "unspecified; head/tail anchor position 0 of the scan, "
-        "first/last_match take the min/max start "
+        "first/last_match take the min/max start — last_match "
+        "anchors the ACTUAL last chain including a follower-less "
+        "tail chain and yields NULL there, never an earlier-chain "
+        "fallback (round 14, ADVICE r13) "
         "(functions/macros._rewrite_sequence_next_node). One sorted "
         "collect per user, O(events x chain) index scan, no UDF",
 )
@@ -2951,7 +2956,11 @@ def sequence_count_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "structs running branch-for-branch the operator API's "
         "funnel_level slot algorithm — pure codegen higher-order "
         "expressions, one partial-aggregatable collect per call, no "
-        "UDF; per-user state bounded by matching events at 100 TB",
+        "UDF; per-user state bounded by matching events at 100 TB. "
+        "CONTRACT (round 14, ADVICE r13): events label by FIRST "
+        "matching condition, so conditions must be mutually "
+        "exclusive — textually identical duplicates are refused "
+        "loudly (CH evaluates conditions independently)",
 )
 def window_funnel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
@@ -3022,7 +3031,10 @@ def window_funnel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(functions/macros._sequence_nfa_sql — state is one boolean "
         "per pattern position plus the previous stored event's ts, "
         "exact vs the operator DP because NFA existence tracks all "
-        "paths). One shuffle per aggregate, no UDF",
+        "paths). One shuffle per aggregate, no UDF. CONTRACT "
+        "(round 14, ADVICE r13): events label by FIRST matching "
+        "condition — conditions must be mutually exclusive; "
+        "textually identical duplicates are refused loudly",
 )
 def sequence_match_count_sql(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

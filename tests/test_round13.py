@@ -601,10 +601,14 @@ def test_entropy_interval_and_shape_stats(spark):
     m2 = sum((x - mu) ** 2 for x in xs) / n
     m3 = sum((x - mu) ** 3 for x in xs) / n
     m4 = sum((x - mu) ** 4 for x in xs) / n
+    # CH Moments.h: central moments stay /n, only the variance is
+    # /(n-1) — skewSamp = (m3)/varSamp^1.5 = skewPop*((n-1)/n)^1.5,
+    # kurtSamp = m4/varSamp^2 = kurtPop*((n-1)/n)^2 (ADVICE r13)
+    var_samp = m2 * n / (n - 1)
     assert (r.sp, r.kp, r.ss, r.ks) == (
         round(m3 / m2 ** 1.5, 6), round(m4 / m2 ** 2, 6),
-        round(m3 / m2 ** 1.5 * math.sqrt((n - 1) / n), 6),
-        round(m4 / m2 ** 2 * (n - 1) / n, 6))
+        round(m3 / var_samp ** 1.5, 6),
+        round(m4 / var_samp ** 2, 6))
 
 
 def test_sequence_next_node_modes(spark):
@@ -638,6 +642,26 @@ def test_sequence_next_node_modes(spark):
                "(ts, page, page = 'D', page = 'D', page = 'C') AS nx"
                " FROM snn13t GROUP BY user_id").collect()}
     assert got == {1: "B", 2: None, 3: None, 4: None}
+    # ADVICE r13: last_match anchors the ACTUAL last matching chain —
+    # when that chain ends at the final event it has no follower and
+    # the result is NULL, never a fallback to an earlier chain
+    rows5 = [(5, _ts(0), "A"), (5, _ts(1), "B"), (5, _ts(2), "C"),
+             (5, _ts(3), "A"), (5, _ts(4), "B")]
+    spark.createDataFrame(
+        rows5, "user_id int, ts timestamp, page string") \
+        .createOrReplaceTempView("snn13tail")
+    got = {r.user_id: r.nx for r in sql(
+        spark, f"SELECT user_id, sequenceNextNode(forward, "
+               f"last_match)(ts, {chain}) AS nx FROM snn13tail "
+               f"GROUP BY user_id").collect()}
+    assert got == {5: None}
+    # first_match still anchors the earliest chain (which, not being
+    # the tail chain, always has a follower)
+    got = {r.user_id: r.nx for r in sql(
+        spark, f"SELECT user_id, sequenceNextNode(forward, "
+               f"first_match)(ts, {chain}) AS nx FROM snn13tail "
+               f"GROUP BY user_id").collect()}
+    assert got == {5: "C"}
     with pytest.raises(ValueError, match="invalid"):
         sql(spark, "SELECT sequenceNextNode(forward, tail)"
                    "(ts, page, true, page = 'A') FROM snn13t "

@@ -1,0 +1,99 @@
+"""Round-14 surface: ADVICE r13 fixes (shape-stat factors, the
+funnel/sequence mutual-exclusivity guard, sequenceNextNode
+last_match tail anchoring), the anyLast/quantileTiming rename
+families, the groupArray(N) / estimator-alias registry rows, the
+materialized-view DDL analog, and exact substring dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+def _ts(s: float) -> datetime.datetime:
+    return (datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=s))
+
+
+def test_duplicate_conditions_refused():
+    """ADVICE r13: the SQL spellings label events by FIRST matching
+    condition — textually identical conditions can never fire at the
+    later position, so they are refused with the mutual-exclusivity
+    assumption stated (CH evaluates conditions independently)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        rewrite_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rewrite_aggregates(
+            "SELECT windowFunnel(10)(ts, a = 1, a = 1) "
+            "FROM t GROUP BY u")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rewrite_aggregates(
+            "SELECT sequenceMatch('(?1).*(?2)')(ts, a=1, a =  1) "
+            "FROM t GROUP BY u")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rewrite_aggregates(
+            "SELECT sequenceCount('(?1).*(?2)')(ts, b > 2, b > 2) "
+            "FROM t GROUP BY u")
+    # distinct predicates still rewrite (no false positives)
+    out = rewrite_aggregates(
+        "SELECT windowFunnel(10)(ts, a = 1, a = 2) "
+        "FROM t GROUP BY u")
+    assert "windowFunnel" not in out
+
+
+def test_any_last_family(spark):
+    """anyLast/anyIf/anyLastIf in the sorted-subquery idiom: the
+    last/first NON-NULL value in declared key order (VERDICT r13
+    item 3 — the ReplacingMergeTree-idiom aggregates)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, 1, None), (1, 2, "b"), (1, 3, "c"),
+            (2, 1, "x"), (2, 2, None),
+            (3, 1, None)]
+    spark.createDataFrame(rows, "g int, k int, v string") \
+        .createOrReplaceTempView("al14t")
+    got = {r.g: (r.last_v, r.first_even, r.last_small) for r in sql(
+        spark, """
+        SELECT g, anyLast(v) AS last_v,
+               anyIf(v, k % 2 = 0) AS first_even,
+               anyLastIf(v, k < 3) AS last_small
+        FROM (SELECT g, k, v FROM al14t ORDER BY g, k)
+        GROUP BY g ORDER BY g""").collect()}
+    # g=1: values (NULL,b,c) → last=c; even k=2 → b; k<3 → b
+    # g=2: (x,NULL) → last=x; even k=2 v NULL → NULL; k<3 → x
+    # g=3: all NULL → NULL everywhere
+    assert got == {1: ("c", "b", "b"), 2: ("x", None, "x"),
+                   3: (None, None, None)}
+    # bare/unsorted anyLast is refused like groupArray (a silently
+    # nondeterministic pick is worse than an error)
+    with pytest.raises(ValueError, match="order-dependent"):
+        sql(spark, "SELECT g, anyLast(v) FROM al14t GROUP BY g")
+    with pytest.raises(ValueError, match="exactly one argument"):
+        sql(spark, "SELECT g, anyLast(v, k) FROM "
+                   "(SELECT * FROM al14t ORDER BY g, k) GROUP BY g")
+    with pytest.raises(ValueError, match="exactly 2"):
+        sql(spark, "SELECT g, anyIf(v) FROM "
+                   "(SELECT * FROM al14t ORDER BY g, k) GROUP BY g")
+    # string DATA mentioning the names is untouched
+    out = sql(spark, "SELECT 'anyLast(x)' AS s").collect()[0].s
+    assert out == "anyLast(x)"
+
+
+def test_quantile_timing_renames(spark):
+    """quantileTiming/quantilesTiming/medianTiming rename into the
+    percentile_approx estimator family (VERDICT r13 item 3)."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                          "x double").createOrReplaceTempView("qt14t")
+    r = sql(spark, """
+        SELECT quantileTiming(0.5)(x) AS q50,
+               quantileTiming(x) AS qbare,
+               medianTiming(x) AS med,
+               quantilesTiming(0.25, 0.75)(x)[0] AS q25
+        FROM qt14t""").collect()[0]
+    assert r.q50 == r.qbare == r.med == 50.0
+    assert r.q25 == 25.0
