@@ -4663,3 +4663,139 @@ def limit_with_ties_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         ORDER BY cnt DESC LIMIT 10 WITH TIES
     """)
+
+
+@query(
+    "group_array_bounded_sql",
+    # DuckDB's ordered list + 1-based inclusive slice [1:5] replays
+    # CH's "first max_size elements in order" exactly; event_id is
+    # unique so the (ts, event_id) order is total in both engines
+    oracle="""
+    SELECT user_id,
+           array_to_string(
+               list(event_type ORDER BY ts, event_id)[1:5],
+               ',') AS first5,
+           count(*)::bigint AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ClickHouse bounded `groupArray(N)(x)` — keep the FIRST N "
+        "elements in order (round 14, VERDICT r13 item 2: this "
+        "rewrite shipped broken for all of round 13 — the parametric "
+        "call collected the literal N as the value — and was fixed "
+        "post-bench with pytest-only coverage; this row puts it "
+        "under the driver oracle). Maps in the sorted-subquery idiom "
+        "as slice(lifted_sorted_collect, 1, N) — the slice runs "
+        "AFTER sort_array imposes the order, so the kept prefix is "
+        "deterministic at any partition count. Same single "
+        "partial-aggregatable collect as groupArray; the bound "
+        "trims the output, not the state (CH semantics)",
+)
+def group_array_bounded_sql(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "gab_events")
+    return engine_sql(spark, """
+        SELECT user_id,
+               arrayStringConcat(groupArray(5)(event_type), ',')
+                   AS first5,
+               CAST(count() AS BIGINT) AS n_events
+        FROM (SELECT user_id, event_type, ts, event_id
+              FROM gab_events ORDER BY ts, event_id)
+        GROUP BY user_id ORDER BY user_id
+    """)
+
+
+@query(
+    "estimator_alias_sql",
+    # three oracle contracts in one row: (a) uniqTheta's HLL++
+    # estimate is engine-specific, so the column under test is the
+    # SANITY BOUND (within ±20% of exact — rsd defaults to 0.05, so
+    # the bound has 4-sigma slack) and the oracle pins the literal 1;
+    # (b) medianExact maps to Spark's exact interpolated median ==
+    # DuckDB's numeric median, bit-equal on the same stored doubles
+    # (no rounding: both interpolate (a+b)/2 of identical inputs);
+    # (c) the TDigest/Timing renames land on percentile_approx,
+    # whose GK summary is LOSSLESS below the default 10,000-row
+    # accuracy (2,000 rows/group at the sf0.01 gate) and returns the
+    # exact discrete element == DuckDB quantile_disc (the
+    # approx_latency_quantiles contract; beyond ~sf0.05 the sketch
+    # compresses and only the sanity column keeps holding)
+    oracle="""
+    SELECT event_type,
+           CAST(1 AS INT) AS theta_sane,
+           median(value) AS med_exact,
+           quantile_disc(value, 0.5) AS med_digest,
+           quantile_disc(value, 0.9) AS p90_timing,
+           quantile_disc(value, 0.5) AS p50_timing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="the estimator-alias renames (round 14, VERDICT r13 item 2 — "
+        "landed post-bench in r13 with pytest-only coverage): "
+        "uniqTheta -> approx_count_distinct (the theta-sketch "
+        "spelling shares uniq's estimator contract; value-gated via "
+        "a +-20% sanity bound against count(DISTINCT) since HLL++ "
+        "estimates are engine-specific), medianExact -> median "
+        "(Spark's median IS the exact 0.5 percentile), medianTDigest "
+        "-> percentile_approx(x, 0.5), and the round-14 "
+        "quantileTiming/quantilesTiming family -> percentile_approx "
+        "(lossless GK below sketch accuracy, discrete-element exact "
+        "at gate scale). All single-scan partial-agg shapes",
+)
+def estimator_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "est14_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               CAST(IF(uniqTheta(user_id) >= 0.8 * count(DISTINCT user_id)
+                       AND uniqTheta(user_id) <= 1.2 * count(DISTINCT user_id),
+                       1, 0) AS INT) AS theta_sane,
+               medianExact(value) AS med_exact,
+               medianTDigest(value) AS med_digest,
+               quantileTiming(0.9)(value) AS p90_timing,
+               quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing
+        FROM est14_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
+    "any_last_sql",
+    # replay oracle: DuckDB's ordered list (+ FILTER for the If
+    # forms) indexed at [-1]/[1] is exactly "last/first non-NULL in
+    # (ts, event_id) order"; picks of stored doubles are bit-equal
+    # across engines (no rounding — the arithmetic-free pick rule)
+    oracle="""
+    SELECT event_type,
+           (list(value ORDER BY ts, event_id))[-1] AS last_value,
+           (list(value ORDER BY ts, event_id)
+               FILTER (WHERE user_id % 3 = 0))[1] AS first_u3,
+           (list(value ORDER BY ts, event_id)
+               FILTER (WHERE user_id % 3 = 1))[-1] AS last_u3,
+           count(*)::bigint AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse `anyLast(x)` / `anyIf(x, cond)` / "
+        "`anyLastIf(x, cond)` (round 14, VERDICT r13 item 3 — the "
+        "ReplacingMergeTree-idiom aggregates a CH dashboard types "
+        "constantly, previously leaking to Spark's parser as unknown "
+        "functions): the last/first NON-NULL value in declared key "
+        "order, mapped in the sorted-subquery idiom "
+        "(functions/macros.rewrite_group_array) as the lifted sorted "
+        "collect's last/first element; the If forms fold the "
+        "condition into the value (NULL-skip makes aggIf(x, c) == "
+        "agg(IF(c, x, NULL))). Bare unsorted spellings are refused "
+        "loudly; CH any() itself stays unmapped (Spark name "
+        "collision). One partial-aggregatable collect per call",
+)
+def any_last_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "al_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               anyLast(value) AS last_value,
+               anyIf(value, user_id % 3 = 0) AS first_u3,
+               anyLastIf(value, user_id % 3 = 1) AS last_u3,
+               CAST(count() AS BIGINT) AS n
+        FROM (SELECT event_type, value, user_id, ts, event_id
+              FROM al_events ORDER BY ts, event_id)
+        GROUP BY event_type ORDER BY event_type
+    """)
