@@ -1799,6 +1799,10 @@ def _rewrite_state_merge(out: str) -> str:
     # Float64, the CH avg contract). Exact merges, zero extra state.
     out = re.sub(rf"\bsumState\(({nested2})\)", r"sum(\1)", out)
     out = re.sub(rf"\bsumMerge\(({nested2})\)", r"sum(\1)", out)
+    # zero-arg countState() — the spelling CH MV bodies use (the
+    # zero-arg count() fix upstream can't see it: the token is still
+    # countState at that point). The state is the partial row count.
+    out = re.sub(r"\bcountState\(\s*\)", "count(*)", out)
     out = re.sub(rf"\bcountState\(({nested2})\)", r"count(\1)", out)
     out = re.sub(rf"\bcountMerge\(({nested2})\)",
                  r"CAST(sum(\1) AS BIGINT)", out)

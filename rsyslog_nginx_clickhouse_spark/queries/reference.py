@@ -4799,3 +4799,111 @@ def any_last_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM al_events ORDER BY ts, event_id)
         GROUP BY event_type ORDER BY event_type
     """)
+
+
+@query(
+    "materialized_view_sql",
+    # the oracle computes every aggregate DIRECTLY from raw events
+    # with the state rows' exact conventions (KMV hash/estimator,
+    # ceil-rank discrete quantile, integer cents, floor-sequence avg
+    # rounding) — equality proves POPULATE + two incremental inserts
+    # + the parquet state round-trip + the -Merge serving read equal
+    # the direct single-pass aggregates
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+               AS h
+      FROM events),
+    bk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM hashed),
+    uq AS (
+      SELECT event_type,
+             cast(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                       ELSE floor({_KMV_K - 1} * 4294967296.0
+                                  / max(h))
+                  END AS bigint) AS approx_users
+      FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type),
+    s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    qt AS (
+      SELECT event_type,
+             min(CASE WHEN rn >= ceil(0.5 * n) THEN value END) AS p50
+      FROM s GROUP BY event_type),
+    ad AS (
+      SELECT event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             count(*)::bigint AS n_events,
+             floor((sum(CAST(floor(value * 100) AS BIGINT))::double
+                    / count(*)) * 1000000 + 0.5) / 1000000
+               AS avg_cents
+      FROM events GROUP BY event_type)
+    SELECT uq.event_type, approx_users, p50, total_cents, n_events,
+           avg_cents
+    FROM uq JOIN qt USING (event_type) JOIN ad USING (event_type)
+    ORDER BY uq.event_type
+    """,
+    doc="the verbatim `CREATE MATERIALIZED VIEW … ENGINE = "
+        "AggregatingMergeTree() ORDER BY … POPULATE AS SELECT … "
+        "xxxState(…) GROUP BY …` DDL end-to-end (round 14, VERDICT "
+        "r13 item 4 — plans/materialized_view.py): the DDL declares "
+        "the view, POPULATE ingests the source's current rows as "
+        "part 0, two insert() calls append incremental parts (the "
+        "CH INSERT-trigger analog; each part is one partial-agg "
+        "shuffle writing O(keys x state) parquet rows), and the "
+        "serving read — the verbatim uniqMerge/quantileMerge(0.5)/"
+        "sumMerge/countMerge/avgMerge text over the view NAME — "
+        "re-merges across parts. The body and the read run through "
+        "the SAME _rewrite_state_merge spellings the inline rows "
+        "pin, so MV analog and SQL surface cannot diverge; merge "
+        "exactness (bottom-k KMV, histogram sums, additive "
+        "partials) makes the round-trip bit-equal to the direct "
+        "aggregates. At 100 TB the serving read scans only "
+        "O(parts x keys x sketch) state rows, never raw history",
+)
+def materialized_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from rsyslog_nginx_clickhouse_spark.plans.materialized_view import (
+        declare_materialized_view,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ev.where("event_id % 3 = 0").createOrReplaceTempView("mv14_src")
+    # fresh per-invocation path: the MV appends parts, so a reused
+    # path across bench/selfcheck re-runs would double-count
+    path = os.path.join(tempfile.gettempdir(),
+                        f"mv14_{uuid.uuid4().hex}")
+    mv = declare_materialized_view(spark, """
+        CREATE MATERIALIZED VIEW mv14_daily
+        ENGINE = AggregatingMergeTree() ORDER BY (event_type)
+        POPULATE AS
+        SELECT event_type,
+               uniqState(user_id) AS us,
+               quantileState(value) AS qs,
+               sumState(CAST(floor(value * 100) AS BIGINT)) AS ss,
+               countState() AS cs,
+               avgState(CAST(floor(value * 100) AS BIGINT)) AS av
+        FROM mv14_src GROUP BY event_type
+    """, path=path)
+    mv.insert(spark, ev.where("event_id % 3 = 1"))
+    mv.insert(spark, ev.where("event_id % 3 = 2"))
+    return engine_sql(spark, """
+        SELECT event_type,
+               uniqMerge(us) AS approx_users,
+               quantileMerge(0.5)(qs) AS p50,
+               CAST(sumMerge(ss) AS BIGINT) AS total_cents,
+               countMerge(cs) AS n_events,
+               floor(avgMerge(av) * 1000000 + 0.5) / 1000000
+                   AS avg_cents
+        FROM mv14_daily GROUP BY event_type ORDER BY event_type
+    """)
