@@ -2920,3 +2920,76 @@ def shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", "global_pos",
                        ((F.col("global_pos") - 1) % 16).alias("shard"))
                .orderBy("global_pos"))
+
+
+@query(
+    "exact_substring_dedup",
+    # the oracle replays the identical algorithm over the GLOBAL
+    # suffix order (corpus-small at gate scale): lag() adjacency on
+    # ORDER BY (suf, doc_id, pos), list-wise LCP (this DuckDB's
+    # list_position returns 0 for not-found — the all-equal pair must
+    # map to the full compared length, not -1), cross-doc pairs with
+    # lcp >= 5 credit both sides. Global adjacency == the engine's
+    # per-bucket adjacency for every pair that can reach the
+    # threshold: suffixes sharing a >= 5-token prefix are contiguous
+    # in the global order and land in the same leading-gram bucket
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, toks[i:i+19] AS suf
+      FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+      WHERE len(toks) >= 5),
+    adj AS (
+      SELECT doc_id, pos, suf, lag(doc_id) OVER w AS pdoc,
+             lag(pos) OVER w AS ppos, lag(suf) OVER w AS psuf
+      FROM occ WINDOW w AS (ORDER BY suf, doc_id, pos)),
+    lc AS (
+      SELECT doc_id, pos, pdoc, ppos,
+             CASE WHEN coalesce(list_position(list_transform(
+                     generate_series(1, least(len(suf), len(psuf))),
+                     j -> suf[j] = psuf[j]), false), 0) = 0
+                  THEN least(len(suf), len(psuf))
+                  ELSE list_position(list_transform(
+                     generate_series(1, least(len(suf), len(psuf))),
+                     j -> suf[j] = psuf[j]), false) - 1 END AS lcp
+      FROM adj WHERE pdoc IS NOT NULL),
+    cr AS (
+      SELECT doc_id, pos, lcp FROM lc
+      WHERE pdoc != doc_id AND lcp >= 5
+      UNION ALL
+      SELECT pdoc AS doc_id, ppos AS pos, lcp FROM lc
+      WHERE pdoc != doc_id AND lcp >= 5)
+    SELECT d.doc_id,
+           coalesce(max(lcp), 0)::int AS longest_dup,
+           coalesce(count(DISTINCT pos), 0)::bigint AS n_dup_starts
+    FROM documents d LEFT JOIN cr ON d.doc_id = cr.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    doc="EXACT cross-document substring matching — the distributed "
+        "suffix-array analog of ExactSubstr dedup [Lee et al. 2021] "
+        "(round 14, VERDICT r13 item 5; repeated_span_removal is the "
+        "k-shingle REMOVER, this is the exact match-length MEASURER "
+        "run-merged shingles overestimate): per document, the exact "
+        "longest >= 5-token substring (capped at 20) also present in "
+        "another document, plus the duplicated-start count. Suffixes "
+        "bucket by their leading 5-gram hash (pairs reaching the "
+        "threshold provably share it), sort WITHIN buckets, and an "
+        "adjacent-pair token-LCP scan credits both sides — the "
+        "max-LCP-at-adjacent-cross-doc-pair suffix-array theorem "
+        "makes the scan exact with ONE shuffle and no all-pairs "
+        "join; per-bucket state is bounded by the hottest gram "
+        "(operators/dedup.exact_substring_matches). At 100 TB the "
+        "shuffle carries O(tokens x cap) — the documented "
+        "ExactSubstr cost — and skew salting falls out of the gram "
+        "hash key",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        exact_substring_matches,
+    )
+
+    return (exact_substring_matches(_docs(spark, sf_dir),
+                                    min_len=5, cap=20)
+            .orderBy("doc_id"))

@@ -82,6 +82,37 @@ def test_any_last_family(spark):
     assert out == "anyLast(x)"
 
 
+def test_exact_substring_matches(spark):
+    """The suffix-adjacency operator: exact cross-doc match lengths,
+    capped; same-doc repeats don't count; the all-equal (full-cap)
+    pair resolves to the compared length."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        exact_substring_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),        # shares 'a b c d e' with 2
+         (2, "x y a b c d e z"),
+         (3, "p q r s t"),            # exact twin of 4 (cap case)
+         (4, "p q r s t"),
+         (5, "l o n e w o r d s"),    # no cross-doc match
+         (6, "m m m m m m m")],       # within-doc repeats only
+        "doc_id long, text string")
+    got = {r.doc_id: (r.longest_dup, r.n_dup_starts)
+           for r in exact_substring_matches(
+               docs, min_len=3, cap=10).collect()}
+    assert got == {1: (5, 3), 2: (5, 3), 3: (5, 3), 4: (5, 3),
+                   5: (0, 0), 6: (0, 0)}
+    # cap truncates reported length, not detection
+    twin = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.longest_dup
+           for r in exact_substring_matches(
+               twin, min_len=3, cap=4).collect()}
+    assert got == {1: 4, 2: 4}
+
+
 def test_materialized_view_ddl(spark, tmp_path):
     """declare/insert/read round-trip plus the loud DDL refusals
     (VERDICT r13 item 4)."""
