@@ -71,6 +71,15 @@ DRAIN_WAIT_S = 450
 #: its verdict caps at 'contended' and it may not seed a BENCH_BEST
 #: re-baseline
 PROBE_LOAD_CEILING = 3.0
+#: ... and SEEDING/RESETTING a BENCH_BEST entry needs a stricter bar
+#: than CLEARING a regression (round 14, VERDICT r13 item 6): a
+#: 'steal' verdict only needs the probe to return to the existing
+#: floor — load can only make that conclusion conservative — but a
+#: probe that BECOMES the floor ratchets every later round against
+#: its number, so a sample at load 2.7-2.94 (r13's probes, legal for
+#: clearing) would bake box noise into the baseline. Seeds require a
+#: genuinely idle box.
+SEED_LOAD_CEILING = 1.5
 
 
 def _plan_sig(df) -> str:
@@ -178,11 +187,18 @@ def _update_best_by_sig(timings: dict, plan_sigs: dict,
         clean_probe = (probe is not None
                        and adj.get("probe_load", 99.0)
                        < PROBE_LOAD_CEILING)
+        # seeding (resetting an entry to a new signature) holds the
+        # probe to the stricter idle bar — a clearing-grade sample
+        # (load < 3.0) may refute a regression but must not become
+        # the floor later rounds ratchet against (VERDICT r13 item 6)
+        seed_probe = (probe is not None
+                      and adj.get("probe_load", 99.0)
+                      < SEED_LOAD_CEILING)
         wall = min(t, probe) if clean_probe else t
         cur = best.get(name)
         if cur and cur.get("sig") == sig:
             cur["best"] = min(cur["best"], round(wall, 3))
-        elif cur is None or clean_probe or name not in adjudications:
+        elif cur is None or seed_probe or name not in adjudications:
             # RESETTING an existing entry to a new signature discards
             # its baseline, so the new number must be a sample worth
             # baselining against: either a solo probe taken under the
@@ -219,9 +235,12 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
         best_by_sig = _load_best_by_sig()
     out = {}
 
-    def _solo_probe(name, entry):
-        """Isolated re-run (min of 2) with a bounded drain-wait; the
-        sample and its start load ship in the entry."""
+    def _solo_probe(name, entry, ceiling=PROBE_LOAD_CEILING):
+        """Isolated re-run (min of 2) with a bounded drain-wait down
+        to ``ceiling``; the sample and its start load ship in the
+        entry. Seeding probes pass SEED_LOAD_CEILING — they wait for
+        a genuinely idle box (and if it never drains, the recorded
+        load makes _update_best_by_sig refuse the reset)."""
         # the probe's whole point is a contention-free sample, but
         # straight after the suite the 1-min load is still 10+ and
         # the probe itself reads 2x its settled wall (observed:
@@ -232,7 +251,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
         # already failed, and the verdict is capped anyway — don't
         # burn 90 s per adjudication confirming the box is busy
         for _ in range(0 if contended else 18):
-            if os.getloadavg()[0] < PROBE_LOAD_CEILING:
+            if os.getloadavg()[0] < ceiling:
                 break
             _time.sleep(5)
         start_load = os.getloadavg()[0]
@@ -298,7 +317,7 @@ def _adjudicate(registry, spark, timings, plan_sigs, gc,
             # contended run (no ratchet happens anyway) and when the
             # stored same-sig baseline already exists (no reset).
             if not contended and b_same is None and registry is not None:
-                _solo_probe(name, entry)
+                _solo_probe(name, entry, ceiling=SEED_LOAD_CEILING)
         elif b_same is not None and (t / b_same < ADJ_RATIO
                                      or t - b_same < ADJ_ABS_SLACK_S):
             entry["best_same_plan"] = b_same

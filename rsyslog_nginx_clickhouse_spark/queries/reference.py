@@ -4156,7 +4156,10 @@ def topk_weighted_if_sql(spark: SparkSession,
         "population/sample contracts, NULL pairs skipped on both "
         "engines; CH corr already IS Spark corr so it maps "
         "untouched). One partial-aggregatable shuffle, whole-stage "
-        "codegen (functions/clickhouse.AGGREGATE_REWRITES)",
+        "codegen (functions/clickhouse.AGGREGATE_REWRITES). "
+        "Window-rotated r14: the varPop/varSamp tokens appear in the "
+        "round-14 shape-stats docstring diff, so the helper-coverage "
+        "gate re-verifies this row under the driver",
 )
 def stat_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(
@@ -4726,7 +4729,8 @@ def group_array_bounded_sql(spark: SparkSession,
            median(value) AS med_exact,
            quantile_disc(value, 0.5) AS med_digest,
            quantile_disc(value, 0.9) AS p90_timing,
-           quantile_disc(value, 0.5) AS p50_timing
+           quantile_disc(value, 0.5) AS p50_timing,
+           quantile_disc(value, 0.5) AS med_timing
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="the estimator-alias renames (round 14, VERDICT r13 item 2 — "
@@ -4752,7 +4756,8 @@ def estimator_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                medianExact(value) AS med_exact,
                medianTDigest(value) AS med_digest,
                quantileTiming(0.9)(value) AS p90_timing,
-               quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing
+               quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing,
+               medianTiming(value) AS med_timing
         FROM est14_events GROUP BY event_type ORDER BY event_type
     """)
 

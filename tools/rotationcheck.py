@@ -98,7 +98,99 @@ def _selftest() -> None:
     # unverified-but-unmarked is flagged as a caller bug
     bad = check_rotation(["x", "a", "b", "c", "d"], lr, set(), window=5)
     assert any("caller bug" in x for x in bad), bad
+    # helper-coverage: a changed token with its only exercising row
+    # OUTSIDE the window fires; window-resident row passes; a token
+    # no row exercises fires the add-a-row message; ignored/absent
+    # tokens are silent
+    blobs = {"r1": "SELECT windowFunnel(10)(ts, a, b) FROM t",
+             "r2": "SELECT anyLast(v) FROM s"}
+    bad = check_helper_coverage({"anyLast"}, blobs, {"r1"})
+    assert any("window-resident" in x and "r2" in x for x in bad), bad
+    assert check_helper_coverage({"anyLast"}, blobs, {"r2"}) == []
+    bad = check_helper_coverage({"groupArray"}, blobs, {"r1", "r2"})
+    assert any("NO registry row" in x for x in bad), bad
+    assert check_helper_coverage(set(), blobs, set()) == []
+    # substring tokens don't cross word boundaries (anyLastIf is not
+    # an anyLast hit)
+    bad = check_helper_coverage({"anyLastIf"},
+                                {"r2": "anyLast(v)"}, {"r2"})
+    assert any("NO registry row" in x for x in bad), bad
     print("rotationcheck selftest ok")
+
+
+#: pyspark/python API camelCase names that legitimately appear in
+#: helper diffs and row sources but are NOT ClickHouse surface tokens
+#: — excluded from the helper-coverage check below (extend as needed;
+#: a ubiquitous token self-neutralizes anyway since some window row
+#: almost surely contains it, so this list only needs the rare ones)
+_HELPER_TOKEN_IGNORE = {
+    "createOrReplaceTempView", "getOrCreate", "orderBy", "groupBy",
+    "withColumn", "withColumnRenamed", "applyInPandas", "mapInPandas",
+    "partitionBy", "rowsBetween", "rangeBetween", "localCheckpoint",
+    "approxQuantile", "getsource", "fullmatch", "finditer",
+    "lstrip", "rstrip", "startswith", "endswith", "getloadavg",
+    "isStreaming", "readStream", "writeStream", "foreachBatch",
+    "outputMode", "queryName", "sparkSession",
+    # ClickHouse INTERNALS cited in docstrings (Moments.h accessors),
+    # not user-facing surface
+    "getMoment3", "getMoment4", "getSample", "getPopulation",
+}
+
+#: camelCase word: the ClickHouse function-name shape (windowFunnel,
+#: groupArray, anyLast, uniqState, toYYYYMMDD, …); snake_case Python
+#: and UpperCamel class names don't match. ASCII-only so docstring
+#: math glyphs (varSamp²) can't extend a token.
+_CAMEL_RE = re.compile(r"\b[a-z][a-z0-9]*[A-Z][A-Za-z0-9_]*\b",
+                       re.ASCII)
+
+
+def _changed_helper_tokens(boundary: str) -> set[str]:
+    """CamelCase tokens on lines added/removed in the rewrite layer
+    (``functions/*.py``) since the round-boundary commit — the
+    mechanical 'which CH spellings did this round's helper edits
+    touch' signal (round 14, VERDICT r13 item 7: two r13 helper-only
+    commits changed emitted rewrites without flagging any row
+    text-changed, one of them a real bug)."""
+    diff = _git("diff", boundary, "--",
+                "rsyslog_nginx_clickhouse_spark/functions/")
+    toks: set[str] = set()
+    for line in diff.splitlines():
+        if line.startswith(("+", "-")) \
+                and not line.startswith(("+++", "---")):
+            # strip regex escapes first: the \b in a pattern source
+            # would otherwise mint a 'bcountState' token
+            toks |= set(_CAMEL_RE.findall(
+                re.sub(r"\\[A-Za-z]", " ", line)))
+    return toks - _HELPER_TOKEN_IGNORE
+
+
+def check_helper_coverage(tokens: set[str],
+                          row_blobs: dict[str, str],
+                          window_names: set[str]) -> list[str]:
+    """Pure policy: every changed-helper token that any registry row
+    exercises must have at least one exercising row INSIDE the
+    verification window; a token NO row exercises is the
+    groupArray(N) failure mode (helper shipped with pytest-only
+    coverage) and flags too. Tokens exercised only via other tokens'
+    rows pass when one of those rows sits in the window."""
+    v = []
+    for tok in sorted(tokens):
+        rx = re.compile(rf"\b{re.escape(tok)}\b")
+        rows = [n for n, blob in row_blobs.items() if rx.search(blob)]
+        if not rows:
+            v.append(
+                f"helper token {tok}: changed in functions/*.py this "
+                f"round but NO registry row exercises it — add a row "
+                f"(or, for a non-surface token, extend "
+                f"_HELPER_TOKEN_IGNORE)")
+        elif not any(n in window_names for n in rows):
+            v.append(
+                f"helper token {tok}: changed in functions/*.py this "
+                f"round but none of its {len(rows)} exercising row(s) "
+                f"is window-resident — rotate one in (edit its doc= "
+                f"to force text-changed); candidates: "
+                f"{', '.join(sorted(rows)[:4])}")
+    return v
 
 
 def _git(*args: str) -> str:
@@ -180,11 +272,28 @@ def main() -> int:
     mandatory &= set(head)  # drop queries deleted since their row
 
     violations = check_rotation(ordered, last_round, mandatory)
+    # helper-coverage mode (round 14, VERDICT r13 item 7): rewrite
+    # helpers changed since the last round boundary must have a
+    # window-resident row exercising their tokens — the blind spot
+    # the source-hash check above cannot see (a helper edit leaves
+    # every row's own source byte-identical)
+    n_helper = 0
+    if commits:
+        import inspect as _inspect
+
+        boundary = commits[max(commits)]
+        tokens = _changed_helper_tokens(boundary)
+        blobs = {n: _inspect.getsource(q.spark) + "\0"
+                 + (q.oracle or "") for n, q in qmod.load_all().items()}
+        hv = check_helper_coverage(tokens, blobs, set(ordered[:WINDOW]))
+        n_helper = len(hv)
+        violations += hv
     for v in violations:
         print("VIOLATION " + v)
     print(f"rotationcheck: {len(head)} queries, "
           f"{len([n for n in head if n not in last_round])} new, "
-          f"{len(mandatory)} mandatory, {len(violations)} violations")
+          f"{len(mandatory)} mandatory, {len(violations)} violations "
+          f"({n_helper} helper-coverage)")
     return 1 if violations else 0
 
 
