@@ -283,6 +283,83 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: and 19 r9 rows alphabetically. 31 r9 rows remain the oldest
 #: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
+#: Round-14 ordering (VERDICT r13 item 1 — execute the _FRONTLOAD_R14
+#: rotation): 5 NEW rows (group_array_bounded_sql +
+#: estimator_alias_sql: driver-oracle rows for the two post-bench r13
+#: rewrite commits — VERDICT item 2; any_last_sql: the
+#: anyLast/anyIf/anyLastIf ReplacingMergeTree idiom — item 3;
+#: materialized_view_sql: the CREATE MATERIALIZED VIEW DDL analog —
+#: item 4; exact_substring_dedup: the suffix-adjacency ExactSubstr
+#: analog — item 5) and 8 TEXT-CHANGED (entropy_shape_stats_sql: the
+#: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
+#: sequence_next_node_sql: last_match now anchors the follower-less
+#: tail chain; window_funnel_sql + sequence_match_count_sql: the
+#: duplicate-condition refusal contract in the doc; stat_agg_sql +
+#: delta_sum_sql + group_uniq_array_sql + quantiles_array_sql:
+#: rotated by the NEW helper-coverage gate — their tokens sit on
+#: rewrite lines the round-14 edits touched) — then fills
+#: oldest-first: ALL 29 r9 rows still outside the window (the
+#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 8 r10 rows
+#: alphabetically. The remaining 40 r10 rows are the oldest outside
+#: the window and lead _FRONTLOAD_R15. rotationcheck enforces the
+#: result (including the new helper-coverage mode).
+_FRONTLOAD_R14 = [
+    # new this round — never driver-verified
+    "group_array_bounded_sql",   # NEW: bounded groupArray(N)(x)
+    "estimator_alias_sql",       # NEW: uniqTheta/median*/Timing
+    "any_last_sql",              # NEW: anyLast/anyIf/anyLastIf
+    "materialized_view_sql",     # NEW: CREATE MATERIALIZED VIEW
+    "exact_substring_dedup",     # NEW: suffix-adjacency ExactSubstr
+    # text-changed this round
+    "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
+    "sequence_next_node_sql",    # ADVICE r13: last_match tail anchor
+    "window_funnel_sql",         # duplicate-condition contract doc
+    "sequence_match_count_sql",  # duplicate-condition contract doc
+    "stat_agg_sql",              # helper-coverage: varPop/varSamp
+    "delta_sum_sql",             # helper-coverage: deltaSum token
+    "group_uniq_array_sql",      # helper-coverage: groupUniqArray
+    "quantiles_array_sql",       # helper-coverage: quantilesExact
+    # the 29 r9 rows — oldest in the registry, alphabetical
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_scores",
+    "repeat_users_intersect",
+    "repetition_stats",
+    "revenue_cube",
+    "rollup_sql_daily",
+    "scalar_with_threshold",
+    "select_except_modifier",
+    "shuffle_shard_plan",
+    "source_overlap",
+    "streaming_jsoneachrow_ingest",
+    "text_stats",
+    "token_shard_plan",
+    "top_n_sql",
+    "upsample_epochs",
+    "user_event_gaps",
+    "window_lag_lead_sql",
+    "with_fill_interpolate",
+    # r10 rows, alphabetical fill (8 of 48)
+    "any_join_sql",
+    "argmax_rollup_latest",
+    "array_join_token_counts",
+    "array_lambda_sql",
+    "bloom_pruned_scan",
+    "bpe_tokenize_docs",
+    "bpe_train_merges",
+    "bucketed_build",
+]
+
 _FRONTLOAD_R13 = [
     # new this round — never driver-verified
     "window_funnel_sql",           # NEW: windowFunnel SQL spelling
@@ -724,8 +801,8 @@ def load_all() -> dict[str, Query]:
     # loud invariant: a misspelled front-load name would silently
     # demote that query out of the driver's 50-entry verification
     # window and shrink the round's coverage with no error anywhere
-    missing = [n for n in _FRONTLOAD_R13 if n not in REGISTRY]
+    missing = [n for n in _FRONTLOAD_R14 if n not in REGISTRY]
     assert not missing, f"_FRONTLOAD names not in registry: {missing}"
-    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R13}
+    ordered = {n: REGISTRY[n] for n in _FRONTLOAD_R14}
     ordered.update(REGISTRY)
     return ordered

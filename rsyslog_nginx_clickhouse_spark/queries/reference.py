@@ -3248,6 +3248,8 @@ def rollup_sql_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM qarr ORDER BY event_type, p
     """,
     doc="ClickHouse multi-quantile combinator "
+        "(window-rotated r14: the quantilesExact token sits on a "
+        "rewrite line the round-14 Timing-family edit touched) "
         "`quantilesExact(p1,…,pn)(x)` surface → one "
         "percentile(x, array(…)) aggregate: ONE pass / one agg state "
         "per group yields the whole cut array (CH's "
@@ -3576,7 +3578,9 @@ def jsoneachrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::bigint AS cnt
     FROM events GROUP BY d ORDER BY d
     """,
-    doc="ClickHouse `groupUniqArray(x)` aggregate surface → "
+    doc="ClickHouse `groupUniqArray(x)` aggregate surface "
+        "(window-rotated r14: its token sits on a rewrite line the "
+        "round-14 Timing-family edit touched) → "
         "sort_array(collect_set(x)): one partial-aggregatable "
         "distinct-set per group. DOCUMENTED deviation: CH returns "
         "the distinct elements in nondeterministic block order; the "
@@ -3937,7 +3941,10 @@ def topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ClickHouse `deltaSum(x)` — the counter aggregate (sum of "
         "POSITIVE deltas between consecutive values; monitoring "
         "dashboards feed it cumulative counters so resets don't go "
-        "negative). Order-dependent like groupArray, so it maps in "
+        "negative). Window-rotated r14: rewrite_group_array gained "
+        "the anyLast family, touching lines carrying the deltaSum "
+        "token, so the helper-coverage gate re-verifies this row. "
+        "Order-dependent like groupArray, so it maps in "
         "the same sorted-subquery idiom and shares its machinery "
         "(functions/macros.rewrite_group_array): the subquery's "
         "ORDER BY keys lift into ONE sorted collect, a single "
@@ -4730,7 +4737,8 @@ def group_array_bounded_sql(spark: SparkSession,
            quantile_disc(value, 0.5) AS med_digest,
            quantile_disc(value, 0.9) AS p90_timing,
            quantile_disc(value, 0.5) AS p50_timing,
-           quantile_disc(value, 0.5) AS med_timing
+           quantile_disc(value, 0.5) AS med_timing,
+           quantile_disc(value, 0.9) AS p90_digest
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="the estimator-alias renames (round 14, VERDICT r13 item 2 — "
@@ -4757,7 +4765,8 @@ def estimator_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                medianTDigest(value) AS med_digest,
                quantileTiming(0.9)(value) AS p90_timing,
                quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing,
-               medianTiming(value) AS med_timing
+               medianTiming(value) AS med_timing,
+               quantilesTDigest(0.5, 0.9)(value)[1] AS p90_digest
         FROM est14_events GROUP BY event_type ORDER BY event_type
     """)
 
