@@ -73,27 +73,68 @@ class MaterializedView:
         self.path = path
         self.n_parts = 0
 
-    def insert(self, spark: SparkSession,
-               batch: DataFrame | None = None) -> int:
-        """The INSERT-trigger analog: run the view body over one
-        source batch and append the resulting state rows as a new
-        part. ``batch`` defaults to the source table's current
-        contents (what POPULATE does). Returns the part ordinal."""
+    def _body_over(self, spark: SparkSession,
+                   batch: DataFrame | None) -> DataFrame:
+        """The view body evaluated over one source batch (or the
+        source table's current contents when ``batch`` is None) —
+        through the engine SQL facade, so the -State rewrites are the
+        same ones the inline SQL spellings use."""
         from rsyslog_nginx_clickhouse_spark.functions.macros import (
             sql as engine_sql,
         )
 
         body = self.body
         if batch is not None:
+            # run against the BATCH's session: foreachBatch hands
+            # micro-batches to a cloned SparkSession, so the temp
+            # view registers there, not in the outer session
+            spark = batch.sparkSession
             tmp = f"__mv_batch_{self.name.replace('.', '_')}"
             batch.createOrReplaceTempView(tmp)
             body = re.sub(
                 rf"(?is)\bFROM\s+{re.escape(self.source_table)}\b",
                 f"FROM {tmp}", body)
-        engine_sql(spark, body).write.mode("append").parquet(self.path)
+        return engine_sql(spark, body)
+
+    def insert(self, spark: SparkSession,
+               batch: DataFrame | None = None) -> int:
+        """The INSERT-trigger analog: run the view body over one
+        source batch and append the resulting state rows as a new
+        part. ``batch`` defaults to the source table's current
+        contents (what POPULATE does). Returns the part ordinal."""
+        self._body_over(spark, batch).write.mode("append") \
+            .parquet(self.path)
         self.n_parts += 1
         self._register(spark)
         return self.n_parts
+
+    def streaming_sink(self, spark: SparkSession):
+        """The streaming maintainer — a ``foreachBatch`` callable: a
+        CH materialized view IS an insert trigger over a stream of
+        blocks, so the natural Spark analog feeds micro-batches
+        through the same body. Each epoch's state part publishes via
+        ``streaming/ingest.idempotent_epoch_writer`` (stage →
+        atomic-rename → marker), so a checkpoint replay converges to
+        exactly one copy of the epoch's states — the double-count a
+        bare append would cause. Serving reads stay the verbatim
+        -Merge text over the view name; merge exactness makes the
+        result independent of the epoch split (the property the
+        streaming registry row value-gates)."""
+        from rsyslog_nginx_clickhouse_spark.streaming.ingest import (
+            idempotent_epoch_writer,
+        )
+
+        inner = idempotent_epoch_writer(
+            self.path,
+            write_fn=lambda bdf, staging: self._body_over(spark, bdf)
+            .write.mode("overwrite").parquet(staging))
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            inner(batch_df, epoch_id)
+            self.n_parts += 1
+            self._register(spark)
+
+        return sink
 
     def _register(self, spark: SparkSession) -> None:
         """(Re-)register the view name over the current parts so the

@@ -284,13 +284,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
 #: Round-14 ordering (VERDICT r13 item 1 — execute the _FRONTLOAD_R14
-#: rotation): 5 NEW rows (group_array_bounded_sql +
+#: rotation): 6 NEW rows (group_array_bounded_sql +
 #: estimator_alias_sql: driver-oracle rows for the two post-bench r13
 #: rewrite commits — VERDICT item 2; any_last_sql: the
 #: anyLast/anyIf/anyLastIf ReplacingMergeTree idiom — item 3;
-#: materialized_view_sql: the CREATE MATERIALIZED VIEW DDL analog —
-#: item 4; exact_substring_dedup: the suffix-adjacency ExactSubstr
-#: analog — item 5) and 8 TEXT-CHANGED (entropy_shape_stats_sql: the
+#: materialized_view_sql + streaming_materialized_view: the CREATE
+#: MATERIALIZED VIEW DDL analog, batch inserts and the streaming
+#: insert-trigger maintainer — item 4; exact_substring_dedup: the
+#: suffix-adjacency ExactSubstr analog — item 5) and 8 TEXT-CHANGED
+#: (entropy_shape_stats_sql: the
 #: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
 #: sequence_next_node_sql: last_match now anchors the follower-less
 #: tail chain; window_funnel_sql + sequence_match_count_sql: the
@@ -299,8 +301,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rotated by the NEW helper-coverage gate — their tokens sit on
 #: rewrite lines the round-14 edits touched) — then fills
 #: oldest-first: ALL 29 r9 rows still outside the window (the
-#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 8 r10 rows
-#: alphabetically. The remaining 40 r10 rows are the oldest outside
+#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 7 r10 rows
+#: alphabetically. The remaining 41 r10 rows are the oldest outside
 #: the window and lead _FRONTLOAD_R15. rotationcheck enforces the
 #: result (including the new helper-coverage mode).
 _FRONTLOAD_R14 = [
@@ -309,6 +311,7 @@ _FRONTLOAD_R14 = [
     "estimator_alias_sql",       # NEW: uniqTheta/median*/Timing
     "any_last_sql",              # NEW: anyLast/anyIf/anyLastIf
     "materialized_view_sql",     # NEW: CREATE MATERIALIZED VIEW
+    "streaming_materialized_view",  # NEW: the MV streaming maintainer
     "exact_substring_dedup",     # NEW: suffix-adjacency ExactSubstr
     # text-changed this round
     "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
@@ -349,7 +352,7 @@ _FRONTLOAD_R14 = [
     "user_event_gaps",
     "window_lag_lead_sql",
     "with_fill_interpolate",
-    # r10 rows, alphabetical fill (8 of 48)
+    # r10 rows, alphabetical fill (7 of 48)
     "any_join_sql",
     "argmax_rollup_latest",
     "array_join_token_counts",
@@ -357,7 +360,6 @@ _FRONTLOAD_R14 = [
     "bloom_pruned_scan",
     "bpe_tokenize_docs",
     "bpe_train_merges",
-    "bucketed_build",
 ]
 
 _FRONTLOAD_R13 = [

@@ -857,3 +857,88 @@ def streaming_jsoneachrow_ingest(spark: SparkSession,
                      F.round(F.sum("value"), 2).alias("total_value")))
     return (_run_to_memory_table(spark, agg, "complete")
             .orderBy("d", "event_type"))
+
+
+@query(
+    "streaming_materialized_view",
+    # direct-computation oracle (the materialized_view_sql
+    # discipline): uniq replays the KMV hash/estimator, the additive
+    # states are exact integer-cent sums — equality proves the
+    # STREAMING epoch split (foreachBatch insert-trigger parts,
+    # epoch-replay-gated) merges exactly like the batch inserts
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::varchar), 1, 8))::ubigint
+               AS h
+      FROM events),
+    bk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+      FROM hashed),
+    uq AS (
+      SELECT event_type,
+             cast(CASE WHEN count(*) < 1024 THEN count(*)
+                       ELSE floor(1023 * 4294967296.0 / max(h))
+                  END AS bigint) AS approx_users
+      FROM bk WHERE rn <= 1024 GROUP BY event_type),
+    ad AS (
+      SELECT event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             count(*)::bigint AS n_events
+      FROM events GROUP BY event_type)
+    SELECT uq.event_type, approx_users, total_cents, n_events
+    FROM uq JOIN ad USING (event_type) ORDER BY uq.event_type
+    """,
+    doc="the STREAMING materialized-view maintainer (round 14 — "
+        "completing VERDICT r13 item 4's DDL analog end-to-end): a "
+        "CH MV is an INSERT trigger over a stream of blocks, so the "
+        "declared view's streaming_sink() feeds each micro-batch "
+        "through the SAME -State body the batch inserts run and "
+        "publishes the epoch's state part via "
+        "idempotent_epoch_writer (stage -> atomic rename -> marker: "
+        "checkpoint replays converge to one copy, where a bare "
+        "append would double-count). The serving read is the "
+        "verbatim uniqMerge/sumMerge/countMerge text over the view "
+        "name; merge exactness (bottom-k KMV + additive partials) "
+        "makes the answer independent of the epoch split — which "
+        "the direct-computation oracle verifies "
+        "(plans/materialized_view.py)",
+)
+def streaming_materialized_view(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import (
+        sql as engine_sql,
+    )
+    from rsyslog_nginx_clickhouse_spark.plans.materialized_view import (
+        declare_materialized_view,
+    )
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"smv14_{uuid.uuid4().hex}")
+    mv = declare_materialized_view(spark, """
+        CREATE MATERIALIZED VIEW smv14
+        ENGINE = AggregatingMergeTree() ORDER BY (event_type) AS
+        SELECT event_type,
+               uniqState(user_id) AS us,
+               sumState(CAST(floor(value * 100) AS BIGINT)) AS ss,
+               countState() AS cs
+        FROM smv14_src GROUP BY event_type
+    """, path=path)
+    with _stream_state_partitions(spark):
+        q = (_events_stream(spark, sf_dir)
+             .writeStream.foreachBatch(mv.streaming_sink(spark))
+             .trigger(availableNow=True).start())
+        _run_to_completion(q)
+    return engine_sql(spark, """
+        SELECT event_type,
+               uniqMerge(us) AS approx_users,
+               CAST(sumMerge(ss) AS BIGINT) AS total_cents,
+               countMerge(cs) AS n_events
+        FROM smv14 GROUP BY event_type ORDER BY event_type
+    """)

@@ -206,6 +206,36 @@ def test_materialized_view_ddl(spark, tmp_path):
         declare_materialized_view(spark, "CREATE VIEW x AS SELECT 1")
 
 
+def test_materialized_view_streaming_sink_idempotent(spark, tmp_path):
+    """The streaming maintainer's epoch parts publish through
+    idempotent_epoch_writer: replaying the same epoch (checkpoint
+    recovery) must not double-count states."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+    from rsyslog_nginx_clickhouse_spark.plans.materialized_view import (
+        declare_materialized_view,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id int, g string, v int")
+    df.createOrReplaceTempView("smvt14_src")
+    mv = declare_materialized_view(spark, """
+        CREATE MATERIALIZED VIEW smvt14
+        ENGINE = SummingMergeTree() ORDER BY (g) AS
+        SELECT g, sumState(v) AS sv, countState() AS cv
+        FROM smvt14_src GROUP BY g
+    """, path=str(tmp_path / "smvt14"))
+    sink = mv.streaming_sink(spark)
+    sink(df, 0)
+    sink(df, 0)  # checkpoint replay of the SAME epoch — no-op
+    sink(df.where("id = 1"), 1)  # a genuinely new epoch appends
+    got = {r.g: (r.total, r.n) for r in sql(spark, """
+        SELECT g, CAST(sumMerge(sv) AS BIGINT) AS total,
+               countMerge(cv) AS n
+        FROM smvt14 GROUP BY g ORDER BY g""").collect()}
+    assert got == {"a": (40, 3), "b": (30, 1)}
+
+
 def test_quantile_timing_renames(spark):
     """quantileTiming/quantilesTiming/medianTiming rename into the
     percentile_approx estimator family (VERDICT r13 item 3)."""
