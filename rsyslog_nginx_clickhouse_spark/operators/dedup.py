@@ -629,17 +629,25 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
     rank-window bound); the adjacent scan is O(bucket · cap) codegen
     expressions, no UDF, no window over a global order.
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.split(F.col(text_col), " ").alias("toks"))
-    suf = toks.select(
-        "doc_id",
-        F.expr(f"""CASE WHEN size(toks) >= {min_len} THEN
-            transform(sequence(0, size(toks) - {min_len}), p ->
-              struct(p AS pos,
-                     md5(array_join(slice(toks, p + 1, {min_len}),
-                                    ' ')) AS bucket,
-                     slice(toks, p + 1, {cap}) AS suf))
-            ELSE array() END""").alias("es"))
+    # spread before the per-doc suffix expansion: the corpus arrives
+    # in a handful of scan partitions and the O(tokens · cap) emit
+    # would otherwise run on those few cores. The token split is
+    # HOISTED through a one-element transform (the
+    # quantileExactWeighted discipline): projection collapse would
+    # otherwise inline split(text) into EVERY lambda reference,
+    # re-splitting the whole text per position — O(tokens²) per doc
+    # (round-14 scale probe: the emit stage alone ran 5x/10x until
+    # both fixes landed).
+    suf = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"""transform(array(split({text_col}, ' ')), __tk ->
+            CASE WHEN size(__tk) >= {min_len} THEN
+              transform(sequence(0, size(__tk) - {min_len}), p ->
+                struct(p AS pos,
+                       md5(array_join(slice(__tk, p + 1, {min_len}),
+                                      ' ')) AS bucket,
+                       slice(__tk, p + 1, {cap}) AS suf))
+            ELSE array() END)[0]""").alias("es"))
     occ = (suf.select("doc_id", F.explode("es").alias("e"))
               .select("doc_id", "e.pos", "e.bucket", "e.suf"))
     grp = occ.groupBy("bucket").agg(

@@ -4754,20 +4754,35 @@ def group_array_bounded_sql(spark: SparkSession,
         "at gate scale). All single-scan partial-agg shapes",
 )
 def estimator_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct-count sanity bound computes in its OWN subquery:
+    # mixing count(DISTINCT) with the percentile_approx family in one
+    # aggregate makes Catalyst plan the Expand shape, which ran the
+    # GK summaries over the expanded rows — 3.7s vs 0.3s each alone
+    # at sf0.1 (4.7x/10x scale probe, round 14). Split, the join is
+    # a 5-row broadcast and both halves stay partial-agg single scans.
     load(spark, sf_dir, "events").createOrReplaceTempView(
         "est14_events")
     return engine_sql(spark, """
-        SELECT event_type,
-               CAST(IF(uniqTheta(user_id) >= 0.8 * count(DISTINCT user_id)
-                       AND uniqTheta(user_id) <= 1.2 * count(DISTINCT user_id),
-                       1, 0) AS INT) AS theta_sane,
-               medianExact(value) AS med_exact,
-               medianTDigest(value) AS med_digest,
-               quantileTiming(0.9)(value) AS p90_timing,
-               quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing,
-               medianTiming(value) AS med_timing,
-               quantilesTDigest(0.5, 0.9)(value)[1] AS p90_digest
-        FROM est14_events GROUP BY event_type ORDER BY event_type
+        SELECT q.event_type, theta_sane,
+               med_exact, med_digest, p90_timing, p50_timing,
+               med_timing, p90_digest
+        FROM (SELECT event_type,
+                     medianExact(value) AS med_exact,
+                     medianTDigest(value) AS med_digest,
+                     quantileTiming(0.9)(value) AS p90_timing,
+                     quantilesTiming(0.5, 0.9)(value)[0] AS p50_timing,
+                     medianTiming(value) AS med_timing,
+                     quantilesTDigest(0.5, 0.9)(value)[1] AS p90_digest
+              FROM est14_events GROUP BY event_type) q
+        JOIN (SELECT event_type,
+                     CAST(IF(uniqTheta(user_id)
+                             >= 0.8 * count(DISTINCT user_id)
+                         AND uniqTheta(user_id)
+                             <= 1.2 * count(DISTINCT user_id),
+                         1, 0) AS INT) AS theta_sane
+              FROM est14_events GROUP BY event_type) t
+          ON q.event_type = t.event_type
+        ORDER BY q.event_type
     """)
 
 
