@@ -926,6 +926,8 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_histogram(out)
     out = _rewrite_topk(out)
     out = _rewrite_avg_weighted(out)
+    out = _rewrite_bounding_ratio(out)
+    out = _rewrite_nonneg_derivative(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2306,6 +2308,109 @@ def _rewrite_avg_weighted(out: str) -> str:
                 f"sum(CASE WHEN {both} THEN CAST(({w}) AS DOUBLE) "
                 f"END))")
         out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _rewrite_bounding_ratio(out: str) -> str:
+    """ClickHouse ``boundingRatio(x, y)`` → the slope between the
+    leftmost and rightmost points of the group,
+    ``(y_at_max_x - y_at_min_x) / (max(x) - min(x))`` — the exact CH
+    definition (Float64). Rows where EITHER coordinate is NULL are
+    skipped on all four endpoint aggregates (the CH point-aggregate
+    NULL contract); endpoint ties on x are DETERMINISTIC here: the
+    ``(x, y)`` struct ordering picks the max-y point at the right
+    endpoint and the min-y point at the left, where CH leaves the
+    choice to block order — a documented determinism upgrade, not a
+    divergence (any tie choice is within CH's contract). A
+    single-point group divides 0 by 0: NULL under Spark/DuckDB
+    double semantics, where CH returns NaN (the avgWeighted
+    deviation policy). Runs on literal-masked text."""
+    pos = 0
+    while True:
+        m = re.compile(r"\bboundingRatio\s*\(").search(out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError("boundingRatio(x, y): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, y = (a.strip() for a in args)
+        b = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+        pt = f"CASE WHEN {b} THEN struct(({x}), ({y})) END"
+        yv = f"CASE WHEN {b} THEN CAST(({y}) AS DOUBLE) END"
+        xv = f"CASE WHEN {b} THEN CAST(({x}) AS DOUBLE) END"
+        repl = (f"((max_by({yv}, {pt}) - min_by({yv}, {pt})) / "
+                f"nullif(max({xv}) - min({xv}), CAST(0 AS DOUBLE)))")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+#: nonNegativeDerivative's third argument: a fixed-length INTERVAL
+#: literal. Variable-length units (MONTH/QUARTER/YEAR) are refused —
+#: a per-row derivative scaled by "one month" has no fixed second
+#: count, and ClickHouse's own window function takes the same stance.
+_NND_UNITS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+              "WEEK": 604800}
+
+
+def _rewrite_nonneg_derivative(out: str) -> str:
+    """ClickHouse window function ``nonNegativeDerivative(metric, ts
+    [, INTERVAL n unit]) OVER (…)`` → the lag-pair re-expression:
+    ``greatest(0, Δmetric / Δt_seconds * interval_seconds)`` over the
+    SAME window, 0 on the frame's first row (no predecessor) and on
+    a zero time step (duplicate timestamps) — CH clamps every
+    non-positive result to 0, and those rows have no defined slope
+    anyway; a window ordered by anything other than the timestamp
+    is the caller's contract violation in CH too. The OVER clause
+    is captured verbatim, so PARTITION BY/ORDER BY spellings pass
+    through untouched; a named-window reference (``OVER w``) is
+    refused loudly rather than guessing the window text. Runs on
+    literal-masked text."""
+    pos = 0
+    while True:
+        m = re.compile(r"\bnonNegativeDerivative\s*\(").search(
+            out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) not in (2, 3):
+            raise ValueError(
+                "nonNegativeDerivative(metric, timestamp[, INTERVAL "
+                f"n unit]): need 2 or 3 arguments, got {len(args)}")
+        scale = 1
+        if len(args) == 3:
+            im = re.match(r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+)\s*$",
+                          args[2])
+            if not im or im.group(2).upper() not in _NND_UNITS:
+                raise ValueError(
+                    "nonNegativeDerivative: third argument must be a "
+                    "fixed-length INTERVAL literal (SECOND/MINUTE/"
+                    f"HOUR/DAY/WEEK), got {args[2].strip()!r} — "
+                    "variable-length units have no fixed second "
+                    "count")
+            scale = int(im.group(1)) * _NND_UNITS[im.group(2).upper()]
+        tail = out[end:]
+        om = re.match(r"(?is)^\s*OVER\s*\(", tail)
+        if not om:
+            raise ValueError(
+                "nonNegativeDerivative is a window function — it "
+                "needs an inline 'OVER (…)' clause right after the "
+                "call (named WINDOW references are not supported)")
+        _, ov_end = _take_call_args(tail, om.end() - 1)
+        ov = tail[om.end() - 1:ov_end]
+        v = args[0].strip()
+        t = f"CAST(({args[1].strip()}) AS TIMESTAMP)"
+        dv = (f"(CAST(({v}) AS DOUBLE) - "
+              f"lag(CAST(({v}) AS DOUBLE)) OVER {ov})")
+        dt = (f"(CAST(unix_micros({t}) - "
+              f"unix_micros(lag({t}) OVER {ov}) AS DOUBLE) "
+              f"/ 1000000.0)")
+        repl = (f"greatest(CAST(0 AS DOUBLE), coalesce("
+                f"{dv} * {scale} / nullif({dt}, CAST(0 AS DOUBLE)), "
+                f"CAST(0 AS DOUBLE)))")
+        out = out[:m.start()] + repl + out[end + ov_end:]
         pos = m.start() + len(repl)
     return out
 

@@ -291,7 +291,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: materialized_view_sql + streaming_materialized_view: the CREATE
 #: MATERIALIZED VIEW DDL analog, batch inserts and the streaming
 #: insert-trigger maintainer — item 4; exact_substring_dedup: the
-#: suffix-adjacency ExactSubstr analog — item 5) and 8 TEXT-CHANGED
+#: suffix-adjacency ExactSubstr analog — item 5;
+#: nonneg_derivative_sql: the nonNegativeDerivative window fn +
+#: boundingRatio aggregate, mid-round additions) and 9 TEXT-CHANGED
 #: (entropy_shape_stats_sql: the
 #: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
 #: sequence_next_node_sql: last_match now anchors the follower-less
@@ -301,8 +303,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rotated by the NEW helper-coverage gate — their tokens sit on
 #: rewrite lines the round-14 edits touched) — then fills
 #: oldest-first: ALL 29 r9 rows still outside the window (the
-#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 7 r10 rows
-#: alphabetically. The remaining 41 r10 rows are the oldest outside
+#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 5 r10 rows
+#: alphabetically. The remaining 43 r10 rows are the oldest outside
 #: the window and lead _FRONTLOAD_R15. rotationcheck enforces the
 #: result (including the new helper-coverage mode).
 _FRONTLOAD_R14 = [
@@ -313,6 +315,7 @@ _FRONTLOAD_R14 = [
     "materialized_view_sql",     # NEW: CREATE MATERIALIZED VIEW
     "streaming_materialized_view",  # NEW: the MV streaming maintainer
     "exact_substring_dedup",     # NEW: suffix-adjacency ExactSubstr
+    "nonneg_derivative_sql",     # NEW: nonNegativeDerivative+boundingRatio
     # text-changed this round
     "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
     "sequence_next_node_sql",    # ADVICE r13: last_match tail anchor
@@ -322,6 +325,7 @@ _FRONTLOAD_R14 = [
     "delta_sum_sql",             # helper-coverage: deltaSum token
     "group_uniq_array_sql",      # helper-coverage: groupUniqArray
     "quantiles_array_sql",       # helper-coverage: quantilesExact
+    "weighted_agg_sql",          # helper-coverage: avgWeighted region
     # the 29 r9 rows — oldest in the registry, alphabetical
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
@@ -358,8 +362,6 @@ _FRONTLOAD_R14 = [
     "array_join_token_counts",
     "array_lambda_sql",
     "bloom_pruned_scan",
-    "bpe_tokenize_docs",
-    "bpe_train_merges",
 ]
 
 _FRONTLOAD_R13 = [

@@ -3361,6 +3361,73 @@ def window_lag_lead_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nonneg_derivative_sql",
+    # the oracle replays both re-expressions: the derivative as the
+    # lag-pair form (Δcnt · 86400 / Δepoch-seconds, clamped at 0,
+    # 0 on the first row), boundingRatio as the endpoint slope
+    # (arg_max/arg_min by day over the per-type daily series — days
+    # are unique within a type, so the CH-unspecified endpoint tie
+    # never arises). Consecutive daily buckets make the derivative
+    # exactly Δcnt (scale 86400 / step 86400) — integer-exact values,
+    # so round(6) is tie-free in both engines
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d,
+             count(*)::bigint AS cnt
+      FROM events GROUP BY event_type, d),
+    br AS (
+      SELECT event_type,
+             round((arg_max(cnt, d) - arg_min(cnt, d))::double /
+                   nullif(epoch(max(d)) - epoch(min(d)), 0), 6) AS br
+      FROM daily GROUP BY event_type)
+    SELECT daily.event_type AS event_type, d, cnt,
+           round(greatest(0.0, coalesce(
+             (cnt - lag(cnt) OVER w)::double * 86400 /
+             nullif(epoch(d) - epoch(lag(d) OVER w), 0), 0)), 6)
+             AS deriv,
+           br
+    FROM daily JOIN br USING (event_type)
+    WINDOW w AS (PARTITION BY daily.event_type ORDER BY d)
+    ORDER BY event_type, d
+    """,
+    doc="ClickHouse `nonNegativeDerivative(metric, ts, INTERVAL n "
+        "unit) OVER (…)` window function + the `boundingRatio(x, y)` "
+        "aggregate (round 14): the derivative rewrites to the "
+        "lag-pair form over the verbatim captured window (0 on the "
+        "first row and on duplicate timestamps, negatives clamped — "
+        "the CH non-negative contract), boundingRatio to the "
+        "endpoint slope (max_by - min_by over min/max x), both on "
+        "the day-grain aggregate so the window sort is result-sized, "
+        "never the fact table. Variable-length INTERVAL units and "
+        "named-window references are refused loudly "
+        "(functions/macros._rewrite_nonneg_derivative, "
+        "_rewrite_bounding_ratio)",
+)
+def nonneg_derivative_sql(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "nnd_events")
+    return engine_sql(spark, """
+        WITH daily AS (
+          SELECT event_type, toStartOfDay(ts) AS d,
+                 CAST(count() AS bigint) AS cnt
+          FROM nnd_events GROUP BY event_type, d),
+        br AS (
+          SELECT event_type,
+                 round(boundingRatio(toUnixTimestamp(d), cnt), 6)
+                   AS br
+          FROM daily GROUP BY event_type)
+        SELECT daily.event_type AS event_type, d, cnt,
+               round(nonNegativeDerivative(cnt, d, INTERVAL 1 DAY)
+                     OVER (PARTITION BY daily.event_type
+                           ORDER BY d), 6) AS deriv,
+               br
+        FROM daily JOIN br ON daily.event_type = br.event_type
+        ORDER BY event_type, d
+    """)
+
+
+@query(
     "scalar_with_threshold",
     oracle="""
     SELECT user_id, count(*)::bigint AS cnt,
@@ -4535,7 +4602,9 @@ def quantile_exact_weighted_sql(spark: SparkSession,
         "floor-round formula so the cross-engine value gate is "
         "exact; division by a zero weight-sum yields NULL where CH "
         "gives NaN (DOCUMENTED deviation — NaN poisons Spark "
-        "aggregates downstream)",
+        "aggregates downstream). Window-rotated round 14 by the "
+        "helper-coverage gate: the boundingRatio/nonNegativeDerivative "
+        "additions landed beside _rewrite_avg_weighted",
 )
 def weighted_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView(

@@ -251,3 +251,70 @@ def test_quantile_timing_renames(spark):
         FROM qt14t""").collect()[0]
     assert r.q50 == r.qbare == r.med == 50.0
     assert r.q25 == 25.0
+
+
+def test_bounding_ratio(spark):
+    """boundingRatio(x, y): endpoint slope, NULL-coordinate rows
+    skipped, single-point group → NULL (0/0 — the avgWeighted
+    NaN-deviation policy), deterministic (x, y)-struct tie pick."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [(1, 0.0, 10.0), (1, 5.0, 0.0), (1, 10.0, 30.0),
+            (2, 1.0, 1.0), (2, None, 99.0), (2, 3.0, None),
+            (2, 2.0, 5.0),
+            (3, 7.0, 4.0)]
+    spark.createDataFrame(rows, "g int, x double, y double") \
+        .createOrReplaceTempView("br14t")
+    got = {r.g: r.br for r in sql(spark, """
+        SELECT g, boundingRatio(x, y) AS br
+        FROM br14t GROUP BY g ORDER BY g""").collect()}
+    # g=1: (30-10)/(10-0) = 2.0; g=2: NULL-rows out → (5-1)/(2-1)=4;
+    # g=3: one point → NULL
+    assert got[1] == pytest.approx(2.0)
+    assert got[2] == pytest.approx(4.0)
+    assert got[3] is None
+    # endpoint tie on x: max-y wins at the right endpoint, min-y at
+    # the left (the documented deterministic upgrade)
+    spark.createDataFrame(
+        [(0.0, 3.0), (0.0, 1.0), (4.0, 8.0), (4.0, 2.0)],
+        "x double, y double").createOrReplaceTempView("br14tie")
+    tie = sql(spark, "SELECT boundingRatio(x, y) AS br FROM br14tie"
+              ).collect()[0].br
+    assert tie == pytest.approx((8.0 - 1.0) / 4.0)
+    with pytest.raises(ValueError, match="exactly 2"):
+        sql(spark, "SELECT boundingRatio(x) FROM br14t")
+
+
+def test_nonneg_derivative(spark):
+    """nonNegativeDerivative window fn: lag-pair slope scaled by the
+    INTERVAL, first row and duplicate-timestamp rows → 0, negatives
+    clamped; refusals for variable-length units and named windows."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 00:00:10", 30.0),   # +2/s → ×5 = 10
+            ("a", "2024-01-01 00:00:20", 5.0),    # negative → 0
+            ("a", "2024-01-01 00:00:20", 7.0),    # dup ts → 0
+            ("b", "2024-01-01 00:00:00", 1.0)]
+    spark.createDataFrame(rows, "g string, t string, v double") \
+        .selectExpr("g", "CAST(t AS TIMESTAMP) AS t", "v") \
+        .createOrReplaceTempView("nnd14t")
+    got = [r.d for r in sql(spark, """
+        SELECT g, t, nonNegativeDerivative(v, t, INTERVAL 5 SECOND)
+                       OVER (PARTITION BY g ORDER BY t, v) AS d
+        FROM nnd14t ORDER BY g, t, v""").collect()]
+    assert got == [0.0, 10.0, 0.0, 0.0, 0.0]
+    # default interval = 1 second
+    one = [r.d for r in sql(spark, """
+        SELECT nonNegativeDerivative(v, t)
+                 OVER (ORDER BY t, v) AS d
+        FROM nnd14t WHERE g = 'a' ORDER BY t, v""").collect()]
+    assert one == [0.0, 2.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="fixed-length INTERVAL"):
+        sql(spark, "SELECT nonNegativeDerivative(v, t, INTERVAL 1 "
+                   "MONTH) OVER (ORDER BY t) FROM nnd14t")
+    with pytest.raises(ValueError, match="OVER"):
+        sql(spark, "SELECT nonNegativeDerivative(v, t) FROM nnd14t")
+    with pytest.raises(ValueError, match="2 or 3"):
+        sql(spark, "SELECT nonNegativeDerivative(v) "
+                   "OVER (ORDER BY t) FROM nnd14t")
