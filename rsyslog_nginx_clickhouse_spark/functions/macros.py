@@ -928,6 +928,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_avg_weighted(out)
     out = _rewrite_bounding_ratio(out)
     out = _rewrite_nonneg_derivative(out)
+    out = _rewrite_assoc_stats(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2411,6 +2412,124 @@ def _rewrite_nonneg_derivative(out: str) -> str:
                 f"{dv} * {scale} / nullif({dt}, CAST(0 AS DOUBLE)), "
                 f"CAST(0 AS DOUBLE)))")
         out = out[:m.start()] + repl + out[end + ov_end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _assoc_hist(vals: str, tag: str) -> str:
+    """Exact (v, c) histogram of a SORTED array expression — the
+    _runlength_hist scan with per-call-unique lambda names (``tag``),
+    so three histograms can nest inside one expression without
+    colliding lambda variables. Counts come out DOUBLE (they feed
+    straight into ratio arithmetic)."""
+    v, i, x, k = (f"__h{tag}v", f"__h{tag}i", f"__h{tag}x",
+                  f"__h{tag}k")
+    return (
+        f"transform(array({vals}), {v} -> "
+        f"transform(array(filter(sequence(0, size({v}) - 1), "
+        f"{i} -> {i} = 0 OR NOT ({v}[{i}] = {v}[{i} - 1]))), "
+        f"{x} -> transform(sequence(0, size({x}) - 1), {k} -> "
+        f"named_struct('v', {v}[{x}[{k}]], "
+        f"'c', CAST(IF({k} + 1 < size({x}), {x}[{k} + 1], "
+        f"size({v})) - {x}[{k}] AS DOUBLE))))[0])[0]")
+
+
+def _rewrite_assoc_stats(out: str) -> str:
+    """The ClickHouse categorical-association family —
+    ``cramersV(a, b)``, ``cramersVBiasCorrected(a, b)``,
+    ``theilsU(a, b)``, ``contingency(a, b)`` — as folds over the
+    exact joint/marginal histograms of one sorted collect (the
+    run-length discipline: O(n log n) sort + vocabulary-sized math,
+    never a per-distinct pass over the rows).
+
+    Formulas, stated so the oracles replay them from raw counts
+    (o = joint cell count, r_a/c_b = marginals, n = non-NULL pairs,
+    r/c = distinct counts):
+    - χ² = n·(Σ o²/(r_a·c_b) − 1)
+    - cramersV = sqrt((χ²/n) / (min(r,c) − 1))
+    - cramersVBiasCorrected (Bergsma 2013, the estimator CH names):
+      φ²⁺ = max(0, χ²/n − (r−1)(c−1)/(n−1)), r⁺ = r − (r−1)²/(n−1),
+      c⁺ = c − (c−1)²/(n−1), V = sqrt(φ²⁺ / (min(r⁺,c⁺) − 1))
+    - theilsU = (H(A) − H(A|B)) / H(A), natural log — the
+      asymmetric uncertainty coefficient U(first|second)
+    - contingency = sqrt(χ² / (n + χ²))
+
+    Rows where EITHER side is NULL are skipped (the CH cross-tab
+    contract). Degenerate inputs (single distinct value, n ≤ 1,
+    H(A) = 0) return NULL where CH returns NaN — the avgWeighted
+    deviation policy, every denominator nullif-guarded because
+    Spark's ANSI mode makes 0/0 an error, not NaN. Runs on
+    literal-masked text."""
+    rx = re.compile(r"\b(cramersVBiasCorrected|cramersV|theilsU"
+                    r"|contingency)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        fn = m.group(1)
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError(f"{fn}(a, b): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        a, b = (s.strip() for s in args)
+        pairs = (f"sort_array(collect_list(CASE WHEN ({a}) IS NOT "
+                 f"NULL AND ({b}) IS NOT NULL THEN "
+                 f"struct(({a}) AS a, ({b}) AS b) END))")
+        jh = _assoc_hist("__aspr", "j")
+        ah = _assoc_hist("transform(__aspr, __asp -> __asp.a)", "a")
+        bh = _assoc_hist(
+            "sort_array(transform(__aspr, __asq -> __asq.b))", "b")
+        n = "CAST(size(__aspr) AS DOUBLE)"
+        bmap = ("map_from_arrays("
+                "transform(__asbh, __bk -> __bk.v), "
+                "transform(__asbh, __bc -> __bc.c))")
+        if fn == "theilsU":
+            ha = (f"aggregate(__asah, CAST(0 AS DOUBLE), "
+                  f"(__ua, __uh) -> __ua - (__uh.c / {n}) * "
+                  f"ln(__uh.c / {n}))")
+            hab = (f"aggregate(__asjh, CAST(0 AS DOUBLE), "
+                   f"(__ua2, __uj) -> __ua2 - (__uj.c / {n}) * "
+                   f"ln(__uj.c / __asbm[__uj.v.b]))")
+            core = (f"transform(array({ha}), __uha -> "
+                    f"(__uha - {hab}) / "
+                    f"nullif(__uha, CAST(0 AS DOUBLE)))[0]")
+        else:
+            chi2 = (f"{n} * (aggregate(__asjh, CAST(0 AS DOUBLE), "
+                    f"(__xa, __xj) -> __xa + (__xj.c * __xj.c) / "
+                    f"(__asam[__xj.v.a] * __asbm[__xj.v.b])) - 1)")
+            r = "CAST(size(__asah) AS DOUBLE)"
+            c = "CAST(size(__asbh) AS DOUBLE)"
+            if fn == "cramersV":
+                form = (f"sqrt((__x2 / {n}) / "
+                        f"nullif(least({r}, {c}) - 1, "
+                        f"CAST(0 AS DOUBLE)))")
+            elif fn == "contingency":
+                form = f"sqrt(__x2 / ({n} + __x2))"
+            else:  # cramersVBiasCorrected
+                phi2 = (f"greatest(CAST(0 AS DOUBLE), __x2 / {n} - "
+                        f"({r} - 1) * ({c} - 1) / "
+                        f"nullif({n} - 1, CAST(0 AS DOUBLE)))")
+                form = (f"sqrt({phi2} / nullif("
+                        f"least({r} - ({r} - 1) * ({r} - 1) / "
+                        f"nullif({n} - 1, CAST(0 AS DOUBLE)), "
+                        f"{c} - ({c} - 1) * ({c} - 1) / "
+                        f"nullif({n} - 1, CAST(0 AS DOUBLE))) - 1, "
+                        f"CAST(0 AS DOUBLE)))")
+            core = f"transform(array({chi2}), __x2 -> {form})[0]"
+        amap_level = ("transform(array(map_from_arrays("
+                      "transform(__asah, __ak -> __ak.v), "
+                      "transform(__asah, __ac -> __ac.c))), "
+                      f"__asam -> <INNER>)[0]")
+        body = (f"transform(array({bmap}), __asbm -> "
+                f"{amap_level.replace('<INNER>', core)})[0]")
+        repl = (f"transform(array({pairs}), __aspr -> "
+                f"IF(size(__aspr) = 0, CAST(NULL AS DOUBLE), "
+                f"transform(array({jh}), __asjh -> "
+                f"transform(array({ah}), __asah -> "
+                f"transform(array({bh}), __asbh -> "
+                f"{body})[0])[0])[0]))[0]")
+        out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out
 

@@ -284,7 +284,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
 #: Round-14 ordering (VERDICT r13 item 1 — execute the _FRONTLOAD_R14
-#: rotation): 6 NEW rows (group_array_bounded_sql +
+#: rotation): 8 NEW rows (group_array_bounded_sql +
 #: estimator_alias_sql: driver-oracle rows for the two post-bench r13
 #: rewrite commits — VERDICT item 2; any_last_sql: the
 #: anyLast/anyIf/anyLastIf ReplacingMergeTree idiom — item 3;
@@ -293,7 +293,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: insert-trigger maintainer — item 4; exact_substring_dedup: the
 #: suffix-adjacency ExactSubstr analog — item 5;
 #: nonneg_derivative_sql: the nonNegativeDerivative window fn +
-#: boundingRatio aggregate, mid-round additions) and 9 TEXT-CHANGED
+#: boundingRatio aggregate; assoc_stats_sql: the cramersV/
+#: theilsU/contingency categorical-association family — both
+#: mid-round additions) and 9 TEXT-CHANGED
 #: (entropy_shape_stats_sql: the
 #: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
 #: sequence_next_node_sql: last_match now anchors the follower-less
@@ -303,8 +305,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rotated by the NEW helper-coverage gate — their tokens sit on
 #: rewrite lines the round-14 edits touched) — then fills
 #: oldest-first: ALL 29 r9 rows still outside the window (the
-#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 5 r10 rows
-#: alphabetically. The remaining 43 r10 rows are the oldest outside
+#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 4 r10 rows
+#: alphabetically. The remaining 44 r10 rows are the oldest outside
 #: the window and lead _FRONTLOAD_R15. rotationcheck enforces the
 #: result (including the new helper-coverage mode).
 _FRONTLOAD_R14 = [
@@ -316,6 +318,7 @@ _FRONTLOAD_R14 = [
     "streaming_materialized_view",  # NEW: the MV streaming maintainer
     "exact_substring_dedup",     # NEW: suffix-adjacency ExactSubstr
     "nonneg_derivative_sql",     # NEW: nonNegativeDerivative+boundingRatio
+    "assoc_stats_sql",           # NEW: cramersV/theilsU/contingency
     # text-changed this round
     "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
     "sequence_next_node_sql",    # ADVICE r13: last_match tail anchor
@@ -361,7 +364,6 @@ _FRONTLOAD_R14 = [
     "argmax_rollup_latest",
     "array_join_token_counts",
     "array_lambda_sql",
-    "bloom_pruned_scan",
 ]
 
 _FRONTLOAD_R13 = [

@@ -3428,6 +3428,95 @@ def nonneg_derivative_sql(spark: SparkSession,
 
 
 @query(
+    "assoc_stats_sql",
+    # the oracle replays the stated formulas relationally from the
+    # joint/marginal count tables (χ² = n·(Σ o²/(r_a·c_b) − 1), then
+    # each coefficient from χ², r, c, n; Theil's U from the two
+    # entropies with natural log) — groups are thousands of rows, so
+    # no degenerate-input NULL branch fires and round(6) absorbs the
+    # engines' summation-order drift on the irrational values
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 5 AS ug, event_type AS a,
+             CAST(floor(value / 25) AS INT) AS b
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    j AS (SELECT ug, a, b, count(*)::double AS o
+          FROM base GROUP BY ug, a, b),
+    ma AS (SELECT ug, a, count(*)::double AS ra
+           FROM base GROUP BY ug, a),
+    mb AS (SELECT ug, b, count(*)::double AS cb
+           FROM base GROUP BY ug, b),
+    nn AS (SELECT ug, count(*)::double AS n FROM base GROUP BY ug),
+    chi AS (
+      SELECT j.ug, any_value(nn.n) AS n,
+             any_value(nn.n) *
+               (sum(j.o * j.o / (ma.ra * mb.cb)) - 1) AS chi2
+      FROM j JOIN ma ON j.ug = ma.ug AND j.a = ma.a
+             JOIN mb ON j.ug = mb.ug AND j.b = mb.b
+             JOIN nn ON j.ug = nn.ug
+      GROUP BY j.ug),
+    rc AS (SELECT ug, count(DISTINCT a)::double AS r,
+                  count(DISTINCT b)::double AS c
+           FROM base GROUP BY ug),
+    ha AS (SELECT ma.ug,
+                  -sum((ma.ra / nn.n) * ln(ma.ra / nn.n)) AS h
+           FROM ma JOIN nn ON ma.ug = nn.ug GROUP BY ma.ug),
+    hab AS (SELECT j.ug,
+                   -sum((j.o / nn.n) * ln(j.o / mb.cb)) AS h
+            FROM j JOIN mb ON j.ug = mb.ug AND j.b = mb.b
+                   JOIN nn ON j.ug = nn.ug
+            GROUP BY j.ug)
+    SELECT chi.ug,
+      round(sqrt((chi2 / n) / nullif(least(r, c) - 1, 0)), 6) AS v,
+      round(sqrt(greatest(0, chi2 / n -
+                             (r - 1) * (c - 1) / nullif(n - 1, 0)) /
+            nullif(least(r - (r - 1) * (r - 1) / nullif(n - 1, 0),
+                         c - (c - 1) * (c - 1) / nullif(n - 1, 0))
+                   - 1, 0)), 6) AS vc,
+      round((ha.h - hab.h) / nullif(ha.h, 0), 6) AS u,
+      round(sqrt(chi2 / (n + chi2)), 6) AS ct
+    FROM chi JOIN rc USING (ug) JOIN ha USING (ug)
+         JOIN hab ON chi.ug = hab.ug
+    ORDER BY chi.ug
+    """,
+    doc="the ClickHouse categorical-association family — "
+        "`cramersV(a, b)`, `cramersVBiasCorrected(a, b)` (Bergsma "
+        "2013 correction), `theilsU(a, b)` (asymmetric uncertainty "
+        "coefficient, natural log), `contingency(a, b)` — over "
+        "event_type × a value-quartile bucket per user cohort "
+        "(round 14): each folds the exact joint/marginal run-length "
+        "histograms of ONE sorted collect per group — O(n log n) "
+        "sort then vocabulary-sized math, never a per-distinct pass "
+        "(the state_merge_sql lesson); formulas stated in "
+        "functions/macros._rewrite_assoc_stats so the oracle "
+        "replays them from raw counts. NULL-side rows are skipped "
+        "(the CH cross-tab contract); degenerate groups return NULL "
+        "where CH returns NaN (documented deviation, ANSI 0/0 is an "
+        "error in Spark)",
+)
+def assoc_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "ast_events")
+    return engine_sql(spark, """
+        SELECT user_id % 5 AS ug,
+               round(cramersV(event_type,
+                              CAST(floor(value / 25) AS INT)), 6)
+                 AS v,
+               round(cramersVBiasCorrected(event_type,
+                              CAST(floor(value / 25) AS INT)), 6)
+                 AS vc,
+               round(theilsU(event_type,
+                             CAST(floor(value / 25) AS INT)), 6)
+                 AS u,
+               round(contingency(event_type,
+                                 CAST(floor(value / 25) AS INT)), 6)
+                 AS ct
+        FROM ast_events GROUP BY ug ORDER BY ug
+    """)
+
+
+@query(
     "scalar_with_threshold",
     oracle="""
     SELECT user_id, count(*)::bigint AS cnt,

@@ -318,3 +318,49 @@ def test_nonneg_derivative(spark):
     with pytest.raises(ValueError, match="2 or 3"):
         sql(spark, "SELECT nonNegativeDerivative(v) "
                    "OVER (ORDER BY t) FROM nnd14t")
+
+
+def test_assoc_stats_family(spark):
+    """cramersV / cramersVBiasCorrected / theilsU / contingency
+    against hand-computed values on a 2x2 table (joint counts
+    2,1,1,2 → χ² = 2/3), NULL-pair skipping, and the degenerate
+    single-category NULL contract."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [('x', 'p'), ('x', 'p'), ('x', 'q'),
+            ('y', 'q'), ('y', 'q'), ('y', 'p'),
+            (None, 'p'), ('x', None)]   # skipped pairs
+    spark.createDataFrame(rows, "a string, b string") \
+        .createOrReplaceTempView("as14t")
+    r = sql(spark, """
+        SELECT cramersV(a, b) AS v,
+               cramersVBiasCorrected(a, b) AS vc,
+               theilsU(a, b) AS u, contingency(a, b) AS ct
+        FROM as14t""").collect()[0]
+    # chi2 = 6*((4+1+1+4)/9 - 1) = 2/3; V = sqrt((chi2/6)/1) = 1/3
+    assert r.v == pytest.approx(1 / 3)
+    # phi2+ = max(0, 1/9 - 1/5) = 0 → corrected V = 0
+    assert r.vc == pytest.approx(0.0)
+    # H(A)=ln2; H(A|B) = -(2/3)ln(2/3)-(1/3)ln(1/3)
+    import math
+    ha = math.log(2)
+    hab = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert r.u == pytest.approx((ha - hab) / ha)
+    assert r.ct == pytest.approx(math.sqrt((2 / 3) / (6 + 2 / 3)))
+    # single distinct value on one side → min(r,c)-1 = 0 → NULL
+    # (CH NaN, the documented deviation); empty group → NULL
+    d = sql(spark, """
+        SELECT cramersV(a, b) AS v, theilsU(a, b) AS u,
+               theilsU(b, a) AS u2, contingency(a, b) AS ct
+        FROM (SELECT 'k' AS a, b FROM as14t WHERE b IS NOT NULL)
+    """).collect()[0]
+    # constant FIRST arg: H(A) = 0 → NULL; constant SECOND arg:
+    # H(B|A) = H(B) → exactly 0 (knowing a adds nothing)
+    assert d.v is None and d.u is None
+    assert d.u2 == pytest.approx(0.0)
+    assert d.ct == pytest.approx(0.0)  # chi2 = 0 → sqrt(0/(n+0))
+    e = sql(spark, "SELECT cramersV(a, b) AS v FROM as14t "
+                   "WHERE a IS NULL AND b IS NULL").collect()[0]
+    assert e.v is None
+    with pytest.raises(ValueError, match="exactly 2"):
+        sql(spark, "SELECT theilsU(a) FROM as14t")
