@@ -929,6 +929,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_bounding_ratio(out)
     out = _rewrite_nonneg_derivative(out)
     out = _rewrite_assoc_stats(out)
+    out = _rewrite_rank_corr(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2529,6 +2530,86 @@ def _rewrite_assoc_stats(out: str) -> str:
                 f"transform(array({ah}), __asah -> "
                 f"transform(array({bh}), __asbh -> "
                 f"{body})[0])[0])[0]))[0]")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _rank_array(arr: str, acc: str, tag: str) -> str:
+    """Average-rank (1-based, ties share the mean rank) DOUBLE array
+    aligned to a SORTED struct array ``arr`` (a lambda VARIABLE —
+    referenced many times, so it must not be a projected expression),
+    with run equality tested on field ``acc``. Run-length scan: start
+    indices of equal runs, each run [s, e) emitting (s + e + 1)/2
+    repeated e − s times — O(n) after the caller's sort."""
+    i, s, k, e = (f"__rk{tag}i", f"__rk{tag}s", f"__rk{tag}k",
+                  f"__rk{tag}e")
+    return (
+        f"transform(array(filter(sequence(0, size({arr}) - 1), "
+        f"{i} -> {i} = 0 OR NOT ({arr}[{i}].{acc} = "
+        f"{arr}[{i} - 1].{acc}))), {s} -> "
+        f"flatten(transform(sequence(0, size({s}) - 1), {k} -> "
+        f"transform(array(IF({k} + 1 < size({s}), {s}[{k} + 1], "
+        f"size({arr}))), {e} -> array_repeat("
+        f"CAST({s}[{k}] + {e} + 1 AS DOUBLE) / 2, "
+        f"{e} - {s}[{k}]))[0])))[0]")
+
+
+def _rewrite_rank_corr(out: str) -> str:
+    """ClickHouse ``rankCorr(x, y)`` → exact Spearman rank
+    correlation with average ranks for ties: Pearson over the two
+    rank vectors, ranks built by run-length scan over ONE sorted
+    collect of (x, y) pairs. The y-ranks need the pairing preserved,
+    so instead of a per-element lookup (O(n·distinct) — the
+    state_merge_sql lesson) the pairs re-sort by (y, x, index) to
+    rank y, then a third sort on the carried index scatters the
+    y-ranks back into x-order: three O(n log n) sorts, zero lookups.
+    Rows with either side NULL are skipped (the CH pair-aggregate
+    contract); groups under 2 points or with a constant side return
+    NULL where CH returns NaN (the avgWeighted deviation policy —
+    ANSI 0/0 is an error). Runs on literal-masked text."""
+    pos = 0
+    while True:
+        m = re.compile(r"\brankCorr\s*\(").search(out, pos)
+        if not m:
+            break
+        args, end = _take_call_args(out, m.end() - 1)
+        if len(args) != 2:
+            raise ValueError("rankCorr(x, y): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, y = (a.strip() for a in args)
+        pairs = (f"sort_array(collect_list(CASE WHEN ({x}) IS NOT "
+                 f"NULL AND ({y}) IS NOT NULL THEN "
+                 f"struct(CAST(({x}) AS DOUBLE) AS a, "
+                 f"CAST(({y}) AS DOUBLE) AS b) END))")
+        rx = _rank_array("__rcp", "a", "x")
+        qs = (f"sort_array(transform(sequence(1, size(__rcp)), "
+              f"__rci -> struct(__rcp[__rci - 1].b AS y, "
+              f"__rcp[__rci - 1].a AS x, __rci AS i)))")
+        ryq = _rank_array("__rcq", "y", "y")
+        scatter = (f"transform(sort_array(transform("
+                   f"sequence(1, size(__rcp)), __rcj -> "
+                   f"struct(__rcq[__rcj - 1].i AS i, "
+                   f"__rcry[__rcj - 1] AS r))), __rcb -> __rcb.r)")
+        n = "CAST(size(__rcp) AS DOUBLE)"
+        nm2 = f"({n} * ({n} + 1) * ({n} + 1) / 4)"
+        sxy = (f"aggregate(zip_with(__rcrx, __rcr2, "
+               f"(__rcu, __rcv) -> __rcu * __rcv), "
+               f"CAST(0 AS DOUBLE), (__rcs, __rcw) -> __rcs + __rcw)")
+        sxx = (f"aggregate(__rcrx, CAST(0 AS DOUBLE), "
+               f"(__rcs2, __rcw2) -> __rcs2 + __rcw2 * __rcw2)")
+        syy = (f"aggregate(__rcr2, CAST(0 AS DOUBLE), "
+               f"(__rcs3, __rcw3) -> __rcs3 + __rcw3 * __rcw3)")
+        core = (f"({sxy} - {nm2}) / nullif(sqrt("
+                f"({sxx} - {nm2}) * ({syy} - {nm2})), "
+                f"CAST(0 AS DOUBLE))")
+        repl = (f"transform(array({pairs}), __rcp -> "
+                f"IF(size(__rcp) < 2, CAST(NULL AS DOUBLE), "
+                f"transform(array({rx}), __rcrx -> "
+                f"transform(array({qs}), __rcq -> "
+                f"transform(array({ryq}), __rcry -> "
+                f"transform(array({scatter}), __rcr2 -> "
+                f"{core})[0])[0])[0])[0]))[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out

@@ -3428,6 +3428,61 @@ def nonneg_derivative_sql(spark: SparkSession,
 
 
 @query(
+    "rank_corr_sql",
+    # the oracle builds average ranks relationally (min-rank +
+    # (tie-count − 1)/2 via two windows) and runs Pearson over them —
+    # corr() is scale-free, so DuckDB's sample covariance matches the
+    # rewrite's raw-moment form exactly; the time key is microseconds
+    # in BOTH engines (unix_micros / epoch_us) so the tie structure
+    # is identical, and round(6) absorbs summation-order drift
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value, epoch_us(ts) AS t,
+             user_id % 100 AS u
+      FROM events WHERE value IS NOT NULL),
+    rk AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value)
+                  - 1) / 2.0 AS rv,
+             rank() OVER (PARTITION BY event_type ORDER BY t)
+               + (count(*) OVER (PARTITION BY event_type, t)
+                  - 1) / 2.0 AS rt,
+             rank() OVER (PARTITION BY event_type ORDER BY u)
+               + (count(*) OVER (PARTITION BY event_type, u)
+                  - 1) / 2.0 AS ru
+      FROM base)
+    SELECT event_type,
+           round(corr(rv, rt), 6) AS rho_t,
+           round(corr(rv, ru), 6) AS rho_u
+    FROM rk GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ClickHouse `rankCorr(x, y)` — exact Spearman rank "
+        "correlation with average ranks for ties (round 14): value "
+        "vs event time (monotone-trend detection) and value vs user "
+        "bucket, per event_type. The rewrite ranks both sides by "
+        "run-length scan over ONE sorted collect, re-sorts by "
+        "(y, x, index) to rank y, and scatters y-ranks back through "
+        "a third sort on the carried index — three O(n log n) "
+        "sorts, zero per-element lookups "
+        "(functions/macros._rewrite_rank_corr); NULL-side rows "
+        "skipped, constant sides return NULL where CH returns NaN. "
+        "The time key is unix_micros so the tie structure matches "
+        "the oracle's epoch_us exactly (second-truncated keys would "
+        "tie differently across engines)",
+)
+def rank_corr_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "rc_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               round(rankCorr(value, unix_micros(ts)), 6) AS rho_t,
+               round(rankCorr(value, user_id % 100), 6) AS rho_u
+        FROM rc_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "assoc_stats_sql",
     # the oracle replays the stated formulas relationally from the
     # joint/marginal count tables (χ² = n·(Σ o²/(r_a·c_b) − 1), then

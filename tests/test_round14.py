@@ -364,3 +364,33 @@ def test_assoc_stats_family(spark):
     assert e.v is None
     with pytest.raises(ValueError, match="exactly 2"):
         sql(spark, "SELECT theilsU(a) FROM as14t")
+
+
+def test_rank_corr(spark):
+    """rankCorr: exact Spearman with average ranks — hand-computed
+    tie case, perfect monotone = ±1, NULL pairs skipped, constant
+    side → NULL."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 30.0), (2.0, 20.0), (3.0, 40.0)],
+        "x double, y double").createOrReplaceTempView("rc14t")
+    # ranks x = [1, 2.5, 2.5, 4], y = [1, 3, 2, 4] → 4.5/sqrt(4.5·5)
+    rho = sql(spark, "SELECT rankCorr(x, y) AS r FROM rc14t"
+              ).collect()[0].r
+    assert rho == pytest.approx(4.5 / (4.5 * 5.0) ** 0.5)
+    m = sql(spark, """
+        SELECT rankCorr(x, y) AS up, rankCorr(x, -y) AS dn
+        FROM (SELECT CAST(id AS DOUBLE) AS x,
+                     exp(CAST(id AS DOUBLE)) AS y FROM range(5))
+    """).collect()[0]
+    assert m.up == pytest.approx(1.0)
+    assert m.dn == pytest.approx(-1.0)
+    spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (None, 5.0), (3.0, None)],
+        "x double, y double").createOrReplaceTempView("rc14c")
+    # after NULL-skip only (1,1),(2,1) remain; constant y → NULL
+    assert sql(spark, "SELECT rankCorr(x, y) AS r FROM rc14c"
+               ).collect()[0].r is None
+    with pytest.raises(ValueError, match="exactly 2"):
+        sql(spark, "SELECT rankCorr(x) FROM rc14t")
