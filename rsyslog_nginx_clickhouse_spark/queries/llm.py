@@ -2993,3 +2993,46 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact_substring_matches(_docs(spark, sf_dir),
                                     min_len=5, cap=20)
             .orderBy("doc_id"))
+
+
+@query(
+    "edit_distance_neardup",
+    # the oracle is the BRUTE-FORCE ground truth — length-filtered
+    # all-pairs levenshtein (DuckDB's builtin) — not a replay of the
+    # banding, so a PassJoin candidate miss fails the value gate
+    # instead of silently shrinking the result. Distances are exact
+    # integers; no rounding anywhere
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS m
+               FROM documents WHERE text IS NOT NULL),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS ed
+      FROM d a JOIN d b
+        ON a.doc_id < b.doc_id AND abs(a.m - b.m) <= 8)
+    SELECT doc_a, doc_b, ed::bigint AS dist
+    FROM pr WHERE ed <= 8 ORDER BY doc_a, doc_b
+    """,
+    doc="character-level edit-distance near-dup pairs (round 14): "
+        "all unordered document pairs within 8 edits, via the "
+        "PassJoin partition scheme [Li, Deng, Feng 2011] — k+1 "
+        "slices per doc, pigeonhole guarantees one slice of a "
+        "<= k-edit partner survives verbatim (same slice index, "
+        "position shift <= k), so candidates come from an equi-join "
+        "of slices against shift-enumerated substrings and only "
+        "candidates pay the quadratic levenshtein (Spark's builtin "
+        "threshold form). The oracle is the brute-force all-pairs "
+        "scan, making the banding's losslessness part of the value "
+        "gate. Scale: O(k^3) enumeration rows per doc, linear in "
+        "the corpus; the join carries (slice index, content, id, "
+        "length); no UDFs, no collect "
+        "(operators/dedup.edit_distance_neardup)",
+)
+def edit_distance_neardup_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        edit_distance_neardup,
+    )
+
+    return (edit_distance_neardup(_docs(spark, sf_dir), k=8)
+            .orderBy("doc_a", "doc_b"))

@@ -394,3 +394,29 @@ def test_rank_corr(spark):
                ).collect()[0].r is None
     with pytest.raises(ValueError, match="exactly 2"):
         sql(spark, "SELECT rankCorr(x) FROM rc14t")
+
+
+def test_edit_distance_neardup(spark):
+    """PassJoin banding finds exactly the <= k-edit pairs: planted
+    near-dups at distances 2/3/5, a disjoint doc pairs with nothing,
+    and the sub-(k+1)-char cohort goes through the exact short-text
+    pass (no pigeonhole guarantee there)."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        edit_distance_neardup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumped over the lazy dog"),
+         (3, "a completely different sentence here"),
+         (4, "the quick brown fox jumps over the lazy cat"),
+         (5, "ab"), (6, "cd"), (7, "abcd")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.dist
+           for r in edit_distance_neardup(docs, k=8).collect()}
+    assert got == {(1, 2): 2, (1, 4): 3, (2, 4): 5,
+                   (5, 6): 2, (5, 7): 2, (6, 7): 2}
+    # k tightens the cut: at k=2 only the distance-2 pairs survive
+    got2 = {(r.doc_a, r.doc_b): r.dist
+            for r in edit_distance_neardup(docs, k=2).collect()}
+    assert got2 == {(1, 2): 2, (5, 6): 2, (5, 7): 2, (6, 7): 2}
