@@ -930,6 +930,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_nonneg_derivative(out)
     out = _rewrite_assoc_stats(out)
     out = _rewrite_rank_corr(out)
+    out = _rewrite_lttb(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2610,6 +2611,93 @@ def _rewrite_rank_corr(out: str) -> str:
                 f"transform(array({ryq}), __rcry -> "
                 f"transform(array({scatter}), __rcr2 -> "
                 f"{core})[0])[0])[0])[0]))[0]")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _rewrite_lttb(out: str) -> str:
+    """ClickHouse ``largestTriangleThreeBuckets(N)(x, y)`` — the
+    LTTB time-series downsampler [Steinarsson 2013] Grafana uses for
+    plot-density reduction: keep the first and last points, split
+    the rest into N−2 buckets, and per bucket (left to right) keep
+    the point forming the LARGEST TRIANGLE with the previously kept
+    point and the next bucket's centroid. Sequential by nature, so
+    it folds over one sorted collect per group: the bucket loop is
+    ``aggregate(sequence(0, N−3), [first], …)`` with bucket-local
+    centroid and argmax sub-folds — O(points) total work after the
+    O(n log n) sort, pure codegen expressions, one shuffle.
+
+    Contract details (each stated so the oracle can replay): points
+    sort by (x, y); rows with a NULL coordinate are skipped; groups
+    with ≤ N points return unchanged (nothing to thin); area ties
+    keep the EARLIEST point in the bucket (scan order); bucket
+    boundaries are the reference implementation's
+    ``floor(i·(n−2)/(N−2)) + 1`` splits with the final centroid
+    range clamped to the tail. N must be a literal ≥ 3 (two fixed
+    endpoints + at least one bucket). Result is an
+    ``array<struct<x, y>>`` of DOUBLEs — serialize or explode it at
+    the SELECT boundary (the driver cannot hash nested columns).
+    Runs on literal-masked text."""
+    pos = 0
+    while True:
+        m = re.compile(r"\blargestTriangleThreeBuckets\s*\(").search(
+            out, pos)
+        if not m:
+            break
+        first, after = _take_call_args(out, m.end() - 1)
+        if not (len(first) == 1 and first[0].strip().isdigit()):
+            raise ValueError(
+                "largestTriangleThreeBuckets needs the parametric "
+                "literal form largestTriangleThreeBuckets(N)(x, y)")
+        nb = int(first[0])
+        if nb < 3:
+            raise ValueError(
+                "largestTriangleThreeBuckets(N): N must be >= 3 — "
+                "two fixed endpoints plus at least one bucket")
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError(
+                "largestTriangleThreeBuckets(N)(x, y): missing the "
+                "(x, y) argument group")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) != 2:
+            raise ValueError(
+                "largestTriangleThreeBuckets(N)(x, y): need exactly "
+                f"2 arguments, got {len(args)}")
+        x, y = (a.strip() for a in args)
+        pairs = (f"sort_array(collect_list(CASE WHEN ({x}) IS NOT "
+                 f"NULL AND ({y}) IS NOT NULL THEN "
+                 f"struct(CAST(({x}) AS DOUBLE) AS x, "
+                 f"CAST(({y}) AS DOUBLE) AS y) END))")
+        ev = f"(CAST(size(__lt) - 2 AS DOUBLE) / {nb - 2})"
+        r0 = f"(CAST(floor(__bi * {ev}) AS INT) + 1)"
+        r1 = f"(CAST(floor((__bi + 1) * {ev}) AS INT) + 1)"
+        a1 = (f"least(CAST(floor((__bi + 2) * {ev}) AS INT) + 1, "
+              f"size(__lt))")
+        avgs = (f"aggregate(slice(__lt, {r1} + 1, {a1} - {r1}), "
+                f"named_struct('sx', CAST(0 AS DOUBLE), "
+                f"'sy', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)), "
+                f"(__aa, __ap) -> named_struct("
+                f"'sx', __aa.sx + __ap.x, 'sy', __aa.sy + __ap.y, "
+                f"'c', __aa.c + 1))")
+        area = (f"abs((__pv.x - __av.sx / __av.c) * "
+                f"(__pp.y - __pv.y) - (__pv.x - __pp.x) * "
+                f"(__av.sy / __av.c - __pv.y))")
+        argmax = (f"aggregate(slice(__lt, {r0} + 1, {r1} - {r0}), "
+                  f"named_struct('ar', CAST(-1 AS DOUBLE), "
+                  f"'pt', __lt[0]), "
+                  f"(__bb, __pp) -> IF({area} > __bb.ar, "
+                  f"named_struct('ar', {area}, 'pt', __pp), "
+                  f"__bb)).pt")
+        fold = (f"concat(aggregate(sequence(0, {nb - 3}), "
+                f"array(__lt[0]), (__ac, __bi) -> "
+                f"transform(array(element_at(__ac, -1)), __pv -> "
+                f"transform(array({avgs}), __av -> "
+                f"concat(__ac, array({argmax})))[0])[0]), "
+                f"array(element_at(__lt, -1)))")
+        repl = (f"transform(array({pairs}), __lt -> "
+                f"CASE WHEN size(__lt) <= {nb} THEN __lt "
+                f"ELSE {fold} END)[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out

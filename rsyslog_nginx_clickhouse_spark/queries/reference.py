@@ -3427,6 +3427,412 @@ def nonneg_derivative_sql(spark: SparkSession,
     """)
 
 
+
+
+#: the LTTB oracle replays the bucket loop UNROLLED — 18 chained
+#: CTE steps (one per middle bucket), each picking the max-area point
+#: against the previous step's selection and the next bucket's
+#: centroid. Hour-epoch x and count y are integer-valued doubles, so
+#: centroid sums are order-independent and the area arithmetic is
+#: bitwise identical in both engines — ties break on the same point.
+_LTTB_ORACLE = """    WITH hourly AS (
+      SELECT event_type,
+             epoch(date_trunc('hour', ts))::double AS x,
+             count(*)::double AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    pts AS (
+      SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, y) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS m,
+             (count(*) OVER (PARTITION BY event_type) - 2)
+               / 18.0 AS ev
+      FROM hourly),
+    s0 AS (SELECT event_type, x, y, idx FROM pts WHERE idx = 0),
+    c0 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((0 + 1) * ev) + 1
+        AND idx < least(floor((0 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s1 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s0 s USING (event_type)
+             JOIN c0 c USING (event_type)
+        WHERE p.idx >= floor(0 * p.ev) + 1
+          AND p.idx < floor((0 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c1 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((1 + 1) * ev) + 1
+        AND idx < least(floor((1 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s2 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s1 s USING (event_type)
+             JOIN c1 c USING (event_type)
+        WHERE p.idx >= floor(1 * p.ev) + 1
+          AND p.idx < floor((1 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c2 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((2 + 1) * ev) + 1
+        AND idx < least(floor((2 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s3 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s2 s USING (event_type)
+             JOIN c2 c USING (event_type)
+        WHERE p.idx >= floor(2 * p.ev) + 1
+          AND p.idx < floor((2 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c3 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((3 + 1) * ev) + 1
+        AND idx < least(floor((3 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s4 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s3 s USING (event_type)
+             JOIN c3 c USING (event_type)
+        WHERE p.idx >= floor(3 * p.ev) + 1
+          AND p.idx < floor((3 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c4 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((4 + 1) * ev) + 1
+        AND idx < least(floor((4 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s5 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s4 s USING (event_type)
+             JOIN c4 c USING (event_type)
+        WHERE p.idx >= floor(4 * p.ev) + 1
+          AND p.idx < floor((4 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c5 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((5 + 1) * ev) + 1
+        AND idx < least(floor((5 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s6 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s5 s USING (event_type)
+             JOIN c5 c USING (event_type)
+        WHERE p.idx >= floor(5 * p.ev) + 1
+          AND p.idx < floor((5 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c6 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((6 + 1) * ev) + 1
+        AND idx < least(floor((6 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s7 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s6 s USING (event_type)
+             JOIN c6 c USING (event_type)
+        WHERE p.idx >= floor(6 * p.ev) + 1
+          AND p.idx < floor((6 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c7 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((7 + 1) * ev) + 1
+        AND idx < least(floor((7 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s8 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s7 s USING (event_type)
+             JOIN c7 c USING (event_type)
+        WHERE p.idx >= floor(7 * p.ev) + 1
+          AND p.idx < floor((7 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c8 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((8 + 1) * ev) + 1
+        AND idx < least(floor((8 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s9 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s8 s USING (event_type)
+             JOIN c8 c USING (event_type)
+        WHERE p.idx >= floor(8 * p.ev) + 1
+          AND p.idx < floor((8 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c9 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((9 + 1) * ev) + 1
+        AND idx < least(floor((9 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s10 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s9 s USING (event_type)
+             JOIN c9 c USING (event_type)
+        WHERE p.idx >= floor(9 * p.ev) + 1
+          AND p.idx < floor((9 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c10 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((10 + 1) * ev) + 1
+        AND idx < least(floor((10 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s11 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s10 s USING (event_type)
+             JOIN c10 c USING (event_type)
+        WHERE p.idx >= floor(10 * p.ev) + 1
+          AND p.idx < floor((10 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c11 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((11 + 1) * ev) + 1
+        AND idx < least(floor((11 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s12 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s11 s USING (event_type)
+             JOIN c11 c USING (event_type)
+        WHERE p.idx >= floor(11 * p.ev) + 1
+          AND p.idx < floor((11 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c12 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((12 + 1) * ev) + 1
+        AND idx < least(floor((12 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s13 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s12 s USING (event_type)
+             JOIN c12 c USING (event_type)
+        WHERE p.idx >= floor(12 * p.ev) + 1
+          AND p.idx < floor((12 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c13 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((13 + 1) * ev) + 1
+        AND idx < least(floor((13 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s14 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s13 s USING (event_type)
+             JOIN c13 c USING (event_type)
+        WHERE p.idx >= floor(13 * p.ev) + 1
+          AND p.idx < floor((13 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c14 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((14 + 1) * ev) + 1
+        AND idx < least(floor((14 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s15 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s14 s USING (event_type)
+             JOIN c14 c USING (event_type)
+        WHERE p.idx >= floor(14 * p.ev) + 1
+          AND p.idx < floor((14 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c15 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((15 + 1) * ev) + 1
+        AND idx < least(floor((15 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s16 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s15 s USING (event_type)
+             JOIN c15 c USING (event_type)
+        WHERE p.idx >= floor(15 * p.ev) + 1
+          AND p.idx < floor((15 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c16 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((16 + 1) * ev) + 1
+        AND idx < least(floor((16 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s17 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s16 s USING (event_type)
+             JOIN c16 c USING (event_type)
+        WHERE p.idx >= floor(16 * p.ev) + 1
+          AND p.idx < floor((16 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    c17 AS (
+      SELECT event_type, avg(x) AS ax, avg(y) AS ay
+      FROM pts
+      WHERE idx >= floor((17 + 1) * ev) + 1
+        AND idx < least(floor((17 + 2) * ev) + 1, m)
+      GROUP BY event_type),
+    s18 AS (
+      SELECT event_type, x, y, idx FROM (
+        SELECT p.event_type, p.x, p.y, p.idx,
+               row_number() OVER (PARTITION BY p.event_type
+                 ORDER BY abs((s.x - c.ax) * (p.y - s.y)
+                              - (s.x - p.x) * (c.ay - s.y)) DESC,
+                          p.idx) AS rn
+        FROM pts p JOIN s17 s USING (event_type)
+             JOIN c17 c USING (event_type)
+        WHERE p.idx >= floor(17 * p.ev) + 1
+          AND p.idx < floor((17 + 1) * p.ev) + 1)
+      WHERE rn = 1),
+    sel AS (
+      SELECT event_type, 0 AS i, x, y FROM s0
+      UNION ALL SELECT event_type, 1, x, y FROM s1
+      UNION ALL SELECT event_type, 2, x, y FROM s2
+      UNION ALL SELECT event_type, 3, x, y FROM s3
+      UNION ALL SELECT event_type, 4, x, y FROM s4
+      UNION ALL SELECT event_type, 5, x, y FROM s5
+      UNION ALL SELECT event_type, 6, x, y FROM s6
+      UNION ALL SELECT event_type, 7, x, y FROM s7
+      UNION ALL SELECT event_type, 8, x, y FROM s8
+      UNION ALL SELECT event_type, 9, x, y FROM s9
+      UNION ALL SELECT event_type, 10, x, y FROM s10
+      UNION ALL SELECT event_type, 11, x, y FROM s11
+      UNION ALL SELECT event_type, 12, x, y FROM s12
+      UNION ALL SELECT event_type, 13, x, y FROM s13
+      UNION ALL SELECT event_type, 14, x, y FROM s14
+      UNION ALL SELECT event_type, 15, x, y FROM s15
+      UNION ALL SELECT event_type, 16, x, y FROM s16
+      UNION ALL SELECT event_type, 17, x, y FROM s17
+      UNION ALL SELECT event_type, 18, x, y FROM s18
+      UNION ALL SELECT event_type, 19, x, y
+        FROM pts WHERE idx = m - 1)
+    SELECT event_type, i, x, y FROM sel ORDER BY event_type, i
+    """
+
+
+@query(
+    "lttb_downsample_sql",
+    oracle=_LTTB_ORACLE,
+    doc="ClickHouse `largestTriangleThreeBuckets(N)(x, y)` — the "
+        "LTTB downsampler [Steinarsson 2013] Grafana applies before "
+        "plotting dense series (round 14): the per-type hourly count "
+        "series thinned to 20 points that preserve visual shape. "
+        "Folds over one sorted collect per group — the bucket loop "
+        "is aggregate(sequence(...)) with bucket-local centroid and "
+        "argmax sub-folds, O(points) after the sort, one shuffle "
+        "(functions/macros._rewrite_lttb); the oracle replays the "
+        "sequential selection as 18 unrolled CTE steps. Ties keep "
+        "the earliest bucket point; NULL coordinates are skipped; "
+        "<= N-point groups pass through unchanged",
+)
+def lttb_downsample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "lt_events")
+    return engine_sql(spark, """
+        SELECT event_type, pos AS i, pt.x AS x, pt.y AS y
+        FROM (
+          SELECT event_type,
+                 largestTriangleThreeBuckets(20)(hx, cnt) AS pts
+          FROM (SELECT event_type,
+                       toUnixTimestamp(toStartOfHour(ts)) AS hx,
+                       CAST(count() AS BIGINT) AS cnt
+                FROM lt_events GROUP BY event_type,
+                     toUnixTimestamp(toStartOfHour(ts)))
+          GROUP BY event_type)
+        LATERAL VIEW posexplode(pts) t AS pos, pt
+        ORDER BY event_type, i
+    """)
+
+
 @query(
     "rank_corr_sql",
     # the oracle builds average ranks relationally (min-rank +

@@ -420,3 +420,60 @@ def test_edit_distance_neardup(spark):
     got2 = {(r.doc_a, r.doc_b): r.dist
             for r in edit_distance_neardup(docs, k=2).collect()}
     assert got2 == {(1, 2): 2, (5, 6): 2, (5, 7): 2, (6, 7): 2}
+
+
+def test_lttb_downsample(spark):
+    """largestTriangleThreeBuckets(N)(x, y) against a literal Python
+    replay of the reference algorithm (Steinarsson 2013), plus the
+    passthrough and refusal contracts."""
+    import math
+    import random
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    def lttb_ref(pts, n):
+        pts = sorted(pts)
+        m = len(pts)
+        if m <= n:
+            return pts
+        every = (m - 2) / (n - 2)
+        sel = [pts[0]]
+        for i in range(n - 2):
+            r0 = int(math.floor(i * every)) + 1
+            r1 = int(math.floor((i + 1) * every)) + 1
+            a1 = min(int(math.floor((i + 2) * every)) + 1, m)
+            nxt = pts[r1:a1]
+            ax = sum(p[0] for p in nxt) / len(nxt)
+            ay = sum(p[1] for p in nxt) / len(nxt)
+            pv, best, bar = sel[-1], None, -1.0
+            for p in pts[r0:r1]:
+                ar = abs((pv[0] - ax) * (p[1] - pv[1])
+                         - (pv[0] - p[0]) * (ay - pv[1]))
+                if ar > bar:
+                    bar, best = ar, p
+            sel.append(best)
+        sel.append(pts[-1])
+        return sel
+
+    random.seed(7)
+    pts = [(float(i), round(math.sin(i / 5) * 10
+                            + random.random() * 3, 3))
+           for i in range(100)]
+    spark.createDataFrame(pts, "x double, y double") \
+        .createOrReplaceTempView("lt14t")
+    got = [(p.x, p.y) for p in sql(
+        spark, "SELECT largestTriangleThreeBuckets(12)(x, y) AS p "
+               "FROM lt14t").collect()[0].p]
+    assert got == lttb_ref(pts, 12)
+    # <= N points pass through unchanged (sorted)
+    spark.createDataFrame(pts[:5], "x double, y double") \
+        .createOrReplaceTempView("lt14s")
+    assert len(sql(spark,
+                   "SELECT largestTriangleThreeBuckets(12)(x, y) "
+                   "AS p FROM lt14s").collect()[0].p) == 5
+    with pytest.raises(ValueError, match=">= 3"):
+        sql(spark, "SELECT largestTriangleThreeBuckets(2)(x, y) "
+                   "FROM lt14t")
+    with pytest.raises(ValueError, match="parametric"):
+        sql(spark, "SELECT largestTriangleThreeBuckets(x, y) "
+                   "FROM lt14t")
