@@ -931,6 +931,7 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_assoc_stats(out)
     out = _rewrite_rank_corr(out)
     out = _rewrite_lttb(out)
+    out = _rewrite_stat_tests(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2698,6 +2699,177 @@ def _rewrite_lttb(out: str) -> str:
         repl = (f"transform(array({pairs}), __lt -> "
                 f"CASE WHEN size(__lt) <= {nb} THEN __lt "
                 f"ELSE {fold} END)[0]")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+    return out
+
+
+def _student_p_sql() -> str:
+    """Two-sided Student-t p-value for the scalars hoisted in
+    ``__tr`` (c2 = ν/(ν+t²) = cos²θ, sn = sinθ, th = θ, nu) — the
+    EXACT integer-df closed form (Abramowitz & Stegun 26.7.3/4):
+    A(t|ν) is a finite ν/2-term series in cos²θ, folded with the
+    term recurrence; p = 1 − A. Exact because ν = n0+n1−2 is always
+    an integer — no CDF approximation anywhere."""
+    step_e = ("(__pa.tm * ((2 * __pe - 1) / (2.0 * __pe)) * "
+              "__tr.c2)")
+    even = (f"IF(CAST(floor((__tr.nu - 2) / 2) AS INT) >= 1, "
+            f"aggregate(sequence(1, "
+            f"CAST(floor((__tr.nu - 2) / 2) AS INT)), "
+            f"named_struct('s', CAST(1 AS DOUBLE), "
+            f"'tm', CAST(1 AS DOUBLE)), "
+            f"(__pa, __pe) -> named_struct("
+            f"'s', __pa.s + {step_e}, 'tm', {step_e})).s, "
+            f"CAST(1 AS DOUBLE))")
+    step_o = "(__pa.tm * ((2 * __pe) / (2.0 * __pe + 1)) * __tr.c2)"
+    odd = (f"IF(__tr.nu < 3, CAST(0 AS DOUBLE), "
+           f"IF(CAST(floor((__tr.nu - 3) / 2) AS INT) >= 1, "
+           f"aggregate(sequence(1, "
+           f"CAST(floor((__tr.nu - 3) / 2) AS INT)), "
+           f"named_struct('s', sqrt(__tr.c2), 'tm', sqrt(__tr.c2)), "
+           f"(__pa, __pe) -> named_struct("
+           f"'s', __pa.s + {step_o}, 'tm', {step_o})).s, "
+           f"sqrt(__tr.c2)))")
+    return (f"(1 - IF(pmod(__tr.nu, 2) = 0, __tr.sn * {even}, "
+            f"(2 / pi()) * (__tr.th + __tr.sn * {odd})))")
+
+
+#: Abramowitz & Stegun 7.1.26 erfc polynomial (|error| <= 1.5e-7,
+#: below the round(6) display grid): erfc(w) = poly(1/(1+pw))·e^(−w²)
+#: for w >= 0. Both engines evaluate the identical formula, so the
+#: value gate is exact; the deviation from a true normal CDF is the
+#: stated 1.5e-7.
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+
+
+def _erfc_sql(w: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * {w}))"
+    poly = " + ".join(f"{a!r} * pow({t}, {i + 1})"
+                      for i, a in enumerate(_ERFC_A))
+    return f"(({poly}) * exp(-({w}) * ({w})))"
+
+
+def _rewrite_stat_tests(out: str) -> str:
+    """The ClickHouse two-sample test aggregates —
+    ``studentTTest(x, idx)`` and ``mannWhitneyUTest(x, idx)`` with
+    idx ∈ {0, 1} — returning ``(statistic, p_value)`` structs.
+
+    studentTTest: pooled-variance t with ν = n0+n1−2, and the EXACT
+    two-sided p via the integer-df closed form (_student_p_sql) —
+    one partial-aggregatable pass for the six moment sums, then an
+    O(ν) scalar series fold per group. mannWhitneyUTest: exact U
+    (average ranks over the combined sample via the rankCorr
+    run-length rank machinery) and the standard tie-corrected
+    normal-approximation p with continuity correction — the SAME
+    approximation ClickHouse computes — using the A&S 7.1.26 erfc
+    polynomial (1.5e-7, below round(6)). The parametric prefix is
+    accepted only when it restates the defaults ('two-sided'[, 1]);
+    other alternatives are refused loudly rather than silently
+    computing the wrong tail. Degenerate inputs (a sample with < 2
+    points for t, an empty side or all-tied values for U) return
+    NULL fields where CH returns NaN (the avgWeighted deviation
+    policy). Runs on literal-masked text."""
+    rx = re.compile(r"\b(studentTTest|mannWhitneyUTest)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            break
+        fn = m.group(1)
+        args, end = _take_call_args(out, m.end() - 1)
+        if out[end:].lstrip().startswith("("):
+            # a parametric prefix (alternative / continuity flag):
+            # the defaults are the only supported configuration, so
+            # ANY parametric spelling is refused rather than parsed —
+            # silently computing the wrong tail would be worse
+            raise ValueError(
+                f"{fn}: only the default parameters ('two-sided', "
+                f"continuity correction on) are supported — write "
+                f"the bare two-argument form {fn}(x, idx)")
+        args = [a.strip() for a in args]
+        if len(args) != 2:
+            raise ValueError(f"{fn}(x, idx): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, g = args
+        if fn == "studentTTest":
+            def agg(cond, expr):
+                return (f"sum(CASE WHEN ({g}) = {cond} AND ({x}) "
+                        f"IS NOT NULL THEN {expr} END)")
+            one = "CAST(1 AS DOUBLE)"
+            xv = f"CAST(({x}) AS DOUBLE)"
+            st = (f"named_struct("
+                  f"'n0', {agg(0, one)}, 's0', {agg(0, xv)}, "
+                  f"'q0', {agg(0, f'{xv} * {xv}')}, "
+                  f"'n1', {agg(1, one)}, 's1', {agg(1, xv)}, "
+                  f"'q1', {agg(1, f'{xv} * {xv}')})")
+            vp = ("((__st.q0 - __st.s0 * __st.s0 / __st.n0 "
+                  "+ __st.q1 - __st.s1 * __st.s1 / __st.n1) "
+                  "/ (__st.n0 + __st.n1 - 2))")
+            tt = (f"((__st.s0 / __st.n0 - __st.s1 / __st.n1) / "
+                  f"nullif(sqrt({vp} * (1 / __st.n0 "
+                  f"+ 1 / __st.n1)), CAST(0 AS DOUBLE)))")
+            sv = (f"named_struct('t', {tt}, "
+                  f"'nu', __st.n0 + __st.n1 - 2)")
+            tr = ("named_struct("
+                  "'c2', __sv.nu / (__sv.nu + __sv.t * __sv.t), "
+                  "'sn', abs(__sv.t) / "
+                  "sqrt(__sv.nu + __sv.t * __sv.t), "
+                  "'th', atan(abs(__sv.t) / sqrt(__sv.nu)), "
+                  "'nu', __sv.nu)")
+            res = (f"named_struct('t_stat', __sv.t, "
+                   f"'p_value', IF(__sv.t IS NULL, "
+                   f"CAST(NULL AS DOUBLE), {_student_p_sql()}))")
+            repl = (f"transform(array({st}), __st -> "
+                    f"IF(__st.n0 IS NULL OR __st.n1 IS NULL "
+                    f"OR __st.n0 < 2 OR __st.n1 < 2, "
+                    f"named_struct('t_stat', CAST(NULL AS DOUBLE), "
+                    f"'p_value', CAST(NULL AS DOUBLE)), "
+                    f"transform(array({sv}), __sv -> "
+                    f"transform(array({tr}), __tr -> "
+                    f"{res})[0])[0]))[0]")
+        else:
+            pairs = (f"sort_array(collect_list(CASE WHEN ({x}) IS "
+                     f"NOT NULL AND ({g}) IS NOT NULL THEN "
+                     f"struct(CAST(({x}) AS DOUBLE) AS a, "
+                     f"CAST(({g}) AS INT) AS g) END))")
+            ranks = _rank_array("__mw", "a", "u")
+            n = "CAST(size(__mw) AS DOUBLE)"
+            n0 = (f"aggregate(__mw, CAST(0 AS DOUBLE), "
+                  f"(__ma, __me) -> __ma "
+                  f"+ IF(__me.g = 0, CAST(1 AS DOUBLE), "
+                  f"CAST(0 AS DOUBLE)))")
+            r0 = (f"aggregate(sequence(1, size(__mw)), "
+                  f"CAST(0 AS DOUBLE), (__ra, __ri) -> __ra "
+                  f"+ IF(__mw[__ri - 1].g = 0, __mr[__ri - 1], "
+                  f"CAST(0 AS DOUBLE)))")
+            tie = (f"aggregate("
+                   f"{_assoc_hist('transform(__mw, __mq -> __mq.a)', 'u2')}, "
+                   f"CAST(0 AS DOUBLE), (__ta, __th) -> __ta "
+                   f"+ (__th.c * __th.c * __th.c - __th.c))")
+            ms = (f"named_struct('n0', {n0}, 'r0', {r0}, "
+                  f"'tie', {tie}, 'n', {n})")
+            u0 = "(__ms.r0 - __ms.n0 * (__ms.n0 + 1) / 2)"
+            n1 = "(__ms.n - __ms.n0)"
+            sig2 = (f"((__ms.n0 * {n1} / 12) * ((__ms.n + 1) "
+                    f"- __ms.tie / (__ms.n * (__ms.n - 1))))")
+            z = (f"(greatest(CAST(0 AS DOUBLE), "
+                 f"abs({u0} - __ms.n0 * {n1} / 2) - 0.5) / "
+                 f"sqrt({sig2}))")
+            res = (f"IF(__ms.n0 < 1 OR {n1} < 1 OR __ms.n < 2 "
+                   f"OR {sig2} <= 0, "
+                   f"named_struct('u_stat', CAST(NULL AS DOUBLE), "
+                   f"'p_value', CAST(NULL AS DOUBLE)), "
+                   f"named_struct('u_stat', {u0}, 'p_value', "
+                   f"least(CAST(1 AS DOUBLE), "
+                   f"{_erfc_sql(f'({z} / sqrt(2))')})))")
+            repl = (f"transform(array({pairs}), __mw -> "
+                    f"IF(size(__mw) = 0, "
+                    f"named_struct('u_stat', CAST(NULL AS DOUBLE), "
+                    f"'p_value', CAST(NULL AS DOUBLE)), "
+                    f"transform(array({ranks}), __mr -> "
+                    f"transform(array({ms}), __ms -> "
+                    f"{res})[0])[0]))[0]")
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out

@@ -284,7 +284,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
 #: Round-14 ordering (VERDICT r13 item 1 — execute the _FRONTLOAD_R14
-#: rotation): 11 NEW rows (group_array_bounded_sql +
+#: rotation): 12 NEW rows (group_array_bounded_sql +
 #: estimator_alias_sql: driver-oracle rows for the two post-bench r13
 #: rewrite commits — VERDICT item 2; any_last_sql: the
 #: anyLast/anyIf/anyLastIf ReplacingMergeTree idiom — item 3;
@@ -297,7 +297,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: theilsU/contingency categorical-association family;
 #: rank_corr_sql: exact Spearman rankCorr;
 #: edit_distance_neardup: PassJoin banded levenshtein pairs;
-#: lttb_downsample_sql: the LTTB plot downsampler — all
+#: lttb_downsample_sql: the LTTB plot downsampler;
+#: two_sample_tests_sql: studentTTest + mannWhitneyUTest — all
 #: mid-round additions) and 9 TEXT-CHANGED
 #: (entropy_shape_stats_sql: the
 #: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
@@ -308,8 +309,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rotated by the NEW helper-coverage gate — their tokens sit on
 #: rewrite lines the round-14 edits touched) — then fills
 #: oldest-first: ALL 29 r9 rows still outside the window (the
-#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 1 r10 row
-#: alphabetically. The remaining 47 r10 rows are the oldest outside
+#: _FRONTLOAD_R14 cohort VERDICT r13 item 1 named) and 0 r10 rows. The remaining 48 r10 rows are the oldest outside
 #: the window and lead _FRONTLOAD_R15. rotationcheck enforces the
 #: result (including the new helper-coverage mode).
 _FRONTLOAD_R14 = [
@@ -325,6 +325,7 @@ _FRONTLOAD_R14 = [
     "rank_corr_sql",             # NEW: exact Spearman rankCorr
     "edit_distance_neardup",     # NEW: PassJoin levenshtein pairs
     "lttb_downsample_sql",       # NEW: LTTB downsampler
+    "two_sample_tests_sql",      # NEW: studentTTest/mannWhitneyU
     # text-changed this round
     "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
     "sequence_next_node_sql",    # ADVICE r13: last_match tail anchor
@@ -365,8 +366,6 @@ _FRONTLOAD_R14 = [
     "user_event_gaps",
     "window_lag_lead_sql",
     "with_fill_interpolate",
-    # r10 rows, alphabetical fill (7 of 48)
-    "any_join_sql",
 ]
 
 _FRONTLOAD_R13 = [

@@ -3429,6 +3429,153 @@ def nonneg_derivative_sql(spark: SparkSession,
 
 
 
+@query(
+    "two_sample_tests_sql",
+    # the t-statistic and U replay from raw moment sums / window
+    # ranks; the Student p replays the SAME exact integer-df series
+    # via list_reduce (identical fold order → identical doubles),
+    # and the U p spells out the identical A&S erfc polynomial —
+    # both engines compute the same formula, so round(6) only
+    # absorbs the moment-sum reordering
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value::double AS x,
+             (user_id % 2)::int AS g
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT event_type,
+             (count(*) FILTER (g = 0))::double AS n0,
+             sum(x) FILTER (g = 0) AS s0,
+             sum(x * x) FILTER (g = 0) AS q0,
+             (count(*) FILTER (g = 1))::double AS n1,
+             sum(x) FILTER (g = 1) AS s1,
+             sum(x * x) FILTER (g = 1) AS q1
+      FROM base GROUP BY event_type),
+    tt AS (
+      SELECT event_type,
+             (s0 / n0 - s1 / n1) /
+               sqrt(((q0 - s0 * s0 / n0 + q1 - s1 * s1 / n1)
+                     / (n0 + n1 - 2)) * (1 / n0 + 1 / n1)) AS t,
+             (n0 + n1 - 2)::bigint AS nu
+      FROM mom),
+    tp AS (
+      SELECT event_type, t, nu,
+             nu / (nu + t * t) AS c2,
+             abs(t) / sqrt(nu + t * t) AS sn,
+             atan(abs(t) / sqrt(nu)) AS th
+      FROM tt),
+    tser AS (
+      SELECT event_type, t,
+        1 - (CASE WHEN nu % 2 = 0 THEN
+          sn * (CASE WHEN (nu - 2) // 2 >= 1 THEN
+            list_reduce(list_prepend(
+              struct_pack(k := 0, s := 1.0::DOUBLE,
+                          tm := 1.0::DOUBLE),
+              list_transform(generate_series(1,
+                  ((nu - 2) // 2)::int), j ->
+                struct_pack(k := j, s := 0.0::DOUBLE,
+                            tm := 0.0::DOUBLE))),
+              (a, e) -> struct_pack(k := e.k,
+                 s := a.s + a.tm
+                      * ((2 * e.k - 1) / (2.0 * e.k)) * c2,
+                 tm := a.tm
+                      * ((2 * e.k - 1) / (2.0 * e.k)) * c2)).s
+            ELSE 1.0 END)
+        WHEN nu < 3 THEN (2 / pi()) * th
+        ELSE (2 / pi()) * (th + sn *
+          (CASE WHEN (nu - 3) // 2 >= 1 THEN
+            list_reduce(list_prepend(
+              struct_pack(k := 0, s := sqrt(c2), tm := sqrt(c2)),
+              list_transform(generate_series(1,
+                  ((nu - 3) // 2)::int), j ->
+                struct_pack(k := j, s := 0.0::DOUBLE,
+                            tm := 0.0::DOUBLE))),
+              (a, e) -> struct_pack(k := e.k,
+                 s := a.s + a.tm
+                      * ((2 * e.k) / (2.0 * e.k + 1)) * c2,
+                 tm := a.tm
+                      * ((2 * e.k) / (2.0 * e.k + 1)) * c2)).s
+            ELSE sqrt(c2) END))
+        END) AS p
+      FROM tp),
+    rk AS (
+      SELECT event_type, g,
+             rank() OVER (PARTITION BY event_type ORDER BY x)
+               + (count(*) OVER (PARTITION BY event_type, x) - 1)
+                 / 2.0 AS r,
+             x
+      FROM base),
+    uagg AS (
+      SELECT event_type,
+             sum(r) FILTER (g = 0) AS r0,
+             (count(*) FILTER (g = 0))::double AS n0,
+             (count(*) FILTER (g = 1))::double AS n1,
+             count(*)::double AS n
+      FROM rk GROUP BY event_type),
+    ties AS (
+      SELECT event_type,
+             sum(c * c * c - c) AS tie
+      FROM (SELECT event_type, count(*)::double AS c
+            FROM base GROUP BY event_type, x)
+      GROUP BY event_type),
+    uz AS (
+      SELECT u.event_type,
+             u.r0 - u.n0 * (u.n0 + 1) / 2 AS u0,
+             greatest(0.0,
+               abs(u.r0 - u.n0 * (u.n0 + 1) / 2
+                   - u.n0 * u.n1 / 2) - 0.5)
+             / sqrt((u.n0 * u.n1 / 12)
+                    * ((u.n + 1) - t.tie / (u.n * (u.n - 1))))
+               AS z
+      FROM uagg u JOIN ties t USING (event_type)),
+    up AS (
+      SELECT event_type, u0,
+             least(1.0, (0.254829592 * tq - 0.284496736 * tq * tq
+              + 1.421413741 * tq * tq * tq
+              - 1.453152027 * tq * tq * tq * tq
+              + 1.061405429 * tq * tq * tq * tq * tq)
+             * exp(-(z / sqrt(2)) * (z / sqrt(2)))) AS p
+      FROM (SELECT event_type, u0, z,
+                   1.0 / (1.0 + 0.3275911 * (z / sqrt(2))) AS tq
+            FROM uz))
+    SELECT tser.event_type,
+           round(tser.t, 6) AS t_stat, round(tser.p, 6) AS t_p,
+           round(up.u0, 6) AS u_stat, round(up.p, 6) AS u_p
+    FROM tser JOIN up USING (event_type)
+    ORDER BY tser.event_type
+    """,
+    doc="the ClickHouse two-sample test aggregates — "
+        "`studentTTest(x, idx)` and `mannWhitneyUTest(x, idx)` "
+        "(round 14): value compared between the even/odd user "
+        "cohorts per event_type. The t p-value is EXACT — ν is "
+        "always an integer, so A&S 26.7.3/4's finite series gives "
+        "the true CDF, folded in O(ν) per group after one "
+        "partial-aggregatable moment pass; U uses the rankCorr "
+        "run-length rank machinery (exact, average ties) with the "
+        "standard tie-corrected continuity-corrected normal p via "
+        "the A&S 7.1.26 erfc polynomial (1.5e-7, below round(6)). "
+        "Non-default alternatives are refused loudly; degenerate "
+        "samples return NULL where CH returns NaN "
+        "(functions/macros._rewrite_stat_tests)",
+)
+def two_sample_tests_sql(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "tst_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               round(studentTTest(value, user_id % 2).t_stat, 6)
+                 AS t_stat,
+               round(studentTTest(value, user_id % 2).p_value, 6)
+                 AS t_p,
+               round(mannWhitneyUTest(value, user_id % 2).u_stat, 6)
+                 AS u_stat,
+               round(mannWhitneyUTest(value, user_id % 2).p_value, 6)
+                 AS u_p
+        FROM tst_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
 #: the LTTB oracle replays the bucket loop UNROLLED — 18 chained
 #: CTE steps (one per middle bucket), each picking the max-area point
 #: against the previous step's selection and the next bucket's

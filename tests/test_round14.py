@@ -477,3 +477,88 @@ def test_lttb_downsample(spark):
     with pytest.raises(ValueError, match="parametric"):
         sql(spark, "SELECT largestTriangleThreeBuckets(x, y) "
                    "FROM lt14t")
+
+
+def test_two_sample_tests(spark):
+    """studentTTest (exact integer-df p via the A&S finite series)
+    and mannWhitneyUTest (exact U, tie-corrected normal p) against
+    Python references; parametric and degenerate contracts."""
+    import collections
+    import math
+    import random
+
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    random.seed(42)
+    rows = ([(random.gauss(10.0, 2.0), 0) for _ in range(40)]
+            + [(random.gauss(11.0, 2.0), 1) for _ in range(35)])
+    spark.createDataFrame(rows, "x double, g int") \
+        .createOrReplaceTempView("tt14t")
+    r = sql(spark, """
+        SELECT studentTTest(x, g).t_stat AS t,
+               studentTTest(x, g).p_value AS p,
+               mannWhitneyUTest(x, g).u_stat AS u,
+               mannWhitneyUTest(x, g).p_value AS up
+        FROM tt14t""").collect()[0]
+
+    xs0 = [x for x, g in rows if g == 0]
+    xs1 = [x for x, g in rows if g == 1]
+    n0, n1 = len(xs0), len(xs1)
+    m0, m1 = sum(xs0) / n0, sum(xs1) / n1
+    v0 = sum((v - m0) ** 2 for v in xs0) / (n0 - 1)
+    v1 = sum((v - m1) ** 2 for v in xs1) / (n1 - 1)
+    vp = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+    t = (m0 - m1) / math.sqrt(vp * (1 / n0 + 1 / n1))
+    nu = n0 + n1 - 2
+    th = math.atan(abs(t) / math.sqrt(nu))
+    c2, sn = math.cos(th) ** 2, math.sin(th)
+    s = tm = 1.0  # nu = 73 is odd here; but derive generally
+    if nu % 2 == 0:
+        s = tm = 1.0
+        for k in range(1, (nu - 2) // 2 + 1):
+            tm *= (2 * k - 1) / (2 * k) * c2
+            s += tm
+        A = sn * s
+    else:
+        s = tm = math.sqrt(c2)
+        for k in range(1, (nu - 3) // 2 + 1):
+            tm *= (2 * k) / (2 * k + 1) * c2
+            s += tm
+        A = 2 / math.pi * (th + sn * s)
+    assert r.t == pytest.approx(t, rel=1e-9)
+    assert r.p == pytest.approx(1 - A, rel=1e-9)
+
+    allv = sorted((v, g) for v, g in rows)
+    vals = [v for v, _ in allv]
+    r0sum, j = 0.0, 0
+    while j < len(vals):
+        k2 = j
+        while k2 < len(vals) and vals[k2] == vals[j]:
+            k2 += 1
+        for idx in range(j, k2):
+            if allv[idx][1] == 0:
+                r0sum += (j + k2 + 1) / 2
+        j = k2
+    u0 = r0sum - n0 * (n0 + 1) / 2
+    n = n0 + n1
+    tie = sum(c ** 3 - c
+              for c in collections.Counter(vals).values())
+    sig2 = n0 * n1 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = max(0.0, abs(u0 - n0 * n1 / 2) - 0.5) / math.sqrt(sig2)
+    assert r.u == pytest.approx(u0)
+    # A&S 7.1.26 polynomial: agrees with true erfc to 1.5e-7
+    assert r.up == pytest.approx(math.erfc(z / math.sqrt(2)),
+                                 abs=2e-7)
+
+    # degenerate: sample with < 2 points → NULL; all-tied → NULL U p
+    d = sql(spark, """
+        SELECT studentTTest(x, g).p_value AS p,
+               mannWhitneyUTest(x, g).p_value AS up
+        FROM (SELECT 1.0 AS x, 0 AS g
+              UNION ALL SELECT 1.0, 1
+              UNION ALL SELECT 1.0, 1)""").collect()[0]
+    assert d.p is None and d.up is None
+    with pytest.raises(ValueError, match="default parameters"):
+        sql(spark, "SELECT studentTTest(0.95)(x, g) FROM tt14t")
+    with pytest.raises(ValueError, match="exactly 2"):
+        sql(spark, "SELECT mannWhitneyUTest(x) FROM tt14t")
