@@ -2750,6 +2750,79 @@ def _erfc_sql(w: str) -> str:
     return f"(({poly}) * exp(-({w}) * ({w})))"
 
 
+def _lgamma_sql(z: str) -> str:
+    """ln Γ(z) for z > 0 as a pure scalar expression: shift the
+    argument up by 8 (ln Γ(z) = ln Γ(z+8) − Σ ln(z+j), a FIXED
+    8-term product — no data-dependent loop) and apply the Stirling
+    series at z+8 ≥ 8.5, where the 1/(1680 z⁷) truncation leaves
+    ~1e-12 — far below the round(6) value gate. Spark has no builtin
+    lgamma; DuckDB does, and the ~1e-11 disagreement between its
+    libm and this series is equally invisible at round(6)."""
+    zz = f"(({z}) + 8)"
+    shift = " + ".join(f"ln(({z}) + {j})" for j in range(8))
+    return (f"(({zz} - 0.5) * ln({zz}) - {zz} "
+            f"+ 0.5 * ln(2 * pi()) "
+            f"+ 1.0 / (12 * {zz}) "
+            f"- 1.0 / (360 * pow({zz}, 3)) "
+            f"+ 1.0 / (1260 * pow({zz}, 5)) "
+            f"- 1.0 / (1680 * pow({zz}, 7)) - ({shift}))")
+
+
+#: Lentz/NR continued-fraction iteration count for the regularized
+#: incomplete beta. Convergence needs ~sqrt(max(a, b)) iterations in
+#: the worst (near-threshold) region; 1000 covers a = ν/2 up to ~2M
+#: points per group. Fixed-count (no early exit) so both engines
+#: fold the identical arithmetic.
+_BETACF_M = 1000
+
+
+def _betacf_sql(a: str, b: str, x: str) -> str:
+    """Numerical Recipes ``betacf(a, b, x)`` as a fixed-length fold:
+    the even/odd Lentz steps with the 1e-300 underflow floors,
+    iterated exactly ``_BETACF_M`` times."""
+    qab, qap, qam = (f"(({a}) + ({b}))", f"(({a}) + 1)",
+                     f"(({a}) - 1)")
+    guard = ("IF(abs({v}) < 1e-300, 1e-300, {v})")
+    d0 = guard.format(v=f"(1 - {qab} * ({x}) / {qap})")
+    aa_e = (f"(__cm * (({b}) - __cm) * ({x}) / "
+            f"(({qam} + 2 * __cm) * (({a}) + 2 * __cm)))")
+    aa_o = (f"(-((({a}) + __cm) * ({qab} + __cm) * ({x})) / "
+            f"((({a}) + 2 * __cm) * ({qap} + 2 * __cm)))")
+    de = guard.format(v=f"(1 + {aa_e} * __cf.d)")
+    ce = guard.format(v=f"(1 + {aa_e} / __cf.c)")
+    do_ = guard.format(v=f"(1 + {aa_o} * __cd.d)")
+    co = guard.format(v=f"(1 + {aa_o} / __cd.c)")
+    # one fold step = the even half-iteration then the odd one,
+    # hoisted through a one-element transform so each half's
+    # (c, d, h) feeds the next
+    step = (f"transform(array(named_struct("
+            f"'c', {ce}, 'd', 1 / {de}, "
+            f"'h', __cf.h * (1 / {de}) * {ce})), __cd -> "
+            f"named_struct('c', {co}, 'd', 1 / {do_}, "
+            f"'h', __cd.h * (1 / {do_}) * {co}))[0]")
+    return (f"aggregate(sequence(1, {_BETACF_M}), "
+            f"named_struct('c', CAST(1 AS DOUBLE), "
+            f"'d', 1 / {d0}, 'h', 1 / {d0}), "
+            f"(__cf, __cm) -> {step}).h")
+
+
+def _betai_sql(a: str, b: str, x: str) -> str:
+    """Regularized incomplete beta I_x(a, b) — the NR front factor
+    ``exp(a ln x + b ln(1−x) − ln B(a,b))`` times the continued
+    fraction, switching to ``1 − I_{1−x}(b, a)`` past the
+    convergence threshold (x < (a+1)/(a+b+2)), exactly NR's betai.
+    Caller must keep x strictly inside (0, 1)."""
+    lnb = (f"({_lgamma_sql(a)} + {_lgamma_sql(b)} "
+           f"- {_lgamma_sql(f'(({a}) + ({b}))')})")
+    front = (f"exp(({a}) * ln({x}) + ({b}) * ln(1 - ({x})) "
+             f"- {lnb})")
+    direct = f"({front} / ({a}) * {_betacf_sql(a, b, x)})"
+    sym = (f"(1 - {front} / ({b}) "
+           f"* {_betacf_sql(b, a, f'(1 - ({x}))')})")
+    return (f"IF(({x}) < (({a}) + 1) / (({a}) + ({b}) + 2), "
+            f"{direct}, {sym})")
+
+
 def _rewrite_stat_tests(out: str) -> str:
     """The ClickHouse two-sample test aggregates —
     ``studentTTest(x, idx)`` and ``mannWhitneyUTest(x, idx)`` with
@@ -2770,7 +2843,8 @@ def _rewrite_stat_tests(out: str) -> str:
     points for t, an empty side or all-tied values for U) return
     NULL fields where CH returns NaN (the avgWeighted deviation
     policy). Runs on literal-masked text."""
-    rx = re.compile(r"\b(studentTTest|mannWhitneyUTest)\s*\(")
+    rx = re.compile(r"\b(studentTTest|welchTTest"
+                    r"|mannWhitneyUTest)\s*\(")
     pos = 0
     while True:
         m = rx.search(out, pos)
@@ -2792,7 +2866,51 @@ def _rewrite_stat_tests(out: str) -> str:
             raise ValueError(f"{fn}(x, idx): need exactly 2 "
                              f"arguments, got {len(args)}")
         x, g = args
-        if fn == "studentTTest":
+        if fn == "welchTTest":
+            def agg(cond, expr):
+                return (f"sum(CASE WHEN ({g}) = {cond} AND ({x}) "
+                        f"IS NOT NULL THEN {expr} END)")
+            one = "CAST(1 AS DOUBLE)"
+            xv = f"CAST(({x}) AS DOUBLE)"
+            st = (f"named_struct("
+                  f"'n0', {agg(0, one)}, 's0', {agg(0, xv)}, "
+                  f"'q0', {agg(0, f'{xv} * {xv}')}, "
+                  f"'n1', {agg(1, one)}, 's1', {agg(1, xv)}, "
+                  f"'q1', {agg(1, f'{xv} * {xv}')})")
+            # per-sample variance-over-n terms (Welch's standard
+            # error components), hoisted as w0/w1
+            w0 = ("((__st.q0 - __st.s0 * __st.s0 / __st.n0) "
+                  "/ (__st.n0 - 1) / __st.n0)")
+            w1 = ("((__st.q1 - __st.s1 * __st.s1 / __st.n1) "
+                  "/ (__st.n1 - 1) / __st.n1)")
+            sv = (f"transform(array(named_struct("
+                  f"'w0', {w0}, 'w1', {w1})), __wk -> "
+                  f"named_struct("
+                  f"'t', (__st.s0 / __st.n0 - __st.s1 / __st.n1) "
+                  f"/ nullif(sqrt(__wk.w0 + __wk.w1), "
+                  f"CAST(0 AS DOUBLE)), "
+                  f"'nu', (__wk.w0 + __wk.w1) * (__wk.w0 + __wk.w1)"
+                  f" / nullif(__wk.w0 * __wk.w0 / (__st.n0 - 1) "
+                  f"+ __wk.w1 * __wk.w1 / (__st.n1 - 1), "
+                  f"CAST(0 AS DOUBLE))))[0]")
+            tr = ("named_struct('a', __sv.nu / 2, "
+                  "'x', __sv.nu / (__sv.nu + __sv.t * __sv.t))")
+            p = _betai_sql("__tr.a", "CAST(0.5 AS DOUBLE)",
+                           "__tr.x")
+            res = (f"named_struct('t_stat', __sv.t, "
+                   f"'p_value', CASE WHEN __sv.t IS NULL "
+                   f"OR __sv.nu IS NULL THEN CAST(NULL AS DOUBLE) "
+                   f"WHEN __sv.t = 0 THEN CAST(1 AS DOUBLE) "
+                   f"ELSE {p} END)")
+            repl = (f"transform(array({st}), __st -> "
+                    f"IF(__st.n0 IS NULL OR __st.n1 IS NULL "
+                    f"OR __st.n0 < 2 OR __st.n1 < 2, "
+                    f"named_struct('t_stat', CAST(NULL AS DOUBLE), "
+                    f"'p_value', CAST(NULL AS DOUBLE)), "
+                    f"transform(array({sv}), __sv -> "
+                    f"transform(array({tr}), __tr -> "
+                    f"{res})[0])[0]))[0]")
+        elif fn == "studentTTest":
             def agg(cond, expr):
                 return (f"sum(CASE WHEN ({g}) = {cond} AND ({x}) "
                         f"IS NOT NULL THEN {expr} END)")

@@ -3498,6 +3498,125 @@ def nonneg_derivative_sql(spark: SparkSession,
             ELSE sqrt(c2) END))
         END) AS p
       FROM tp),
+    wt AS (
+      SELECT event_type,
+             (s0 / n0 - s1 / n1)
+               / sqrt((q0 - s0 * s0 / n0) / (n0 - 1) / n0
+                      + (q1 - s1 * s1 / n1) / (n1 - 1) / n1) AS t,
+             pow((q0 - s0 * s0 / n0) / (n0 - 1) / n0
+                 + (q1 - s1 * s1 / n1) / (n1 - 1) / n1, 2)
+             / (pow((q0 - s0 * s0 / n0) / (n0 - 1) / n0, 2)
+                  / (n0 - 1)
+                + pow((q1 - s1 * s1 / n1) / (n1 - 1) / n1, 2)
+                  / (n1 - 1)) AS nu
+      FROM mom),
+    wp0 AS (
+      SELECT event_type, t, nu / 2 AS a, 0.5 AS b,
+             nu / (nu + t * t) AS x
+      FROM wt),
+    wp1 AS (
+      SELECT event_type, t, a, b, x,
+             x < (a + 1) / (a + b + 2) AS direct,
+             CASE WHEN x < (a + 1) / (a + b + 2) THEN a
+                  ELSE b END AS va,
+             CASE WHEN x < (a + 1) / (a + b + 2) THEN b
+                  ELSE a END AS vb,
+             CASE WHEN x < (a + 1) / (a + b + 2) THEN x
+                  ELSE 1 - x END AS vx,
+             exp(a * ln(x) + b * ln(1 - x)
+                 - (lgamma(a) + lgamma(b) - lgamma(a + b)))
+               AS front
+      FROM wp0),
+    wcf AS (
+      SELECT event_type, t, direct, va, vb, front,
+        list_reduce(
+          list_prepend(
+            struct_pack(j := 0,
+              h := 1.0 / (CASE WHEN
+                abs(1 - (va + vb) * vx / (va + 1)) < 1e-300
+                THEN 1e-300
+                ELSE 1 - (va + vb) * vx / (va + 1) END),
+              c := 1.0::DOUBLE,
+              d := 1.0 / (CASE WHEN
+                abs(1 - (va + vb) * vx / (va + 1)) < 1e-300
+                THEN 1e-300
+                ELSE 1 - (va + vb) * vx / (va + 1) END)),
+            list_transform(generate_series(1, 2000), i ->
+              struct_pack(j := i, h := 0.0::DOUBLE,
+                          c := 0.0::DOUBLE, d := 0.0::DOUBLE))),
+          (ac, e) -> struct_pack(j := e.j,
+            h := ac.h
+              * (1.0 / (CASE WHEN abs(1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) * ac.d)
+                < 1e-300 THEN 1e-300
+              ELSE 1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) * ac.d
+              END))
+              * (CASE WHEN abs(1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) / ac.c)
+                < 1e-300 THEN 1e-300
+              ELSE 1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) / ac.c
+              END),
+            c := CASE WHEN abs(1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) / ac.c)
+                < 1e-300 THEN 1e-300
+              ELSE 1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) / ac.c
+              END,
+            d := 1.0 / (CASE WHEN abs(1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) * ac.d)
+                < 1e-300 THEN 1e-300
+              ELSE 1 + (CASE WHEN e.j % 2 = 1
+                THEN ((e.j + 1) // 2) * (vb - ((e.j + 1) // 2)) * vx
+                     / ((va - 1 + 2 * ((e.j + 1) // 2))
+                        * (va + 2 * ((e.j + 1) // 2)))
+                ELSE -((va + e.j // 2) * (va + vb + e.j // 2) * vx)
+                     / ((va + 2 * (e.j // 2))
+                        * (va + 1 + 2 * (e.j // 2))) END) * ac.d
+              END))).h AS h
+      FROM wp1),
+    wser AS (
+      SELECT event_type, t,
+             CASE WHEN t = 0 THEN 1.0
+                  WHEN direct THEN front / va * h
+                  ELSE 1 - front / va * h END AS p
+      FROM wcf),
     rk AS (
       SELECT event_type, g,
              rank() OVER (PARTITION BY event_type ORDER BY x)
@@ -3540,17 +3659,24 @@ def nonneg_derivative_sql(spark: SparkSession,
             FROM uz))
     SELECT tser.event_type,
            round(tser.t, 6) AS t_stat, round(tser.p, 6) AS t_p,
+           round(wser.t, 6) AS w_t, round(wser.p, 6) AS w_p,
            round(up.u0, 6) AS u_stat, round(up.p, 6) AS u_p
-    FROM tser JOIN up USING (event_type)
+    FROM tser JOIN wser USING (event_type)
+         JOIN up USING (event_type)
     ORDER BY tser.event_type
     """,
     doc="the ClickHouse two-sample test aggregates — "
-        "`studentTTest(x, idx)` and `mannWhitneyUTest(x, idx)` "
+        "`studentTTest(x, idx)`, `welchTTest(x, idx)`, and "
+        "`mannWhitneyUTest(x, idx)` "
         "(round 14): value compared between the even/odd user "
-        "cohorts per event_type. The t p-value is EXACT — ν is "
-        "always an integer, so A&S 26.7.3/4's finite series gives "
-        "the true CDF, folded in O(ν) per group after one "
-        "partial-aggregatable moment pass; U uses the rankCorr "
+        "cohorts per event_type. The Student p-value is EXACT — ν "
+        "is always an integer, so A&S 26.7.3/4's finite series "
+        "gives the true CDF, folded in O(ν) per group after one "
+        "partial-aggregatable moment pass; Welch's fractional-df p "
+        "runs the NR regularized-incomplete-beta continued fraction "
+        "(fixed 1000 Lentz iterations, shift-8 Stirling lgamma — "
+        "~1e-11, both replayed move-for-move by the oracle via "
+        "list_reduce and DuckDB's lgamma); U uses the rankCorr "
         "run-length rank machinery (exact, average ties) with the "
         "standard tie-corrected continuity-corrected normal p via "
         "the A&S 7.1.26 erfc polynomial (1.5e-7, below round(6)). "
@@ -3568,6 +3694,10 @@ def two_sample_tests_sql(spark: SparkSession,
                  AS t_stat,
                round(studentTTest(value, user_id % 2).p_value, 6)
                  AS t_p,
+               round(welchTTest(value, user_id % 2).t_stat, 6)
+                 AS w_t,
+               round(welchTTest(value, user_id % 2).p_value, 6)
+                 AS w_p,
                round(mannWhitneyUTest(value, user_id % 2).u_stat, 6)
                  AS u_stat,
                round(mannWhitneyUTest(value, user_id % 2).p_value, 6)

@@ -550,14 +550,60 @@ def test_two_sample_tests(spark):
     assert r.up == pytest.approx(math.erfc(z / math.sqrt(2)),
                                  abs=2e-7)
 
+    # welchTTest: t, fractional df, and the NR incomplete-beta p
+    w = sql(spark, """
+        SELECT welchTTest(x, g).t_stat AS t,
+               welchTTest(x, g).p_value AS p
+        FROM tt14t""").collect()[0]
+    wt = (m0 - m1) / math.sqrt(v0 / n0 + v1 / n1)
+    wnu = ((v0 / n0 + v1 / n1) ** 2
+           / ((v0 / n0) ** 2 / (n0 - 1)
+              + (v1 / n1) ** 2 / (n1 - 1)))
+
+    def betacf(a, b, x, M=1000):
+        qab, qap, qam = a + b, a + 1, a - 1
+        c, d = 1.0, 1 - qab * x / qap
+        if abs(d) < 1e-300:
+            d = 1e-300
+        d = 1 / d
+        h = d
+        for m_ in range(1, M + 1):
+            m2 = 2 * m_
+            for aa in (m_ * (b - m_) * x / ((qam + m2) * (a + m2)),
+                       -(a + m_) * (qab + m_) * x
+                       / ((a + m2) * (qap + m2))):
+                d = 1 + aa * d
+                if abs(d) < 1e-300:
+                    d = 1e-300
+                c = 1 + aa / c
+                if abs(c) < 1e-300:
+                    c = 1e-300
+                d = 1 / d
+                h *= d * c
+        return h
+
+    def betai(a, b, x):
+        lnb = (math.lgamma(a) + math.lgamma(b)
+               - math.lgamma(a + b))
+        front = math.exp(a * math.log(x) + b * math.log(1 - x)
+                         - lnb)
+        if x < (a + 1) / (a + b + 2):
+            return front / a * betacf(a, b, x)
+        return 1 - front / b * betacf(b, a, 1 - x)
+
+    assert w.t == pytest.approx(wt, rel=1e-9)
+    assert w.p == pytest.approx(
+        betai(wnu / 2, 0.5, wnu / (wnu + wt * wt)), rel=1e-7)
+
     # degenerate: sample with < 2 points → NULL; all-tied → NULL U p
     d = sql(spark, """
         SELECT studentTTest(x, g).p_value AS p,
+               welchTTest(x, g).p_value AS wp,
                mannWhitneyUTest(x, g).p_value AS up
         FROM (SELECT 1.0 AS x, 0 AS g
               UNION ALL SELECT 1.0, 1
               UNION ALL SELECT 1.0, 1)""").collect()[0]
-    assert d.p is None and d.up is None
+    assert d.p is None and d.wp is None and d.up is None
     with pytest.raises(ValueError, match="default parameters"):
         sql(spark, "SELECT studentTTest(0.95)(x, g) FROM tt14t")
     with pytest.raises(ValueError, match="exactly 2"):
