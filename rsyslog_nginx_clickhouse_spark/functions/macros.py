@@ -932,6 +932,8 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_rank_corr(out)
     out = _rewrite_lttb(out)
     out = _rewrite_stat_tests(out)
+    out = _rewrite_quantile_deterministic(out)
+    out = _rewrite_sparkbar(out)
     out = _rewrite_quantile_if(out)
     # leak check: a combinator whose argument nests deeper than the
     # patterns above would otherwise pass through silently and hit
@@ -2058,24 +2060,42 @@ def _rewrite_map_aggs(out: str) -> str:
     a value-gated oracle can replay. Filter ``v != 0`` on the result
     array to reproduce CH's drop.
     """
-    rx = re.compile(r"\b(sumMap|minMap|maxMap)\s*\(")
+    rx = re.compile(r"\b(sumMapFiltered|sumMap|minMap|maxMap)\s*\(")
     pos = 0
     while True:
         m = rx.search(out, pos)
         if not m:
             return out
+        fn = m.group(1)
         args, end = _take_call_args(out, m.end() - 1)
+        keep = None
+        if fn == "sumMapFiltered":
+            # parametric: sumMapFiltered([k1, ...])(k, v) — the keys
+            # array literal passes through verbatim as the membership
+            # filter (CH returns ONLY the listed keys)
+            if len(args) != 1 or not out[end:].lstrip().startswith(
+                    "("):
+                raise ValueError(
+                    "sumMapFiltered needs the parametric form "
+                    "sumMapFiltered([keys])(k, v)")
+            keep = args[0].strip()
+            args, end = _take_call_args(out, out.index("(", end))
         if len(args) != 2:
-            raise ValueError(f"{m.group(1)}(k, v): need exactly 2 "
+            raise ValueError(f"{fn}(k, v): need exactly 2 "
                              f"arguments, got {len(args)}")
         k, v = (a.strip() for a in args)
-        init, step = _MAP_AGG_FOLDS[m.group(1)]
+        init, step = _MAP_AGG_FOLDS[
+            "sumMap" if fn == "sumMapFiltered" else fn]
         lst = (f"collect_list(CASE WHEN ({k}) IS NOT NULL AND "
                f"({v}) IS NOT NULL THEN "
                f"struct(({k}) AS k, CAST(({v}) AS DOUBLE) AS v) END)")
+        keys = (f"sort_array(array_distinct(transform({lst}, "
+                f"__mk -> __mk.k)))")
+        if keep is not None:
+            keys = (f"filter({keys}, __mf -> "
+                    f"array_contains({keep}, __mf))")
         repl = (
-            f"transform(sort_array(array_distinct(transform({lst}, "
-            f"__mk -> __mk.k))), __mm -> struct(__mm AS k, "
+            f"transform({keys}, __mm -> struct(__mm AS k, "
             f"aggregate(filter({lst}, __me -> __me.k <=> __mm), "
             f"{init}, (__ma, __me) -> {step}) AS v))")
         out = out[:m.start()] + repl + out[end:]
@@ -2991,6 +3011,115 @@ def _rewrite_stat_tests(out: str) -> str:
         out = out[:m.start()] + repl + out[end:]
         pos = m.start() + len(repl)
     return out
+
+
+def _rewrite_quantile_deterministic(out: str) -> str:
+    """ClickHouse ``quantileDeterministic(p)(x, determinator)`` (and
+    ``quantiles…``/``medianDeterministic``) → the EXACT percentile
+    with the determinator DROPPED: CH's determinator only makes its
+    reservoir sampling reproducible, and an exact quantile is
+    deterministic by construction — the estimator-upgrade policy
+    every rename in this family follows (medianExact, topK). Runs on
+    literal-masked text."""
+    rx = re.compile(r"\b(quantilesDeterministic|quantileDeterministic"
+                    r"|medianDeterministic)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(out, pos)
+        if not m:
+            return out
+        fn = m.group(1)
+        first, after = _take_call_args(out, m.end() - 1)
+        if fn != "medianDeterministic" and \
+                out[after:].lstrip().startswith("("):
+            ps, args_at = first, out.index("(", after)
+            args, end = _take_call_args(out, args_at)
+        else:
+            ps, args, end = ["0.5"], first, after
+        if len(args) != 2:
+            raise ValueError(
+                f"{fn}: need exactly (x, determinator) in the value "
+                f"group, got {len(args)} arguments")
+        x = args[0].strip()
+        if fn == "quantilesDeterministic":
+            p = f"array({', '.join(s.strip() for s in ps)})"
+        else:
+            if len(ps) != 1:
+                raise ValueError(f"{fn}: exactly one quantile level "
+                                 f"expected, got {len(ps)}")
+            p = ps[0].strip()
+        repl = f"percentile({x}, {p})"
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+#: sparkbar's eight block glyphs, lowest to full.
+_SPARKBAR_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+def _rewrite_sparkbar(out: str) -> str:
+    """ClickHouse ``sparkbar(width)(x, y)`` — the inline unicode
+    bar-chart aggregate dashboards drop into table cells. Contract
+    (stated so the oracle replays it): the x range [min, max] splits
+    into ``width`` equal buckets (max lands in the last; a
+    single-value range uses bucket 0), y sums per bucket, and each
+    bucket renders as ' ' when its sum is ≤ 0 (or empty) else the
+    ``ceil(8·sum/max_sum)``-th of ▁▂▃▄▅▆▇█ — linear scaling with the
+    largest bucket always full-height. NULL-coordinate rows are
+    skipped; an empty group renders NULL, an all-non-positive group
+    all spaces. O(width · group) fold over one collect; width is a
+    literal (the topK policy). CH leaves its exact glyph scaling
+    undocumented, so this DOCUMENTED rendering is the contract — the
+    bucket SUMS follow CH exactly. Runs on literal-masked text."""
+    pos = 0
+    while True:
+        m = re.compile(r"\bsparkbar\s*\(").search(out, pos)
+        if not m:
+            return out
+        first, after = _take_call_args(out, m.end() - 1)
+        if not (len(first) == 1 and first[0].strip().isdigit()):
+            raise ValueError(
+                "sparkbar needs the parametric literal form "
+                "sparkbar(width)(x, y)")
+        w = int(first[0])
+        if not (1 <= w <= 1024):
+            raise ValueError("sparkbar(width): width must be in "
+                             "[1, 1024]")
+        if not out[after:].lstrip().startswith("("):
+            raise ValueError(
+                "sparkbar(width)(x, y): missing the (x, y) group")
+        args, end = _take_call_args(out, out.index("(", after))
+        if len(args) != 2:
+            raise ValueError("sparkbar(width)(x, y): need exactly 2 "
+                             f"arguments, got {len(args)}")
+        x, y = (a.strip() for a in args)
+        st = (f"named_struct('ps', collect_list(CASE WHEN ({x}) IS "
+              f"NOT NULL AND ({y}) IS NOT NULL THEN "
+              f"struct(CAST(({x}) AS DOUBLE) AS x, "
+              f"CAST(({y}) AS DOUBLE) AS y) END), "
+              f"'mn', min(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS "
+              f"NOT NULL THEN CAST(({x}) AS DOUBLE) END), "
+              f"'mx', max(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS "
+              f"NOT NULL THEN CAST(({x}) AS DOUBLE) END))")
+        idx = (f"IF(__s0.mx = __s0.mn, 0, least({w} - 1, "
+               f"CAST(floor((__pp.x - __s0.mn) / "
+               f"(__s0.mx - __s0.mn) * {w}) AS INT)))")
+        sums = (f"transform(sequence(0, {w} - 1), __bi -> "
+                f"aggregate(__s0.ps, CAST(0 AS DOUBLE), "
+                f"(__ba, __pp) -> __ba + IF({idx} = __bi, "
+                f"__pp.y, CAST(0 AS DOUBLE))))")
+        bars = (f"IF(__sm <= 0, repeat(' ', {w}), "
+                f"concat_ws('', transform(__sv, __bv -> "
+                f"IF(__bv <= 0, ' ', "
+                f"substring('{_SPARKBAR_GLYPHS}', "
+                f"CAST(ceil(8 * __bv / __sm) AS INT), 1)))))")
+        repl = (f"transform(array({st}), __s0 -> "
+                f"IF(size(__s0.ps) = 0, CAST(NULL AS STRING), "
+                f"transform(array({sums}), __sv -> "
+                f"transform(array(array_max(__sv)), __sm -> "
+                f"{bars})[0])[0]))[0]")
+        out = out[:m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
 
 
 def _default_quantile_fraction(out: str) -> str:

@@ -284,7 +284,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: outside the window and lead _FRONTLOAD_R14 — the price of 16
 #: mandatory slots. rotationcheck enforces the result.
 #: Round-14 ordering (VERDICT r13 item 1 — execute the _FRONTLOAD_R14
-#: rotation): 12 NEW rows (group_array_bounded_sql +
+#: rotation): 13 NEW rows (group_array_bounded_sql +
 #: estimator_alias_sql: driver-oracle rows for the two post-bench r13
 #: rewrite commits — VERDICT item 2; any_last_sql: the
 #: anyLast/anyIf/anyLastIf ReplacingMergeTree idiom — item 3;
@@ -298,7 +298,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 #: rank_corr_sql: exact Spearman rankCorr;
 #: edit_distance_neardup: PassJoin banded levenshtein pairs;
 #: lttb_downsample_sql: the LTTB plot downsampler;
-#: two_sample_tests_sql: studentTTest + mannWhitneyUTest — all
+#: two_sample_tests_sql: studentTTest/welchTTest/mannWhitneyUTest;
+#: sparkbar_map_sql: sparkbar + sumMapFiltered +
+#: quantileDeterministic — all
 #: mid-round additions) and 9 TEXT-CHANGED
 #: (entropy_shape_stats_sql: the
 #: ADVICE r13 skewSamp/kurtSamp factor fix — ((n-1)/n)^1.5 and ^2;
@@ -325,7 +327,9 @@ _FRONTLOAD_R14 = [
     "rank_corr_sql",             # NEW: exact Spearman rankCorr
     "edit_distance_neardup",     # NEW: PassJoin levenshtein pairs
     "lttb_downsample_sql",       # NEW: LTTB downsampler
-    "two_sample_tests_sql",      # NEW: studentTTest/mannWhitneyU
+    "two_sample_tests_sql",      # NEW: studentTTest/welch/mannWhitneyU
+    "sparkbar_map_sql",          # NEW: sparkbar/sumMapFiltered/qDet
+    "sum_map_sql",               # helper-coverage: map_aggs edit
     # text-changed this round
     "entropy_shape_stats_sql",   # ADVICE r13: Samp factor fix
     "sequence_next_node_sql",    # ADVICE r13: last_match tail anchor
@@ -364,8 +368,6 @@ _FRONTLOAD_R14 = [
     "top_n_sql",
     "upsample_epochs",
     "user_event_gaps",
-    "window_lag_lead_sql",
-    "with_fill_interpolate",
 ]
 
 _FRONTLOAD_R13 = [

@@ -3430,6 +3430,100 @@ def nonneg_derivative_sql(spark: SparkSession,
 
 
 @query(
+    "sparkbar_map_sql",
+    # sparkbar replays the documented rendering from bucketed counts
+    # over the 0..11 spine (hours are integers, so bucket sums are
+    # exact and the glyph index arithmetic is identical doubles);
+    # the filtered map from plain grouped counts; the deterministic
+    # quantile as quantile_cont (the established percentile pairing)
+    oracle="""
+    WITH vb AS (
+      SELECT event_type, CAST(floor(value / 25) AS INT) AS k,
+             count(*)::bigint AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, k),
+    vmap AS (
+      SELECT event_type,
+             string_agg(k || ':' || c, ',' ORDER BY k) AS vmap
+      FROM vb WHERE k IN (0, 1, 2, 3) GROUP BY event_type),
+    hx AS (
+      SELECT event_type, hour(ts)::double AS x FROM events),
+    mm AS (
+      SELECT event_type, min(x) AS mn, max(x) AS mx
+      FROM hx GROUP BY event_type),
+    bsum AS (
+      SELECT hx.event_type,
+             CASE WHEN mm.mx = mm.mn THEN 0
+                  ELSE least(11, CAST(floor((hx.x - mm.mn)
+                       / (mm.mx - mm.mn) * 12) AS INT)) END AS bi,
+             count(*)::double AS s
+      FROM hx JOIN mm USING (event_type)
+      GROUP BY hx.event_type, bi),
+    spine AS (
+      SELECT event_type, gs.bi
+      FROM mm, (SELECT unnest(generate_series(0, 11)) AS bi) gs),
+    bmax AS (
+      SELECT event_type, max(s) AS ms FROM bsum
+      GROUP BY event_type),
+    bars AS (
+      SELECT spine.event_type,
+             string_agg(CASE WHEN coalesce(bsum.s, 0) <= 0 THEN ' '
+               ELSE substr('▁▂▃▄▅▆▇█',
+                 CAST(ceil(8 * bsum.s / bmax.ms) AS INT), 1)
+               END, '' ORDER BY spine.bi) AS bar
+      FROM spine LEFT JOIN bsum
+        ON spine.event_type = bsum.event_type
+           AND spine.bi = bsum.bi
+        JOIN bmax ON spine.event_type = bmax.event_type
+      GROUP BY spine.event_type),
+    qd AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.9), 6) AS q90,
+             round(quantile_cont(value, 0.5), 6) AS qd50,
+             round(quantile_cont(value, 0.5), 6) AS md
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT vmap.event_type, vmap.vmap, bars.bar, qd.q90,
+           qd.qd50, qd.md
+    FROM vmap JOIN bars USING (event_type) JOIN qd USING (event_type)
+    ORDER BY vmap.event_type
+    """,
+    doc="three round-14 dashboard aggregates in one pass per "
+        "event_type: `sumMapFiltered([keys])(k, v)` (the sumMap "
+        "machinery with a verbatim membership filter — only listed "
+        "keys return), `sparkbar(width)(x, y)` (the inline unicode "
+        "bar chart: equal x-buckets, per-bucket y sums, glyph = "
+        "ceil(8·sum/max) of ▁▂▃▄▅▆▇█ with ' ' for empty — the "
+        "rendering contract is stated since CH leaves its scaling "
+        "undocumented; bucket SUMS follow CH exactly), and "
+        "`quantileDeterministic`/`quantilesDeterministic`/`medianDeterministic` (exact "
+        "percentile, determinator dropped — it only exists to make "
+        "CH's sampling reproducible, and exact is deterministic by "
+        "construction). All single-shuffle partial-agg shapes "
+        "(functions/macros._rewrite_map_aggs, _rewrite_sparkbar, "
+        "_rewrite_quantile_deterministic)",
+)
+def sparkbar_map_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "sbm_events")
+    return engine_sql(spark, """
+        SELECT event_type,
+               array_join(transform(
+                 sumMapFiltered(array(0, 1, 2, 3))(
+                   CAST(floor(value / 25) AS INT), 1),
+                 __p -> concat(CAST(__p.k AS STRING), ':',
+                               CAST(CAST(__p.v AS BIGINT)
+                                    AS STRING))), ',') AS vmap,
+               sparkbar(12)(CAST(hour(ts) AS DOUBLE), 1) AS bar,
+               round(quantileDeterministic(0.9)(value, user_id), 6)
+                 AS q90,
+               round(quantilesDeterministic(0.5, 0.9)(
+                       value, user_id)[0], 6) AS qd50,
+               round(medianDeterministic(value, user_id), 6) AS md
+        FROM sbm_events GROUP BY event_type ORDER BY event_type
+    """)
+
+
+@query(
     "two_sample_tests_sql",
     # the t-statistic and U replay from raw moment sums / window
     # ranks; the Student p replays the SAME exact integer-df series
@@ -5137,7 +5231,9 @@ def bit_uniq_upto_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_agg(k || ':' || mxv::bigint, ',' ORDER BY k) AS mx
     FROM per_key GROUP BY event_type ORDER BY event_type
     """,
-    doc="the Map-combinator aggregates sumMap/minMap/maxMap(k, v) "
+    doc="(window-rotated round 14 by the helper-coverage gate: the "
+        "sumMapFiltered addition landed inside _rewrite_map_aggs) "
+        "the Map-combinator aggregates sumMap/minMap/maxMap(k, v) "
         "(round 12): per-distinct-key aggregation returning the "
         "key-sorted pairs — one collect_list of (k, v) structs with "
         "a per-distinct-key higher-order fold in the projection, the "

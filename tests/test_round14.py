@@ -608,3 +608,40 @@ def test_two_sample_tests(spark):
         sql(spark, "SELECT studentTTest(0.95)(x, g) FROM tt14t")
     with pytest.raises(ValueError, match="exactly 2"):
         sql(spark, "SELECT mannWhitneyUTest(x) FROM tt14t")
+
+
+def test_sparkbar_and_filtered_map(spark):
+    """sparkbar's documented rendering, sumMapFiltered key
+    membership, and the quantileDeterministic determinator drop."""
+    from rsyslog_nginx_clickhouse_spark.functions.macros import sql
+
+    rows = [("a", 5.0, 1), ("a", 5.0, 2), ("b", 3.0, 3),
+            ("c", 7.0, 4), ("a", None, 5)]
+    spark.createDataFrame(rows, "k string, v double, u int") \
+        .createOrReplaceTempView("qm14t")
+    r = sql(spark, """
+        SELECT sumMapFiltered(array('a', 'c'))(k, v) AS fm,
+               quantileDeterministic(0.5)(v, u) AS qd,
+               medianDeterministic(v, u) AS md
+        FROM qm14t""").collect()[0]
+    assert [(p.k, p.v) for p in r.fm] == [("a", 10.0), ("c", 7.0)]
+    assert r.qd == 5.0 and r.md == 5.0
+    # sparkbar: counts (1,2,8,4,0,-,2,1) over 8 hour-buckets →
+    # levels ceil(8v/8): ▁▂█▄, two empties, ▂▁
+    pts = [(float(h), float(c)) for h, c in
+           [(0, 1), (1, 2), (2, 8), (3, 4), (4, 0), (6, 2), (7, 1)]]
+    spark.createDataFrame(pts, "x double, y double") \
+        .createOrReplaceTempView("sb14t")
+    b = sql(spark, "SELECT sparkbar(8)(x, y) AS b FROM sb14t"
+            ).collect()[0].b
+    assert b == "▁▂█▄  ▂▁"
+    # empty group → NULL; all-zero sums → spaces
+    assert sql(spark, "SELECT sparkbar(4)(x, y) AS b FROM sb14t "
+                      "WHERE x < 0").collect()[0].b is None
+    z = sql(spark, "SELECT sparkbar(4)(x, 0) AS b FROM sb14t"
+            ).collect()[0].b
+    assert z == "    "
+    with pytest.raises(ValueError, match="parametric"):
+        sql(spark, "SELECT sparkbar(x, y) FROM sb14t")
+    with pytest.raises(ValueError, match="parametric form"):
+        sql(spark, "SELECT sumMapFiltered(k, v) FROM qm14t")
