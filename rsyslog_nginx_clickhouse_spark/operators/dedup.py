@@ -558,6 +558,12 @@ def repeated_span_removal(docs: DataFrame, k: int = 8,
     Returns (id, clean_text, n_tokens, n_removed). Documents shorter
     than k tokens pass through untouched.
     """
+    # dedup-family discipline: a small parquet corpus arrives as ONE
+    # scan partition, serializing the O(tokens) shingle+md5 emit onto
+    # one core (measured: a 4.1 s single-task stage at sf0.1); the
+    # spread shuffle moves only the raw text once and unlocks every
+    # core. At 100 TB the scan is already wide and spread is a no-op.
+    docs = spread(docs, id_col)
     toks = docs.select(F.col(id_col),
                        F.split(F.col(text_col), " ").alias("toks"))
     sh = toks.select(
@@ -638,36 +644,69 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
     # re-splitting the whole text per position — O(tokens²) per doc
     # (round-14 scale probe: the emit stage alone ran 5x/10x until
     # both fixes landed).
-    suf = spread(docs, id_col).select(
+    # Pass 1 — POSITION KEYS ONLY: (doc_id, pos, bucket), ~48 bytes a
+    # row instead of the cap-token suffix array (the §8 proxy-shuffle
+    # discipline: decide with small rows, move heavy rows once). The
+    # bucket-hotness window then drops every bucket touched by fewer
+    # than two DISTINCT documents — such buckets cannot produce a
+    # cross-doc adjacent pair, so the credit set is untouched (the
+    # value oracle pins this at sf0.01 AND sf0.1); in this corpus
+    # ~96% of positions die here, and at 100 TB the O(tokens·cap)
+    # suffix shuffle the docstring budgets for shrinks to the
+    # duplicated share of positions.
+    tk = spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.expr(f"""transform(array(split({text_col}, ' ')), __tk ->
-            CASE WHEN size(__tk) >= {min_len} THEN
-              transform(sequence(0, size(__tk) - {min_len}), p ->
+        F.split(F.col(text_col), " ").alias("toks"))
+    keys = (tk.select(
+        "doc_id",
+        F.expr(f"""CASE WHEN size(toks) >= {min_len} THEN
+              transform(sequence(0, size(toks) - {min_len}), p ->
                 struct(p AS pos,
-                       md5(array_join(slice(__tk, p + 1, {min_len}),
-                                      ' ')) AS bucket,
-                       slice(__tk, p + 1, {cap}) AS suf))
-            ELSE array() END)[0]""").alias("es"))
-    occ = (suf.select("doc_id", F.explode("es").alias("e"))
-              .select("doc_id", "e.pos", "e.bucket", "e.suf"))
+                       md5(array_join(slice(toks, p + 1, {min_len}),
+                                      ' ')) AS bucket))
+            ELSE array() END""").alias("es"))
+        .select("doc_id", F.explode("es").alias("e"))
+        .select("doc_id", "e.pos", "e.bucket"))
+    from pyspark.sql import Window as _W
+
+    wb = _W.partitionBy("bucket")
+    qual = (keys
+            .withColumn("__lo", F.min("doc_id").over(wb))
+            .withColumn("__hi", F.max("doc_id").over(wb))
+            .where(F.col("__lo") != F.col("__hi"))
+            .drop("__lo", "__hi"))
+    # Pass 2 — attach the suffix tokens to the surviving positions
+    # only: one small hash join back to the token arrays, then the
+    # per-bucket regroup carries suffixes for qualifying rows alone.
+    occ = (qual.join(tk, "doc_id")
+               .select("doc_id", "pos", "bucket",
+                       F.expr(f"slice(toks, pos + 1, {cap})")
+                        .alias("suf")))
     grp = occ.groupBy("bucket").agg(
         F.sort_array(F.collect_list(F.struct(
             F.col("suf"), F.col("doc_id"), F.col("pos")))).alias("es"))
     # adjacent scan: token-LCP of each consecutive pair; pairs from
-    # different docs with LCP >= min_len credit BOTH sides
+    # different docs with LCP >= min_len credit BOTH sides.
+    # LCP as one vectorized expression — zip_with equality + first
+    # FALSE position — instead of a per-element aggregate fold: the
+    # fold allocated two structs per compared token (measured: the
+    # grouped scan stage carried ~100 s of task CPU at sf0.1, the
+    # single largest per-task cost in the registry); zip_with builds
+    # one boolean array and array_position scans it. Semantics are
+    # identical: position j of the first mismatch → LCP j; no
+    # mismatch in the common prefix → array_position returns 0 (its
+    # not-found value), nullif turns that into the fold's
+    # least(size, size) answer. Tokens are split() output, never
+    # NULL, so x = y is two-valued over the compared prefix.
     scan = f"""
     CASE WHEN size(es) >= 2 THEN
       flatten(transform(sequence(1, size(es) - 1), i ->
-        transform(array(aggregate(
-            sequence(0, least(size(es[i - 1].suf),
-                              size(es[i].suf)) - 1),
-            named_struct('done', false, 'n', 0),
-            (acc, j) -> IF(acc.done
-                           OR es[i - 1].suf[j] != es[i].suf[j],
-                           named_struct('done', true, 'n', acc.n),
-                           named_struct('done', false,
-                                        'n', acc.n + 1)),
-            acc -> acc.n)), lcp ->
+        transform(array(coalesce(
+            nullif(array_position(
+                zip_with(es[i - 1].suf, es[i].suf,
+                         (x, y) -> x = y), false), 0) - 1,
+            least(size(es[i - 1].suf),
+                  size(es[i].suf)))), lcp ->
           CASE WHEN es[i - 1].doc_id != es[i].doc_id
                     AND lcp >= {min_len} THEN
             array(named_struct('doc_id', es[i - 1].doc_id,

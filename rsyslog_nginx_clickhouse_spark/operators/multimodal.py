@@ -819,6 +819,28 @@ def decode_stub(payload: bytes, fake: bool = False) -> np.ndarray:
     return image_features(decode_image(payload))
 
 
+def _decode_once_exchange(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-exchange the (small) decoded rows so the decode runs ONCE.
+
+    Every decode operator here is an opaque mapInPandas over heavy
+    payloads whose output is tiny (id + a few floats). A downstream
+    global sort — the tail of every registry decode query — plans a
+    RANGE exchange, and RangePartitioner's sampling pass RE-EXECUTES
+    the exchange's child: without a materialization boundary the
+    whole render+decode chain runs TWICE per query (measured at
+    sf0.1: BroadcastHashJoin row counts double, decode stages appear
+    twice; multimodal_decode_png 4.3 s → 2.8 s solo with this
+    exchange). A hash exchange on the id column is a shuffle of the
+    POST-decode rows only — the §8 discipline: move heavy bytes once,
+    let every later pass (range sampling included) read the small
+    materialized shuffle instead of re-decoding. At 100 TB the same
+    double-decode would cost a second full pass over the corpus, so
+    this is the scale shape, not a local tweak; partition count
+    follows the session parallelism like operators/dedup.spread."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def extract_features(multimodal: DataFrame, fake: bool = True,
                      id_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature extraction: binary payload → feature vector.
@@ -843,7 +865,11 @@ def extract_features(multimodal: DataFrame, fake: bool = True,
                 "features": feats,
             })
 
-    return multimodal.mapInPandas(run, schema=schema)
+    out = multimodal.mapInPandas(run, schema=schema)
+    # the md5 stub (fake=True) is as cheap to re-execute as the
+    # exchange itself — only a REAL decode earns the decode-once
+    # materialization boundary
+    return out if fake else _decode_once_exchange(out, id_col)
 
 
 FRAME_BYTES = 16
@@ -924,8 +950,9 @@ def resize_images(multimodal: DataFrame, out_h: int = 4, out_w: int = 4,
             yield pd.DataFrame({id_col: ids, "px_idx": idxs,
                                 "gray": gray})
 
-    return multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, px_idx int, gray int")
+    return _decode_once_exchange(multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, px_idx int, gray int"),
+        id_col)
 
 
 def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
@@ -1173,8 +1200,9 @@ def extract_audio_features(multimodal: DataFrame,
                      for p in pdf["payload"]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, features array<double>")
+    return _decode_once_exchange(multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, features array<double>"),
+        id_col)
 
 
 def video_frame_stats(multimodal: DataFrame, stride: int = 2,
@@ -1198,8 +1226,9 @@ def video_frame_stats(multimodal: DataFrame, stride: int = 2,
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "y_mean": means})
 
-    return multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, frame_idx int, y_mean double")
+    return _decode_once_exchange(multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, frame_idx int, y_mean double"),
+        id_col)
 
 
 def attach_payload(docs: DataFrame, render_fn, id_col: str = "doc_id",

@@ -154,6 +154,34 @@ def test_exact_substring_matches(spark):
     assert got == {1: 4, 2: 4}
 
 
+def test_exact_substring_hot_bucket_prefilter(spark):
+    """Round-14 optimization internals: the keys-only first pass drops
+    every bucket touched by a single document BEFORE suffixes are
+    attached. A hot bucket holding a same-doc repeat AND a cross-doc
+    entry must keep its full entry set (adjacency inside the kept
+    bucket is unchanged), while pure within-doc repeats still yield
+    (0, 0)."""
+    from rsyslog_nginx_clickhouse_spark.operators.dedup import (
+        exact_substring_matches,
+    )
+
+    docs = spark.createDataFrame(
+        # doc 1 contains 'a b c' TWICE (same-doc repeat inside the hot
+        # bucket) and doc 2 once: the bucket survives the prefilter
+        # with all three occurrences, the same-doc adjacent pair earns
+        # nothing, and both cross-doc neighbours credit.
+        [(1, "a b c q a b c"),
+         (2, "z a b c z"),
+         (3, "u u u v u u u")],      # within-doc only: pruned pass 1
+        "doc_id long, text string")
+    got = {r.doc_id: (r.longest_dup, r.n_dup_starts)
+           for r in exact_substring_matches(
+               docs, min_len=3, cap=10).collect()}
+    assert got[3] == (0, 0)
+    assert got[1][0] == 3 and got[2][0] == 3
+    assert got[1][1] >= 1 and got[2][1] == 1
+
+
 def test_materialized_view_ddl(spark, tmp_path):
     """declare/insert/read round-trip plus the loud DDL refusals
     (VERDICT r13 item 4)."""
