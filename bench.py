@@ -388,6 +388,15 @@ def main() -> None:
     import pandas as pd  # noqa: F401
 
     def _noop(batches):
+        # importing the package inside the worker warms the worker
+        # POOL, not just the fork: the first registry query whose UDF
+        # closure references package modules otherwise pays ~1 s × 32
+        # workers of simultaneous cold imports (measured: a 5 000-row
+        # decode query profiled at 294 s task CPU on a cold pool vs a
+        # 1.2 s same-plan floor). min-of-2 already kept it out of the
+        # recorded minimums; this keeps it out of pass-1 samples and
+        # solo probes too.
+        import rsyslog_nginx_clickhouse_spark.operators.multimodal  # noqa: F401
         for b in batches:
             yield b
 
@@ -400,8 +409,15 @@ def main() -> None:
     # with the front-load rotation, and per-query numbers should be
     # comparable across rounds.
     warm = spark.range(64).selectExpr("id", "id % 8 AS g")
+
+    def _warm_grouped(pdf):
+        # same package-import warm-up for the grouped-apply worker
+        # pool (a separate pool from the iterator one above)
+        import rsyslog_nginx_clickhouse_spark.operators.similarity  # noqa: F401
+        return pdf
+
     warm.groupBy("g").applyInPandas(
-        lambda pdf: pdf, schema="id long, g long").count()
+        _warm_grouped, schema="id long, g long").count()
     from pyspark.sql.functions import broadcast
     warm.join(broadcast(spark.range(8).selectExpr("id AS g")),
               "g").count()

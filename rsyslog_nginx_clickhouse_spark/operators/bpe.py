@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from rsyslog_nginx_clickhouse_spark.localdf import local_rows
 
 #: chars → "  c  a  f  e  " (two-space delimiters, see module doc)
 _INIT_STATE = ("'  ' || array_join(transform(sequence(1, length(w)), "
@@ -101,9 +102,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     (it, pair_a, pair_b, merged, cnt) — the ordered merge table that
     IS the trained tokenizer (apply-side replays it in order)."""
     merges, _ = _train(docs, n_merges, text_col)
-    return docs.sparkSession.createDataFrame(
-        merges, "it int, pair_a string, pair_b string, merged string, "
-                "cnt bigint")
+    return local_rows(
+        docs.sparkSession, merges,
+        "it int, pair_a string, pair_b string, merged string, "
+        "cnt bigint")
 
 
 def bpe_tokenize_counts(docs: DataFrame, n_merges: int = 8,

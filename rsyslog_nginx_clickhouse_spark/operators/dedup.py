@@ -449,36 +449,50 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
                   .distinct().transform(barrier))
+    # identity init stays LAZY: edges is already checkpointed, so the
+    # round-1 cache materializes the distinct() inline — a separate
+    # eager barrier here was one more blocking action per call
     labels = (edges.select(F.col("src").alias("id")).distinct()
-                   .withColumn("label", F.col("id")).transform(barrier))
+                   .withColumn("label", F.col("id")))
     converged = False
+    prev_cached = None
     for it in range(max_iter):
         neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
                              .groupBy("dst").agg(F.min("label").alias("nl")))
+        # min-propagation only ever LOWERS a label, so "this row
+        # changed" is exactly nl < label — carried as a column of the
+        # SAME plan, which lets the convergence probe below run on the
+        # freshly cached round without a second labels join (the probe
+        # previously re-joined old vs new labels every round)
         new_labels = (labels.join(neighbor_min,
                                   labels["id"] == neighbor_min["dst"], "left")
                             .select(labels["id"],
                                     F.least(labels["label"],
                                             F.coalesce(F.col("nl"),
                                                        labels["label"]))
-                                    .alias("label")))
+                                    .alias("label"),
+                                    (F.col("nl") < labels["label"])
+                                    .alias("__chg")))
         if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
             # truncate the logical plan (eager: also materializes)
             new_labels = new_labels.transform(barrier)
         else:
             new_labels = new_labels.cache()
         # one action per round: the probe materializes cache/checkpoint
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels.unpersist()  # eager block release (no-op on checkpoints)
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()  # eager block release
+        prev_cached = new_labels
+        # unpersist must later see the CACHED plan, not a projection
+        # of it — CacheManager matches by plan — so the handle is kept
+        # separately from the __chg-free view the next round joins
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
     if not converged:
-        labels.unpersist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(graph diameter exceeds the cap); raise max_iter — a silent "
@@ -489,7 +503,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # freed by GC once the caller drops the result
     out = labels.select(F.col("id").alias("doc_id"),
                         F.col("label").alias("component")).transform(barrier)
-    labels.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return out
 
 

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
+from rsyslog_nginx_clickhouse_spark.localdf import local_rows
 from rsyslog_nginx_clickhouse_spark.operators.similarity import (
     EMB_SCALE_BITS,
     _lloyd_update_exact,
@@ -188,8 +189,8 @@ def pq_build(spark, embeddings: DataFrame, index_dir: str,
     d_sub = dim // m
     rows = [(s, c, d + 1, float(books[s, c, d]))
             for s in range(m) for c in range(k) for d in range(d_sub)]
-    (spark.createDataFrame(
-        rows, "subspace int, code int, dim int, cm double")
+    (local_rows(spark, rows,
+                "subspace int, code int, dim int, cm double")
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(index_dir, "books")))
     with open(os.path.join(index_dir, "meta.json"), "w") as f:

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from rsyslog_nginx_clickhouse_spark.functions.rounding import tie_round
 from rsyslog_nginx_clickhouse_spark.functions.vectors import cosine, dot
+from rsyslog_nginx_clickhouse_spark.localdf import local_rows
 
 
 def tie6_np(S: "np.ndarray") -> "np.ndarray":
@@ -295,7 +296,8 @@ def cosine_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     t = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
                   .cast("int"))
-    bp = spark.createDataFrame(
+    bp = local_rows(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int")
     # a row of block k joins every group where k is EITHER side; two
@@ -591,8 +593,9 @@ def label_centroids_exact(embeddings: DataFrame, label_col: str = "label",
     # truncated/failed string or bigint labels despite the generic
     # signature (ADVICE r7)
     label_t = embeddings.schema[label_col].dataType.simpleString()
-    return spark.createDataFrame(
-        out, f"{label_col} {label_t}, pos int, n_vecs bigint, c double")
+    return local_rows(
+        spark, out,
+        f"{label_col} {label_t}, pos int, n_vecs bigint, c double")
 
 
 def ivf_centroids_lloyd(embeddings: DataFrame, n_lists: int = N_LISTS,
@@ -723,7 +726,8 @@ def ivf_build(spark, embeddings: DataFrame, index_dir: str,
     (asg.repartition(n_lists, "list_id")
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(os.path.join(index_dir, "assign")))
-    cent = spark.createDataFrame(
+    cent = local_rows(
+        spark,
         [(int(li), int(d) + 1, float(C[li, d]))
          for li in range(C.shape[0]) for d in range(C.shape[1])],
         "list_id bigint, dim bigint, cm double")

@@ -36,6 +36,7 @@ import operator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from rsyslog_nginx_clickhouse_spark.localdf import local_rows
 
 #: bloom parameters: m = bit-domain size, k = hashes per key.
 #: At 6.25k keys/file (events sf0.1 over 16 files) fill is ~25% and
@@ -94,8 +95,8 @@ def bloom_candidate_files(spark: SparkSession, path: str,
     createDataFrame rejects empty input — both crash opaquely)."""
     if not probe_values:
         return []
-    pos_rows = (spark.createDataFrame([(v,) for v in probe_values],
-                                      f"v {value_type}")
+    pos_rows = (local_rows(spark, [(v,) for v in probe_values],
+                           f"v {value_type}")
                 .select(bloom_positions(F.col("v"), m, k).alias("ps"))
                 .collect())
     idx = spark.read.parquet(path + "_idx")

@@ -340,7 +340,16 @@ _FRONTLOAD_R14 = [
     "group_uniq_array_sql",      # helper-coverage: groupUniqArray
     "quantiles_array_sql",       # helper-coverage: quantilesExact
     "weighted_agg_sql",          # helper-coverage: avgWeighted region
-    # the 29 r9 rows — oldest in the registry, alphabetical
+    # text-changed by the round-14 OPTIMIZATION pass (materialization
+    # boundary before the final global sort — the range exchange's
+    # sampling pass re-executed the expensive child; results
+    # oracle-identical, plans in plans/r14/): these two displace the
+    # two alphabetically-last r9 fills (upsample_epochs,
+    # user_event_gaps — same last-verified round as every other fill,
+    # so oldest-first ordering is preserved)
+    "span_dedup",                # r14 opt: pre-sort exchange
+    "curation_pipeline",         # r14 opt: pre-sort exchange
+    # the 27 r9 rows — oldest in the registry, alphabetical
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
@@ -366,8 +375,6 @@ _FRONTLOAD_R14 = [
     "text_stats",
     "token_shard_plan",
     "top_n_sql",
-    "upsample_epochs",
-    "user_event_gaps",
 ]
 
 _FRONTLOAD_R13 = [

@@ -218,8 +218,15 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_span_removal,
     )
 
-    return repeated_span_removal(
-        load(spark, sf_dir, "documents"), k=8).orderBy("doc_id")
+    out = repeated_span_removal(load(spark, sf_dir, "documents"), k=8)
+    # materialization boundary before the global sort: the range
+    # exchange's sampling pass re-executes its child, and the child
+    # here is the per-doc kept-token rebuild — a hash exchange of the
+    # small result rows makes sampling re-read a shuffle instead of
+    # re-running the HOF chain (the multimodal decode-once discipline)
+    return (out.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+               .orderBy("doc_id"))
 
 
 def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
@@ -606,7 +613,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("dup_keep")))
     keep = ((F.col("q_keep") == 1) & (F.col("lang_keep") == 1)
             & (F.col("dup_keep") == 1)).cast("int")
-    return out.withColumn("keep", keep).orderBy("doc_id")
+    # materialization boundary before the global sort: without it the
+    # range exchange's sampling pass re-ran the lang-ID + quality
+    # expression chain a second time (the flags projection sits
+    # directly above the spread shuffle); the decision table is five
+    # ints per document, so the extra hash exchange is noise
+    return (out.withColumn("keep", keep)
+               .repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id")
+               .orderBy("doc_id"))
 
 
 #: Tokens per output shard for the shard-planning query. Sized so the

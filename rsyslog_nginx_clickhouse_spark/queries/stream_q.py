@@ -837,13 +837,22 @@ def streaming_jsoneachrow_ingest(spark: SparkSession,
         typed_rows,
     )
 
+    from rsyslog_nginx_clickhouse_spark.localdf import local_rows
+
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value")
     path = scratch_dir("stream_json", sf_dir)
-    ev.select(render_json_lines(ev).alias("value")) \
+    # the events parquet arrives as ONE scan partition at gate scale,
+    # so the render+write of every JSON line ran on a single core
+    # (measured: a 5.9 s one-task text job); hash-repartitioning on
+    # event_id spreads the render AND gives the file stream source
+    # one file per core to ingest in parallel
+    n_out = spark.sparkContext.defaultParallelism
+    ev.repartition(n_out, "event_id") \
+      .select(render_json_lines(ev).alias("value")) \
       .write.mode("overwrite").text(path)
-    spark.createDataFrame([("not json at all",), ('{"truncated',)],
-                          "value string") \
+    local_rows(spark, [("not json at all",), ('{"truncated',)],
+               "value string") \
         .coalesce(1).write.mode("append").text(path)
     lines = (spark.readStream.schema("value string")
              .option("pathGlobFilter", "*.txt").text(path))
