@@ -586,7 +586,8 @@ def repeated_span_removal(docs: DataFrame, k: int = 8,
         F.expr(f"""CASE WHEN size(toks) >= {k} THEN
             transform(sequence(0, size(toks) - {k}), i ->
               struct(i AS start,
-                     md5(array_join(slice(toks, i + 1, {k}), ' ')) AS h))
+                     unhex(md5(array_join(slice(toks, i + 1, {k}),
+                                          ' '))) AS h))
             ELSE array() END""").alias("sh"))
     occ = (sh.select(id_col, F.explode("sh").alias("o"))
              .select(id_col, F.col("o.start").alias("start"),
@@ -643,11 +644,20 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
     some step crosses the document boundary) — so the adjacent scan
     is sufficient, never an all-pairs join.
 
-    Scale shape: one shuffle keyed on the leading-gram md5 (16 bytes
-    + the capped suffix per position — the O(tokens · cap) blowup is
-    the documented ExactSubstr cost); per-bucket state is bounded by
-    the hottest gram's occurrence count (the repeated_span_removal
-    rank-window bound); the adjacent scan is O(bucket · cap) codegen
+    Scale shape: pass 1 shuffles (doc_id, pos, bucket) keys only —
+    bucket is the leading-gram xxhash64, 8 bytes, and a COLLISION IS
+    HARMLESS here (unlike repeated_span_removal, where hash equality
+    IS the duplicate decision): merging two prefix-groups into one
+    bucket leaves each group contiguous under the full-suffix sort,
+    cross-group adjacent pairs have LCP < min_len by construction,
+    and the hotness prefilter only becomes more conservative — so the
+    cheap 64-bit hash is exact, no 128-bit needed. Buckets touched by
+    a single document are dropped before the capped suffix is ever
+    materialized (they cannot host a cross-doc pair); pass 2 attaches
+    suffixes to the surviving share only, so the documented
+    O(tokens · cap) ExactSubstr blowup shrinks to the duplicated
+    share. Per-bucket state stays bounded by the hottest gram's
+    occurrence count; the adjacent scan is O(bucket · cap) codegen
     expressions, no UDF, no window over a global order.
     """
     # spread before the per-doc suffix expansion: the corpus arrives
@@ -677,8 +687,9 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
         F.expr(f"""CASE WHEN size(toks) >= {min_len} THEN
               transform(sequence(0, size(toks) - {min_len}), p ->
                 struct(p AS pos,
-                       md5(array_join(slice(toks, p + 1, {min_len}),
-                                      ' ')) AS bucket))
+                       xxhash64(array_join(slice(toks, p + 1,
+                                                 {min_len}),
+                                           ' ')) AS bucket))
             ELSE array() END""").alias("es"))
         .select("doc_id", F.explode("es").alias("e"))
         .select("doc_id", "e.pos", "e.bucket"))

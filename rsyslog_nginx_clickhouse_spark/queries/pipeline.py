@@ -218,15 +218,17 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_span_removal,
     )
 
+    from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
     out = repeated_span_removal(load(spark, sf_dir, "documents"), k=8)
     # materialization boundary before the global sort: the range
     # exchange's sampling pass re-executes its child, and the child
-    # here is the per-doc kept-token rebuild — a hash exchange of the
-    # small result rows makes sampling re-read a shuffle instead of
-    # re-running the HOF chain (the multimodal decode-once discipline)
-    return (out.repartition(spark.sparkContext.defaultParallelism,
-                            "doc_id")
-               .orderBy("doc_id"))
+    # here is the per-doc kept-token rebuild. A plain repartition gets
+    # OPTIMIZED AWAY directly under a global sort (verified in the
+    # round-14 plan dump), so the barrier (eager localCheckpoint) is
+    # the boundary that sticks — sampling then reads the checkpointed
+    # rows instead of re-running the HOF chain
+    return barrier(out).orderBy("doc_id")
 
 
 def dup_ngram_stats(docs: DataFrame, text_col: str = "text",
@@ -613,15 +615,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("dup_keep")))
     keep = ((F.col("q_keep") == 1) & (F.col("lang_keep") == 1)
             & (F.col("dup_keep") == 1)).cast("int")
+    from rsyslog_nginx_clickhouse_spark.plans.barrier import barrier
+
     # materialization boundary before the global sort: without it the
     # range exchange's sampling pass re-ran the lang-ID + quality
     # expression chain a second time (the flags projection sits
-    # directly above the spread shuffle); the decision table is five
-    # ints per document, so the extra hash exchange is noise
-    return (out.withColumn("keep", keep)
-               .repartition(spark.sparkContext.defaultParallelism,
-                            "doc_id")
-               .orderBy("doc_id"))
+    # directly above the spread shuffle). A plain repartition gets
+    # optimized away directly under a global sort, so the barrier
+    # (eager localCheckpoint of five ints per document) is used
+    return barrier(out.withColumn("keep", keep)).orderBy("doc_id")
 
 
 #: Tokens per output shard for the shard-planning query. Sized so the
