@@ -43,6 +43,23 @@ _FUNNEL_MODES = frozenset(
     {"strict_order", "strict_dedup", "strict_increase"})
 
 
+def _parse_modes(modes: "str | tuple[str, ...]") -> frozenset:
+    """Normalize a windowFunnel mode spec (shared by the single- and
+    multi-mode operators): str → 1-tuple, the ClickHouse
+    ``strict_deduplication`` alias, unknown flags refused loudly."""
+    if isinstance(modes, str):
+        modes = (modes,)
+    norm = frozenset("strict_dedup"
+                     if m == "strict_deduplication" else m
+                     for m in modes)
+    unknown = norm - _FUNNEL_MODES
+    if unknown:
+        raise ValueError(
+            f"unknown windowFunnel mode(s) {sorted(unknown)!r} — "
+            f"supported: {sorted(_FUNNEL_MODES)}")
+    return norm
+
+
 def funnel_level(pairs, n_levels: int, window_us: int,
                  strict_order: bool = False,
                  strict_dedup: bool = False,
@@ -122,16 +139,7 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
     """
     if len(set(conds)) != len(conds):
         raise ValueError("window_funnel conditions must be distinct")
-    if isinstance(modes, str):
-        modes = (modes,)
-    modes = frozenset("strict_dedup"
-                      if m == "strict_deduplication" else m
-                      for m in modes)
-    unknown = modes - _FUNNEL_MODES
-    if unknown:
-        raise ValueError(
-            f"unknown windowFunnel mode(s) {sorted(unknown)!r} — "
-            f"supported: {sorted(_FUNNEL_MODES)}")
+    modes = _parse_modes(modes)
     strict_order = "strict_order" in modes
     strict_dedup = "strict_dedup" in modes
     strict_increase = "strict_increase" in modes
@@ -171,6 +179,81 @@ def window_funnel(events: DataFrame, conds: list[str], window_us: int,
             .agg(F.collect_list(pair).alias("evs"))
             .select(F.col(user_col),
                     funnel(F.col("evs")).alias("funnel_level")))
+
+
+def window_funnel_multi(events: DataFrame, conds: list[str],
+                        window_us: int,
+                        mode_sets: "list[str | tuple[str, ...]]",
+                        out_cols: list[str],
+                        user_col: str = "user_id",
+                        time_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """(user, level per mode set): SEVERAL ``windowFunnel`` mode
+    variants folded from ONE per-user collect (round 15 — guide §2:
+    one pass, shared per-user state; previously each variant ran its
+    own collect_list shuffle and the variants re-joined on user).
+
+    Semantics are EXACTLY per-variant ``window_funnel``: every mode
+    set runs the same single-slot ``funnel_level`` fold over the same
+    sorted (ts, level) pairs it would have received stand-alone —
+
+    - the shuffle ships non-matching events as level 0 only when some
+      mode set includes ``strict_order`` (they are part of that
+      semantic: ClickHouse's add() stores them); a fold WITHOUT
+      strict_order then filters the level-0 pairs back out before
+      folding, which is pair-identical to the stand-alone operator's
+      in-aggregate skip (filtering commutes with the value sort);
+    - with no strict_order set anywhere, the skip happens in the
+      aggregate exactly as before and nothing extra is shuffled.
+
+    Returns one INT level column per mode set, named by ``out_cols``.
+    """
+    if len(set(conds)) != len(conds):
+        raise ValueError("window_funnel conditions must be distinct")
+    if len(mode_sets) != len(out_cols) or not mode_sets:
+        raise ValueError("window_funnel_multi: mode_sets and out_cols "
+                         "must be same-length and non-empty")
+    parsed = [_parse_modes(m) for m in mode_sets]
+    flags = [("strict_order" in m, "strict_dedup" in m,
+              "strict_increase" in m) for m in parsed]
+    any_order = any(so for so, _, _ in flags)
+    lvl_of = {c: i + 1 for i, c in enumerate(conds)}
+    n_levels = len(conds)
+
+    result_t = T.StructType(
+        [T.StructField(c, T.IntegerType()) for c in out_cols])
+
+    @F.pandas_udf(result_t)
+    def funnels(pairs: pd.Series) -> pd.DataFrame:
+        def levels(evs) -> list[int]:
+            ps = ([] if evs is None
+                  else sorted((e["t"], e["lv"]) for e in evs))
+            nz = [p for p in ps if p[1] != 0] if any_order else ps
+            return [funnel_level(ps if so else nz, n_levels,
+                                 window_us, so, sd, si)
+                    for so, sd, si in flags]
+
+        return pd.DataFrame(pairs.map(levels).tolist(),
+                            columns=out_cols,
+                            index=pairs.index).astype("int32")
+
+    lvl_map = F.create_map(
+        *[x for c, l in lvl_of.items() for x in (F.lit(c), F.lit(l))])
+    ts_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    if any_order:
+        pair = F.struct(
+            ts_us.alias("t"),
+            F.coalesce(lvl_map[F.col(type_col)], F.lit(0)).alias("lv"))
+    else:
+        pair = F.when(lvl_map[F.col(type_col)].isNotNull(),
+                      F.struct(ts_us.alias("t"),
+                               lvl_map[F.col(type_col)].alias("lv")))
+    return (events
+            .groupBy(user_col)
+            .agg(F.collect_list(pair).alias("evs"))
+            .select(F.col(user_col), funnels(F.col("evs")).alias("__f"))
+            .select(F.col(user_col),
+                    *[F.col(f"__f.{c}").alias(c) for c in out_cols]))
 
 
 def retention(events: DataFrame, conds: list[Column],
