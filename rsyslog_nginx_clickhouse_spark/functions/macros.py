@@ -928,6 +928,11 @@ def rewrite_aggregates(out: str) -> str:
     out = _rewrite_avg_weighted(out)
     out = _rewrite_bounding_ratio(out)
     out = _rewrite_nonneg_derivative(out)
+    # grouped rank stats FIRST: on the canonical single-table GROUP BY
+    # shape it restructures the whole statement around one window pass
+    # (round 15); whatever it leaves — non-canonical shapes, malformed
+    # calls — falls through to the sorted-collect folds below
+    out = _rewrite_grouped_rank_stats(out)
     out = _rewrite_assoc_stats(out)
     out = _rewrite_rank_corr(out)
     out = _rewrite_lttb(out)
@@ -2577,6 +2582,182 @@ def _rank_array(arr: str, acc: str, tag: str) -> str:
         f"{e} - {s}[{k}]))[0])))[0]")
 
 
+#: statement shapes the grouped-rank-stat restructure refuses: it must
+#: own the WHOLE statement (it moves the FROM into a windowed
+#: subquery), so anything beyond a single-table SELECT … GROUP BY
+#: falls through to the sorted-collect folds below
+_RANK_STAT_BAIL = re.compile(
+    r"\b(join|having|limit|union|intersect|except|over|qualify"
+    r"|with|lateral|pivot)\b", re.I)
+_RANK_STAT_CANON = re.compile(
+    r"(?is)^\s*select\s+(?P<sel>.*?)\s+from\s+"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"(?:\bwhere\s+(?P<w>.*?)\s*)?"
+    r"\bgroup\s+by\s+(?P<g>.*?)\s*"
+    r"(?:\border\s+by\s+(?P<o>.*?))?\s*;?\s*$")
+_RANK_STAT_CALL = re.compile(r"\b(rankCorr|mannWhitneyUTest)\s*\(")
+
+
+def _rewrite_grouped_rank_stats(out: str) -> str:
+    """Grouped rank statistics as ONE window pass + mergeable moment
+    sums (round 15, VERDICT r14 item 2 — the GROUP-BY-cardinality cap
+    on the stat-SQL family).
+
+    When the enclosing statement is the canonical single-table
+    aggregate ``SELECT … FROM t [WHERE …] GROUP BY … [ORDER BY …]``,
+    every well-formed ``rankCorr(x, y)`` / ``mannWhitneyUTest(x,
+    idx)`` call is rewritten to read per-row AVERAGE RANKS off window
+    counts and reduce them with plain partial-aggregatable sums,
+    instead of folding a per-group ``sort_array(collect_list(...))``
+    array. What that buys at scale: the sorted-collect fold holds the
+    WHOLE group in one aggregation buffer (the §5 memory hazard — 5
+    groups of a 100 TB table is 20 TB per buffer), where the window
+    sort spills gracefully and everything downstream of it is
+    map-side mergeable (two HashAggregate levels). The per-group SORT
+    itself remains group-partitioned — exact average-tie ranks need a
+    per-group global order, and the mergeable alternatives degenerate
+    here (a distinct-value histogram is O(rows) again for continuous
+    inputs like unix_micros(ts)), so the cardinality cap moves from
+    "whole fold" to "one spillable sort", which is as far as an exact
+    rank statistic goes without an inexact estimator.
+
+    Rank construction, per call over its QUALIFYING rows (both
+    arguments non-NULL — the CH pair-aggregate contract), never
+    filtering the statement's row set (other select items see every
+    row):
+
+        c = count(qualifying) OVER (PARTITION BY keys ORDER BY
+            CAST(x AS DOUBLE) RANGE UNBOUNDED PRECEDING..CURRENT ROW)
+        t = count(qualifying) OVER (same, RANGE CURRENT ROW..CURRENT
+            ROW)                      -- the tie run, peers included
+        avg_rank = c - (t - 1) / 2    -- run [s, e): c = e, t = e - s,
+                                      -- so this is (s + e + 1) / 2 —
+                                      -- the fold's run-length value
+
+    EXACTNESS — the results are the fold's results BITWISE, not just
+    within rounding: every addend is an exact binary value (average
+    ranks are halves of integers, their squares/products quarters,
+    counts integers), and sums of exact quarter-multiples are
+    order-independent while partial sums stay under 2^51 — far beyond
+    any tested group size — so the reordered partial aggregation
+    reproduces the fold's doubles and the shared result expressions
+    (_mw_res_sql / _spearman_core_sql) see identical inputs.
+
+    Anything non-canonical (subqueries, joins, HAVING, parametric or
+    wrong-arity calls, a call outside the select list) leaves the
+    statement UNCHANGED for the sorted-collect rewrites below — the
+    arbitrary-shape fallback. Runs on literal-masked text."""
+    if not _RANK_STAT_CALL.search(out):
+        return out
+    if len(re.findall(r"(?i)\bselect\b", out)) != 1 \
+            or _RANK_STAT_BAIL.search(out):
+        return out
+    m = _RANK_STAT_CANON.match(out)
+    if not m:
+        return out
+    sel, tbl = m.group("sel"), m.group("tbl")
+    where, grp, order = m.group("w"), m.group("g"), m.group("o")
+    # every rank-stat call must live in the select list
+    for part in (where, grp, order):
+        if part and _RANK_STAT_CALL.search(part):
+            return out
+    # collect call sites; bail (→ the fold path and its error
+    # messages) on a parametric suffix or wrong arity anywhere
+    calls = []  # (start, end, fn, x, y)
+    for cm in _RANK_STAT_CALL.finditer(sel):
+        args, end = _take_call_args(sel, sel.index("(", cm.start()))
+        if sel[end:].lstrip().startswith("(") or len(args) != 2:
+            return out
+        x, y = (a.strip() for a in args)
+        calls.append((cm.start(), end, cm.group(1), x, y))
+    if not calls:
+        return out
+    # group keys for the window PARTITION BY: select-list aliases
+    # resolve to their expressions (GROUP BY ug — the outer GROUP BY
+    # keeps the alias; Spark resolves group-by aliases natively there)
+    aliases = {}
+    for item in _split_top_level(sel):
+        am = re.match(r"(?is)^\s*(.*?)\s+as\s+([A-Za-z_]\w*)\s*$",
+                      item)
+        if am:
+            aliases[am.group(2).lower()] = am.group(1)
+    pkeys = [aliases.get(k.strip().lower(), k.strip())
+             for k in _split_top_level(grp)]
+    pk = ", ".join(pkeys)
+
+    win_cols: list[str] = []   # window column definitions (aliased)
+    repl_for: dict[tuple, str] = {}  # (fn, x, y) → replacement expr
+
+    def rank_cols(tag: str, qual: str, key: str) -> tuple[str, str]:
+        """(cumulative count, tie-run count) column names for ranking
+        qualifying rows by ``key`` — one window spec, two frames."""
+        c, t = f"__rs{tag}c", f"__rs{tag}t"
+        base = (f"count(CASE WHEN {qual} THEN 1 END) OVER "
+                f"(PARTITION BY {pk} ORDER BY CAST(({key}) AS DOUBLE)"
+                f" RANGE BETWEEN {{frame}} AND CURRENT ROW)")
+        win_cols.append(
+            base.format(frame="UNBOUNDED PRECEDING") + f" AS {c}")
+        win_cols.append(
+            base.format(frame="CURRENT ROW") + f" AS {t}")
+        return c, t
+
+    def avg_rank(c: str, t: str) -> str:
+        return (f"(CAST({c} AS DOUBLE) "
+                f"- (CAST({t} AS DOUBLE) - 1) / 2)")
+
+    for k, (_, _, fn, x, y) in enumerate(calls):
+        sig = (fn, x, y)
+        if sig in repl_for:
+            continue
+        if fn == "mannWhitneyUTest":
+            qual = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+            c, t = rank_cols(str(k), qual, x)
+            g0 = f"({qual} AND CAST(({y}) AS INT) = 0)"
+            zero = "CAST(0 AS DOUBLE)"
+            ms = (f"named_struct("
+                  f"'n0', sum(CASE WHEN {g0} THEN CAST(1 AS DOUBLE) "
+                  f"ELSE {zero} END), "
+                  f"'r0', sum(CASE WHEN {g0} THEN {avg_rank(c, t)} "
+                  f"ELSE {zero} END), "
+                  f"'tie', sum(CASE WHEN {qual} THEN "
+                  f"CAST({t} AS DOUBLE) * CAST({t} AS DOUBLE) - 1 "
+                  f"ELSE {zero} END), "
+                  f"'n', CAST(count(CASE WHEN {qual} THEN 1 END) "
+                  f"AS DOUBLE))")
+            repl_for[sig] = (f"transform(array({ms}), __ms -> "
+                             f"{_mw_res_sql()})[0]")
+        else:  # rankCorr
+            qual = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+            cx, tx = rank_cols(f"{k}x", qual, x)
+            cy, ty = rank_cols(f"{k}y", qual, y)
+            rx, ry = avg_rank(cx, tx), avg_rank(cy, ty)
+            zero = "CAST(0 AS DOUBLE)"
+
+            def msum(expr: str, q: str = qual) -> str:
+                return f"sum(CASE WHEN {q} THEN {expr} ELSE {zero} END)"
+
+            rc = (f"named_struct("
+                  f"'n', CAST(count(CASE WHEN {qual} THEN 1 END) "
+                  f"AS DOUBLE), "
+                  f"'sxy', {msum(f'{rx} * {ry}')}, "
+                  f"'sxx', {msum(f'{rx} * {rx}')}, "
+                  f"'syy', {msum(f'{ry} * {ry}')})")
+            core = _spearman_core_sql("__rc.n", "__rc.sxy",
+                                      "__rc.sxx", "__rc.syy")
+            repl_for[sig] = (f"transform(array({rc}), __rc -> "
+                             f"IF(__rc.n < 2, CAST(NULL AS DOUBLE), "
+                             f"{core}))[0]")
+    for start, end, fn, x, y in reversed(calls):
+        sel = sel[:start] + repl_for[(fn, x, y)] + sel[end:]
+    inner = f"SELECT *, {', '.join(win_cols)} FROM {tbl}"
+    if where:
+        inner += f" WHERE {where}"
+    new = f"SELECT {sel} FROM ({inner}) __rswin GROUP BY {grp}"
+    if order:
+        new += f" ORDER BY {order}"
+    return new
+
+
 def _rewrite_rank_corr(out: str) -> str:
     """ClickHouse ``rankCorr(x, y)`` → exact Spearman rank
     correlation with average ranks for ties: Pearson over the two
@@ -2614,7 +2795,6 @@ def _rewrite_rank_corr(out: str) -> str:
                    f"struct(__rcq[__rcj - 1].i AS i, "
                    f"__rcry[__rcj - 1] AS r))), __rcb -> __rcb.r)")
         n = "CAST(size(__rcp) AS DOUBLE)"
-        nm2 = f"({n} * ({n} + 1) * ({n} + 1) / 4)"
         sxy = (f"aggregate(zip_with(__rcrx, __rcr2, "
                f"(__rcu, __rcv) -> __rcu * __rcv), "
                f"CAST(0 AS DOUBLE), (__rcs, __rcw) -> __rcs + __rcw)")
@@ -2622,9 +2802,7 @@ def _rewrite_rank_corr(out: str) -> str:
                f"(__rcs2, __rcw2) -> __rcs2 + __rcw2 * __rcw2)")
         syy = (f"aggregate(__rcr2, CAST(0 AS DOUBLE), "
                f"(__rcs3, __rcw3) -> __rcs3 + __rcw3 * __rcw3)")
-        core = (f"({sxy} - {nm2}) / nullif(sqrt("
-                f"({sxx} - {nm2}) * ({syy} - {nm2})), "
-                f"CAST(0 AS DOUBLE))")
+        core = _spearman_core_sql(n, sxy, sxx, syy)
         repl = (f"transform(array({pairs}), __rcp -> "
                 f"IF(size(__rcp) < 2, CAST(NULL AS DOUBLE), "
                 f"transform(array({rx}), __rcrx -> "
@@ -2843,6 +3021,46 @@ def _betai_sql(a: str, b: str, x: str) -> str:
             f"{direct}, {sym})")
 
 
+def _mw_res_sql() -> str:
+    """The Mann–Whitney (u_stat, p_value) struct from the hoisted
+    ``__ms`` scalars (n0 = group-0 size, r0 = group-0 rank sum, tie =
+    Σ(t³−t) over tie runs, n = combined size): exact U from average
+    ranks, tie-corrected normal approximation with continuity
+    correction, A&S 7.1.26 erfc. SHARED by the sorted-collect fold in
+    _rewrite_stat_tests and the grouped window path in
+    _rewrite_grouped_rank_stats — the two compute the same scalars by
+    different plans, and one result expression keeps them provably
+    identical. Degenerate inputs (an empty side, n < 2, all-tied
+    values → sig2 <= 0) return NULL fields where CH returns NaN."""
+    u0 = "(__ms.r0 - __ms.n0 * (__ms.n0 + 1) / 2)"
+    n1 = "(__ms.n - __ms.n0)"
+    sig2 = (f"((__ms.n0 * {n1} / 12) * ((__ms.n + 1) "
+            f"- __ms.tie / (__ms.n * (__ms.n - 1))))")
+    z = (f"(greatest(CAST(0 AS DOUBLE), "
+         f"abs({u0} - __ms.n0 * {n1} / 2) - 0.5) / "
+         f"sqrt({sig2}))")
+    return (f"IF(__ms.n0 < 1 OR {n1} < 1 OR __ms.n < 2 "
+            f"OR {sig2} <= 0, "
+            f"named_struct('u_stat', CAST(NULL AS DOUBLE), "
+            f"'p_value', CAST(NULL AS DOUBLE)), "
+            f"named_struct('u_stat', {u0}, 'p_value', "
+            f"least(CAST(1 AS DOUBLE), "
+            f"{_erfc_sql(f'({z} / sqrt(2))')})))")
+
+
+def _spearman_core_sql(n: str, sxy: str, sxx: str, syy: str) -> str:
+    """Spearman rho from the four rank-moment scalars — Pearson over
+    the two average-rank vectors with the closed-form rank mean
+    n(n+1)²/4. SHARED by the sorted-collect fold (_rewrite_rank_corr)
+    and the grouped window path (_rewrite_grouped_rank_stats); a
+    constant side makes the corresponding variance term 0 → NULL via
+    the nullif (the documented CH-NaN deviation)."""
+    nm2 = f"({n} * ({n} + 1) * ({n} + 1) / 4)"
+    return (f"({sxy} - {nm2}) / nullif(sqrt("
+            f"({sxx} - {nm2}) * ({syy} - {nm2})), "
+            f"CAST(0 AS DOUBLE))")
+
+
 def _rewrite_stat_tests(out: str) -> str:
     """The ClickHouse two-sample test aggregates —
     ``studentTTest(x, idx)`` and ``mannWhitneyUTest(x, idx)`` with
@@ -2987,20 +3205,7 @@ def _rewrite_stat_tests(out: str) -> str:
                    f"+ (__th.c * __th.c * __th.c - __th.c))")
             ms = (f"named_struct('n0', {n0}, 'r0', {r0}, "
                   f"'tie', {tie}, 'n', {n})")
-            u0 = "(__ms.r0 - __ms.n0 * (__ms.n0 + 1) / 2)"
-            n1 = "(__ms.n - __ms.n0)"
-            sig2 = (f"((__ms.n0 * {n1} / 12) * ((__ms.n + 1) "
-                    f"- __ms.tie / (__ms.n * (__ms.n - 1))))")
-            z = (f"(greatest(CAST(0 AS DOUBLE), "
-                 f"abs({u0} - __ms.n0 * {n1} / 2) - 0.5) / "
-                 f"sqrt({sig2}))")
-            res = (f"IF(__ms.n0 < 1 OR {n1} < 1 OR __ms.n < 2 "
-                   f"OR {sig2} <= 0, "
-                   f"named_struct('u_stat', CAST(NULL AS DOUBLE), "
-                   f"'p_value', CAST(NULL AS DOUBLE)), "
-                   f"named_struct('u_stat', {u0}, 'p_value', "
-                   f"least(CAST(1 AS DOUBLE), "
-                   f"{_erfc_sql(f'({z} / sqrt(2))')})))")
+            res = _mw_res_sql()
             repl = (f"transform(array({pairs}), __mw -> "
                     f"IF(size(__mw) = 0, "
                     f"named_struct('u_stat', CAST(NULL AS DOUBLE), "
