@@ -57,10 +57,17 @@ _PAIRS = """
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The one data-sized pass: (word, freq) over ``[a-z]+`` tokens."""
-    return (docs.select(F.explode(F.expr(
+    """The one data-sized pass: (word, freq) over ``[a-z]+`` tokens.
+
+    explode_outer + post-filter, not explode: a plain explode's
+    inferred ``size > 0`` filter evaluates the regex tokenization a
+    SECOND time per document (round 15 — the exact_substring_matches
+    finding; here both runs share one stage, still 2× the regex CPU).
+    """
+    return (docs.select(F.explode_outer(F.expr(
                 f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"))
                 .alias("w"))
+                .where(F.col("w").isNotNull())
                 .groupBy("w").agg(F.count("*").alias("freq")))
 
 
@@ -81,7 +88,12 @@ def _train(docs: DataFrame, n_merges: int,
     merges: list[tuple] = []
     st = words
     for it in range(1, n_merges + 1):
-        top = (st.select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
+        # explode_outer: a plain explode's inferred size>0 filter
+        # evaluated _PAIRS — and the whole replace-chain under it —
+        # twice per iteration (see word_frequencies, round 15)
+        top = (st.select("freq",
+                         F.explode_outer(F.expr(_PAIRS)).alias("p"))
+                 .where(F.col("p").isNotNull())
                  .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                  .agg(F.sum("freq").alias("cnt"))
                  .orderBy(F.desc("cnt"), "a", "b")
@@ -120,9 +132,12 @@ def bpe_tokenize_counts(docs: DataFrame, n_merges: int = 8,
     _, st = _train(docs, n_merges, text_col)
     vocab = st.select(
         "w", F.size(F.split(F.trim("s"), "  ")).alias("n_sub"))
-    tok = docs.select(id_col, F.explode(F.expr(
+    # explode_outer + post-filter: see word_frequencies (the inferred
+    # size>0 filter would run the regex tokenization twice per doc)
+    tok = docs.select(id_col, F.explode_outer(F.expr(
         f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"))
         .alias("w"))
+    tok = tok.where(F.col("w").isNotNull())
     return (tok.join(vocab, "w")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_words"),

@@ -478,7 +478,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             new_labels = new_labels.transform(barrier)
         else:
             new_labels = new_labels.cache()
-        # one action per round: the probe materializes cache/checkpoint
+        # one action per round. On a non-converged round the
+        # limit(1) probe SHORT-CIRCUITS: it materializes only the
+        # partitions it touches, and the rest of the round's cache
+        # fills lazily when a later action first computes each
+        # partition — through lineage that may reach back to the
+        # last checkpoint (ADVICE r14; the K-round barrier bounds
+        # that depth, and the convergence round's probe scans every
+        # partition). Deferred, never duplicated-per-round, and the
+        # round-14 A/B measured this probe faster than the full
+        # old-vs-new join it replaced.
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         if prev_cached is not None:
             prev_cached.unpersist()  # eager block release
@@ -589,7 +598,12 @@ def repeated_span_removal(docs: DataFrame, k: int = 8,
                      unhex(md5(array_join(slice(toks, i + 1, {k}),
                                           ' '))) AS h))
             ELSE array() END""").alias("sh"))
-    occ = (sh.select(id_col, F.explode("sh").alias("o"))
+    # explode_outer + post-filter: a plain explode's inferred
+    # `size(sh) > 0` filter re-ran the whole shingle+md5 emit a second
+    # time below the spread exchange, single-task (the
+    # exact_substring_matches finding, round 15 — same shape here)
+    occ = (sh.select(id_col, F.explode_outer("sh").alias("o"))
+             .where(F.col("o").isNotNull())
              .select(id_col, F.col("o.start").alias("start"),
                      F.col("o.h").alias("h")))
     from pyspark.sql import Window
@@ -691,7 +705,18 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
                                                  {min_len}),
                                            ' ')) AS bucket))
             ELSE array() END""").alias("es"))
-        .select("doc_id", F.explode("es").alias("e"))
+        # explode_OUTER + post-filter, not explode (round 15): from a
+        # plain explode Catalyst infers `size(es) > 0` and pushes that
+        # filter below the spread exchange into the scan task — where
+        # evaluating it re-runs the ENTIRE per-position emit on one
+        # core (measured: a 4.55 s single-task stage, the largest
+        # remaining chunk of this query; the emit then ran AGAIN,
+        # 32-way, above the exchange). outer explode infers no such
+        # filter; the empty-array docs surface as one NULL row each
+        # and die in a post-Generate filter that cannot be pushed or
+        # duplicated. Row set is identical.
+        .select("doc_id", F.explode_outer("es").alias("e"))
+        .where(F.col("e").isNotNull())
         .select("doc_id", "e.pos", "e.bucket"))
     from pyspark.sql import Window as _W
 
@@ -708,41 +733,47 @@ def exact_substring_matches(docs: DataFrame, min_len: int = 5,
                .select("doc_id", "pos", "bucket",
                        F.expr(f"slice(toks, pos + 1, {cap})")
                         .alias("suf")))
-    grp = occ.groupBy("bucket").agg(
-        F.sort_array(F.collect_list(F.struct(
-            F.col("suf"), F.col("doc_id"), F.col("pos")))).alias("es"))
-    # adjacent scan: token-LCP of each consecutive pair; pairs from
-    # different docs with LCP >= min_len credit BOTH sides.
+    # adjacent scan: token-LCP of each consecutive pair under the
+    # per-bucket (suf, doc_id, pos) order; pairs from different docs
+    # with LCP >= min_len credit BOTH sides. Round 15 (VERDICT r14
+    # item 3): the pair comes from a window lead() over that order
+    # instead of a sort_array(collect_list(...)) regroup — the
+    # grouped array pinned the hottest gram's whole occurrence set
+    # inside ONE aggregation buffer (the §2.5 skew bound, and a §5
+    # memory hazard at scale), where the window's sort spills
+    # gracefully and the adjacent pair never materializes a
+    # per-bucket array. The window's (suf, doc_id, pos) ordering is
+    # exactly the struct order sort_array used (field-by-field
+    # lexicographic, arrays element-wise), so the consecutive-pair
+    # set — and therefore the credit set — is unchanged.
     # LCP as one vectorized expression — zip_with equality + first
-    # FALSE position — instead of a per-element aggregate fold: the
-    # fold allocated two structs per compared token (measured: the
-    # grouped scan stage carried ~100 s of task CPU at sf0.1, the
-    # single largest per-task cost in the registry); zip_with builds
-    # one boolean array and array_position scans it. Semantics are
-    # identical: position j of the first mismatch → LCP j; no
-    # mismatch in the common prefix → array_position returns 0 (its
-    # not-found value), nullif turns that into the fold's
-    # least(size, size) answer. Tokens are split() output, never
-    # NULL, so x = y is two-valued over the compared prefix.
-    scan = f"""
-    CASE WHEN size(es) >= 2 THEN
-      flatten(transform(sequence(1, size(es) - 1), i ->
-        transform(array(coalesce(
-            nullif(array_position(
-                zip_with(es[i - 1].suf, es[i].suf,
-                         (x, y) -> x = y), false), 0) - 1,
-            least(size(es[i - 1].suf),
-                  size(es[i].suf)))), lcp ->
-          CASE WHEN es[i - 1].doc_id != es[i].doc_id
-                    AND lcp >= {min_len} THEN
-            array(named_struct('doc_id', es[i - 1].doc_id,
-                               'pos', es[i - 1].pos, 'lcp', lcp),
-                  named_struct('doc_id', es[i].doc_id,
-                               'pos', es[i].pos, 'lcp', lcp))
-          ELSE array() END)[0]))
-    ELSE array() END"""
-    credits = (grp.select(F.explode(F.expr(scan)).alias("c"))
-                  .select("c.*"))
+    # FALSE position (measured r14: the per-element aggregate fold it
+    # replaced carried ~100 s of task CPU at sf0.1). Semantics:
+    # position j of the first mismatch → LCP j; no mismatch in the
+    # common prefix → array_position returns 0 (its not-found value),
+    # nullif turns that into least(size, size). Tokens are split()
+    # output, never NULL, so x = y is two-valued over the compared
+    # prefix.
+    ws = _W.partitionBy("bucket").orderBy("suf", "doc_id", "pos")
+    nbr = occ.select(
+        "doc_id", "pos", "suf",
+        F.lead("suf").over(ws).alias("nsuf"),
+        F.lead("doc_id").over(ws).alias("ndoc"),
+        F.lead("pos").over(ws).alias("npos"))
+    lcp = F.expr(f"""coalesce(
+        nullif(array_position(
+            zip_with(suf, nsuf, (x, y) -> x = y), false), 0) - 1,
+        least(size(suf), size(nsuf)))""")
+    pair_credits = (nbr
+                    .where(F.col("ndoc").isNotNull()
+                           & (F.col("ndoc") != F.col("doc_id")))
+                    .withColumn("lcp", lcp)
+                    .where(F.col("lcp") >= min_len))
+    credits = (pair_credits.select(F.explode(F.expr(
+        "array(named_struct('doc_id', doc_id, 'pos', pos, "
+        "'lcp', lcp), named_struct('doc_id', ndoc, 'pos', npos, "
+        "'lcp', lcp))")).alias("c"))
+        .select("c.*"))
     per_doc = credits.groupBy("doc_id").agg(
         F.max("lcp").alias("longest_dup"),
         F.countDistinct("pos").alias("n_dup_starts"))
