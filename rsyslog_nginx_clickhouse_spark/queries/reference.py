@@ -2686,24 +2686,23 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strictly later than the recorded previous-level event), "
         "side by side over view→click→purchase within 6 h. Each mode "
         "is the exact ClickHouse single-slot fold "
-        "(operators/funnel.window_funnel modes=); three collect_list "
-        "shuffles on user_id + co-partitioned joins, Arrow-batched "
-        "linear DP per user — no O(n^levels) self-join at scale",
+        "(operators/funnel.window_funnel_multi): ONE collect_list "
+        "shuffle on user_id feeds all three folds from the same "
+        "Arrow-batched per-user pairs (round 15 — previously three "
+        "shuffles + two joins), linear DP per user — no O(n^levels) "
+        "self-join at scale",
 )
 def funnel_strict_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rsyslog_nginx_clickhouse_spark.operators.funnel import window_funnel
+    from rsyslog_nginx_clickhouse_spark.operators.funnel import (
+        window_funnel_multi,
+    )
 
     ev = load(spark, sf_dir, "events")
-    conds = ["view", "click", "purchase"]
-    o = window_funnel(ev, conds, _FUNNEL_W_US, modes="strict_order") \
-        .withColumnRenamed("funnel_level", "lvl_order")
-    d = window_funnel(ev, conds, _FUNNEL_W_US, modes="strict_dedup") \
-        .withColumnRenamed("funnel_level", "lvl_dedup")
-    i = window_funnel(ev, conds, _FUNNEL_W_US,
-                      modes="strict_increase") \
-        .withColumnRenamed("funnel_level", "lvl_increase")
-    return (o.join(d, "user_id").join(i, "user_id")
-             .orderBy("user_id"))
+    return window_funnel_multi(
+        ev, ["view", "click", "purchase"], _FUNNEL_W_US,
+        ["strict_order", "strict_dedup", "strict_increase"],
+        ["lvl_order", "lvl_dedup", "lvl_increase"],
+    ).orderBy("user_id")
 
 
 @query(
@@ -3770,8 +3769,11 @@ def sparkbar_map_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs the NR regularized-incomplete-beta continued fraction "
         "(fixed 1000 Lentz iterations, shift-8 Stirling lgamma — "
         "~1e-11, both replayed move-for-move by the oracle via "
-        "list_reduce and DuckDB's lgamma); U uses the rankCorr "
-        "run-length rank machinery (exact, average ties) with the "
+        "list_reduce and DuckDB's lgamma); U takes exact average "
+        "ranks — round 15: off window counts with partial-"
+        "aggregatable sums on this canonical shape (bitwise the "
+        "sorted-collect fold's values, which remain the fallback — "
+        "functions/macros._rewrite_grouped_rank_stats) — with the "
         "standard tie-corrected continuity-corrected normal p via "
         "the A&S 7.1.26 erfc polynomial (1.5e-7, below round(6)). "
         "Non-default alternatives are refused loudly; degenerate "
@@ -4237,15 +4239,19 @@ def lttb_downsample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ClickHouse `rankCorr(x, y)` — exact Spearman rank "
         "correlation with average ranks for ties (round 14): value "
         "vs event time (monotone-trend detection) and value vs user "
-        "bucket, per event_type. The rewrite ranks both sides by "
-        "run-length scan over ONE sorted collect, re-sorts by "
-        "(y, x, index) to rank y, and scatters y-ranks back through "
-        "a third sort on the carried index — three O(n log n) "
-        "sorts, zero per-element lookups "
-        "(functions/macros._rewrite_rank_corr); NULL-side rows "
-        "skipped, constant sides return NULL where CH returns NaN. "
-        "The time key is unix_micros so the tie structure matches "
-        "the oracle's epoch_us exactly (second-truncated keys would "
+        "bucket, per event_type. Round 15: on this canonical "
+        "single-table GROUP BY shape the rewrite plans average "
+        "ranks off window counts (cumulative qualifying count minus "
+        "half the tie run) and reduces them with partial-"
+        "aggregatable moment sums — no per-group collect holding "
+        "the whole group in one aggregation buffer; results are "
+        "bitwise the fold's (ranks are exact halves, so the "
+        "reordered sums are exact) "
+        "(functions/macros._rewrite_grouped_rank_stats, fold "
+        "fallback in _rewrite_rank_corr); NULL-side rows skipped, "
+        "constant sides return NULL where CH returns NaN. The time "
+        "key is unix_micros so the tie structure matches the "
+        "oracle's epoch_us exactly (second-truncated keys would "
         "tie differently across engines)",
 )
 def rank_corr_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
