@@ -842,7 +842,8 @@ def _decode_once_exchange(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def extract_features(multimodal: DataFrame, fake: bool = True,
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     boundary: bool = True) -> DataFrame:
     """mapInPandas feature extraction: binary payload → feature vector.
 
     Arrow-batched; each batch is decoded in bulk. Partitioning is
@@ -868,8 +869,12 @@ def extract_features(multimodal: DataFrame, fake: bool = True,
     out = multimodal.mapInPandas(run, schema=schema)
     # the md5 stub (fake=True) is as cheap to re-execute as the
     # exchange itself — only a REAL decode earns the decode-once
-    # materialization boundary
-    return out if fake else _decode_once_exchange(out, id_col)
+    # materialization boundary. ``boundary=False`` opts a caller out
+    # (ADVICE r14): a consumer with no downstream range sort — an
+    # aggregation-only reader, whose agg exchange is already the
+    # boundary — would pay the extra shuffle for nothing.
+    return out if fake or not boundary \
+        else _decode_once_exchange(out, id_col)
 
 
 FRAME_BYTES = 16
@@ -925,7 +930,8 @@ def resize_stub(features: "np.ndarray", out_dim: int = 4,
 
 
 def resize_images(multimodal: DataFrame, out_h: int = 4, out_w: int = 4,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  boundary: bool = True) -> DataFrame:
     """Decode image payloads (real BMP decoder) and nearest-neighbor
     resize each to (out_h, out_w); one row per output pixel
     (id, px_idx row-major, gray = R channel — the renderers emit
@@ -950,9 +956,11 @@ def resize_images(multimodal: DataFrame, out_h: int = 4, out_w: int = 4,
             yield pd.DataFrame({id_col: ids, "px_idx": idxs,
                                 "gray": gray})
 
-    return _decode_once_exchange(multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, px_idx int, gray int"),
-        id_col)
+    out = multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, px_idx int, gray int")
+    # boundary=False: aggregation-only consumers skip the decode-once
+    # exchange (ADVICE r14) — their agg exchange is already a boundary
+    return _decode_once_exchange(out, id_col) if boundary else out
 
 
 def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
@@ -1189,7 +1197,8 @@ def render_y4m_bytes(text: str, width: int = Y4M_W, height: int = Y4M_H,
 
 
 def extract_audio_features(multimodal: DataFrame,
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           boundary: bool = True) -> DataFrame:
     """REAL audio decode + features over WAV payloads, Arrow-batched
     mapInPandas — the audio twin of extract_features(fake=False)."""
     id_type = multimodal.schema[id_col].dataType.simpleString()
@@ -1200,13 +1209,15 @@ def extract_audio_features(multimodal: DataFrame,
                      for p in pdf["payload"]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return _decode_once_exchange(multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, features array<double>"),
-        id_col)
+    out = multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, features array<double>")
+    # boundary=False: see resize_images — opt-out for agg-only readers
+    return _decode_once_exchange(out, id_col) if boundary else out
 
 
 def video_frame_stats(multimodal: DataFrame, stride: int = 2,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      boundary: bool = True) -> DataFrame:
     """REAL video decode + frame sampling over y4m payloads: keep
     every ``stride``-th frame, emit its luma-plane mean — the codec
     version of frame_sample's chunk/sample schedule."""
@@ -1226,9 +1237,10 @@ def video_frame_stats(multimodal: DataFrame, stride: int = 2,
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "y_mean": means})
 
-    return _decode_once_exchange(multimodal.mapInPandas(
-        run, schema=f"{id_col} {id_type}, frame_idx int, y_mean double"),
-        id_col)
+    out = multimodal.mapInPandas(
+        run, schema=f"{id_col} {id_type}, frame_idx int, y_mean double")
+    # boundary=False: see resize_images — opt-out for agg-only readers
+    return _decode_once_exchange(out, id_col) if boundary else out
 
 
 def attach_payload(docs: DataFrame, render_fn, id_col: str = "doc_id",
