@@ -29,6 +29,47 @@ from rsyslog_nginx_clickhouse_spark.queries import load_all
 from rsyslog_nginx_clickhouse_spark.session import get_spark
 
 
+def _map_in_pandas_under_range_sort(plan: str) -> int:
+    """Count MapInPandas nodes whose NEAREST enclosing Exchange (walking
+    toward the plan root) is a RANGE partitioning — the double-execution
+    shape round 14 fixed across the decode family: RangePartitioner's
+    sampling pass re-executes the exchange's child, so an opaque
+    mapInPandas chain with no materialization boundary (hash exchange /
+    cached read) between it and the range exchange runs TWICE. Guard
+    requested by VERDICT r14 item 7 — the round's biggest win class,
+    cheapest to regress silently.
+
+    Works on the tree-form plan string: node depth is the character
+    offset where the operator name starts (the `+- `/`:- ` scaffolding
+    is 3 chars per level), ancestors are the nearest shallower lines
+    above."""
+    lines = plan.splitlines()
+
+    def node_at(line: str) -> tuple[int, str]:
+        m = re.match(r"^[\s:+|-]*", line)
+        return m.end(), line[m.end():]
+
+    hits = 0
+    for i, line in enumerate(lines):
+        depth, text = node_at(line)
+        if not text.startswith(("MapInPandas", "MapInArrow")):
+            continue
+        cur = depth
+        for j in range(i - 1, -1, -1):
+            d, t = node_at(lines[j])
+            if d >= cur or not t:
+                continue
+            cur = d
+            if t.startswith("Exchange rangepartitioning"):
+                hits += 1
+                break
+            if t.startswith("Exchange") \
+                    or t.startswith("InMemoryTableScan") \
+                    or "ExistingRDD" in t:
+                break  # a materialization boundary shields the chain
+    return hits
+
+
 def audit(plan: str, formatted: str | None = None) -> dict:
     # Scan properties come from the FORMATTED explain: the one-line
     # tree representation truncates long scan lines at a char limit,
@@ -67,6 +108,7 @@ def audit(plan: str, formatted: str | None = None) -> dict:
         "exchanges": plan.count("Exchange"),
         "partial_agg": "partial_" in plan,
         "take_ordered": "TakeOrderedAndProject" in plan,
+        "decode_under_range": _map_in_pandas_under_range_sort(plan),
     }
 
 
@@ -156,6 +198,11 @@ def main() -> int:
         flags = []
         if a["cartesian"]:
             flags.append("CARTESIAN")
+        if a["decode_under_range"]:
+            # a mapInPandas chain re-executed by range-sort sampling
+            # (no boundary between it and the range exchange) — the
+            # decode-once discipline regressed (VERDICT r14 item 7)
+            flags.append("DOUBLE-EXEC")
 
         def _fmt(vals: list) -> str:
             # iterative plans repeat one scan dozens of times — compact
