@@ -65,8 +65,24 @@ CONTENDED_LOAD_1M = 2.0
 CONTENDED_LOAD_5M = 2.5
 #: bounded drain-wait at start: give a transient spike (or the 5-min
 #: average's decay) this long to clear before declaring the run
-#: contended
-DRAIN_WAIT_S = 450
+#: contended. Raised 450 → 900 in round 15 (VERDICT r14 item 4): the
+#: r14 driver run started at 5-min load 2.5 — exactly the gate — after
+#: the 450 s wait ran out; the 5-min average decays with a ~5-min time
+#: constant, so 450 s (1.5 constants) strands a run that 900 s (3
+#: constants, 2.5 → ~0.4 from a vacated box) would have cleared. A
+#: genuine co-tenant still pins the load and the run is declared
+#: contended exactly as before.
+DRAIN_WAIT_S = 900
+#: bounded re-drain BETWEEN interleaved passes (round 15, VERDICT r14
+#: item 4): pass 1's own Spark work legitimately drives the 1-min load
+#: to ~7, and that heat decays with a ~1-min time constant once the
+#: pass pauses — so pass 2's samples start into the suite's own echo
+#: (or a co-tenant that arrived mid-run). Waiting, bounded, for the
+#: 1-min average to fall back under the gate costs ≤ REDRAIN_WAIT_S of
+#: UNTIMED wall and keeps pass-2 minimums comparable to pass-1's.
+#: Own-heat clears in ~60·ln(7/2.0) ≈ 75 s; the bound covers that with
+#: slack while a persistent co-tenant just eats the bound once.
+REDRAIN_WAIT_S = 240
 #: a probe sampled at-or-above this 1-min load is not a clean sample:
 #: its verdict caps at 'contended' and it may not seed a BENCH_BEST
 #: re-baseline
@@ -438,7 +454,17 @@ def main() -> None:
     # runs every query): a contention spike taxes one pass of many
     # queries instead of both samples of the same query, so the min
     # survives it. Back-to-back same-query iterations shared the spike.
-    for _ in range(iters):
+    for it in range(iters):
+        if it:
+            # re-drain between passes (untimed, bounded): let the
+            # previous pass's own 1-min heat — or a mid-run co-tenant
+            # spike — decay before the next pass samples, so pass-2
+            # minimums are as clean as pass-1's (VERDICT r14 item 4)
+            redrained = 0
+            while redrained < REDRAIN_WAIT_S \
+                    and os.getloadavg()[0] >= CONTENDED_LOAD_1M:
+                time.sleep(5)
+                redrained += 5
         for name, q in registry.items():
             if name in dead:
                 continue
