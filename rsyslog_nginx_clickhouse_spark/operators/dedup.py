@@ -457,22 +457,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     converged = False
     prev_cached = None
     for it in range(max_iter):
-        neighbor_min = (edges.join(labels, edges["src"] == labels["id"])
-                             .groupBy("dst").agg(F.min("label").alias("nl")))
+        # ONE join + ONE union-aggregate per round (round 15;
+        # previously join → groupBy → second left join): the node's
+        # own label rides the union as a flagged row, so
+        #   new = min(own, incoming)  and  __chg = new < own
+        # fall out of a single groupBy — the label-vs-neighbor_min
+        # re-join (one exchange of the full label set per round) is
+        # gone. max(CASE WHEN own) recovers the unique own-label row.
         # min-propagation only ever LOWERS a label, so "this row
-        # changed" is exactly nl < label — carried as a column of the
-        # SAME plan, which lets the convergence probe below run on the
-        # freshly cached round without a second labels join (the probe
-        # previously re-joined old vs new labels every round)
-        new_labels = (labels.join(neighbor_min,
-                                  labels["id"] == neighbor_min["dst"], "left")
-                            .select(labels["id"],
-                                    F.least(labels["label"],
-                                            F.coalesce(F.col("nl"),
-                                                       labels["label"]))
-                                    .alias("label"),
-                                    (F.col("nl") < labels["label"])
-                                    .alias("__chg")))
+        # changed" is exactly new < own — carried as a column of the
+        # SAME plan, which lets the convergence probe below run on
+        # the freshly cached round without any further join.
+        own = labels.select(F.col("id"), F.col("label"),
+                            F.lit(True).alias("__own"))
+        incoming = (edges.join(labels, edges["src"] == labels["id"])
+                         .select(F.col("dst").alias("id"),
+                                 F.col("label"),
+                                 F.lit(False).alias("__own")))
+        new_labels = (own.unionByName(incoming)
+                         .groupBy("id")
+                         .agg(F.min("label").alias("label"),
+                              F.max(F.when(F.col("__own"),
+                                           F.col("label")))
+                               .alias("__old"))
+                         .select(F.col("id"), F.col("label"),
+                                 (F.col("label") < F.col("__old"))
+                                 .alias("__chg")))
         if it % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
             # truncate the logical plan (eager: also materializes)
             new_labels = new_labels.transform(barrier)
